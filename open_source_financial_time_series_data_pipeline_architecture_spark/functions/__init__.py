@@ -1,0 +1,25 @@
+from .features import (
+    bidask_spreads,
+    ewm,
+    large_trade_flags,
+    ohlc,
+    regime_tags,
+    sma,
+    time_bucket,
+    trade_imbalance,
+    volatility,
+    vwap,
+)
+
+__all__ = [
+    "bidask_spreads",
+    "ewm",
+    "large_trade_flags",
+    "ohlc",
+    "regime_tags",
+    "sma",
+    "time_bucket",
+    "trade_imbalance",
+    "volatility",
+    "vwap",
+]

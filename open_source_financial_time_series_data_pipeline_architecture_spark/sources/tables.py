@@ -1,0 +1,54 @@
+"""Batch table loaders for the driver-generated parquet star schema.
+
+Replaces the reference's scan surface (Delta batch scans,
+/root/reference/spark/batch_feature_calculation.py:38) with plain parquet
+reads. Reads stay fully declarative so Catalyst keeps predicate pushdown
+and column pruning; the only special case is `events.ts`, stored as
+parquet TIMESTAMP(NANOS) which Spark maps to LongType under
+``spark.sql.legacy.parquet.nanosAsLong`` — we convert to a proper
+TimestampType column (microsecond truncation, matching DuckDB's own
+ns→us cast) right after the scan. The conversion is a cheap projection;
+pushdown on other columns is unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes nanosecond timestamps."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Any long column that parquet declared TIMESTAMP(NANOS) arrives as
+    # LongType; for this dataset that is exactly events.ts.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL entry point)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
