@@ -95,5 +95,12 @@ trades AS (
 
 
 def oracle(body: str) -> str:
-    """Wrap an oracle query body with the trades CTE."""
+    """Wrap an oracle query body with the trades CTE.
+
+    A body that opens with its own WITH clause is merged into a single
+    CTE list.
+    """
+    body = body.strip()
+    if body[:5].upper() == "WITH ":
+        return f"WITH {TRADES_CTE},\n{body[5:]}"
     return f"WITH {TRADES_CTE}\n{body}"
