@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
+from open_source_financial_time_series_data_pipeline_architecture_spark import operators as OPS
 from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
     oracle,
     trades_from_events,
@@ -284,9 +285,194 @@ def regime_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(FX.regime_tags(_trades(spark, sf_dir), n=20), "sma_20")
 
 
+# --------------------------------------------------------------------------
+# J2 pit_features_asof — vectorized Feast-style PIT retrieval.
+# Entity probes = every trade with trade_id % 97 == 0 (deterministic,
+# ~1% of rows, includes exact-boundary timestamps). Features: 1-min OHLC
+# close and 5-min VWAP, each as-of joined on (symbol, ts<=event_ts).
+# Reference: feast get_historical_features
+# (tests/test_feast_pit_correctness.py:42-151). Oracle: DuckDB ASOF JOIN.
+# --------------------------------------------------------------------------
+@q(
+    "pit_features_asof",
+    oracle(
+        """
+ohlc AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(last(price ORDER BY time, trade_id), 6) AS ohlc_close
+  FROM trades GROUP BY 1, 2
+),
+vw AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(sum(price * volume) / nullif(sum(volume), 0.0), 6) AS vwap
+  FROM trades GROUP BY 1, 2
+),
+entity AS (
+  SELECT symbol, time AS event_timestamp, trade_id
+  FROM trades WHERE CAST(trade_id AS BIGINT) % 97 = 0
+)
+SELECT e.symbol, e.event_timestamp, e.trade_id, o.ohlc_close, v.vwap
+FROM entity e
+ASOF LEFT JOIN ohlc o ON e.symbol = o.symbol AND o.bucket <= e.event_timestamp
+ASOF LEFT JOIN vw   v ON e.symbol = v.symbol AND v.bucket <= e.event_timestamp
+"""
+    ),
+)
+def pit_features_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    entity = trades.filter(
+        F.col("trade_id").cast("bigint") % 97 == 0
+    ).select("symbol", F.col("time").alias("event_timestamp"), "trade_id")
+    ohlc = _r6(FX.ohlc(trades, 60), "close").select(
+        "symbol", "bucket", F.col("close").alias("ohlc_close")
+    )
+    vw = _r6(FX.vwap(trades, 300), "vwap").select("symbol", "bucket", "vwap")
+    return OPS.get_historical_features(
+        entity,
+        {"ohlc": (ohlc, "bucket"), "vwap": (vw, "bucket")},
+        key="symbol",
+        entity_time="event_timestamp",
+    )
+
+
+# --------------------------------------------------------------------------
+# A11/J1 pit_snapshot — scalar wide-row snapshot for (symbol, as_of).
+# symbol = 'purchase'; as_of = max trade time (deterministic). Reference:
+# feature_pit_snapshot (sql/timescaledb_schema.sql:292-411).
+# --------------------------------------------------------------------------
+@q(
+    "pit_snapshot",
+    oracle(
+        """
+params AS (SELECT 'purchase' AS symbol, max(time) AS as_of FROM trades),
+ohlc AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(first(price ORDER BY time, trade_id), 6) AS ohlc_open,
+    ROUND(max(price), 6) AS ohlc_high,
+    ROUND(min(price), 6) AS ohlc_low,
+    ROUND(last(price ORDER BY time, trade_id), 6) AS ohlc_close,
+    ROUND(sum(volume), 6) AS ohlc_volume
+  FROM trades GROUP BY 1, 2
+),
+ohlc_latest AS (
+  SELECT o.ohlc_open, o.ohlc_high, o.ohlc_low, o.ohlc_close, o.ohlc_volume
+  FROM ohlc o, params p WHERE o.symbol = p.symbol AND o.bucket <= p.as_of
+  ORDER BY o.bucket DESC LIMIT 1
+),
+sma AS (
+  SELECT time, symbol, trade_id,
+         ROUND(avg(price) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS sma_20
+  FROM trades
+),
+sma_latest AS (
+  SELECT s.sma_20 FROM sma s, params p
+  WHERE s.symbol = p.symbol AND s.time <= p.as_of
+  ORDER BY s.time DESC, s.trade_id DESC LIMIT 1
+),
+vw AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(sum(price * volume) / nullif(sum(volume), 0.0), 6) AS vwap_5m
+  FROM trades GROUP BY 1, 2
+),
+vwap_latest AS (
+  SELECT v.vwap_5m FROM vw v, params p
+  WHERE v.symbol = p.symbol AND v.bucket <= p.as_of
+  ORDER BY v.bucket DESC LIMIT 1
+),
+vol AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(stddev_samp(COALESCE(lr, 0.0)), 6) AS volatility_1h
+  FROM (
+    SELECT time, symbol,
+           ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) AS lr
+    FROM trades
+  ) GROUP BY 1, 2
+),
+vol_latest AS (
+  SELECT v.volatility_1h FROM vol v, params p
+  WHERE v.symbol = p.symbol AND v.bucket <= p.as_of
+  ORDER BY v.bucket DESC LIMIT 1
+),
+imb AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND((sum(CASE WHEN side = 'buy' THEN volume ELSE 0.0 END)
+         - sum(CASE WHEN side = 'sell' THEN volume ELSE 0.0 END))
+        / nullif(sum(volume), 0.0), 6) AS trade_imbalance
+  FROM trades WHERE side IS NOT NULL GROUP BY 1, 2
+),
+imb_latest AS (
+  SELECT i.trade_imbalance FROM imb i, params p
+  WHERE i.symbol = p.symbol AND i.bucket <= p.as_of
+  ORDER BY i.bucket DESC LIMIT 1
+)
+SELECT p.symbol, p.as_of AS snapshot_time,
+       o.ohlc_open, o.ohlc_high, o.ohlc_low, o.ohlc_close, o.ohlc_volume,
+       s.sma_20, v.vwap_5m, vl.volatility_1h, i.trade_imbalance
+FROM params p
+LEFT JOIN ohlc_latest o ON TRUE
+LEFT JOIN sma_latest s ON TRUE
+LEFT JOIN vwap_latest v ON TRUE
+LEFT JOIN vol_latest vl ON TRUE
+LEFT JOIN imb_latest i ON TRUE
+"""
+    ),
+)
+def pit_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    as_of = trades.agg(F.max("time")).collect()[0][0]
+
+    ohlc = _r6(FX.ohlc(trades, 60), "open", "high", "low", "close", "volume").select(
+        "symbol",
+        "bucket",
+        F.col("open").alias("ohlc_open"),
+        F.col("high").alias("ohlc_high"),
+        F.col("low").alias("ohlc_low"),
+        F.col("close").alias("ohlc_close"),
+        F.col("volume").alias("ohlc_volume"),
+    )
+    sma = _r6(FX.sma(trades, 20), "sma_20")
+    vw = _r6(FX.vwap(trades, 300), "vwap").select(
+        "symbol", "bucket", F.col("vwap").alias("vwap_5m")
+    )
+    vol = _r6(FX.volatility(trades, 3600), "volatility").select(
+        "symbol", "bucket", F.col("volatility").alias("volatility_1h")
+    )
+    imb = _r6(FX.trade_imbalance(trades, 300), "trade_imbalance").select(
+        "symbol", "bucket", "trade_imbalance"
+    )
+    return OPS.pit_snapshot(
+        spark,
+        {
+            "ohlc": (ohlc, "bucket", ["ohlc_open", "ohlc_high", "ohlc_low", "ohlc_close", "ohlc_volume"]),
+            "sma": (sma, "time", ["sma_20"]),
+            "vwap": (vw, "bucket", ["vwap_5m"]),
+            "vol": (vol, "bucket", ["volatility_1h"]),
+            "imb": (imb, "bucket", ["trade_imbalance"]),
+        },
+        symbol="purchase",
+        as_of=as_of,
+        now=as_of,
+        tiebreak_cols={"sma": ["trade_id"]},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: OHLC over sf0.001 (will graduate to the PIT snapshot)."""
-    return QUERIES["ohlc_1m"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
+    return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

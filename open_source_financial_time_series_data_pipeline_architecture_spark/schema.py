@@ -103,4 +103,8 @@ def oracle(body: str) -> str:
     body = body.strip()
     if body[:5].upper() == "WITH ":
         return f"WITH {TRADES_CTE},\n{body[5:]}"
+    if body[:6].upper() != "SELECT":
+        # body opens with its own CTE definitions ("name AS (...") —
+        # continue the CTE list.
+        return f"WITH {TRADES_CTE},\n{body}"
     return f"WITH {TRADES_CTE}\n{body}"
