@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 
 from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
 from open_source_financial_time_series_data_pipeline_architecture_spark import operators as OPS
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    quality as QX,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    text as TX,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    dedup as DD,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    similarity as SIM,
+)
 from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
     oracle,
     trades_from_events,
@@ -137,11 +149,16 @@ def ewm_12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "volatility_1h",
     oracle(
         """
-WITH rets AS (
-  SELECT time, symbol, trade_id,
-         COALESCE(ln(price / lag(price) OVER (
-             PARTITION BY symbol ORDER BY time, trade_id)), 0.0) AS log_return
+WITH lagged AS (
+  SELECT time, symbol, trade_id, price,
+         lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id) AS prev
   FROM trades
+),
+rets AS (
+  SELECT time, symbol, trade_id,
+         CASE WHEN prev > 0 AND price > 0 THEN ln(price / prev)
+              ELSE 0.0 END AS log_return
+  FROM lagged
 )
 SELECT
   to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS bucket,
@@ -393,10 +410,11 @@ vol AS (
   SELECT
     to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS bucket,
     symbol,
-    ROUND(stddev_samp(COALESCE(lr, 0.0)), 6) AS volatility_1h
+    ROUND(stddev_samp(CASE WHEN prev > 0 AND price > 0
+                           THEN ln(price / prev) ELSE 0.0 END), 6) AS volatility_1h
   FROM (
-    SELECT time, symbol,
-           ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) AS lr
+    SELECT time, symbol, price,
+           lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id) AS prev
     FROM trades
   ) GROUP BY 1, 2
 ),
@@ -468,6 +486,486 @@ def pit_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         now=as_of,
         tiebreak_cols={"sma": ["trade_id"]},
     )
+
+
+# --------------------------------------------------------------------------
+# Quality plane — SURVEY §2.5 G1–G11
+# --------------------------------------------------------------------------
+@q(
+    "dq_quality_counts",
+    oracle(
+        """
+SELECT count(*) AS n_rows,
+       count(CASE WHEN symbol IS NULL THEN 1 END) AS null_symbols,
+       count(CASE WHEN price <= 0 THEN 1 END) AS nonpos_prices,
+       count(CASE WHEN volume <= 0 THEN 1 END) AS nonpos_volumes,
+       count(CASE WHEN side IS NULL THEN 1 END) AS null_sides,
+       count(DISTINCT symbol) AS distinct_symbols,
+       count(*) - count(DISTINCT trade_id) AS duplicate_trade_ids
+FROM trades
+"""
+    ),
+)
+def dq_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QX.quality_counts(_trades(spark, sf_dir))
+
+
+@q(
+    "dq_completeness",
+    oracle(
+        """
+SELECT ROUND(ns * 1.0 / n, 6) AS null_rate_side,
+       ROUND(nb * 1.0 / n, 6) AS null_rate_bid,
+       ROUND(na * 1.0 / n, 6) AS null_rate_ask,
+       ROUND(1 - (ns + nb + na) * 1.0 / (n * 3), 6) AS completeness_score
+FROM (
+  SELECT count(*) AS n,
+         count(CASE WHEN side IS NULL THEN 1 END) AS ns,
+         count(CASE WHEN bid IS NULL THEN 1 END) AS nb,
+         count(CASE WHEN ask IS NULL THEN 1 END) AS na
+  FROM trades
+)
+"""
+    ),
+)
+def dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        QX.completeness(_trades(spark, sf_dir), ["side", "bid", "ask"]),
+        "null_rate_side",
+        "null_rate_bid",
+        "null_rate_ask",
+        "completeness_score",
+    )
+
+
+@q(
+    "dq_ohlc_consistency",
+    oracle(
+        """
+ohlc AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    first(price ORDER BY time, trade_id) AS open,
+    max(price) AS high,
+    min(price) AS low,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+)
+SELECT count(*) AS n_buckets,
+       count(CASE WHEN high < low THEN 1 END) AS high_lt_low,
+       count(CASE WHEN high < open THEN 1 END) AS high_lt_open,
+       count(CASE WHEN high < close THEN 1 END) AS high_lt_close,
+       count(CASE WHEN low > open THEN 1 END) AS low_gt_open,
+       count(CASE WHEN low > close THEN 1 END) AS low_gt_close,
+       ROUND(1 - count(CASE WHEN high < low OR high < open OR high < close
+                             OR low > open OR low > close THEN 1 END) * 1.0
+               / count(*), 6) AS consistency_score
+FROM ohlc
+"""
+    ),
+)
+def dq_ohlc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        QX.ohlc_consistency(FX.ohlc(_trades(spark, sf_dir), 60)),
+        "consistency_score",
+    )
+
+
+@q(
+    "dq_accuracy_zscore",
+    oracle(
+        """
+stats AS (
+  SELECT symbol, avg(price) AS m, stddev_samp(price) AS s
+  FROM trades GROUP BY symbol
+)
+SELECT t.symbol,
+       count(*) AS n_rows,
+       count(CASE WHEN s > 0 AND abs(price - m) / s > 3 THEN 1 END) AS n_outliers,
+       ROUND(1 - count(CASE WHEN s > 0 AND abs(price - m) / s > 3 THEN 1 END) * 1.0
+               / count(*), 6) AS accuracy_score
+FROM trades t JOIN stats USING (symbol)
+GROUP BY t.symbol
+"""
+    ),
+)
+def dq_accuracy_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(QX.accuracy_zscore(_trades(spark, sf_dir)), "accuracy_score")
+
+
+@q(
+    "ks_drift",
+    oracle(
+        """
+tagged AS (
+  SELECT price AS x,
+         CASE WHEN CAST(trade_id AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS t
+  FROM trades
+),
+pts AS (SELECT x, sum(t) AS c1, sum(1 - t) AS c2 FROM tagged GROUP BY x),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY x) * 1.0 / sum(c1) OVER () AS f1,
+         sum(c2) OVER (ORDER BY x) * 1.0 / sum(c2) OVER () AS f2
+  FROM pts
+)
+SELECT ROUND(max(abs(f1 - f2)), 6) AS ks_stat FROM cum
+"""
+    ),
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    return _r6(
+        QX.ks_two_sample(
+            trades, "price", (F.col("trade_id").cast("bigint") % 2 == 0)
+        ),
+        "ks_stat",
+    )
+
+
+@q(
+    "sharpe_ratio",
+    oracle(
+        """
+rets AS (
+  SELECT symbol,
+         CASE WHEN prev > 0 AND price > 0 THEN ln(price / prev) END AS ret
+  FROM (
+    SELECT symbol, price,
+           lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id) AS prev
+    FROM trades
+  )
+)
+SELECT symbol,
+       ROUND(avg(ret) / stddev_samp(ret) * sqrt(252.0), 6) AS sharpe_ratio,
+       count(ret) AS n_returns
+FROM rets WHERE ret IS NOT NULL GROUP BY symbol
+"""
+    ),
+)
+def sharpe_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(QX.sharpe_ratio(_trades(spark, sf_dir)), "sharpe_ratio")
+
+
+@q(
+    "price_quantiles",
+    oracle(
+        """
+SELECT symbol,
+       ROUND(quantile_cont(price, 0.5), 6) AS p5,
+       ROUND(quantile_cont(price, 0.95), 6) AS p95,
+       ROUND(quantile_cont(price, 0.99), 6) AS p99
+FROM trades GROUP BY symbol
+"""
+    ),
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        QX.value_quantiles(_trades(spark, sf_dir), "price", "symbol"),
+        "p5",
+        "p95",
+        "p99",
+    )
+
+
+@q(
+    "dq_score",
+    oracle(
+        """
+comp AS (
+  SELECT 1 - (count(CASE WHEN symbol IS NULL THEN 1 END)
+            + count(CASE WHEN price IS NULL THEN 1 END)
+            + count(CASE WHEN volume IS NULL THEN 1 END)
+            + count(CASE WHEN trade_id IS NULL THEN 1 END)) * 1.0
+           / (count(*) * 4) AS completeness_score
+  FROM trades
+),
+ohlc AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    first(price ORDER BY time, trade_id) AS open,
+    max(price) AS high,
+    min(price) AS low,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+cons AS (
+  SELECT 1 - count(CASE WHEN high < low OR high < open OR high < close
+                         OR low > open OR low > close THEN 1 END) * 1.0
+           / count(*) AS consistency_score
+  FROM ohlc
+),
+stats AS (
+  SELECT symbol, avg(price) AS m, stddev_samp(price) AS s
+  FROM trades GROUP BY symbol
+),
+acc_by_symbol AS (
+  SELECT t.symbol, count(*) AS n,
+         1 - count(CASE WHEN s > 0 AND abs(price - m) / s > 3 THEN 1 END) * 1.0
+           / count(*) AS acc
+  FROM trades t JOIN stats USING (symbol) GROUP BY t.symbol
+),
+acc AS (SELECT sum(acc * n) / sum(n) AS accuracy_score FROM acc_by_symbol)
+SELECT ROUND(completeness_score, 6) AS completeness_score,
+       ROUND(consistency_score, 6) AS consistency_score,
+       ROUND(accuracy_score, 6) AS accuracy_score,
+       ROUND((completeness_score + consistency_score + accuracy_score) / 3, 6)
+           AS dq_score,
+       (completeness_score + consistency_score + accuracy_score) / 3 >= 0.85
+           AS passed
+FROM comp, cons, acc
+"""
+    ),
+)
+def dq_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    return _r6(
+        QX.dq_score(trades, FX.ohlc(trades, 60)),
+        "completeness_score",
+        "consistency_score",
+        "accuracy_score",
+        "dq_score",
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis over `documents` (training-data plane)
+# --------------------------------------------------------------------------
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(needle)}"
+
+
+def _langid_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        LANG_MARKERS,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n       ".join(
+        "("
+        + " + ".join(_occ_sql("p", m) for m in LANG_MARKERS[lang])
+        + f") AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM padded
+)
+SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)},
+       CASE WHEN {best} > 0 THEN CASE {case} END ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@q("text_language_id", _langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    n_stop = " + ".join(_occ_sql("' ' || text || ' '", f" {w} ") for w in STOPWORDS)
+    punct = " + ".join(_occ_sql("text", p) for p in [".", ",", "!", "?", ";"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
+         ({n_stop}) AS n_stop,
+         ({punct}) AS punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       ROUND((
+         least(n_chars / 200.0, 1.0)
+       + least(n_stop / nullif(CAST(n_words AS DOUBLE), 0.0) * 5, 1.0)
+       + greatest(0.0, 1 - punct / nullif(CAST(n_words AS DOUBLE), 0.0))
+       + CASE WHEN n_chars / nullif(CAST(n_words AS DOUBLE), 0.0) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END
+       ) / 4, 6) AS quality
+FROM base
+"""
+
+
+@q("text_quality_score", _quality_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = TX.quality_score(load_table(spark, sf_dir, "documents"))
+    return _r6(
+        df.withColumn("n_chars", F.col("n_chars").cast("long")).withColumn(
+            "n_words", F.col("n_words").cast("long")
+        ),
+        "quality",
+    )
+
+
+@q(
+    "text_token_count",
+    """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = TX.token_count(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("ws_tokens", F.col("ws_tokens").cast("long"))
+
+
+@q(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+       CAST(length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS BIGINT)
+           AS norm_chars
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = TX.fingerprint(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("norm_chars", F.col("norm_chars").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Dedup family over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+@q(
+    "dedup_exact",
+    """
+SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        DD.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        ),
+        "jaccard",
+    )
+
+
+@q("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        DD.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.5
+        ),
+        "est_jaccard",
+        "jaccard",
+    )
+
+
+@q("dedup_simhash")  # xxhash64-based fingerprints → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_cosine_pairs(emb, threshold=-2.0)
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings` (A10)
+# --------------------------------------------------------------------------
+@q(
+    "ann_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 499 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.knn_join(queries_df, emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q("ann_lsh_topk")  # approximate (recall measured in tests) → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.lsh_bucketed_topk(queries_df, emb, k=5, bits=4, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

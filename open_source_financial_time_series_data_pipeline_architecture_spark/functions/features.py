@@ -143,9 +143,15 @@ def volatility(trades: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     symbol) contributes a 0.0 return.
     """
     w = Window.partitionBy("symbol").orderBy(*_order())
+    prev = F.lag("price").over(w)
+    # Guard non-positive prices explicitly (engine-independent: DuckDB
+    # raises on ln(0), Spark returns NULL) — a zero-priced tick
+    # contributes a 0.0 return, like the reference's null-lag rule.
     with_ret = trades.withColumn(
         "log_return",
-        F.coalesce(F.log(F.col("price") / F.lag("price").over(w)), F.lit(0.0)),
+        F.when(
+            (prev > 0) & (F.col("price") > 0), F.log(F.col("price") / prev)
+        ).otherwise(F.lit(0.0)),
     )
     return with_ret.groupBy(
         time_bucket("time", bucket_seconds).alias("bucket"), "symbol"

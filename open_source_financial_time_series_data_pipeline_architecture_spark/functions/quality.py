@@ -1,0 +1,324 @@
+"""Data-quality operators (SURVEY §2.5 G1–G11) and the expectations
+mini-framework (F7).
+
+Re-expresses the reference's quality plane — conditional-count checks
+(/root/reference/scripts/check_data_quality.py:35-171), the Great
+Expectations suite (/root/reference/src/quality/great_expectations_setup.py:20-340)
+and the composite DQ score — as single-pass DataFrame aggregations.
+
+Scale notes: every check is a conditional aggregate (`count(when(...))`)
+so a full-table DQ sweep is ONE scan + ONE partial-agg shuffle of a few
+rows, regardless of input size. The KS test sorts only the distinct
+value set (grouped first), not the raw rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rate(cond: Column) -> Column:
+    return F.count(F.when(cond, 1)) / F.count(F.lit(1))
+
+
+def quality_counts(trades: DataFrame) -> DataFrame:
+    """G1/G2/G3 — one-row health summary of the raw trades table.
+
+    Reference: scripts/check_data_quality.py:35-44, 72-80, 130-138,
+    162-171.
+    """
+    return trades.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("symbol").isNull(), 1)).alias("null_symbols"),
+        F.count(F.when(F.col("price") <= 0, 1)).alias("nonpos_prices"),
+        F.count(F.when(F.col("volume") <= 0, 1)).alias("nonpos_volumes"),
+        F.count(F.when(F.col("side").isNull(), 1)).alias("null_sides"),
+        F.countDistinct("symbol").alias("distinct_symbols"),
+        (F.count(F.lit(1)) - F.countDistinct("trade_id")).alias("duplicate_trade_ids"),
+    )
+
+
+def completeness(df: DataFrame, cols: list[str]) -> DataFrame:
+    """G9 — per-column null rate and composite completeness score
+    (1 − nulls/cells). Reference: great_expectations_setup.py:162-171."""
+    null_rates = [
+        _rate(F.col(c).isNull()).alias(f"null_rate_{c}") for c in cols
+    ]
+    total_nulls = sum(F.count(F.when(F.col(c).isNull(), 1)) for c in cols)
+    cells = F.count(F.lit(1)) * len(cols)
+    return df.agg(
+        *null_rates,
+        (1 - total_nulls / cells).alias("completeness_score"),
+    )
+
+
+def ohlc_consistency(ohlc_df: DataFrame) -> DataFrame:
+    """G10 — pairwise OHLC violations (high<low, high<open, low>close…).
+    Reference: great_expectations_setup.py:173-195."""
+    v_hl = F.col("high") < F.col("low")
+    v_ho = F.col("high") < F.col("open")
+    v_hc = F.col("high") < F.col("close")
+    v_lo = F.col("low") > F.col("open")
+    v_lc = F.col("low") > F.col("close")
+    any_v = v_hl | v_ho | v_hc | v_lo | v_lc
+    return ohlc_df.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.when(v_hl, 1)).alias("high_lt_low"),
+        F.count(F.when(v_ho, 1)).alias("high_lt_open"),
+        F.count(F.when(v_hc, 1)).alias("high_lt_close"),
+        F.count(F.when(v_lo, 1)).alias("low_gt_open"),
+        F.count(F.when(v_lc, 1)).alias("low_gt_close"),
+        (1 - _rate(any_v)).alias("consistency_score"),
+    )
+
+
+def accuracy_zscore(
+    df: DataFrame, value_col: str = "price", key: str = "symbol", z: float = 3.0
+) -> DataFrame:
+    """G7 — per-key outlier rate via z-score > z; accuracy = 1 − rate.
+    Reference: great_expectations_setup.py:197-213.
+
+    Two-pass formulation (stats agg + broadcast join back) rather than a
+    window — the stats table is |keys| rows, so the fact table is
+    scanned twice but never shuffled on a window sort.
+    """
+    stats = df.groupBy(key).agg(
+        F.avg(value_col).alias("__mean"), F.stddev_samp(value_col).alias("__std")
+    )
+    flagged = df.join(F.broadcast(stats), key).withColumn(
+        "__outlier",
+        F.when(
+            F.col("__std") > 0,
+            (F.abs(F.col(value_col) - F.col("__mean")) / F.col("__std")) > z,
+        ).otherwise(F.lit(False)),
+    )
+    return flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("__outlier"), 1)).alias("n_outliers"),
+        (1 - _rate(F.col("__outlier"))).alias("accuracy_score"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, tag_col: Column, key: str | None = None
+) -> DataFrame:
+    """G8 — two-sample Kolmogorov–Smirnov statistic
+    D = max_x |F1(x) − F2(x)| (reference uses scipy.stats.ks_2samp,
+    great_expectations_setup.py:319-340; Spark ML's KS test is
+    one-sample only, so this is a custom empirical-CDF build).
+
+    ``tag_col`` must evaluate to 1 (sample A) or 0 (sample B). Distinct
+    values are aggregated first, so the window sort touches |distinct x|
+    rows, then cumulative counts give both ECDFs in one pass.
+    """
+    keys = [key] if key else []
+    tagged = df.select(
+        *keys, F.col(value_col).alias("x"), tag_col.cast("int").alias("t")
+    )
+    pts = tagged.groupBy(*keys, "x").agg(
+        F.sum("t").alias("c1"), F.sum(1 - F.col("t")).alias("c2")
+    )
+    w = Window.partitionBy(*keys).orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.partitionBy(*keys)
+    cum = pts.select(
+        *keys,
+        (F.sum("c1").over(w) / F.sum("c1").over(wk)).alias("f1"),
+        (F.sum("c2").over(w) / F.sum("c2").over(wk)).alias("f2"),
+    )
+    return cum.groupBy(*keys).agg(F.max(F.abs(F.col("f1") - F.col("f2"))).alias("ks_stat"))
+
+
+def sharpe_ratio(
+    trades: DataFrame, risk_free: float = 0.0, periods: int = 252
+) -> DataFrame:
+    """G6 — per-symbol Sharpe ratio over log returns
+    (mean(excess)/stddev(excess)·√periods). Reference:
+    src/utils/helpers.py:58-74."""
+    w = Window.partitionBy("symbol").orderBy(F.col("time").asc(), F.col("trade_id").asc())
+    prev = F.lag("price").over(w)
+    rets = trades.withColumn(
+        "ret",
+        F.when((prev > 0) & (F.col("price") > 0), F.log(F.col("price") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    return rets.groupBy("symbol").agg(
+        (
+            (F.avg("ret") - F.lit(risk_free))
+            / F.stddev_samp("ret")
+            * F.sqrt(F.lit(float(periods)))
+        ).alias("sharpe_ratio"),
+        F.count(F.lit(1)).alias("n_returns"),
+    )
+
+
+def value_quantiles(
+    df: DataFrame, value_col: str, key: str, quantiles: list[float] | None = None
+) -> DataFrame:
+    """G5 — exact p50/p95/p99 per key (reference benchmarks use
+    statistics.quantiles / np.percentile). At 100 TB switch to
+    percentile_approx — same call shape, sketch-based single pass."""
+    qs = quantiles or [0.5, 0.95, 0.99]
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+def dq_score(
+    trades: DataFrame, ohlc_df: DataFrame, required_cols: list[str] | None = None
+) -> DataFrame:
+    """G11 — composite DQ score = mean(completeness, consistency,
+    accuracy), pass threshold 0.85. Reference:
+    great_expectations_setup.py:123-160, 247-316. (Timeliness is a
+    wall-clock property — reported by `freshness`, not folded into the
+    deterministic score.)
+    """
+    comp = completeness(trades, required_cols or ["symbol", "price", "volume", "trade_id"])
+    cons = ohlc_consistency(ohlc_df)
+    acc = (
+        accuracy_zscore(trades)
+        .agg(
+            (F.sum(F.col("accuracy_score") * F.col("n_rows")) / F.sum("n_rows")).alias(
+                "accuracy_score"
+            )
+        )
+    )
+    joined = (
+        comp.select("completeness_score")
+        .crossJoin(cons.select("consistency_score"))
+        .crossJoin(acc)
+    )
+    return joined.select(
+        "completeness_score",
+        "consistency_score",
+        "accuracy_score",
+        (
+            (
+                F.col("completeness_score")
+                + F.col("consistency_score")
+                + F.col("accuracy_score")
+            )
+            / 3
+        ).alias("dq_score"),
+    ).withColumn("passed", F.col("dq_score") >= 0.85)
+
+
+def freshness(df: DataFrame, time_col: str = "time", now=None) -> DataFrame:
+    """G4 — max(ts) + age vs now (reference src/utils/helpers.py:91-120)."""
+    now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    return df.agg(
+        F.max(time_col).alias("latest_ts"),
+        (F.unix_timestamp(now_col) - F.unix_timestamp(F.max(time_col))).alias(
+            "age_seconds"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — expectations mini-framework: named checks compiled to predicates.
+# Reference: src/quality/data_contracts.py:15-96 and
+# great_expectations_validator.py:29-271 (schema/range/set/uniqueness/
+# pair/increasing checks evaluated dynamically by name).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Expectation:
+    name: str
+    kind: str
+    violation: Column | None = None   # row-level predicate: True = violation
+    agg_violations: Column | None = None  # aggregate violation count
+    meta: dict = field(default_factory=dict)
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(f"not_null_{col}", "not_null", violation=F.col(col).isNull())
+
+
+def expect_between(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"between_{col}",
+        "between",
+        violation=~F.col(col).between(lo, hi) | F.col(col).isNull(),
+        meta={"lo": lo, "hi": hi},
+    )
+
+
+def expect_in_set(col: str, values: list) -> Expectation:
+    return Expectation(
+        f"in_set_{col}",
+        "in_set",
+        violation=F.col(col).isNotNull() & ~F.col(col).isin(values),
+    )
+
+
+def expect_unique(cols: list[str]) -> Expectation:
+    return Expectation(
+        "unique_" + "_".join(cols),
+        "unique",
+        agg_violations=F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]),
+    )
+
+
+def expect_pair(name: str, violation: Column) -> Expectation:
+    return Expectation(name, "pair", violation=violation)
+
+
+def expect_increasing(col: str, partition_by: str | None = None) -> Expectation:
+    # O4 — expect_column_values_to_be_increasing via lag
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(F.col(col).asc())
+    return Expectation(
+        f"increasing_{col}",
+        "increasing",
+        meta={"window": w, "col": col},
+    )
+
+
+def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations in a single aggregation pass (plus one
+    window pass if any `increasing` checks are present). Returns one row
+    per expectation: (expectation, kind, n_violations, passed)."""
+    aggs = []
+    names = []
+    work = df
+    for e in expectations:
+        if e.kind == "increasing":
+            marker = f"__dec_{e.name}"
+            work = work.withColumn(
+                marker,
+                F.when(
+                    F.lag(e.meta["col"]).over(e.meta["window"]) > F.col(e.meta["col"]),
+                    1,
+                ),
+            )
+            aggs.append(F.count(F.col(marker)).alias(e.name))
+        elif e.agg_violations is not None:
+            aggs.append(e.agg_violations.alias(e.name))
+        else:
+            aggs.append(F.count(F.when(e.violation, 1)).alias(e.name))
+        names.append((e.name, e.kind))
+    row = work.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("expectation"),
+                        F.lit(k).alias("kind"),
+                        F.col(n).cast("long").alias("n_violations"),
+                    )
+                    for n, k in names
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked.withColumn("passed", F.col("n_violations") == 0)

@@ -1,0 +1,292 @@
+"""Deduplication operator family for the training-data plane.
+
+Five strategies, each a ``DataFrame → DataFrame`` operator over the
+``documents`` table (doc_id, text, …):
+
+- ``exact_dedup``       — hash-groupBy on normalized text (keep min id)
+- ``ngram_jaccard_pairs`` — exact word-n-gram Jaccard over a shingle
+                           self-join (the small-scale oracle-checkable
+                           ground truth)
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH bucketing →
+                           candidate pairs → exact-Jaccard verify (the
+                           100 TB path)
+- ``simhash64``         — 64-bit SimHash fingerprints + near-dup pairs
+                           by Hamming distance
+- ``embedding_cosine_pairs`` — near-dup by embedding cosine ≥ τ
+
+Scale notes:
+- The exact n-gram self-join is quadratic in docs-per-shingle — fine as
+  an oracle at sf≤0.1, NOT the 100 TB plan.
+- MinHash+LSH is the scale path: signatures are one narrow projection
+  (xxhash64, JVM-side), candidates come from equi-joins on (band,
+  bucket-hash) — shuffle proportional to candidate count, never all
+  pairs. Band/row parameters tune the S-curve; verify step removes
+  false positives.
+- SimHash reduces each doc to 8 bytes; near-dup detection is a
+  band-rotate equi-join (pigeonhole on Hamming distance), also
+  all-pairs-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+
+def _norm_text(text_col: str):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one survivor (min id) per normalized-text group.
+
+    Single hash aggregate on md5(normalized text) — at 100 TB the
+    shuffle carries (hash, id) pairs only, never document bodies.
+    """
+    h = F.md5(_norm_text(text_col))
+    return (
+        docs.select(F.col(id_col), h.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|); pairs with id_a < id_b and
+    jaccard ≥ threshold. This is the exact ground truth the approximate
+    strategies are validated against.
+    """
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i || shingle). One explode + one groupBy; the aggregate
+    carries num_hashes longs per doc."""
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified with exact
+    Jaccard. Returns (id_a, id_b, est_jaccard, jaccard) with
+    jaccard ≥ threshold.
+
+    Candidates = docs agreeing on ALL rows of ≥1 band (equi-join on the
+    band hash — no all-pairs shuffle). est_jaccard = fraction of
+    matching signature positions.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+    banded = sig.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
+    )
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0, text_col=text_col, id_col=id_col)
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word unigrams: bit j of the fingerprint is
+    the majority vote of bit j across xxhash64(word) for all words.
+
+    Pure higher-order functions (no UDF): per-word hash → per-bit ±1
+    contributions aggregated with explode + groupBy.
+    """
+    words = docs.select(
+        id_col, F.explode(F.split(_norm_text(text_col), " ")).alias("w")
+    )
+    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        id_col,
+        sum(
+            (
+                F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(0)
+                * F.lit(2 ** j).cast("long")
+                for j in range(63)
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    (max_hamming+1) bands — two fingerprints within the distance budget
+    must agree exactly on ≥1 band, so candidates come from band
+    equi-joins, not an all-pairs comparison.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    fp = simhash64(docs, text_col, id_col).cache()
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity ≥ threshold.
+
+    Brute-force all-pairs (id_a < id_b) — correct baseline; the scale
+    path is `similarity.lsh_bucketed_pairs` (random-projection blocking).
+    """
+    from ..functions.vector import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_similarity("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -27,6 +27,10 @@ from pyspark.sql import SparkSession
 # events.parquet stores TIMESTAMP(NANOS) which Spark 4 otherwise rejects.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Permissive-null arithmetic (x/0 → NULL), matching DuckDB's float
+    # semantics and the reference's Postgres NULLIF idioms; ANSI mode
+    # would hard-fail the whole job on a single bad row at 100 TB.
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

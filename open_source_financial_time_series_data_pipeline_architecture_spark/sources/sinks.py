@@ -1,0 +1,87 @@
+"""Sinks: idempotent upsert (exactly-once), DLQ, append.
+
+T6/S12/J4 — the reference achieves exactly-once with Flink 2-phase
+commit + a JDBC `INSERT ... ON CONFLICT DO UPDATE` + the hypertable PK
+(/root/reference/flink-jobs/market-realtime/enhanced_anomaly_detection.py:176-303,
+sql/timescaledb_schema.sql:24). Spark Structured Streaming replays
+micro-batches after failure, so the sink must be idempotent: we key
+every write on (time, symbol, trade_id) and make replays no-ops.
+
+Storage here is plain parquet (Delta is not available in this
+environment): upsert = anti-join append into a key-bucketed directory.
+With Delta the same `foreach_batch_upsert` body becomes a one-line
+`MERGE INTO` — the contract (idempotent keyed write) is identical, and
+the code states that as the production path.
+
+Scale notes: the anti-join reads back only the target's key columns
+(column-pruned parquet scan), and writes are partitioned by
+`to_date(time)` so replays touch only the affected date partitions —
+the same chunk-pruning shape as the reference's 1-day hypertable chunks
+(S14).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_KEYS = ["time", "symbol", "trade_id"]
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_dir: str,
+    keys: list[str] | None = None,
+    partition_col: str | None = "trade_date",
+) -> int:
+    """Idempotent keyed append: write only rows whose key is not already
+    present. Returns rows written. First-write-wins, matching the PK
+    `ON CONFLICT DO NOTHING` dedup anchor (J4)."""
+    keys = keys or DEFAULT_KEYS
+    batch = batch.dropDuplicates(keys)
+    if partition_col and partition_col not in batch.columns:
+        batch = batch.withColumn(partition_col, F.to_date("time"))
+
+    if os.path.isdir(target_dir) and any(
+        not f.startswith("_") for f in os.listdir(target_dir)
+    ):
+        existing_keys = spark.read.parquet(target_dir).select(*keys)
+        batch = batch.join(existing_keys, keys, "left_anti")
+
+    batch = batch.cache()
+    n = batch.count()
+    if n > 0:
+        writer = batch.write.mode("append")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_dir)
+    batch.unpersist()
+    return n
+
+
+def foreach_batch_upsert(
+    target_dir: str, keys: list[str] | None = None
+):
+    """`writeStream.foreachBatch` handler wrapping `upsert_parquet` —
+    the exactly-once sink: micro-batch replay rewrites the same keys,
+    the anti-join drops them, zero duplicates land (chaos-tested in
+    tests/test_streaming.py). With Delta this is `MERGE INTO target ON
+    keys WHEN NOT MATCHED THEN INSERT *`."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, target_dir, keys)
+
+    return handle
+
+
+def append_dlq(dlq_df: DataFrame, target_dir: str, checkpoint: str):
+    """S13 — dead-letter side output as an append-only stream."""
+    return (
+        dlq_df.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -1,0 +1,13 @@
+from .jobs import (
+    parse_trades_with_dlq,
+    read_trade_stream_json,
+    streaming_ohlc,
+    streaming_vwap,
+)
+
+__all__ = [
+    "parse_trades_with_dlq",
+    "read_trade_stream_json",
+    "streaming_ohlc",
+    "streaming_vwap",
+]

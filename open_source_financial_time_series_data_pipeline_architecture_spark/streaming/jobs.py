@@ -1,0 +1,165 @@
+"""Structured Streaming jobs: ingest, DLQ branch, watermarked features.
+
+Re-implements the reference's streaming surface Spark-first:
+
+- S3–S5  Kafka scan → from_json → epoch-ms to timestamp
+  (/root/reference/spark/streaming_feature_updates.py:55-75)
+- T9/S13 malformed rows → DLQ side-output
+  (/root/reference/src/quality/data_contracts.py:203-222)
+- T1/T2  watermark + tumbling-window OHLC/VWAP
+  (/root/reference/spark/streaming_feature_updates.py:96-126)
+
+The same feature functions used in batch apply to streams — a streaming
+DataFrame goes through the identical `groupBy(window(...))` logical
+plan, which is the whole point of the unified Dataset API.
+
+Kafka itself is config, not code: `read_trade_stream_json` accepts any
+streaming source DataFrame with a string `value` column (kafka, file,
+rate, memory); tests drive it with file/memory sources since no broker
+exists in this environment.
+
+Exactly-once: checkpointed offsets + the idempotent `merge_upsert` sink
+(sources/sinks.py) keyed on (time, symbol, trade_id) — micro-batch
+replay re-writes the same keys, so duplicates cannot land (T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Wire schema of a JSON trade event (epoch-ms `time`, stringified
+# decimals — matching the reference's Avro-with-string-decimals contract,
+# market_data_producer.py:90-93).
+TRADE_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.LongType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("trade_id", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("bid", T.StringType()),
+        T.StructField("ask", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    exactly_once_source: bool = True,
+) -> DataFrame:
+    """Kafka streaming scan (S3/S10): untested here (no broker), kept as
+    the documented config surface. `isolation.level=read_committed`
+    mirrors the reference's EOS source setting
+    (enhanced_anomaly_detection.py:231-248)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if exactly_once_source:
+        reader = reader.option("kafka.isolation.level", "read_committed")
+    return reader.load()
+
+
+def parse_trades_with_dlq(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S4/S5/T9/S13 — decode JSON `value`, split (good, dlq).
+
+    A row is DLQ'd when JSON parsing fails or contract-required fields
+    (time, symbol, price, volume, trade_id) are missing, mirroring the
+    reference's deserialize-or-None + DLQ routing."""
+    parsed = raw.select(
+        F.col("value").cast("string").alias("raw_value")
+    ).withColumn("j", F.from_json("raw_value", TRADE_JSON_SCHEMA))
+
+    required_ok = (
+        F.col("j").isNotNull()
+        & F.col("j.time").isNotNull()
+        & F.col("j.symbol").isNotNull()
+        & F.col("j.price").isNotNull()
+        & F.col("j.volume").isNotNull()
+        & F.col("j.trade_id").isNotNull()
+    )
+    good = (
+        parsed.filter(required_ok)
+        .select(
+            F.timestamp_millis(F.col("j.time")).alias("time"),
+            F.col("j.symbol").alias("symbol"),
+            F.col("j.price").cast("double").alias("price"),
+            F.col("j.volume").cast("double").alias("volume"),
+            F.col("j.trade_id").alias("trade_id"),
+            F.col("j.side").alias("side"),
+            F.col("j.bid").cast("double").alias("bid"),
+            F.col("j.ask").cast("double").alias("ask"),
+            F.col("j.source").alias("source"),
+        )
+    )
+    dlq = parsed.filter(~required_ok).select(
+        "raw_value", F.current_timestamp().alias("dlq_time")
+    )
+    return good, dlq
+
+
+def read_trade_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """File-based streaming ingest of JSON-lines trade events (the
+    broker-free test path; swap `read_kafka_stream` in for prod)."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return parse_trades_with_dlq(raw.withColumnRenamed("value", "value"))
+
+
+def streaming_ohlc(
+    trades: DataFrame, bucket: str = "1 minute", watermark: str = "1 minute"
+) -> DataFrame:
+    """T1/T2/A1 — watermarked tumbling-window OHLC on a stream.
+
+    Same semantics as the batch `functions.ohlc`; uses `window()` (the
+    streaming-capable bucketing) and min_by/max_by for open/close. The
+    watermark bounds state: buckets older than it are finalized and
+    evicted (late rows beyond it are dropped — T9).
+    """
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    return (
+        trades.withWatermark("time", watermark)
+        .groupBy(F.window("time", bucket).alias("w"), "symbol")
+        .agg(
+            F.min_by("price", tkey).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", tkey).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("trade_count"),
+        )
+        .select(F.col("w.start").alias("bucket"), "symbol", "open", "high", "low", "close", "volume", "trade_count")
+    )
+
+
+def streaming_vwap(
+    trades: DataFrame, bucket: str = "5 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """T2/A5 — watermarked VWAP on a stream."""
+    return (
+        trades.withWatermark("time", watermark)
+        .groupBy(F.window("time", bucket).alias("w"), "symbol")
+        .agg(
+            (
+                F.sum(F.col("price") * F.col("volume"))
+                / F.nullif(F.sum("volume"), F.lit(0.0))
+            ).alias("vwap"),
+            F.sum("volume").alias("total_volume"),
+        )
+        .select(F.col("w.start").alias("bucket"), "symbol", "vwap", "total_volume")
+    )
