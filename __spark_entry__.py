@@ -33,6 +33,9 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.operator
 from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
     similarity as SIM,
 )
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    multimodal as MM,
+)
 from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
     oracle,
     trades_from_events,
@@ -966,6 +969,209 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = SIM.lsh_bucketed_topk(queries_df, emb, k=5, bits=4, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Relational / ops-plane coverage (SURVEY §2.3 J4-J5, §2.7 O1, §2.8 U1)
+# --------------------------------------------------------------------------
+@q(
+    "latest_per_symbol",
+    oracle(
+        """
+SELECT time, symbol, price, volume, trade_id FROM (
+  SELECT time, symbol, price, volume, trade_id,
+         row_number() OVER (PARTITION BY symbol ORDER BY time DESC, trade_id DESC)
+             AS rn
+  FROM trades
+) WHERE rn = 1
+"""
+    ),
+)
+def latest_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1 — latest-row-per-key as a hash aggregate (no sort/limit)
+    return OPS.latest_per_key(
+        _trades(spark, sf_dir).select("time", "symbol", "price", "volume", "trade_id"),
+        ["symbol"],
+        "time",
+        tiebreak_cols=["trade_id"],
+    )
+
+
+@q(
+    "dedup_trades",
+    oracle(
+        """
+SELECT symbol, count(*) AS n_unique FROM (
+  SELECT DISTINCT time, symbol, trade_id FROM trades
+) GROUP BY symbol
+"""
+    ),
+)
+def dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 — idempotency dedup on the (time, symbol, trade_id) anchor
+    return (
+        _trades(spark, sf_dir)
+        .dropDuplicates(["time", "symbol", "trade_id"])
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@q(
+    "consistency_semi_join",
+    oracle(
+        """
+SELECT DISTINCT symbol FROM trades
+WHERE symbol IN (
+  SELECT symbol FROM (
+    SELECT to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP
+               AS bucket,
+           symbol
+    FROM trades GROUP BY 1, 2
+  ) GROUP BY symbol HAVING count(*) > 5
+)
+"""
+    ),
+)
+def consistency_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 — raw ∩ aggregate symbol consistency probe via left_semi
+    trades = _trades(spark, sf_dir)
+    agg_symbols = (
+        FX.ohlc(trades, 60)
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 5)
+        .select("symbol")
+    )
+    return trades.select("symbol").distinct().join(
+        F.broadcast(agg_symbols), "symbol", "left_semi"
+    )
+
+
+@q(
+    "freshness_union",
+    oracle(
+        """
+SELECT 'trades' AS feature_name, max(time) AS latest_ts FROM trades
+UNION ALL
+SELECT 'ohlc_1m', max(to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP)
+FROM trades
+UNION ALL
+SELECT 'vwap_5m', max(to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP)
+FROM trades
+"""
+    ),
+)
+def freshness_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1/G4 — per-feature freshness rows via unionByName
+    trades = _trades(spark, sf_dir)
+    rows = [
+        trades.agg(F.max("time").alias("latest_ts")).select(
+            F.lit("trades").alias("feature_name"), "latest_ts"
+        ),
+        FX.ohlc(trades, 60)
+        .agg(F.max("bucket").alias("latest_ts"))
+        .select(F.lit("ohlc_1m").alias("feature_name"), "latest_ts"),
+        FX.vwap(trades, 300)
+        .agg(F.max("bucket").alias("latest_ts"))
+        .select(F.lit("vwap_5m").alias("feature_name"), "latest_ts"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Star-schema analytics (broadcast-join scan path over the TPC-H tables)
+# --------------------------------------------------------------------------
+@q(
+    "revenue_rollup",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table joins dimensions bottom-up; every dim side is
+    broadcast (customer/nation/region are tiny at any SF) — lineitem is
+    never shuffled for a join, only for the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "top_parts_by_revenue",
+    """
+SELECT p.p_partkey, p.p_name,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 10
+""",
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # True top-k: TakeOrderedAndProject, no global sort materialization
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + typed metadata; decode stubbed)
+# --------------------------------------------------------------------------
+@q(
+    "multimodal_payload_stats",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

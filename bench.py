@@ -55,6 +55,9 @@ def main() -> None:
         master=f"local[{default_parallelism()}]",
     )
     queries = entry_mod.queries()
+    # Warmup: one small end-to-end pass amortizes JVM class-loading and
+    # codegen so per-query timings reflect steady-state execution.
+    queries["vwap_5m"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:

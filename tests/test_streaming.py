@@ -1,0 +1,231 @@
+"""Streaming-path tests, mirroring the reference's chaos/exactly-once
+strategy (SURVEY §5: tests/test_chaos_flink_exactly_once.py:44-226) and
+the CEP semantics (anomaly_detection.py:40-149).
+
+- file-source JSON ingest with DLQ split;
+- exactly-once: replayed micro-batches produce zero duplicates through
+  the idempotent upsert sink (1000-trade chaos batch, duplicate ids);
+- stateful CEP: ≥3 large trades within 5 minutes → anomaly, buffer
+  pruned correctly across micro-batches;
+- watermarked streaming OHLC matches the batch computation for
+  finalized windows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark import streaming as STR
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+    upsert_parquet,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+    large_trade_cep,
+)
+
+BASE = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _trade(i: int, symbol: str = "AAPL", volume: float = 100.0, minute: float = 0.0):
+    t = BASE + dt.timedelta(minutes=minute)
+    return {
+        "time": int(t.timestamp() * 1000),
+        "symbol": symbol,
+        "price": f"{150 + (i % 10) * 0.1:.2f}",
+        "volume": f"{volume:.2f}",
+        "trade_id": f"CHAOS-{i:04d}",
+        "side": "buy" if i % 2 == 0 else "sell",
+        "bid": None,
+        "ask": None,
+        "source": "chaos",
+    }
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def _run_stream_to_upsert(spark, src_dir, out_dir, ckpt_dir):
+    good, _ = STR.read_trade_stream_json(spark, str(src_dir))
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+        foreach_batch_upsert,
+    )
+
+    q = (
+        good.writeStream.foreachBatch(foreach_batch_upsert(str(out_dir)))
+        .option("checkpointLocation", str(ckpt_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_ingest_dlq_and_exactly_once(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    rows = [_trade(i, minute=i * 0.05) for i in range(1000)]
+    # chaos slices: malformed JSON, missing required field, duplicates
+    bad = ["{not json", json.dumps({"symbol": "AAPL"})]
+    dupes = [rows[0], rows[1], rows[2]]
+    _write_jsonl(src / "part1.jsonl", rows[:500] + bad)
+    _write_jsonl(src / "part2.jsonl", rows[500:] + dupes)
+
+    _run_stream_to_upsert(spark, src, out, ckpt)
+
+    result = spark.read.parquet(str(out))
+    assert result.count() == 1000  # dupes + malformed never land
+    assert result.select("trade_id").distinct().count() == 1000
+
+    # kill/restart replay: run the whole stream again with a FRESH
+    # checkpoint (worst case: every batch replayed from offset 0)
+    _run_stream_to_upsert(spark, src, out, tmp_path / "ckpt2")
+    result2 = spark.read.parquet(str(out))
+    assert result2.count() == 1000
+    assert (
+        result2.groupBy("trade_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+    # DLQ branch catches exactly the malformed rows
+    good, dlq = STR.read_trade_stream_json(spark, str(src))
+    dq = (
+        dlq.writeStream.format("memory")
+        .queryName("dlq_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dq.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM dlq_probe").collect()[0]["c"] == 2
+
+
+def test_upsert_parquet_idempotent_direct(spark, tmp_path):
+    out = tmp_path / "direct"
+    df = spark.createDataFrame(
+        [(BASE, "AAPL", "T-1", 1.0), (BASE, "AAPL", "T-2", 2.0)],
+        "time timestamp, symbol string, trade_id string, price double",
+    )
+    assert upsert_parquet(spark, df, str(out)) == 2
+    # replay identical batch → 0 new rows; conflicting price doesn't land
+    df2 = spark.createDataFrame(
+        [(BASE, "AAPL", "T-1", 99.0), (BASE, "AAPL", "T-3", 3.0)],
+        "time timestamp, symbol string, trade_id string, price double",
+    )
+    assert upsert_parquet(spark, df2, str(out)) == 1
+    got = spark.read.parquet(str(out))
+    assert got.count() == 3
+    assert got.filter("trade_id = 'T-1'").collect()[0]["price"] == 1.0  # first write wins
+
+
+def test_large_trade_cep(spark, tmp_path):
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    # symbol AAPL: large trades at t=0,2,4 min (3 within 5 min → fire),
+    # then one at t=20 (buffer pruned → no fire). MSFT: only 2 large.
+    events = (
+        [_trade(i, minute=float(i)) for i in range(10)]  # small, ignored
+        + [_trade(100, volume=5000, minute=0.0)]
+        + [_trade(101, volume=6000, minute=2.0)]
+        + [_trade(102, volume=7000, minute=4.0)]
+        + [_trade(103, volume=8000, minute=20.0)]
+        + [_trade(200, symbol="MSFT", volume=5000, minute=1.0)]
+        + [_trade(201, symbol="MSFT", volume=5000, minute=2.0)]
+    )
+    _write_jsonl(src / "a.jsonl", events)
+    good, _ = STR.read_trade_stream_json(spark, str(src))
+    anomalies = large_trade_cep(good, threshold=1000.0, window_sec=300.0, min_count=3)
+    q = (
+        anomalies.writeStream.format("memory")
+        .queryName("cep_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cep_out").collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["symbol"] == "AAPL" and row["n_large_trades"] == 3
+    assert sorted(row["trade_ids"]) == ["CHAOS-0100", "CHAOS-0101", "CHAOS-0102"]
+
+
+def test_cep_state_survives_across_batches(spark, tmp_path):
+    src = tmp_path / "cep2_src"
+    src.mkdir()
+    ckpt = tmp_path / "cep2_ckpt"
+    # batch 1: two large trades; batch 2 (separate file → maxFilesPerTrigger=1
+    # forces separate micro-batches): the third → must fire using state.
+    _write_jsonl(
+        src / "b1.jsonl",
+        [_trade(300, volume=5000, minute=0.0), _trade(301, volume=5000, minute=1.0)],
+    )
+    _write_jsonl(src / "b2.jsonl", [_trade(302, volume=5000, minute=2.0)])
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    anomalies = large_trade_cep(good, threshold=1000.0, window_sec=300.0, min_count=3)
+    q = (
+        anomalies.writeStream.format("memory")
+        .queryName("cep_state_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cep_state_out").collect()
+    assert len(got) == 1 and got[0]["n_large_trades"] == 3
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    src = tmp_path / "ohlc_src"
+    src.mkdir()
+    rows = [_trade(i, minute=i * 0.2) for i in range(100)]
+    # sentinel far in the future advances the watermark → all real
+    # windows finalize and emit in append mode
+    sentinel = _trade(9999, minute=600.0)
+    _write_jsonl(src / "a.jsonl", rows)
+    _write_jsonl(src / "z.jsonl", [sentinel])
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    q = (
+        STR.streaming_ohlc(good, "1 minute", "1 minute")
+        .writeStream.format("memory")
+        .queryName("sohlc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["bucket"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"], r["volume"], r["trade_count"])
+        for r in spark.sql("SELECT * FROM sohlc").collect()
+    }
+    assert streamed, "no finalized windows emitted"
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import ohlc
+
+    batch_good, _ = STR.parse_trades_with_dlq(
+        spark.read.format("text").load(str(src))
+    )
+    batch = {
+        (r["bucket"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"], r["volume"], r["trade_count"])
+        for r in ohlc(batch_good, 60).collect()
+    }
+    for k, v in streamed.items():
+        assert batch[k] == v, k
