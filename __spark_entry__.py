@@ -455,6 +455,11 @@ LEFT JOIN imb_latest i ON TRUE
 def pit_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = _trades(spark, sf_dir)
     as_of = trades.agg(F.max("time")).collect()[0][0]
+    # Point query: every feature partitions by symbol, so pre-filtering
+    # trades to the probe symbol is semantics-preserving and turns five
+    # full-table feature pipelines into five 1/|symbols| pipelines (the
+    # filter reaches the parquet scan).
+    trades = trades.filter(F.col("symbol") == "purchase")
 
     ohlc = _r6(FX.ohlc(trades, 60), "open", "high", "low", "close", "volume").select(
         "symbol",
@@ -1172,6 +1177,57 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7 expectations suite — named checks compiled to one aggregation pass
+# --------------------------------------------------------------------------
+@q(
+    "expectations_suite",
+    oracle(
+        """
+counts AS (
+  SELECT
+    count(CASE WHEN symbol IS NULL THEN 1 END) AS not_null_symbol,
+    count(CASE WHEN price IS NULL THEN 1 END) AS not_null_price,
+    count(CASE WHEN price IS NULL OR price < 0 OR price > 100000 THEN 1 END)
+        AS between_price,
+    count(CASE WHEN side IS NOT NULL AND side NOT IN ('buy','sell') THEN 1 END)
+        AS in_set_side,
+    count(*) - count(DISTINCT trade_id) AS unique_trade_id,
+    (SELECT count(CASE WHEN prev > time THEN 1 END) FROM (
+       SELECT time, lag(time) OVER (PARTITION BY symbol ORDER BY time) AS prev
+       FROM trades)) AS increasing_time
+  FROM trades
+)
+SELECT * FROM (
+  SELECT 'not_null_symbol' AS expectation, 'not_null' AS kind,
+         CAST(not_null_symbol AS BIGINT) AS n_violations FROM counts
+  UNION ALL
+  SELECT 'not_null_price', 'not_null', CAST(not_null_price AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 'between_price', 'between', CAST(between_price AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 'in_set_side', 'in_set', CAST(in_set_side AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 'unique_trade_id', 'unique', CAST(unique_trade_id AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 'increasing_time', 'increasing', CAST(increasing_time AS BIGINT) FROM counts
+)
+"""
+    ),
+)
+def expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    suite = [
+        QX.expect_not_null("symbol"),
+        QX.expect_not_null("price"),
+        QX.expect_between("price", 0, 100000),
+        QX.expect_in_set("side", ["buy", "sell"]),
+        QX.expect_unique(["trade_id"]),
+        QX.expect_increasing("time", partition_by="symbol"),
+    ]
+    return QX.validate(trades, suite).select("expectation", "kind", "n_violations")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -117,21 +117,80 @@ def get_historical_features(
     entity_time: str = "event_timestamp",
     ttl_seconds: float | None = None,
 ) -> DataFrame:
-    """Feast-style vectorized PIT retrieval: chain one as-of join per
-    feature view. ``features`` maps view name → (DataFrame, time column);
-    every non-key, non-time column of each view is attached.
+    """Feast-style vectorized PIT retrieval over any number of feature
+    views in **one shuffle**: all feature rows are unioned with the
+    entity probes into a single per-key timeline, and one window pass
+    carries every view's latest values forward independently
+    (`last(col, ignorenulls=True)` skips rows from other views because
+    their columns are NULL there).
+
+    ``features`` maps view name → (DataFrame, time column); every
+    non-key, non-time column of each view is attached. Value column
+    names must be globally unique across views.
+
+    Scale: F feature views cost ONE exchange + ONE sort regardless of F
+    (a chained per-view as-of join would cost F shuffles).
     """
-    out = entity
-    for _, (fdf, tcol) in features.items():
-        out = asof_join(
-            out,
-            fdf,
-            key=key,
-            entity_time=entity_time,
-            feature_time=tcol,
-            ttl_seconds=ttl_seconds,
+    value_cols: dict[str, list[str]] = {}
+    seen: set[str] = set()
+    for name, (fdf, tcol) in features.items():
+        vals = [c for c in fdf.columns if c not in (key, tcol)]
+        clash = (set(vals) & seen) | (set(vals) & set(entity.columns))
+        if clash:
+            raise ValueError(f"duplicate value columns across views: {sorted(clash)}")
+        seen.update(vals)
+        value_cols[name] = vals
+    all_vals = [v for vals in value_cols.values() for v in vals]
+
+    # entity probes: tag 1, all feature value columns NULL
+    e = entity.withColumn(_TIME, F.col(entity_time)).withColumn(_TAG, F.lit(1))
+    for v in all_vals:
+        e = e.withColumn(v, F.lit(None))
+    for name in features:
+        e = e.withColumn(f"__ft_{name}", F.lit(None).cast("timestamp"))
+
+    unioned = e
+    for name, (fdf, tcol) in features.items():
+        f = fdf.select(
+            F.col(key),
+            F.col(tcol).alias(_TIME),
+            F.lit(0).alias(_TAG),
+            *[F.col(v) for v in value_cols[name]],
+            F.col(tcol).alias(f"__ft_{name}"),
         )
-    return out
+        for c in e.columns:
+            if c not in f.columns:
+                f = f.withColumn(c, F.lit(None))
+        unioned = unioned.unionByName(f.select(*e.columns))
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(_TIME).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = [F.last(v, ignorenulls=True).over(w).alias(v) for v in all_vals]
+    carry += [
+        F.last(f"__ft_{name}", ignorenulls=True).over(w).alias(f"__ft_{name}")
+        for name in features
+    ]
+    passthrough = [
+        c
+        for c in unioned.columns
+        if c not in all_vals and not c.startswith("__ft_")
+    ]
+    out = unioned.select(*passthrough, *carry).filter(F.col(_TAG) == 1)
+
+    if ttl_seconds is not None:
+        ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+        masked = []
+        for name in features:
+            expired = F.col(f"__ft_{name}") < (F.col(entity_time) - ttl)
+            masked += [
+                F.when(~expired, F.col(v)).alias(v) for v in value_cols[name]
+            ]
+        keep = [c for c in out.columns if c not in all_vals]
+        out = out.select(*keep, *masked)
+    return out.drop(_TIME, _TAG, *[f"__ft_{name}" for name in features])
 
 
 def latest_per_key(

@@ -1,0 +1,15 @@
+from .explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    physical_plan,
+    shuffle_count,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+    "assert_pushed_filter",
+    "physical_plan",
+    "shuffle_count",
+]

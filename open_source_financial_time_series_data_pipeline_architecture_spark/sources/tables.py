@@ -52,3 +52,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (SQL entry point)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    target_dir: str,
+    time_col: str = "time",
+    mode: str = "overwrite",
+) -> None:
+    """S14 — hypertable-chunk equivalent: persist partitioned by
+    `to_date(time)` (reference uses 1-day chunks,
+    /root/reference/sql/timescaledb_schema.sql:28-31). Time-range
+    predicates then prune whole date directories at plan time — the
+    100 TB scan never opens out-of-range files."""
+    (
+        df.withColumn("__date", F.to_date(F.col(time_col)))
+        .write.mode(mode)
+        .partitionBy("__date")
+        .parquet(target_dir)
+    )

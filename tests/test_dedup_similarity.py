@@ -1,0 +1,87 @@
+"""Recall/property tests for the approximate dedup + ANN operators,
+per the contract's Recall@k test method
+(/root/reference/sql/smartdb_contract.md:111) and the dedup family's
+ground-truth validation design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    dedup as DD,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    similarity as SIM,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    # LSH output is verified with exact jaccard → no false positives
+    assert approx <= exact
+    # recall at j≥0.5 with 16 bands × 4 rows: P(candidate) = 1-(1-j^4)^16
+    # ≥ 0.65 at j=0.5 and → 1 fast; the fixture's dups are j≈0.9+
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f}"
+
+
+def test_simhash_finds_near_identical_docs(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # ground truth: very similar docs (jaccard ≥ 0.8)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert exact, "fixture should contain j≥0.8 pairs"
+    found = len(got & exact) / len(exact)
+    assert found >= 0.7, f"simhash found only {found:.2f} of near-identical pairs"
+
+
+def test_lsh_ann_recall_at_k(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.knn_join(queries, emb, k=5).collect()
+    }
+    # 4-bit LSH → expected candidate set N/16; recall suffers vs exact,
+    # but the self-match (cosine 1.0) must always survive and overall
+    # recall should beat random bucketing by a wide margin
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.lsh_bucketed_topk(queries, emb, k=5, bits=4, dim=64).collect()
+    }
+    self_matches = {(q, v) for (q, v) in exact if q == v}
+    assert self_matches <= approx
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"ANN recall@5 {recall:.2f}"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # inject true duplicates by unioning a shifted copy of 10 docs
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    out = DD.exact_dedup(docs.unionByName(dup))
+    dups = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 10
+    assert all(r["keep_id"] < 100000 for r in dups)

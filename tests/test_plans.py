@@ -1,0 +1,78 @@
+"""Physical-plan scale properties: pushdown, broadcast, shuffle counts.
+
+These pin the "would it survive 100×" properties the SURVEY §2/§4
+design calls for — a regression here means a plan silently degraded
+(e.g. a broadcast fell back to sort-merge, or a filter stopped reaching
+the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
+from open_source_financial_time_series_data_pipeline_architecture_spark import plans as PL
+from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
+    trades_from_events,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_symbol_filter_pushes_through_features(spark):
+    # a symbol predicate on a feature output must reach the parquet scan
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    df = FX.vwap(trades, 300).filter(F.col("symbol") == "purchase")
+    PL.assert_pushed_filter(df, "event_type")
+
+
+def test_time_filter_pushes_to_scan(spark):
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    df = trades.filter(F.col("time") >= "2024-01-15")
+    # time is derived from nanos-long ts; the pushed filter is on ts
+    plan = PL.physical_plan(df)
+    assert "PushedFilters" in plan
+
+
+def test_revenue_rollup_all_broadcast(spark):
+    df = em.QUERIES["revenue_rollup"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=4)
+    # the only exchanges are for the final aggregate, not the joins
+    assert PL.shuffle_count(df) <= 3
+
+
+def test_large_trade_flags_broadcasts_thresholds(spark):
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    df = FX.large_trade_flags(trades)
+    PL.assert_broadcast_join(df, at_least=1)
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    df = em.QUERIES["pit_features_asof"](spark, SF_SMOKE)
+    PL.assert_no_cartesian(df)
+
+
+def test_multi_view_asof_is_single_window_pass(spark):
+    # two feature views through get_historical_features → exactly one
+    # window sort (the whole point of the union-and-window design); the
+    # aggregate subtrees contribute their own exchanges, but there must
+    # be exactly one Window operator and no join at all
+    plan = PL.physical_plan(em.QUERIES["pit_features_asof"](spark, SF_SMOKE))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_single_window_shuffle_for_sma(spark):
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    df = FX.sma(trades, 20)
+    # one exchange (hash partition by symbol) feeds the window sort
+    assert PL.shuffle_count(df) == 1
+
+
+def test_ohlc_partial_aggregate(spark):
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    plan = PL.physical_plan(FX.ohlc(trades, 60))
+    # partial_ (map-side) aggregate must appear before the exchange
+    assert "partial_" in plan
+    assert PL.shuffle_count(plan_df := FX.ohlc(trades, 60)) == 1
