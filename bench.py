@@ -39,6 +39,14 @@ BENCH_QUERIES = [
     "regime_tags",
     "pit_features_asof",
     "pit_snapshot",
+    # training-data plane
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    # quality + star-schema analytics
+    "dq_score",
+    "revenue_rollup",
 ]
 
 

@@ -75,6 +75,9 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Self-join strategy: at corpus scale the shingle posting lists are
+    # the big side and MUST shuffle (sort-merge on shingle); when one
+    # side fits in memory Catalyst/AQE picks broadcast automatically.
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -104,11 +107,16 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     xxhash64(i || shingle). One explode + one groupBy; the aggregate
     carries num_hashes longs per doc."""
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -137,7 +145,12 @@ def minhash_lsh_pairs(
     matching signature positions.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+    # one cached shingle frame feeds both the signatures and the exact
+    # verify step (shingle generation would otherwise run 2×)
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).cache()
+    sig = minhash_signatures(
+        docs, num_hashes, n, text_col, id_col, shingle_df=sh
+    ).cache()
     banded = sig.select(
         id_col,
         "signature",
@@ -155,35 +168,52 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "signature", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # Dedup candidates on the bare id pair BEFORE re-attaching the wide
+    # signature arrays (hash-aggregating 64-long arrays is needless work).
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    est = cand.select(
-        "id_a",
-        "id_b",
-        (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
                 )
-            )
-            / F.lit(float(num_hashes))
-        ).alias("est_jaccard"),
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
     )
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0, text_col=text_col, id_col=id_col)
+    # Exact-Jaccard verify on CANDIDATES ONLY: join each side's shingle
+    # set and intersect in-row (array_intersect) — O(|candidates|·|set|),
+    # never the all-pairs shingle self-join the exact operator does.
+    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__shset"))
+    sa = doc_sets.select(F.col(id_col).alias("id_a"), F.col("__shset").alias("__sa"))
+    sb = doc_sets.select(F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union_size = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
     return (
-        est.join(exact, ["id_a", "id_b"], "left")
-        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        est.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (inter / union_size).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
