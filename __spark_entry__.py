@@ -1230,6 +1230,231 @@ def expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QX.validate(trades, suite).select("expectation", "kind", "n_violations")
 
 
+# --------------------------------------------------------------------------
+# Extended time-series analytics (finance depth beyond the 11 features)
+# --------------------------------------------------------------------------
+@q(
+    "max_drawdown",
+    oracle(
+        """
+runs AS (
+  SELECT symbol, time, trade_id, price,
+         max(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_max
+  FROM trades
+)
+SELECT symbol,
+       ROUND(max(CASE WHEN run_max > 0 THEN 1 - price / run_max ELSE 0.0 END), 6)
+           AS max_drawdown
+FROM runs GROUP BY symbol
+"""
+    ),
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-max drawdown per symbol: one window pass + one aggregate."""
+    from pyspark.sql import Window
+
+    trades = _trades(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("time").asc(), F.col("trade_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = trades.withColumn("run_max", F.max("price").over(w))
+    return runs.groupBy("symbol").agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("run_max") > 0, 1 - F.col("price") / F.col("run_max")
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("max_drawdown")
+    )
+
+
+@q(
+    "sma_crossover_signals",
+    oracle(
+        """
+smas AS (
+  SELECT symbol, time, trade_id, price,
+         avg(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_fast,
+         avg(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_slow
+  FROM trades
+),
+flags AS (
+  SELECT symbol, time, trade_id, sma_fast, sma_slow,
+         CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END AS above,
+         lag(CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END)
+             OVER (PARTITION BY symbol ORDER BY time, trade_id) AS prev_above
+  FROM smas
+)
+SELECT symbol, time, trade_id,
+       ROUND(sma_fast, 6) AS sma_fast,
+       ROUND(sma_slow, 6) AS sma_slow,
+       CASE WHEN above = 1 THEN 'golden_cross' ELSE 'death_cross' END AS signal
+FROM flags
+WHERE prev_above IS NOT NULL AND above <> prev_above
+"""
+    ),
+)
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow SMA crossover events — two frames over ONE window sort
+    (same partition+ordering ⇒ Catalyst evaluates both in a single
+    Window operator), then a lag for edge detection."""
+    from pyspark.sql import Window
+
+    trades = _trades(spark, sf_dir)
+    ob = [F.col("time").asc(), F.col("trade_id").asc()]
+    w_base = Window.partitionBy("symbol").orderBy(*ob)
+    smas = trades.select(
+        "symbol",
+        "time",
+        "trade_id",
+        F.avg("price").over(w_base.rowsBetween(-4, 0)).alias("sma_fast"),
+        F.avg("price").over(w_base.rowsBetween(-19, 0)).alias("sma_slow"),
+    )
+    above = F.when(F.col("sma_fast") > F.col("sma_slow"), 1).otherwise(0)
+    flags = smas.withColumn("above", above).withColumn(
+        "prev_above", F.lag("above").over(w_base)
+    )
+    return flags.filter(
+        F.col("prev_above").isNotNull() & (F.col("above") != F.col("prev_above"))
+    ).select(
+        "symbol",
+        "time",
+        "trade_id",
+        F.round("sma_fast", 6).alias("sma_fast"),
+        F.round("sma_slow", 6).alias("sma_slow"),
+        F.when(F.col("above") == 1, "golden_cross")
+        .otherwise("death_cross")
+        .alias("signal"),
+    )
+
+
+@q(
+    "user_sessionization",
+    oracle(
+        """
+flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_no
+  FROM flags
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE)
+           AS duration_sec
+FROM sessions
+GROUP BY user_id, session_no
+"""
+    ),
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch analog
+    of session windows (T10): lag → new-session flag → running sum as
+    session id → per-session aggregate. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ob = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*ob)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    # fractional-second gap (cast to double = epoch with fraction),
+    # matching the oracle's epoch() semantics
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("new_session", new_sess).withColumn(
+        "session_no", F.sum("new_session").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")), 0
+        ).cast("double").alias("duration_sec"),
+    )
+
+
+@q(
+    "orders_status_pivot",
+    oracle(
+        """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P,
+       ROUND(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4)
+           AS total_F
+FROM orders GROUP BY o_orderpriority
+"""
+    ),
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (equivalent plan to
+    groupBy().pivot() with explicit values, minus the extra pass to
+    discover them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("status_F"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("status_O"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("status_P"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("total_F"),
+    )
+
+
+@q(
+    "events_hourly_rollup",
+    oracle(
+        """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       ROUND(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+    ),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

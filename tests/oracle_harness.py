@@ -55,8 +55,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     for c in got.columns:
         g, e = got[c], exp[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
-            ok = np.isclose(
-                g.astype(float), e.astype(float), rtol=0, atol=0, equal_nan=True
+            ok = pd.Series(
+                np.isclose(
+                    g.astype(float), e.astype(float), rtol=0, atol=0, equal_nan=True
+                )
             )
         else:
             ok = (g == e) | (g.isna() & e.isna())
