@@ -18,3 +18,7 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+from .api import Engine  # noqa: E402  (the user-facing facade)
+
+__all__ = ["Engine"]
