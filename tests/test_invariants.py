@@ -1,0 +1,103 @@
+"""Smart-DB contract invariants on real feature output, mirroring the
+reference's correctness suite (tests/test_smartdb_correctness.py:94-170
+and the deterministic SMA fixture :46-92)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
+from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
+    trades_from_events,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return trades_from_events(load_table(spark, SF_SMOKE, "events")).cache()
+
+
+def test_ohlc_invariants(trades):
+    ohlc = FX.ohlc(trades, 60)
+    assert ohlc.filter(F.col("high") < F.col("low")).count() == 0
+    assert ohlc.filter(
+        (F.col("open") > F.col("high")) | (F.col("open") < F.col("low"))
+    ).count() == 0
+    assert ohlc.filter(
+        (F.col("close") > F.col("high")) | (F.col("close") < F.col("low"))
+    ).count() == 0
+    assert ohlc.filter(F.col("close").isNull()).count() == 0
+    assert ohlc.filter(F.col("trade_count") <= 0).count() == 0
+
+
+def test_volatility_nonnegative(trades):
+    vol = FX.volatility(trades, 3600)
+    assert vol.filter(F.col("volatility") < 0).count() == 0
+
+
+def test_vwap_positive_with_volume(trades):
+    vw = FX.vwap(trades, 300)
+    assert vw.filter((F.col("total_volume") > 0) & ~(F.col("vwap") > 0)).count() == 0
+    # VWAP bounded by min/max trade price in the bucket at all times
+    assert vw.filter(F.col("vwap").isNull() & (F.col("total_volume") > 0)).count() == 0
+
+
+def test_imbalance_bounded(trades):
+    imb = FX.trade_imbalance(trades, 300)
+    assert imb.filter(
+        (F.col("trade_imbalance") < -1) | (F.col("trade_imbalance") > 1)
+    ).count() == 0
+
+
+def test_regime_domain(trades):
+    regimes = FX.regime_tags(trades, 20)
+    vals = {r[0] for r in regimes.select("regime_tag").distinct().collect()}
+    assert vals <= {"up", "down", "neutral"}
+
+
+def test_sma_deterministic_fixture(spark):
+    # the reference's ascending-price oracle: 25 trades, price=150+i*0.1,
+    # 1-minute spacing → sma_20 at the last row = mean of prices 5..24
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (base + dt.timedelta(minutes=i), "TEST", 150.0 + i * 0.1, 100.0, f"F-{i:02d}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, symbol string, price double, volume double, trade_id string"
+    )
+    out = FX.sma(df, 20).orderBy("time").collect()
+    expected_last = sum(150.0 + i * 0.1 for i in range(5, 25)) / 20
+    assert abs(out[-1]["sma_20"] - expected_last) < 1e-9
+    # first row's 20-row trailing window is just itself
+    assert abs(out[0]["sma_20"] - 150.0) < 1e-12
+
+
+def test_ewm_deterministic_fixture(spark):
+    base = dt.datetime(2024, 6, 1)
+    prices = [100.0, 110.0, 120.0]
+    df = spark.createDataFrame(
+        [
+            (base + dt.timedelta(minutes=i), "TEST", p, f"E-{i}")
+            for i, p in enumerate(prices)
+        ],
+        "time timestamp, symbol string, price double, trade_id string",
+    )
+    out = FX.ewm(df, span=12, alpha=0.15).orderBy("time").collect()
+    # y0=100; y1=.15*110+.85*100=101.5; y2=.15*120+.85*101.5=104.275
+    assert [round(r["ewm_12"], 6) for r in out] == [100.0, 101.5, 104.275]
+
+
+def test_large_trade_flag_rate(trades):
+    lt = FX.large_trade_flags(trades, 0.95)
+    per_symbol = lt.groupBy("symbol").agg(
+        (F.sum(F.col("large_trade_flag").cast("int")) / F.count(F.lit(1))).alias("rate")
+    )
+    # ~5% flagged by construction of the p95 threshold (volume is
+    # integer-valued so ties can push the rate slightly under)
+    assert per_symbol.filter((F.col("rate") > 0.08) | (F.col("rate") < 0.01)).count() == 0
