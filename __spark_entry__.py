@@ -1455,6 +1455,76 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "lineitem_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 4) AS sum_qty,
+       ROUND(sum(l_extendedprice), 4) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: ship-date predicate pushed to the
+    scan, one partial+final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "orders_recent_by_priority",
+    """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 4) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def orders_recent_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 time-range predicate on the orders scan (PushedFilters) + agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= "1997-06-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -102,6 +102,121 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer (the IVF codebook).
+
+    Init: the k corpus vectors with the smallest xxhash64(id, seed) —
+    reproducible, no RNG state. Each Lloyd iteration is one broadcast
+    assignment pass + one elementwise-mean aggregate (posexplode →
+    (cluster, dim) partials → regroup); centroids (k·dim floats) come
+    back to the driver between iterations, which is the standard Spark
+    iterative-ML shape — the corpus itself never moves.
+    """
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    init = (
+        vecs.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "__c", _nearest_centroid(F.col("v"), centroids)
+        )
+        new = (
+            assigned.select("__c", F.posexplode("v").alias("__pos", "__x"))
+            .groupBy("__c", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__c")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+                    ),
+                    lambda s: s.getField("__m"),
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_id = {r["__c"]: list(r["centroid"]) for r in new}
+        centroids = [by_id.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def _nearest_centroid(vec, centroids: list[list[float]]):
+    """Argmin over centroid cosine distances, as a pure column expr."""
+    best_id = F.lit(0)
+    best_sim = cosine_similarity(vec, F.array(*[F.lit(x) for x in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        sim = cosine_similarity(vec, F.array(*[F.lit(x) for x in c]))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_id
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate k-NN: corpus vectors live in their nearest-
+    centroid inverted list; each query probes its `n_probe` nearest
+    lists only. Expected work per query = n_probe/k_lists of the corpus
+    — the classic ANN scale path next to LSH. Recall vs exact k-NN is
+    pinned in tests (contract A10 Recall@k method)."""
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cv"),
+        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias(
+            "__list"
+        ),
+    )
+    # per-query: similarities to every centroid, pick top n_probe lists
+    sims = [
+        F.struct(
+            cosine_similarity(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(x) for x in cen]),
+            ).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, cen in enumerate(centroids)
+    ]
+    ql = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, n_probe)
+        ).alias("__probe"),
+    ).select(query_id, "__qv", F.col("__probe.i").alias("__list"))
+
+    scored = c.join(F.broadcast(ql), "__list").select(
+        query_id,
+        corpus_id,
+        F.round(cosine_similarity("__qv", "__cv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

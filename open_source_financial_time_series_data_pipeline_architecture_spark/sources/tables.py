@@ -54,6 +54,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — Spark's answer to
+    co-located joins: two tables bucketed the same way join with ZERO
+    exchange (verified in tests/test_plans.py), and bucket pruning
+    serves point lookups. This is the 100 TB layout for the raw trades
+    and every per-symbol feature table: bucket by symbol, sort by time,
+    and the as-of/window pipeline starts pre-partitioned.
+
+    Uses saveAsTable (bucket metadata lives in the session catalog —
+    with a real metastore/Delta it persists across sessions).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)  # external bucketed table
+    writer.saveAsTable(table_name)
+
+
 def write_time_partitioned(
     df: DataFrame,
     target_dir: str,

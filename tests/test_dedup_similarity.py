@@ -77,6 +77,31 @@ def test_lsh_ann_recall_at_k(spark):
     assert recall >= 0.3, f"ANN recall@5 {recall:.2f}"
 
 
+def test_ivf_recall_at_k(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = SIM.kmeans_centroids(emb, k=8, iters=3)
+    assert len(centroids) == 8 and all(len(c) == 64 for c in centroids)
+    # determinism: same seed → same codebook
+    again = SIM.kmeans_centroids(emb, k=8, iters=3)
+    assert centroids == again
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.knn_join(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.ivf_topk(queries, emb, centroids, k=5, n_probe=3).collect()
+    }
+    self_matches = {(q, v) for (q, v) in exact if q == v}
+    assert self_matches <= approx  # a query always probes its own list
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"IVF recall@5 {recall:.2f}"
+
+
 def test_exact_dedup_keeps_min_id(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     # inject true duplicates by unioning a shifted copy of 10 docs

@@ -70,6 +70,44 @@ def test_single_window_shuffle_for_sma(spark):
     assert PL.shuffle_count(df) == 1
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # two tables bucketed on the same key join WITHOUT any shuffle —
+    # the co-located join layout for 100 TB fact-fact joins
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.tables import (
+        write_bucketed,
+    )
+
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    write_bucketed(
+        trades.select("symbol", "time", "trade_id", "price"),
+        "t_bucketed_a",
+        ["symbol"],
+        8,
+        sort_cols=["time"],
+        path=str(tmp_path / "a"),
+    )
+    write_bucketed(
+        trades.select("symbol", "time", "trade_id", "volume"),
+        "t_bucketed_b",
+        ["symbol"],
+        8,
+        sort_cols=["time"],
+        path=str(tmp_path / "b"),
+    )
+    a = spark.table("t_bucketed_a")
+    b = spark.table("t_bucketed_b").groupBy("symbol").agg(
+        F.avg("volume").alias("avg_vol")
+    )
+    joined = a.join(b, "symbol")
+    # disable broadcast so the join exercises the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = PL.shuffle_count(a.join(b.hint("merge"), "symbol"))
+        assert n == 0, PL.physical_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_ohlc_partial_aggregate(spark):
     trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
     plan = PL.physical_plan(FX.ohlc(trades, 60))
