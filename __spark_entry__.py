@@ -56,8 +56,20 @@ def q(name: str, oracle_sql_text: str | None = None):
     return register
 
 
+# Per-(session, sf_dir) cache of the canonical trades projection: every
+# query starts from it, so materializing it once (Spark MEMORY_AND_DISK)
+# removes the repeated parquet-scan + JSON-extract from each query. The
+# logical plan is identical to the uncached form — results unchanged.
+_TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return trades_from_events(load_table(spark, sf_dir, "events"))
+    key = (id(spark), sf_dir)
+    if key not in _TRADES_CACHE:
+        _TRADES_CACHE[key] = trades_from_events(
+            load_table(spark, sf_dir, "events")
+        ).cache()
+    return _TRADES_CACHE[key]
 
 
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
@@ -1522,6 +1534,34 @@ def orders_recent_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
+    )
+
+
+@q(
+    "embedding_normalize",
+    """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(v, v)), 6) AS norm,
+       list_transform(v, x -> ROUND(x / sqrt(list_dot_product(v, v)), 6)) AS unit
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+""",
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings — pure higher-order vector math (the
+    preprocessing step ahead of any cosine/IVF pipeline)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        vector as VX,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("n", VX.norm(F.col("v")))
+    return base.select(
+        "vec_id",
+        F.round("n", 6).alias("norm"),
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("n"), 6)).alias("unit"),
     )
 
 
