@@ -39,6 +39,20 @@ def _norm_text(text_col: str):
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
 
 
+def _hash_family(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers + offsets for the multiply-add
+    minhash permutation family (Park–Miller LCG driven)."""
+    state = seed
+    out = []
+    for _ in range(k):
+        state = (state * 48271) % 2147483647
+        a = (state * 2 + 1) & 0x7FFFFFFFFFFFFFFF  # odd
+        state = (state * 48271) % 2147483647
+        b = state
+        out.append((a, b))
+    return out
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -117,9 +131,10 @@ def minhash_signatures(
         if shingle_df is not None
         else shingles(docs, text_col=text_col, n=n, id_col=id_col)
     )
+    base = F.xxhash64("shingle")
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(base * F.lit(a) + F.lit(b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
     ]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
@@ -145,12 +160,33 @@ def minhash_lsh_pairs(
     matching signature positions.
     """
     rows = num_hashes // bands
-    # one cached shingle frame feeds both the signatures and the exact
-    # verify step (shingle generation would otherwise run 2×)
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).cache()
-    sig = minhash_signatures(
-        docs, num_hashes, n, text_col, id_col, shingle_df=sh
-    ).cache()
+    # ONE aggregation pass over the shingles produces both the minhash
+    # signature AND the exact shingle set per doc — the signature/verify
+    # stages would otherwise each shuffle the shingle frame. The shingle
+    # STRING is hashed once (xxhash64); the num_hashes family is derived
+    # with 64-bit multiply-add permutations (a_i·h + b_i) — long
+    # arithmetic instead of num_hashes string hashes per row.
+    a_b = _hash_family(num_hashes)
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).withColumn(
+        "__h0", F.xxhash64("shingle")
+    )
+    per_doc = (
+        sh.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.col("__h0") * F.lit(a) + F.lit(b)).alias(f"h{i}")
+                for i, (a, b) in enumerate(a_b)
+            ],
+            F.collect_set("shingle").alias("__shset"),
+        )
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+            "__shset",
+        )
+        .cache()
+    )
+    sig = per_doc.select(id_col, "signature")
     banded = sig.select(
         id_col,
         "signature",
@@ -200,7 +236,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify on CANDIDATES ONLY: join each side's shingle
     # set and intersect in-row (array_intersect) — O(|candidates|·|set|),
     # never the all-pairs shingle self-join the exact operator does.
-    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__shset"))
+    doc_sets = per_doc.select(id_col, "__shset")
     sa = doc_sets.select(F.col(id_col).alias("id_a"), F.col("__shset").alias("__sa"))
     sb = doc_sets.select(F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
