@@ -1117,27 +1117,33 @@ GROUP BY 1, 2
 """,
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact table joins dimensions bottom-up; every dim side is
-    broadcast (customer/nation/region are tiny at any SF) — lineitem is
-    never shuffled for a join, only for the final aggregate."""
+    """Scale-first star rollup. lineitem is pre-aggregated to order
+    grain BEFORE any join — map-side partial agg collapses ~4 lineitems
+    per order, the order⋈lineitem join shrinks 4×, and the downstream
+    `count(DISTINCT o_orderkey)` becomes a plain `count` (no Expand).
+    Only the fixed-cardinality dims (nation 25 rows, region 5) are
+    force-broadcast; orders/customer grow with SF, so their join
+    strategy is left to Catalyst/AQE (broadcast at small SF, sort-merge
+    on the cluster)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -1154,16 +1160,20 @@ LIMIT 10
 """,
 )
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # True top-k: TakeOrderedAndProject, no global sort materialization
+    # Aggregate the fact table to part grain BEFORE the join (map-side
+    # partial agg; the join input shrinks from |lineitem| to |parts
+    # touched|), then top-k via TakeOrderedAndProject — no global sort
+    # materialization. part grows with SF, so the join strategy is left
+    # to Catalyst/AQE rather than a forced broadcast.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", F.round(F.col("__rev"), 4).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
         .limit(10)

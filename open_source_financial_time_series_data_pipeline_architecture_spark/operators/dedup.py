@@ -214,11 +214,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    est = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+    # Attach each side's (signature, shingle set) in ONE join per side —
+    # est_jaccard and the exact-Jaccard verify happen in the same
+    # projection. The verify is O(|candidates|·|set|) via in-row
+    # array_intersect, never the all-pairs shingle self-join the exact
+    # operator does.
+    side_a = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("signature").alias("sig_a"),
+        F.col("__shset").alias("__sa"),
+    )
+    side_b = per_doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        F.col("__shset").alias("__sb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union_size = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(side_a, "id_a")
+        .join(side_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -231,23 +246,6 @@ def minhash_lsh_pairs(
                 )
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
-        )
-    )
-    # Exact-Jaccard verify on CANDIDATES ONLY: join each side's shingle
-    # set and intersect in-row (array_intersect) — O(|candidates|·|set|),
-    # never the all-pairs shingle self-join the exact operator does.
-    doc_sets = per_doc.select(id_col, "__shset")
-    sa = doc_sets.select(F.col(id_col).alias("id_a"), F.col("__shset").alias("__sa"))
-    sb = doc_sets.select(F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb"))
-    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union_size = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
-    return (
-        est.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "est_jaccard",
             (inter / union_size).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -147,6 +147,65 @@ def streaming_ohlc(
     )
 
 
+def streaming_dedup(
+    trades: DataFrame,
+    watermark: str = "1 minute",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """J4/T6 at streaming scale — drop duplicate trade events with
+    state BOUNDED by the watermark.
+
+    The reference anchors exactly-once on the `(time, symbol, trade_id)`
+    PK (/root/reference/sql/timescaledb_schema.sql:24 and the chaos test
+    tests/test_chaos_flink_exactly_once.py:182-226). A plain
+    `dropDuplicates` on a stream keeps every key ever seen — unbounded
+    state, a guaranteed OOM on an infinite stream.
+    `dropDuplicatesWithinWatermark` evicts keys once the watermark
+    passes them, so state is O(events per watermark window) regardless
+    of stream lifetime — the only formulation that survives at 100 TB/day.
+    Duplicates arriving later than the watermark are handled by the
+    idempotent `merge_upsert` sink (defense in depth, same as the
+    reference's PK-plus-idempotent-producer pairing).
+    """
+    keys = keys or ["time", "symbol", "trade_id"]
+    return trades.withWatermark("time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """T10 — native session windows on a stream.
+
+    The reference never uses session windows (SURVEY §2.10 T10); the
+    batch analog here is the gap-based `user_sessionization` query. This
+    is the Spark-native streaming form: `session_window` merges rows
+    within `gap` of each other into one growing window per key, state
+    is finalized and evicted when the watermark passes a session's end.
+    Unlike the batch lag/cumsum formulation there is no full sort per
+    key — sessions merge incrementally in the state store.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(val_col).alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_vwap(
     trades: DataFrame, bucket: str = "5 minutes", watermark: str = "1 minute"
 ) -> DataFrame:

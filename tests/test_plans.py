@@ -36,9 +36,12 @@ def test_time_filter_pushes_to_scan(spark):
 
 
 def test_revenue_rollup_all_broadcast(spark):
+    # nation/region are force-broadcast; at this tiny SF orders/customer
+    # fall under the static broadcast threshold too, so every join is
+    # broadcast and the only exchanges are the two aggregates (the
+    # order-grain pre-agg and the final region/nation rollup)
     df = em.QUERIES["revenue_rollup"](spark, SF_SMOKE)
     PL.assert_broadcast_join(df, at_least=4)
-    # the only exchanges are for the final aggregate, not the joins
     assert PL.shuffle_count(df) <= 3
 
 

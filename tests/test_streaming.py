@@ -229,3 +229,88 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     }
     for k, v in streamed.items():
         assert batch[k] == v, k
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate trade_ids inside the watermark window are dropped with
+    bounded state (dropDuplicatesWithinWatermark), matching the
+    reference's PK-anchored exactly-once semantics."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [_trade(i, minute=i * 0.1) for i in range(50)]
+    dups = [dict(r) for r in rows[:20]]  # exact replays of 20 events
+    sentinel = _trade(9999, minute=600.0)
+    _write_jsonl(src / "a.jsonl", rows)
+    _write_jsonl(src / "b.jsonl", dups)
+    _write_jsonl(src / "z.jsonl", [sentinel])
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    q = (
+        STR.streaming_dedup(good, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT trade_id FROM sdedup").collect()
+    ids = [r["trade_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived the stream"
+    assert set(ids) == {f"CHAOS-{i:04d}" for i in range(50)} | {"CHAOS-9999"}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window merges events within the gap into one
+    session per user and finalizes it once the watermark passes."""
+    import datetime as dtm
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = dtm.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(uid, minute, value):
+        return json.dumps(
+            {
+                "ts": (base + dtm.timedelta(minutes=minute)).isoformat(sep=" "),
+                "user_id": uid,
+                "value": value,
+            }
+        )
+
+    # user 1: two sessions (gap > 5 min between minute 2 and minute 30);
+    # user 2: one session
+    _write_jsonl(
+        src / "a.jsonl",
+        [ev(1, 0, 1.0), ev(1, 2, 2.0), ev(1, 30, 4.0), ev(2, 0, 8.0)],
+    )
+    _write_jsonl(src / "z.jsonl", [ev(99, 600, 0.0)])  # watermark sentinel
+
+    schema = "ts timestamp, user_id bigint, value double"
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    events = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+    q = (
+        STR.streaming_sessions(events, gap="5 minutes", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("ssess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM ssess WHERE user_id < 99").collect()
+    }
+    assert got == {
+        (1, base): (2, 3.0),
+        (1, base + dtm.timedelta(minutes=30)): (1, 4.0),
+        (2, base): (1, 8.0),
+    }
