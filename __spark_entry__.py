@@ -1575,6 +1575,168 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "shipping_priority",
+    """
+SELECT l.l_orderkey,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters reach all three scans
+    (PushedFilters), the filtered orders⋈customer side is reduced before
+    meeting lineitem, and the top-10 is TakeOrderedAndProject (no global
+    sort). Join strategies left to Catalyst/AQE — all three inputs grow
+    with SF."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-06-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-06-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@q(
+    "revenue_rollup_sets",
+    """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def revenue_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) — Spark's
+    `rollup()` plans a single Expand + aggregate, not one job per
+    grouping set. Same order-grain pre-aggregation as revenue_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("__rev"), 4).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+        )
+    )
+
+
+@q(
+    "large_trade_impact",
+    oracle(
+        """
+thresholds AS (
+  SELECT symbol, quantile_cont(volume, 0.95) AS p95
+  FROM trades GROUP BY symbol
+),
+big AS (
+  SELECT t.symbol, t.trade_id, t.time
+  FROM trades t JOIN thresholds th USING (symbol)
+  WHERE t.volume > th.p95
+)
+SELECT b.symbol, b.trade_id, b.time,
+       count(t.trade_id) AS n_follow,
+       ROUND(coalesce(sum(t.volume), 0.0), 6) AS follow_volume
+FROM big b
+LEFT JOIN trades t
+  ON t.symbol = b.symbol
+ AND epoch(t.time) > epoch(b.time)
+ AND epoch(t.time) <= epoch(b.time) + 60.0
+GROUP BY 1, 2, 3
+"""
+    ),
+)
+def large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each large trade (volume > per-symbol p95),
+    count/sum the same-symbol trades in the following 60 s.
+
+    Uses the bucketed range join (operators/rangejoin.py): the range
+    predicate becomes an equi-join on (symbol, 60s-bucket) — linear
+    shuffle, no nested-loop — then the zero-follower large trades are
+    restored with a left join against the aggregated matches."""
+    trades = _trades(spark, sf_dir)
+    flagged = FX.large_trade_flags(trades, quantile=0.95)
+    big = flagged.filter(F.col("large_trade_flag")).select(
+        "symbol", "trade_id", "time"
+    )
+    follows = OPS.interval_join_bucketed(
+        big,
+        trades.select(
+            "symbol",
+            F.col("time").alias("r_time"),
+            F.col("volume").alias("r_volume"),
+        ),
+        keys=["symbol"],
+        left_ts="time",
+        right_ts="r_time",
+        lower_s=0.0,
+        upper_s=60.0,
+    )
+    agg = follows.groupBy("symbol", "trade_id", "time").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum("r_volume").alias("follow_volume"),
+    )
+    return big.join(agg, ["symbol", "trade_id", "time"], "left").select(
+        "symbol",
+        "trade_id",
+        "time",
+        F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+        F.round(F.coalesce("follow_volume", F.lit(0.0)), 6).alias("follow_volume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

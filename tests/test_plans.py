@@ -117,3 +117,63 @@ def test_ohlc_partial_aggregate(spark):
     # partial_ (map-side) aggregate must appear before the exchange
     assert "partial_" in plan
     assert PL.shuffle_count(plan_df := FX.ohlc(trades, 60)) == 1
+
+
+def test_interval_join_bucketed_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join —
+    writing the range predicate directly would give a nested-loop plan
+    that is quadratic at scale."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        interval_join_bucketed,
+    )
+
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    left = trades.select("symbol", "trade_id", "time").limit(50)
+    right = trades.select(
+        "symbol",
+        F.col("time").alias("r_time"),
+        F.col("volume").alias("r_volume"),
+    )
+    joined = interval_join_bucketed(
+        left, right, keys=["symbol"], left_ts="time", right_ts="r_time",
+        lower_s=0.0, upper_s=60.0,
+    )
+    plan = PL.physical_plan(joined)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_interval_join_bucketed_matches_naive(spark):
+    """Bucketed formulation ≡ the naive theta join on a small slice."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        interval_join_bucketed,
+    )
+
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events")).cache()
+    left = trades.select("symbol", "trade_id", "time")
+    right = trades.select(
+        "symbol",
+        F.col("time").alias("r_time"),
+        F.col("trade_id").alias("r_trade_id"),
+    )
+    bucketed = {
+        (r["trade_id"], r["r_trade_id"])
+        for r in interval_join_bucketed(
+            left, right, keys=["symbol"], left_ts="time", right_ts="r_time",
+            lower_s=0.0, upper_s=90.0, bucket_s=45.0,
+        ).collect()
+    }
+    naive = {
+        (r["trade_id"], r["r_trade_id"])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.symbol") == F.col("r.symbol"))
+            & (F.col("r.r_time").cast("double") > F.col("l.time").cast("double"))
+            & (
+                F.col("r.r_time").cast("double")
+                <= F.col("l.time").cast("double") + 90.0
+            ),
+        )
+        .collect()
+    }
+    assert bucketed == naive
