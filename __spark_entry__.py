@@ -988,6 +988,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (rows-only: the k-means codebook is
+    iterative, not SQL-expressible). Each query probes its n_probe
+    nearest inverted lists — work per query is n_probe/k_lists of the
+    corpus, the ANN scale path next to LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.kmeans_centroids(emb, k=8, iters=3)
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(queries_df, emb, centroids, k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Relational / ops-plane coverage (SURVEY §2.3 J4-J5, §2.7 O1, §2.8 U1)
 # --------------------------------------------------------------------------

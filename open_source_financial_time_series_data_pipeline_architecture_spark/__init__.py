@@ -14,11 +14,13 @@ Subpackages
 - ``operators``  : as-of/PIT joins, dedup family, similarity search,
                    multimodal plumbing
 - ``streaming``  : watermarked aggregations and stateful CEP handlers
+- ``serving``    : online latest-feature store (point-lookup plane)
 - ``plans``      : explain/introspection helpers (pushdown & join checks)
 """
 
 __version__ = "0.1.0"
 
 from .api import Engine  # noqa: E402  (the user-facing facade)
+from .serving import OnlineFeatureStore  # noqa: E402
 
-__all__ = ["Engine"]
+__all__ = ["Engine", "OnlineFeatureStore"]

@@ -138,6 +138,42 @@ class Engine:
             entity, views, ttl_seconds=ttl_seconds
         )
 
+    def online_store(self, feature_names: list[str] | None = None):
+        """Materialize the online serving plane (SURVEY §4/§7.6): one
+        cached wide row of latest feature values per symbol. Warm
+        `get_online_features` reads are the Spark analog of the Redis
+        online store (<100 ms warm; measured separately from cold-job
+        latency per BASELINE.md)."""
+        from .serving import OnlineFeatureStore
+
+        names = feature_names or ["ohlc_1m", "vwap_5m", "trade_imbalance_5m"]
+        views: dict[str, tuple[DataFrame, str, list[str]]] = {}
+        for n in names:
+            spec = REG.get_feature(n)
+            fdf = self.feature(n)
+            vals = [c for c in fdf.columns if c not in ("symbol", spec.time_column)]
+            views[n] = (
+                fdf.select(
+                    "symbol",
+                    spec.time_column,
+                    *[F.col(c).alias(f"{n}__{c}") for c in vals],
+                ),
+                spec.time_column,
+                [f"{n}__{c}" for c in vals],
+            )
+        store = OnlineFeatureStore(self.spark)
+        store.materialize(views)
+        self._online_store = store
+        return store
+
+    def get_online_features(self, symbols: list[str] | None = None) -> DataFrame:
+        """Point lookup against the materialized online store
+        (`online_store()` is built on first use)."""
+        store = getattr(self, "_online_store", None)
+        if store is None:
+            store = self.online_store()
+        return store.get(symbols)
+
     # -- SQL surface --------------------------------------------------
     def register_sql_views(self) -> None:
         self.trades().createOrReplaceTempView("trades")

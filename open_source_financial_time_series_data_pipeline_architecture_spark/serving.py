@@ -1,0 +1,105 @@
+"""Online feature serving — the latest-row point-lookup plane.
+
+The reference serves point lookups from TimescaleDB btree
+``(symbol, time DESC)`` indexes and Feast→Redis with a p95 < 100 ms SLA
+(/root/reference/scripts/benchmark_performance.py:142-152,
+feast_repo/feature_store.yaml). Spark has no secondary indexes and a
+cold job is seconds, not milliseconds — SURVEY §4 calls this the
+biggest physical-model difference. The engine's answer (§7.6) is a
+compact materialized latest-feature table:
+
+- per feature view, ONE hash aggregate (``max_by``) reduces the view to
+  its latest row per key — no window sort, and the shuffle output is
+  O(|keys|) rows however large the input;
+- the per-feature latests join on the key into ONE wide row per key —
+  every join side is O(|keys|), so Catalyst broadcasts them;
+- the wide table is cached (and can be persisted as the "online store"
+  table); ``get()`` is a filter against a ~|symbols|-row cached
+  DataFrame — warm lookups are milliseconds, the closest Spark analog
+  to the Redis online store.
+
+Refresh strategy at scale: re-materialize from only the lake partitions
+newer than the previous high-water mark (the latest row per key can
+only move forward in time), or run the streaming path (foreachBatch
+upsert of each micro-batch's ``max_by`` into the store) for continuous
+freshness. Both touch O(new data), never history.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class OnlineFeatureStore:
+    """Materialized latest-per-key wide table with O(1)-ish warm reads.
+
+    ``views`` maps a feature name → (DataFrame, ts column, value
+    columns); value columns must be globally unique across views (alias
+    upstream), mirroring `operators.asof.pit_snapshot`'s contract.
+    """
+
+    def __init__(self, spark: SparkSession, key: str = "symbol"):
+        self.spark = spark
+        self.key = key
+        self._wide: DataFrame | None = None
+        self.materialized_at: _dt.datetime | None = None
+
+    def materialize(
+        self, views: dict[str, tuple[DataFrame, str, list[str]]]
+    ) -> DataFrame:
+        wide: DataFrame | None = None
+        for name, (fdf, ts_col, vals) in views.items():
+            latest = (
+                fdf.groupBy(self.key)
+                .agg(
+                    F.max_by(F.struct(*vals), F.col(ts_col)).alias("__v"),
+                    F.max(ts_col).alias(f"{name}__ts"),
+                )
+                .select(
+                    self.key,
+                    *[F.col(f"__v.{c}").alias(c) for c in vals],
+                    f"{name}__ts",
+                )
+            )
+            wide = latest if wide is None else wide.join(latest, self.key, "outer")
+        if wide is None:
+            raise ValueError("no feature views given")
+        if self._wide is not None:
+            self._wide.unpersist()
+        self._wide = wide.cache()
+        self._wide.count()  # force materialization NOW — get() must be warm
+        self.materialized_at = _dt.datetime.now(_dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        return self._wide
+
+    def _store(self) -> DataFrame:
+        if self._wide is None:
+            raise RuntimeError("materialize() first")
+        return self._wide
+
+    def get(self, keys: list[str] | None = None) -> DataFrame:
+        """Point lookup: the online feature row(s) for ``keys`` (all
+        keys if None). Executes against the cached wide table."""
+        df = self._store()
+        return df if keys is None else df.filter(F.col(self.key).isin(keys))
+
+    def freshness(self, now=None) -> DataFrame:
+        """Age of each feature view's latest value per key — the online
+        half of the G4 freshness SLA check."""
+        df = self._store()
+        now_ts = F.lit(now) if now is not None else F.current_timestamp()
+        ts_cols = [c for c in df.columns if c.endswith("__ts")]
+        out = df.select(
+            self.key,
+            *[
+                (now_ts.cast("double") - F.col(c).cast("double")).alias(
+                    c.replace("__ts", "__age_seconds")
+                )
+                for c in ts_cols
+            ],
+        )
+        return out
