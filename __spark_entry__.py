@@ -909,6 +909,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_clusters",
+    """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup decision: near-dup clusters (connected components
+    over exact n-gram-Jaccard pairs, min-label propagation) + the
+    keep/drop flag. Oracle = DuckDB recursive-CTE transitive closure."""
+    return DD.dedup_cluster_assignments(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 @q("dedup_minhash_lsh")  # xxhash64 signatures: not DuckDB-expressible → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
@@ -1749,6 +1795,67 @@ def large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time",
         F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
         F.round(F.coalesce("follow_volume", F.lit(0.0)), 6).alias("follow_volume"),
+    )
+
+
+@q(
+    "local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from lineitems where supplier and
+    customer share a nation inside one region. The region filter
+    propagates through the broadcast nation⋈region dim before touching
+    any fact; the orders date range is pushed to the scan; the
+    supplier⋈customer nation equality rides on the existing joins
+    rather than adding one. Fact-side join strategies left to
+    Catalyst/AQE."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
     )
 
 

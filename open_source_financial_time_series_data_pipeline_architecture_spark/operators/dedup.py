@@ -252,6 +252,91 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, cluster_id)
+    with cluster_id = min member id.
+
+    Pregel-style min-label propagation on DataFrames: each round joins
+    the symmetric edge list against current labels and takes the
+    per-node min. Rounds needed = cluster diameter — near-dup clusters
+    are shallow (a handful of hops), so this converges in a few rounds;
+    `localCheckpoint` after every round truncates the lineage so the
+    plan does not grow with iterations (the standard failure mode of
+    iterative DataFrame algorithms). All steps are hash joins/aggs on
+    (id, label) pairs — shuffle is O(|edges|) per round, nothing
+    quadratic, and driver involvement is one boolean convergence probe
+    per round.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["dst"] == labels["id"]).select(
+            sym["src"].alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_assignments(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Full corpus-dedup decision: every document → its near-dup cluster
+    (cluster_id = min doc id in the component; singletons are their own
+    cluster) plus the keep/drop flag ``is_canonical``.
+
+    This is the step that turns a pair list into an actionable training
+    corpus: keep `is_canonical`, drop the rest. Pair generation defaults
+    to exact n-gram Jaccard (the oracle path); pass ``pairs`` from
+    `minhash_lsh_pairs` for the 100 TB path — the clustering is
+    identical either way.
+    """
+    p = (
+        pairs
+        if pairs is not None
+        else ngram_jaccard_pairs(docs, n, threshold, text_col, id_col)
+    )
+    cc = connected_components(p)
+    return (
+        docs.select(id_col)
+        .join(cc, docs[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -110,3 +110,34 @@ def test_exact_dedup_keeps_min_id(spark):
     dups = out.filter(F.col("n_copies") > 1).collect()
     assert len(dups) == 10
     assert all(r["keep_id"] < 100000 for r in dups)
+
+
+def test_connected_components_toy_graph(spark):
+    """Chain 1-2-3 collapses to one cluster (transitivity, 2 hops);
+    5-6 pairs; isolated docs become their own singleton cluster."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.dedup import (
+        connected_components,
+        dedup_cluster_assignments,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (1, 2, 3, 4, 5, 6)], "doc_id long, text string"
+    )
+    assign = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_cluster_assignments(docs, pairs=pairs).collect()
+    }
+    assert assign == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+    }
