@@ -45,9 +45,10 @@ class OnlineFeatureStore:
         self.spark = spark
         self.key = key
         self._wide: DataFrame | None = None
+        self._views_meta: dict[str, tuple[str, list[str]]] = {}
         self.materialized_at: _dt.datetime | None = None
 
-    def materialize(
+    def _latest_wide(
         self, views: dict[str, tuple[DataFrame, str, list[str]]]
     ) -> DataFrame:
         wide: DataFrame | None = None
@@ -67,14 +68,85 @@ class OnlineFeatureStore:
             wide = latest if wide is None else wide.join(latest, self.key, "outer")
         if wide is None:
             raise ValueError("no feature views given")
-        if self._wide is not None:
-            self._wide.unpersist()
+        return wide
+
+    def materialize(
+        self, views: dict[str, tuple[DataFrame, str, list[str]]]
+    ) -> DataFrame:
+        wide = self._latest_wide(views)
+        self._views_meta = {n: (ts, vals) for n, (_, ts, vals) in views.items()}
+        self._swap_in(wide)
+        return self._wide
+
+    def _swap_in(self, wide: DataFrame) -> None:
+        old = self._wide
         self._wide = wide.cache()
         self._wide.count()  # force materialization NOW — get() must be warm
+        if old is not None:
+            old.unpersist()
         self.materialized_at = _dt.datetime.now(_dt.timezone.utc).replace(
             tzinfo=None
         )
+
+    def refresh_from_batch(
+        self, views: dict[str, tuple[DataFrame, str, list[str]]]
+    ) -> DataFrame:
+        """Incremental refresh: fold a batch of NEW data into the store.
+
+        Work is O(|batch|) + O(|keys|): the batch collapses to its own
+        latest-per-key wide row, then a full-outer join against the
+        current (tiny, cached) store picks, per feature view, whichever
+        side has the newer timestamp. The latest row per key only moves
+        forward in time, so folding batches in order ≡ re-materializing
+        from scratch — history is never rescanned. This is the
+        foreachBatch body for continuous online freshness.
+        """
+        batch_wide = self._latest_wide(views)
+        o, n = self._store().alias("o"), batch_wide.alias("n")
+        cols = [F.col(self.key)]
+        for name, (_, vals) in self._views_meta.items():
+            ts = f"{name}__ts"
+            take_new = F.col(f"o.{ts}").isNull() | (
+                F.col(f"n.{ts}") >= F.col(f"o.{ts}")
+            )
+            for c in [*vals, ts]:
+                cols.append(
+                    F.when(
+                        F.col(f"n.{ts}").isNotNull() & take_new, F.col(f"n.{c}")
+                    )
+                    .otherwise(F.col(f"o.{c}"))
+                    .alias(c)
+                )
+        merged = o.join(n, self.key, "full_outer").select(*cols)
+        self._swap_in(merged)
         return self._wide
+
+    def streaming_refresh(
+        self,
+        stream_df: DataFrame,
+        views_fn,
+        checkpoint: str,
+        available_now: bool = True,
+        processing_time: str = "10 seconds",
+    ):
+        """Keep the store continuously fresh from a stream: each
+        micro-batch runs ``views_fn(batch_df) -> views`` and folds the
+        result in via `refresh_from_batch`."""
+
+        def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.refresh_from_batch(views_fn(batch_df))
+
+        writer = stream_df.writeStream.foreachBatch(_fold).option(
+            "checkpointLocation", checkpoint
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime=processing_time)
+        )
+        return writer.start()
 
     def _store(self) -> DataFrame:
         if self._wide is None:

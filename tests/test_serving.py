@@ -74,3 +74,107 @@ def test_online_freshness_ages(spark):
     assert "ohlc_1m__age_seconds" in cols
     ages = [r["ohlc_1m__age_seconds"] for r in fresh.collect()]
     assert all(a is not None and a >= 0 for a in ages)
+
+
+def _mk_trades(spark, minutes, symbols=("A", "B")):
+    import datetime as dtm
+
+    base = dtm.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (
+            base + dtm.timedelta(minutes=m, seconds=7 * i),
+            s,
+            100.0 + m + i * 0.1,
+            10.0 * (i + 1),
+            f"T-{s}-{m}-{i}",
+        )
+        for m in minutes
+        for s in symbols
+        for i in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "time timestamp, symbol string, price double, volume double, trade_id string"
+    )
+
+
+def _ohlc_views(trades):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import ohlc
+
+    f = ohlc(trades, 60).select(
+        "symbol",
+        "bucket",
+        F.col("close").alias("ohlc_1m__close"),
+        F.col("volume").alias("ohlc_1m__volume"),
+    )
+    return {"ohlc_1m": (f, "bucket", ["ohlc_1m__close", "ohlc_1m__volume"])}
+
+
+def test_incremental_refresh_equals_full_rebuild(spark):
+    """Folding new micro-batches forward ≡ re-materializing from all
+    data (latest rows only move forward; batches split on bucket
+    boundaries)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.serving import (
+        OnlineFeatureStore,
+    )
+
+    first, second = _mk_trades(spark, range(0, 5)), _mk_trades(spark, range(5, 9))
+    store = OnlineFeatureStore(spark)
+    store.materialize(_ohlc_views(first))
+    store.refresh_from_batch(_ohlc_views(second))
+    incremental = {tuple(r) for r in store.get().collect()}
+
+    full = OnlineFeatureStore(spark)
+    full.materialize(_ohlc_views(first.unionByName(second)))
+    assert incremental == {tuple(r) for r in full.get().collect()}
+
+
+def test_streaming_refresh_folds_batches(spark, tmp_path):
+    """foreachBatch-driven store refresh over a file stream converges to
+    the batch-materialized state."""
+    import json
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.serving import (
+        OnlineFeatureStore,
+    )
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    all_trades = _mk_trades(spark, range(0, 6))
+    rows = all_trades.collect()
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    for fname, chunk in (("a.jsonl", rows[: len(rows) // 2]), ("b.jsonl", rows[len(rows) // 2 :])):
+        with open(src / fname, "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "time": r["time"].isoformat(sep=" "),
+                            "symbol": r["symbol"],
+                            "price": r["price"],
+                            "volume": r["volume"],
+                            "trade_id": r["trade_id"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = "time timestamp, symbol string, price double, volume double, trade_id string"
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.from_json(F.col("value").cast("string"), schema).alias("j"))
+        .select("j.*")
+    )
+    store = OnlineFeatureStore(spark)
+    store.materialize(_ohlc_views(_mk_trades(spark, [])))  # empty seed
+    q = store.streaming_refresh(
+        stream, _ohlc_views, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    full = OnlineFeatureStore(spark)
+    full.materialize(_ohlc_views(all_trades))
+    assert {tuple(r) for r in store.get().collect()} == {
+        tuple(r) for r in full.get().collect()
+    }
