@@ -67,7 +67,9 @@ class Engine:
     def pit_snapshot(self, symbol: str, as_of, now=None) -> DataFrame:
         """Scalar PIT snapshot (A11): latest OHLC/SMA/VWAP/volatility/
         imbalance at `as_of` for one symbol; rejects future as_of."""
-        t = self.trades().filter(F.col("symbol") == symbol)
+        # one symbol → one partition: SinglePartition satisfies every
+        # window/agg distribution below, so no pipeline shuffles at all
+        t = self.trades().filter(F.col("symbol") == symbol).coalesce(1)
         ohlc = self.feature("ohlc_1m").filter(F.col("symbol") == symbol).select(
             "symbol",
             "bucket",
