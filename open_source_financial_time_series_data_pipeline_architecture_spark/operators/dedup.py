@@ -161,11 +161,15 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # ONE aggregation pass over the shingles produces both the minhash
-    # signature AND the exact shingle set per doc — the signature/verify
+    # signature AND the shingle-hash set per doc — the signature/verify
     # stages would otherwise each shuffle the shingle frame. The shingle
     # STRING is hashed once (xxhash64); the num_hashes family is derived
     # with 64-bit multiply-add permutations (a_i·h + b_i) — long
-    # arithmetic instead of num_hashes string hashes per row.
+    # arithmetic instead of num_hashes string hashes per row. The verify
+    # set keeps the 8-byte hash, not the string: Jaccard over hashed
+    # shingles equals exact Jaccard up to 64-bit collisions (~1e-15 per
+    # pair at 10^3 shingles/doc), and the shuffle carries longs instead
+    # of n-gram strings.
     a_b = _hash_family(num_hashes)
     sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).withColumn(
         "__h0", F.xxhash64("shingle")
@@ -177,7 +181,7 @@ def minhash_lsh_pairs(
                 F.min(F.col("__h0") * F.lit(a) + F.lit(b)).alias(f"h{i}")
                 for i, (a, b) in enumerate(a_b)
             ],
-            F.collect_set("shingle").alias("__shset"),
+            F.collect_set("__h0").alias("__shset"),
         )
         .select(
             id_col,
