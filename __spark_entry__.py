@@ -1863,6 +1863,25 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "customers_without_orders",
+    """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (the relational complement of the J5 semi join):
+    customers with no orders. left_anti shuffles only (custkey) pairs
+    from the orders side after Catalyst prunes every other column."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -2,16 +2,20 @@ from .jobs import (
     parse_trades_with_dlq,
     read_trade_stream_json,
     streaming_dedup,
+    streaming_imbalance,
     streaming_ohlc,
     streaming_sessions,
     streaming_vwap,
 )
+from .quantile import streaming_quantile_flags
 
 __all__ = [
     "parse_trades_with_dlq",
     "read_trade_stream_json",
     "streaming_dedup",
+    "streaming_imbalance",
     "streaming_ohlc",
+    "streaming_quantile_flags",
     "streaming_sessions",
     "streaming_vwap",
 ]

@@ -147,6 +147,35 @@ def streaming_ohlc(
     )
 
 
+def streaming_imbalance(
+    trades: DataFrame, bucket: str = "5 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """T2/A8 — watermarked buy/sell imbalance on a stream; identical
+    conditional-aggregation logical plan to the batch
+    `functions.trade_imbalance` (the unified Dataset API at work)."""
+    buy = F.sum(F.when(F.col("side") == "buy", F.col("volume")).otherwise(0.0))
+    sell = F.sum(F.when(F.col("side") == "sell", F.col("volume")).otherwise(0.0))
+    return (
+        trades.filter(F.col("side").isNotNull())
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", bucket).alias("w"), "symbol")
+        .agg(
+            buy.alias("buy_volume"),
+            sell.alias("sell_volume"),
+            ((buy - sell) / F.nullif(buy + sell, F.lit(0.0))).alias(
+                "trade_imbalance"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "symbol",
+            "buy_volume",
+            "sell_volume",
+            "trade_imbalance",
+        )
+    )
+
+
 def streaming_dedup(
     trades: DataFrame,
     watermark: str = "1 minute",

@@ -314,3 +314,94 @@ def test_streaming_session_window(spark, tmp_path):
         (1, base + dtm.timedelta(minutes=30)): (1, 4.0),
         (2, base): (1, 8.0),
     }
+
+
+def test_streaming_imbalance_matches_batch(spark, tmp_path):
+    src = tmp_path / "imb_src"
+    src.mkdir()
+    rows = [_trade(i, minute=i * 0.3) for i in range(80)]
+    sentinel = _trade(9999, minute=600.0)
+    _write_jsonl(src / "a.jsonl", rows)
+    _write_jsonl(src / "z.jsonl", [sentinel])
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    q = (
+        STR.streaming_imbalance(good, "5 minutes", "1 minute")
+        .writeStream.format("memory")
+        .queryName("simb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["bucket"], r["symbol"]): (
+            r["buy_volume"],
+            r["sell_volume"],
+            round(r["trade_imbalance"], 9),
+        )
+        for r in spark.sql("SELECT * FROM simb").collect()
+    }
+    assert streamed
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        trade_imbalance,
+    )
+
+    batch_good, _ = STR.parse_trades_with_dlq(spark.read.format("text").load(str(src)))
+    batch = {
+        (r["bucket"], r["symbol"]): (
+            r["buy_volume"],
+            r["sell_volume"],
+            round(r["trade_imbalance"], 9),
+        )
+        for r in trade_imbalance(batch_good, 300).collect()
+    }
+    for key, v in streamed.items():
+        assert batch[key] == v, key
+
+
+def test_streaming_quantile_flags(spark, tmp_path):
+    """Per-symbol p95 threshold maintained in GroupState: after the
+    stream drains (n < sample_size), the last batch's estimate equals
+    the exact batch percentile, and state (n_seen) accumulates across
+    micro-batches."""
+    src = tmp_path / "q_src"
+    src.mkdir()
+    rows = [_trade(i, volume=100.0 + i, minute=i * 0.1) for i in range(100)]
+    _write_jsonl(src / "a.jsonl", rows[:50])
+    _write_jsonl(src / "b.jsonl", rows[50:])
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.quantile import (
+        streaming_quantile_flags,
+    )
+
+    q = (
+        streaming_quantile_flags(good, q=0.95, sample_size=1024)
+        .writeStream.format("memory")
+        .queryName("sq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sq").collect()
+    assert len(out) == 100
+    assert max(r["n_seen"] for r in out) == 100  # state accumulated
+
+    import numpy as np
+
+    exact_p95 = float(np.percentile([100.0 + i for i in range(100)], 95))
+    final_est = {r["p95_estimate"] for r in out if r["n_seen"] == 100}
+    assert final_est == {exact_p95}
+    # flags in the final batch agree with the exact threshold
+    for r in out:
+        if r["n_seen"] == 100:
+            assert r["large_trade_flag"] == (r["volume"] > exact_p95)
