@@ -1882,6 +1882,396 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+# --------------------------------------------------------------------------
+# Relational breadth: TPC-H Q10/Q17/Q18 shapes, set ops, ranking windows,
+# lead-based gaps, RANGE frames, TWAP — beyond the reference's own operator
+# set (SURVEY §2.3/§2.6-2.8 note these shapes absent; they complete the
+# engine's relational surface for analytics users).
+# --------------------------------------------------------------------------
+
+
+@q(
+    "returned_items_by_customer",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer.
+
+    Scale plan: the returnflag filter is pushed to the lineitem scan and
+    the date range to the orders scan; lineitem is pre-aggregated to
+    order grain BEFORE joining customers, so the big shuffle carries one
+    row per order, not one per lineitem. nation broadcasts; top-20 is
+    TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("__rev"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       ROUND(q.total_qty, 4) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over an aggregate subquery), then enriched with customer.
+
+    Scale plan: the aggregate+HAVING runs first and keeps ~1% of orders,
+    so both subsequent joins see a tiny left side — AQE converts them to
+    broadcasts at runtime. l_quantity is integral, so the sum and the
+    >250 cut are FP-exact on both engines."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "small_quantity_revenue",
+    """
+SELECT p.p_brand,
+       ROUND(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+  FROM lineitem GROUP BY 1
+) t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.qty_thresh
+GROUP BY 1
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems,
+    per brand — the correlated scalar subquery (per-part avg) expressed
+    as a self-join against a pre-aggregated threshold table.
+
+    FP note: l_quantity is integral so sum/count (and hence avg and the
+    0.2× threshold) are bit-identical on both engines; the < cut is
+    exact. Scale plan: the threshold table is small (|parts| rows) and
+    the self-join shuffles on l_partkey, the same key the aggregation
+    just hashed on."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@q(
+    "two_sided_symbols",
+    oracle(
+        """
+SELECT symbol FROM trades WHERE side = 'buy'
+INTERSECT
+SELECT symbol FROM trades WHERE side = 'sell'
+"""
+    ),
+)
+def two_sided_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family INTERSECT (set semantics): symbols that traded on both
+    sides. Catalyst plans intersect as a distinct + left-semi join over
+    the two pre-aggregated (tiny) symbol sets."""
+    t = _trades(spark, sf_dir)
+    buys = t.filter(F.col("side") == "buy").select("symbol")
+    sells = t.filter(F.col("side") == "sell").select("symbol")
+    return buys.intersect(sells)
+
+
+@q(
+    "lapsed_customers",
+    """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family EXCEPT (set semantics): customers who ordered in 1997
+    but never after. Both branches prune to the single o_custkey column
+    at the scan; the distinct-anti-join shuffles only custkeys."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    return in_97.subtract(after)
+
+
+@q(
+    "top_parts_per_nation",
+    """
+WITH pr AS (
+  SELECT n.n_name AS nation, l.l_partkey,
+         ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, l_partkey, revenue, rnk FROM (
+  SELECT nation, l_partkey, revenue,
+         dense_rank() OVER (PARTITION BY nation ORDER BY revenue DESC) AS rnk
+  FROM pr
+) WHERE rnk <= 3
+""",
+)
+def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window beyond the reference's row_number (SURVEY §2.6
+    note): dense_rank top-3 parts by revenue per supplier nation.
+    Ranking runs on the ROUND(...,4) revenue so FP summation order can't
+    flip adjacent ranks between engines. Scale plan: the rank window
+    partitions by nation AFTER the (nation,part)-grain aggregation, so
+    the window input is |nations|×|parts| at most — never lineitem-size;
+    supplier/nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from pyspark.sql import Window
+
+    pr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc())
+    return pr.withColumn("rnk", F.dense_rank().over(w)).filter(F.col("rnk") <= 3)
+
+
+@q(
+    "volume_quartiles",
+    oracle(
+        """
+SELECT symbol, quartile, count(*) AS n_trades,
+       ROUND(sum(volume), 6) AS total_volume,
+       ROUND(avg(price), 6) AS avg_price
+FROM (
+  SELECT symbol, volume, price,
+         ntile(4) OVER (PARTITION BY symbol ORDER BY volume, trade_id) AS quartile
+  FROM trades
+)
+GROUP BY 1, 2
+"""
+    ),
+)
+def volume_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: per-symbol volume quartiles then per-quartile
+    stats. The (volume, trade_id) ordering is a total order, so bucket
+    assignment is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("volume", "trade_id")
+    return (
+        t.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("symbol", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.round(F.sum("volume"), 6).alias("total_volume"),
+            F.round(F.avg("price"), 6).alias("avg_price"),
+        )
+    )
+
+
+@q(
+    "trade_gap_stats",
+    oracle(
+        """
+SELECT symbol, count(gap_s) AS n_gaps,
+       ROUND(avg(gap_s), 6) AS avg_gap_s,
+       ROUND(max(gap_s), 6) AS max_gap_s
+FROM (
+  SELECT symbol,
+         lead(epoch(time)) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+           - epoch(time) AS gap_s
+  FROM trades
+)
+GROUP BY 1
+"""
+    ),
+)
+def trade_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() window (the analytic the reference never uses): inter-trade
+    gap per symbol, aggregated. Fractional epoch seconds on both sides
+    (Spark ts.cast(double) ≡ DuckDB epoch()) keep sub-second gaps
+    exact."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    eps = F.col("time").cast("double")
+    return (
+        t.withColumn("gap_s", F.lead(eps).over(w) - eps)
+        .groupBy("symbol")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+    )
+
+
+@q(
+    "twap",
+    oracle(
+        """
+SELECT symbol,
+       ROUND(sum(price * dt) / nullif(sum(dt), 0), 6) AS twap,
+       ROUND(sum(dt), 6) AS span_s
+FROM (
+  SELECT symbol, price,
+         lead(epoch(time)) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+           - epoch(time) AS dt
+  FROM trades
+)
+WHERE dt IS NOT NULL
+GROUP BY 1
+"""
+    ),
+)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price: each trade's price weighted by how
+    long it stood (until the next same-symbol trade). One window + one
+    hash agg; the window sort is the only shuffle and it reuses the
+    symbol partitioning."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    eps = F.col("time").cast("double")
+    return (
+        t.withColumn("dt", F.lead(eps).over(w) - eps)
+        .filter(F.col("dt").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.round(
+                F.sum(F.col("price") * F.col("dt"))
+                / F.nullif(F.sum("dt"), F.lit(0.0)),
+                6,
+            ).alias("twap"),
+            F.round(F.sum("dt"), 6).alias("span_s"),
+        )
+    )
+
+
+@q(
+    "rolling_5m_price",
+    oracle(
+        """
+SELECT symbol, trade_id,
+       ROUND(avg(price) OVER w, 6) AS avg_5m,
+       count(*) OVER w AS n_5m
+FROM (SELECT symbol, trade_id, price, epoch_us(time) AS eus FROM trades)
+WINDOW w AS (PARTITION BY symbol ORDER BY eus
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def rolling_5m_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-based — SURVEY §2.6 notes
+    the reference only ever uses ROWS frames): trailing-5-minute average
+    price per trade, ordered by microsecond epoch so the frame bound is
+    integer-exact on both engines. One shuffle on symbol; the frame is
+    evaluated by a single ordered scan per partition."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.unix_micros(F.col("time")))
+        .rangeBetween(-300_000_000, 0)
+    )
+    return t.select(
+        "symbol",
+        "trade_id",
+        F.round(F.avg("price").over(w), 6).alias("avg_5m"),
+        F.count(F.lit(1)).over(w).alias("n_5m"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
