@@ -177,3 +177,57 @@ def test_interval_join_bucketed_matches_naive(spark):
         .collect()
     }
     assert bucketed == naive
+
+
+def test_returned_items_pushdown_and_topk(spark):
+    # Q10 shape: returnflag filter reaches the lineitem scan; the top-20
+    # is TakeOrderedAndProject (no global sort); nation broadcasts
+    df = em.QUERIES["returned_items_by_customer"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    PL.assert_pushed_filter(df, "l_returnflag")
+    assert "TakeOrderedAndProject" in plan, plan
+    PL.assert_broadcast_join(df, at_least=1)
+
+
+def test_large_orders_preaggregates_before_joins(spark):
+    # Q18 shape: the HAVING aggregate must run map-side-partial before
+    # its exchange, and no join may be a cartesian product
+    df = em.QUERIES["large_orders"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "partial_" in plan, plan
+    PL.assert_no_cartesian(df)
+
+
+def test_top_parts_rank_window_after_aggregation(spark):
+    # the dense_rank window must consume the (nation, part)-grain
+    # aggregate, never raw lineitem: exactly one Window, dims broadcast
+    df = em.QUERIES["top_parts_per_nation"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert plan.count("Window [") == 1, plan
+    # Spark pushes the rank<=3 cut into the sort (WindowGroupLimit), so
+    # each partition only keeps its top rows before the full window runs
+    assert "WindowGroupLimit" in plan, plan
+    PL.assert_broadcast_join(df, at_least=2)
+
+
+def test_set_ops_plan_as_semi_anti_joins(spark):
+    # INTERSECT → left-semi, EXCEPT → left-anti over deduplicated inputs
+    intersect_plan = PL.physical_plan(
+        em.QUERIES["two_sided_symbols"](spark, SF_SMOKE)
+    )
+    except_plan = PL.physical_plan(em.QUERIES["lapsed_customers"](spark, SF_SMOKE))
+    assert "LeftSemi" in intersect_plan, intersect_plan
+    assert "LeftAnti" in except_plan, except_plan
+
+
+def test_lead_window_queries_single_shuffle(spark):
+    # twap / trade_gap_stats: the symbol window sort is the only
+    # exchange — the follow-up groupBy(symbol) reuses its partitioning
+    for name in ("twap", "trade_gap_stats"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        assert PL.shuffle_count(df) == 1, (name, PL.physical_plan(df))
+
+
+def test_range_frame_single_shuffle(spark):
+    df = em.QUERIES["rolling_5m_price"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) == 1, PL.physical_plan(df)
