@@ -2272,6 +2272,73 @@ def rolling_5m_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ohlc_unpivot",
+    oracle(
+        """
+SELECT bucket, symbol, field, ROUND(value, 6) AS value
+FROM (
+  UNPIVOT (
+    SELECT
+      to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+      symbol,
+      first(price ORDER BY time, trade_id) AS open,
+      max(price) AS high,
+      min(price) AS low,
+      last(price ORDER BY time, trade_id) AS close
+    FROM trades GROUP BY 1, 2
+  ) ON open, high, low, close INTO NAME field VALUE value
+)
+"""
+    ),
+)
+def ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of orders_status_pivot: the wide
+    OHLC table relationalized to (bucket, symbol, field, value) long
+    form, the shape feature stores and training-data exporters want.
+    Spark plans unpivot as a single Expand over the aggregate — no
+    shuffle beyond the OHLC groupBy itself."""
+    wide = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "open", "high", "low", "close"
+    )
+    return wide.unpivot(
+        ids=["bucket", "symbol"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="value",
+    ).withColumn("value", F.round("value", 6))
+
+
+@q("hash_sample")  # xxhash64-keyed — not DuckDB-expressible → rows-only check
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-data plane): keep ~10% of
+    trades by bucketing xxhash64(trade_id). Unlike TABLESAMPLE/rand(),
+    the sample is a pure function of the key — stable across runs,
+    executors, and retries (safe under task re-execution at scale), and
+    supersets nest: the 1% sample is a subset of the 10% sample.
+    Properties pinned in tests/test_sampling_sketches.py."""
+    t = _trades(spark, sf_dir)
+    return t.filter(F.pmod(F.xxhash64("trade_id"), F.lit(100)) < 10).select(
+        "time", "symbol", "price", "volume", "trade_id"
+    )
+
+
+@q("approx_stats")  # sketch outputs (HLL / KLL) are engine-specific → rows-only
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics — the 100 TB path for G2/G5: HyperLogLog
+    distinct counts and KLL-sketch quantiles replace their exact
+    counterparts in one pass with bounded memory (no exact-distinct
+    shuffle, no full sort). Error bounds vs the exact answers are
+    pinned in tests/test_sampling_sketches.py."""
+    t = _trades(spark, sf_dir)
+    return t.groupBy("symbol").agg(
+        F.approx_count_distinct("trade_id", rsd=0.02).alias("approx_trades"),
+        F.round(F.percentile_approx("price", 0.5, 10000), 6).alias("approx_p50"),
+        F.round(F.percentile_approx("price", 0.95, 10000), 6).alias("approx_p95"),
+        F.round(F.avg("price"), 6).alias("avg_price"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

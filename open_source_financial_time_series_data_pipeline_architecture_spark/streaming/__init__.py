@@ -5,6 +5,7 @@ from .jobs import (
     streaming_imbalance,
     streaming_ohlc,
     streaming_sessions,
+    streaming_trade_quote_join,
     streaming_vwap,
 )
 from .quantile import streaming_quantile_flags
@@ -17,5 +18,6 @@ __all__ = [
     "streaming_ohlc",
     "streaming_quantile_flags",
     "streaming_sessions",
+    "streaming_trade_quote_join",
     "streaming_vwap",
 ]

@@ -251,3 +251,55 @@ def streaming_vwap(
         )
         .select(F.col("w.start").alias("bucket"), "symbol", "vwap", "total_volume")
     )
+
+
+def streaming_trade_quote_join(
+    trades: DataFrame,
+    quotes: DataFrame,
+    lag_seconds: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream interval join: enrich each trade with the quotes
+    observed for its symbol in the preceding ``lag_seconds``.
+
+    The reference joins its real-time paths only through the database
+    (Flink writes bidask_spreads, queries read it back); Spark can join
+    the two live streams directly. Both sides carry watermarks and the
+    join condition bounds quote time to
+    [trade.time − lag, trade.time], which is exactly what Spark needs
+    to know when buffered state is safe to evict — per-side state is
+    O(events per watermark+lag horizon), never unbounded. Rows joining
+    later than the watermark are dropped, same contract as every other
+    watermarked operator here (late data is the upsert sink's job).
+
+    ``quotes`` needs columns (qtime, symbol, bid, ask); output is one
+    row per (trade, matching quote).
+    """
+    t = trades.withWatermark("time", watermark).select(
+        "time", "symbol", "price", "volume", "trade_id"
+    )
+    q = quotes.withWatermark("qtime", watermark).select(
+        F.col("qtime"),
+        F.col("symbol").alias("qsymbol"),
+        "bid",
+        "ask",
+    )
+    return t.join(
+        q,
+        (F.col("symbol") == F.col("qsymbol"))
+        & (F.col("qtime") <= F.col("time"))
+        & (
+            F.col("qtime")
+            >= F.col("time") - F.expr(f"INTERVAL {int(lag_seconds)} SECONDS")
+        ),
+        "inner",
+    ).select(
+        "time",
+        "symbol",
+        "trade_id",
+        "price",
+        "qtime",
+        "bid",
+        "ask",
+        (F.col("ask") - F.col("bid")).alias("quote_spread"),
+    )

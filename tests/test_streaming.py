@@ -405,3 +405,88 @@ def test_streaming_quantile_flags(spark, tmp_path):
     for r in out:
         if r["n_seen"] == 100:
             assert r["large_trade_flag"] == (r["volume"] > exact_p95)
+
+
+def test_stream_stream_trade_quote_join(spark, tmp_path):
+    """Stream-stream interval join == the equivalent batch join for
+    data fully inside the watermark horizon."""
+    import pyspark.sql.types as T
+
+    tsrc = tmp_path / "tsrc"
+    qsrc = tmp_path / "qsrc"
+    tsrc.mkdir()
+    qsrc.mkdir()
+
+    trades = [_trade(i, minute=i * 0.2) for i in range(30)]
+    quotes = []
+    for i in range(30):
+        t = BASE + dt.timedelta(minutes=i * 0.2, seconds=-5)
+        quotes.append(
+            {
+                "qtime": int(t.timestamp() * 1000),
+                "symbol": "AAPL",
+                "bid": 149.9 + (i % 5) * 0.01,
+                "ask": 150.1 + (i % 5) * 0.01,
+            }
+        )
+    # sentinel rows far in the future so the watermark passes everything
+    trades.append(_trade(999, minute=600))
+    quotes.append(
+        {
+            "qtime": int((BASE + dt.timedelta(minutes=600)).timestamp() * 1000),
+            "symbol": "ZZZ",
+            "bid": 1.0,
+            "ask": 2.0,
+        }
+    )
+    _write_jsonl(tsrc / "t.jsonl", trades)
+    _write_jsonl(qsrc / "q.jsonl", quotes)
+
+    qschema = T.StructType(
+        [
+            T.StructField("qtime", T.LongType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("bid", T.DoubleType()),
+            T.StructField("ask", T.DoubleType()),
+        ]
+    )
+
+    tgood, _ = STR.read_trade_stream_json(spark, str(tsrc))
+    qraw = (
+        spark.readStream.schema(qschema)
+        .json(str(qsrc))
+        .withColumn("qtime", F.timestamp_millis(F.col("qtime")))
+    )
+    joined = STR.streaming_trade_quote_join(tgood, qraw, lag_seconds=30)
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r["trade_id"], r["qtime"])
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+
+    # batch recomputation of the same join
+    tb = spark.createDataFrame(
+        [(r["time"], r["symbol"], float(r["price"]), r["trade_id"]) for r in trades],
+        "time long, symbol string, price double, trade_id string",
+    ).withColumn("time", F.timestamp_millis("time"))
+    qb = spark.createDataFrame(
+        [(r["qtime"], r["symbol"], r["bid"], r["ask"]) for r in quotes], qschema
+    ).withColumn("qtime", F.timestamp_millis("qtime"))
+    exp = {
+        (r["trade_id"], r["qtime"])
+        for r in tb.join(
+            qb,
+            (tb.symbol == qb.symbol)
+            & (qb.qtime <= tb.time)
+            & (qb.qtime >= tb.time - F.expr("INTERVAL 30 SECONDS")),
+        ).collect()
+    }
+    assert got == exp and got
