@@ -252,3 +252,61 @@ def lsh_bucketed_topk(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucketed_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup candidate pairs via multi-table random-projection LSH —
+    the scale path behind `dedup.embedding_cosine_pairs` (which is the
+    exact all-pairs baseline).
+
+    Each of the ``tables`` hash tables buckets every vector by ``bits``
+    signed projections; the self-join runs WITHIN (table, bucket) only,
+    so the shuffle is linear in N·tables and the compare work is
+    sum-of-squared-bucket-sizes — never the N² all-pairs join. Every
+    candidate is then verified with the exact cosine, so the output has
+    zero false positives; missed pairs (recall) shrink exponentially
+    with ``tables`` (a pair at cosine c collides in one table with
+    probability (1 − acos(c)/π)^bits). Recall vs the exact baseline is
+    pinned in tests/test_dedup_similarity.py.
+    """
+    vecs = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    per_table = []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, seed + 1000 * t)
+        per_table.append(
+            vecs.select(
+                id_col,
+                "__v",
+                F.lit(t).alias("__table"),
+                lsh_bucket(F.col("__v"), planes).alias("__bucket"),
+            )
+        )
+    tagged = per_table[0]
+    for more in per_table[1:]:
+        tagged = tagged.unionByName(more)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__table", "__bucket"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__table", "__bucket"
+    )
+    return (
+        a.join(b, ["__table", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -141,3 +141,50 @@ def test_connected_components_toy_graph(spark):
         5: (5, True),
         6: (5, False),
     }
+
+
+def test_lsh_bucketed_pairs_recall_and_no_false_positives(spark):
+    """Multi-table random-projection LSH vs the exact all-pairs
+    baseline on planted near-duplicates: recall >= 0.8, and (because
+    every candidate is exact-cosine-verified) zero false positives."""
+    import math
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        dedup as DDx,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        similarity as SIMx,
+    )
+
+    # deterministic corpus: 60 base vectors (LCG), each with one small
+    # perturbation -> 60 planted near-dup pairs at cosine ~0.99
+    state = 7
+    def nxt():
+        nonlocal state
+        state = (state * 48271) % 2147483647
+        return state / 2147483647.0 - 0.5
+
+    rows = []
+    for i in range(60):
+        base = [nxt() for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / nrm for x in base]
+        pert = [x + nxt() * 0.02 for x in base]
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, pert))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DDx.embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in SIMx.lsh_bucketed_pairs(
+            emb, threshold=0.95, bits=6, tables=6, dim=64
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert got <= exact, f"false positives: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
