@@ -2339,6 +2339,114 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "first_prices_per_symbol",
+    oracle(
+        """
+SELECT symbol, (list(ROUND(price, 6) ORDER BY time, trade_id))[1:5] AS first5
+FROM trades GROUP BY symbol
+"""
+    ),
+)
+def first_prices_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (array_agg ... ORDER BY): the first five
+    prices per symbol as an array column. Spark has no ordered
+    collect_list, so the deterministic form is collect structs → one
+    in-row array_sort → project — the sort happens per GROUP inside a
+    row, never as a global sort."""
+    t = _trades(spark, sf_dir)
+    collected = t.groupBy("symbol").agg(
+        F.collect_list(F.struct("time", "trade_id", "price")).alias("rows")
+    )
+    srt = F.slice(F.array_sort("rows"), 1, 5)
+    ordered = collected.select("symbol", srt.alias("head"))
+    return ordered.select(
+        "symbol",
+        F.transform(F.col("head"), lambda s: F.round(s["price"], 6)).alias("first5"),
+    )
+
+
+@q(
+    "customer_name_parse",
+    """
+SELECT c_custkey,
+       upper(substr(c_name, 1, 8)) AS prefix,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+       length(c_name) AS name_len
+FROM customer
+""",
+)
+def customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (SURVEY §2.9 string row): substr/upper/
+    length/regexp_extract — all JVM-codegen expressions, no UDF."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("name_num"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@q(
+    "spiky_order_customers",
+    """
+SELECT o.o_custkey, count(*) AS n_spiky,
+       ROUND(max(o.o_totalprice / a.av), 6) AS max_ratio
+FROM orders o
+JOIN (SELECT o_custkey, avg(o_totalprice) AS av FROM orders GROUP BY 1) a
+  ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > 2 * a.av
+GROUP BY 1
+""",
+)
+def spiky_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS-with-aggregate shape: customers with at least
+    one order above twice their own average order value. The per-key
+    average joins back on the key it was just aggregated on, so the
+    self-join reuses the exchange."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    av = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("av"))
+    return (
+        orders.join(av, "o_custkey")
+        .filter(F.col("o_totalprice") > 2 * F.col("av"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_spiky"),
+            F.round(F.max(F.col("o_totalprice") / F.col("av")), 6).alias("max_ratio"),
+        )
+    )
+
+
+@q(
+    "volume_rank_distribution",
+    oracle(
+        """
+SELECT symbol, trade_id,
+       ROUND(percent_rank() OVER w, 6) AS vol_pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS vol_cume_dist
+FROM trades
+WINDOW w AS (PARTITION BY symbol ORDER BY volume)
+"""
+    ),
+)
+def volume_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (the remaining ranking analytics):
+    where each trade's volume sits in its symbol's distribution. Ties
+    share values on both engines, so ordering by volume alone stays
+    deterministic; single symbol-partition window shuffle."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("volume")
+    return t.select(
+        "symbol",
+        "trade_id",
+        F.round(F.percent_rank().over(w), 6).alias("vol_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("vol_cume_dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
