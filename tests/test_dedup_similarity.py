@@ -188,3 +188,25 @@ def test_lsh_bucketed_pairs_recall_and_no_false_positives(spark):
     assert got <= exact, f"false positives: {got - exact}"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_knn_join_vectorized_matches_interpreted(spark):
+    """The Arrow/numpy-scored kNN must equal the zip_with/aggregate
+    form exactly (both round cosine to 6 before ranking)."""
+    from pyspark.sql import functions as F
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        similarity as SIMx,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        load_table,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, SIMx.knn_join(qs, emb, k=5).collect()))
+    b = sorted(map(tuple, SIMx.knn_join_vectorized(qs, emb, k=5).collect()))
+    assert a == b and a
