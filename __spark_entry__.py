@@ -2449,6 +2449,46 @@ def volume_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "revenue_cube",
+    """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(o.o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       ROUND(sum(o.o_totalprice), 4) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE(n.n_name, o.o_orderpriority)
+""",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completes the family next to
+    revenue_rollup_sets' ROLLUP): all four (nation × priority) grouping
+    combinations in a single Expand + aggregate — never one job per
+    grouping set. nation broadcasts; the fact side aggregates once."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .cube("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
