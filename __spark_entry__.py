@@ -2489,6 +2489,76 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        LANG_MARKERS,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n       ".join(
+        "("
+        + " + ".join(_occ_sql("' ' || text || ' '", m) for m in LANG_MARKERS[lang])
+        + f") AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH quality AS (
+{_quality_oracle()}
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN {best} > 0 THEN CASE {case} END ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id, {scores} FROM documents)
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+)
+SELECT l.lang_pred AS lang,
+       count(*) AS n_docs,
+       sum(q.n_words) AS total_words,
+       ROUND(avg(q.quality), 6) AS avg_quality
+FROM surv s
+JOIN quality q ON q.doc_id = s.doc_id
+JOIN lang l ON l.doc_id = s.doc_id
+WHERE q.quality >= 0.75
+GROUP BY 1
+"""
+
+
+@q("corpus_prep_pipeline", _corpus_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: exact dedup
+    (min-id survivor per fingerprint) → quality cut (≥ 0.75) →
+    language-id → per-language corpus stats. Each stage is the same
+    oracle-checked operator that stands alone elsewhere; the point here
+    is the composition — one DAG, survivors joined on doc_id (the only
+    shuffle key), no intermediate materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        TX.fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    qual = TX.quality_score(docs).withColumn("quality", F.round("quality", 6))
+    lang = TX.language_id(docs).select("doc_id", "lang_pred")
+    return (
+        surv.join(qual, "doc_id")
+        .filter(F.col("quality") >= 0.75)
+        .join(lang, "doc_id")
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
