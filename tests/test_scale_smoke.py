@@ -61,3 +61,54 @@ def test_core_pipeline_at_1m_rows(spark):
     assert agg["n"] == N // 100
     assert agg["leaks"] == 0
     assert agg["nulls"] == 0  # every probe time has a current bucket
+
+
+def test_range_frame_window_at_1m_rows(spark):
+    """Trailing-5-minute RANGE frame over 1M rows: one shuffle, and the
+    generator's fixed 10s spacing makes the frame size exactly
+    predictable (31 rows once warmed up: 300s/10s + current)."""
+    from pyspark.sql import Window
+
+    trades = _synth_trades(spark)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.unix_micros(F.col("time")))
+        .rangeBetween(-300_000_000, 0)
+    )
+    framed = trades.select(
+        "symbol", F.count(F.lit(1)).over(w).alias("n_5m")
+    )
+    stats = framed.agg(
+        F.count(F.lit(1)).alias("n"), F.max("n_5m").alias("mx"), F.min("n_5m").alias("mn")
+    ).collect()[0]
+    assert stats["n"] == N
+    assert stats["mx"] == 31  # 30 preceding 10s slots + current
+    assert stats["mn"] == 1
+
+
+def test_vectorized_knn_at_100k_corpus(spark):
+    """Arrow-batched kNN against a 100k-vector synthetic corpus: corpus
+    scanned once, 8 queries, top-5 each — checks the scoring path at
+    20x the sf0.1 embeddings volume."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        similarity as SIM,
+    )
+
+    corpus = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), 1000) / 1000.0,
+        ).alias("embedding"),
+    )
+    qs = corpus.filter(F.col("vec_id") % 12347 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.knn_join_vectorized(qs, corpus, k=5)
+    rows = out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(rows) == 9 and all(r["n"] == 5 for r in rows)
+    # every query's own vector must rank #1 with cosine 1.0
+    self_hits = out.filter(
+        (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
+    ).count()
+    assert self_hits == 9
