@@ -8,6 +8,7 @@ from .jobs import (
     streaming_trade_quote_join,
     streaming_vwap,
 )
+from .cep import streaming_volatility
 from .quantile import streaming_quantile_flags
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "streaming_quantile_flags",
     "streaming_sessions",
     "streaming_trade_quote_join",
+    "streaming_volatility",
     "streaming_vwap",
 ]

@@ -160,3 +160,90 @@ def spread_ema_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+VOL_SCHEMA = "bucket timestamp, symbol string, volatility double, sample_count long"
+_VOL_STATE_SCHEMA = (
+    "last_price double, cur_bucket long, rets array<double>"
+)
+
+
+def _volatility_fn(bucket_seconds: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            last_price, cur_bucket, rets = state.get
+            rets = list(rets)
+        else:
+            last_price, cur_bucket, rets = None, None, []
+
+        out_rows = []
+
+        def finalize(bucket: int, returns: list[float]):
+            n = len(returns)
+            if n >= 2:
+                mean = sum(returns) / n
+                var = sum((x - mean) ** 2 for x in returns) / (n - 1)
+                vol = math.sqrt(var)
+            else:
+                vol = None
+            out_rows.append(
+                {
+                    "bucket": pd.Timestamp(bucket * bucket_seconds, unit="s"),
+                    "symbol": key[0],
+                    "volatility": vol,
+                    "sample_count": n,
+                }
+            )
+
+        rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
+        for r in rows.itertuples():
+            price = float(r.price)
+            bucket = int(pd.Timestamp(r.time).timestamp()) // bucket_seconds
+            if cur_bucket is not None and bucket != cur_bucket:
+                finalize(cur_bucket, rets)
+                rets = []
+            cur_bucket = bucket
+            # the batch job's rule (features.volatility): lag over the
+            # WHOLE symbol partition — an hour's first return uses the
+            # prior hour's last price; null/invalid lag contributes 0.0
+            if last_price is not None and last_price > 0 and price > 0:
+                rets.append(math.log(price / last_price))
+            else:
+                rets.append(0.0)
+            last_price = price
+
+        state.update((last_price, cur_bucket, rets))
+        yield pd.DataFrame(
+            out_rows, columns=["bucket", "symbol", "volatility", "sample_count"]
+        )
+
+    return fn
+
+
+def streaming_volatility(trades: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
+    """A4 as a stateful streaming operator: per-symbol hourly stddev of
+    log returns with the batch job's cross-hour carry (the first return
+    of an hour uses the PRIOR hour's last price — state crosses both
+    hour and micro-batch boundaries, which no watermarked windowed agg
+    can express because the lag reaches outside the window).
+
+    An hour is finalized and emitted when a later-hour row arrives for
+    that symbol; the in-progress hour lives in state (one float per
+    return, bounded by the hour's row count). Batch parity is tested in
+    tests/test_streaming.py.
+    """
+    return trades.select("time", "symbol", "price", "trade_id").groupBy(
+        "symbol"
+    ).applyInPandasWithState(
+        _volatility_fn(bucket_seconds),
+        outputStructType=VOL_SCHEMA,
+        stateStructType=_VOL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -490,3 +490,92 @@ def test_stream_stream_trade_quote_join(spark, tmp_path):
         ).collect()
     }
     assert got == exp and got
+
+
+def test_streaming_volatility_matches_batch(spark, tmp_path):
+    """Stateful hourly volatility == the batch operator for finalized
+    hours, INCLUDING the cross-hour carry (first return of an hour uses
+    the prior hour's last price) — with the input split across two
+    micro-batch files so the carry also crosses a batch boundary."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
+    from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
+        TRADES_SCHEMA,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+        streaming_volatility,
+    )
+
+    src = tmp_path / "volsrc"
+    src.mkdir()
+    # 3 hours of trades, 30 per hour, 2 symbols; final sentinel hour
+    # forces hour-3 finalization
+    rows = []
+    for sym_i, sym in enumerate(["AAPL", "MSFT"]):
+        for h in range(3):
+            for i in range(30):
+                t = BASE + dt.timedelta(hours=h, minutes=i * 2)
+                rows.append(
+                    {
+                        "time": int(t.timestamp() * 1000),
+                        "symbol": sym,
+                        "price": f"{100 + sym_i * 50 + ((h * 31 + i * 7) % 13) - 6}.50",
+                        "volume": "10.00",
+                        "trade_id": f"V-{sym}-{h:02d}-{i:04d}",
+                        "side": None, "bid": None, "ask": None, "source": "t",
+                    }
+                )
+        rows.append(
+            {
+                "time": int((BASE + dt.timedelta(hours=10)).timestamp() * 1000),
+                "symbol": sym,
+                "price": "100.00", "volume": "1.00",
+                "trade_id": f"V-{sym}-SENTINEL",
+                "side": None, "bid": None, "ask": None, "source": "t",
+            }
+        )
+    # split mid-hour so both the hour carry and batch carry are exercised
+    rows.sort(key=lambda r: r["time"])
+    _write_jsonl(src / "a.jsonl", rows[: len(rows) // 2])
+    _write_jsonl(src / "b.jsonl", rows[len(rows) // 2 :])
+
+    good, _ = STR.read_trade_stream_json(spark, str(src))
+    q = (
+        streaming_volatility(good, bucket_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("svol")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["bucket"]): (r["volatility"], r["sample_count"])
+        for r in spark.sql("SELECT * FROM svol").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                dt.datetime.fromtimestamp(r["time"] / 1000),
+                r["symbol"],
+                float(r["price"]),
+                float(r["volume"]),
+                r["trade_id"],
+                None, None, None, "t",
+            )
+            for r in rows
+        ],
+        TRADES_SCHEMA,
+    )
+    exp = {
+        (r["symbol"], r["bucket"]): (r["volatility"], r["sample_count"])
+        for r in FX.volatility(batch_df, 3600).collect()
+    }
+    # streaming emits only FINALIZED hours (all 3 + sentinel-open);
+    # every emitted hour must match batch exactly
+    assert len(got) == 6  # 2 symbols x 3 finalized hours
+    for k, (vol, n) in got.items():
+        evol, en = exp[k]
+        assert n == en, k
+        assert (vol is None and evol is None) or abs(vol - evol) < 1e-9, (k, vol, evol)
