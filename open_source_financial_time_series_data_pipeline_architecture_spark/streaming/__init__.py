@@ -8,7 +8,7 @@ from .jobs import (
     streaming_trade_quote_join,
     streaming_vwap,
 )
-from .cep import streaming_volatility
+from .cep import streaming_row_features, streaming_volatility
 from .quantile import streaming_quantile_flags
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "streaming_imbalance",
     "streaming_ohlc",
     "streaming_quantile_flags",
+    "streaming_row_features",
     "streaming_sessions",
     "streaming_trade_quote_join",
     "streaming_volatility",

@@ -247,3 +247,81 @@ def streaming_volatility(trades: DataFrame, bucket_seconds: int = 3600) -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ROWFEAT_SCHEMA = (
+    "time timestamp, symbol string, trade_id string, price double, "
+    "sma_20 double, ewm_12 double, regime_tag string"
+)
+_ROWFEAT_STATE_SCHEMA = "prices array<double>, ewm double"
+
+
+def _row_features_fn(n: int, alpha: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prices, ewm = state.get
+            prices = list(prices)
+            ewm = None if pd.isna(ewm) else float(ewm)
+        else:
+            prices, ewm = [], None
+
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
+        for r in rows.itertuples():
+            price = float(r.price)
+            prices.append(price)
+            if len(prices) > n:
+                prices.pop(0)
+            sma = sum(prices) / len(prices)
+            ewm = price if ewm is None else alpha * price + (1.0 - alpha) * ewm
+            regime = "up" if price > sma else ("down" if price < sma else "neutral")
+            out.append(
+                {
+                    "time": r.time,
+                    "symbol": key[0],
+                    "trade_id": r.trade_id,
+                    "price": price,
+                    "sma_20": sma,
+                    "ewm_12": ewm,
+                    "regime_tag": regime,
+                }
+            )
+
+        state.update((prices, ewm))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "time", "symbol", "trade_id", "price", "sma_20", "ewm_12", "regime_tag",
+            ],
+        )
+
+    return fn
+
+
+def streaming_row_features(
+    trades: DataFrame, n: int = 20, span: int = 12
+) -> DataFrame:
+    """A2/A3/A9 as ONE stateful streaming pass: per-trade SMA-n, EWM
+    recurrence, and regime tag. State per symbol is the last n−1 prices
+    plus the EWM accumulator — O(n) floats, crossing micro-batch
+    boundaries, so the trailing window and the recurrence are exact
+    continuations of all history (a watermarked windowed agg cannot
+    express either: the row frame and the recurrence both reach across
+    window boundaries). Completes the streaming side of the 11-feature
+    contract next to streaming_ohlc/vwap/imbalance/volatility/
+    quantile_flags. Batch parity: tests/test_streaming.py.
+    """
+    alpha = 2.0 / (span + 1)
+    return trades.select("time", "symbol", "price", "trade_id").groupBy(
+        "symbol"
+    ).applyInPandasWithState(
+        _row_features_fn(n, alpha),
+        outputStructType=ROWFEAT_SCHEMA,
+        stateStructType=_ROWFEAT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

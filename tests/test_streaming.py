@@ -533,12 +533,20 @@ def test_streaming_volatility_matches_batch(spark, tmp_path):
                 "side": None, "bid": None, "ask": None, "source": "t",
             }
         )
-    # split mid-hour so both the hour carry and batch carry are exercised
+    # split mid-hour so both the hour carry and batch carry are exercised;
+    # pin file mtimes so the source's batch order is deterministic
+    import os as _os
+    import time as _t
+
     rows.sort(key=lambda r: r["time"])
     _write_jsonl(src / "a.jsonl", rows[: len(rows) // 2])
     _write_jsonl(src / "b.jsonl", rows[len(rows) // 2 :])
+    now = _t.time()
+    _os.utime(src / "a.jsonl", (now - 60, now - 60))
+    _os.utime(src / "b.jsonl", (now, now))
 
-    good, _ = STR.read_trade_stream_json(spark, str(src))
+    # one file per micro-batch so the carry genuinely crosses batches
+    good, _ = STR.read_trade_stream_json(spark, str(src), max_files_per_trigger=1)
     q = (
         streaming_volatility(good, bucket_seconds=3600)
         .writeStream.format("memory")
@@ -579,3 +587,88 @@ def test_streaming_volatility_matches_batch(spark, tmp_path):
         evol, en = exp[k]
         assert n == en, k
         assert (vol is None and evol is None) or abs(vol - evol) < 1e-9, (k, vol, evol)
+
+
+def test_streaming_row_features_match_batch(spark, tmp_path):
+    """Streaming SMA-20 / EWM-12 / regime == the batch operators row by
+    row, with the input split across micro-batches mid-window so the
+    trailing buffer and the recurrence both carry state across batches."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
+    from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
+        TRADES_SCHEMA,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+        streaming_row_features,
+    )
+
+    src = tmp_path / "rf_src"
+    src.mkdir()
+    rows = []
+    for sym_i, sym in enumerate(["AAPL", "MSFT"]):
+        for i in range(60):
+            t = BASE + dt.timedelta(minutes=i)
+            rows.append(
+                {
+                    "time": int(t.timestamp() * 1000),
+                    "symbol": sym,
+                    "price": f"{100 + sym_i * 50 + ((i * 17) % 23) - 11}.25",
+                    "volume": "10.00",
+                    "trade_id": f"RF-{sym}-{i:04d}",
+                    "side": None, "bid": None, "ask": None, "source": "t",
+                }
+            )
+    rows.sort(key=lambda r: r["time"])
+    # split at an awkward point: mid-SMA-window for both symbols.
+    # FileStreamSource orders batches by modification time — make it
+    # explicit (same contract as Kafka's per-key ordering guarantee).
+    import os as _os
+    import time as _t
+
+    _write_jsonl(src / "a.jsonl", rows[:47])
+    _write_jsonl(src / "b.jsonl", rows[47:])
+    now = _t.time()
+    _os.utime(src / "a.jsonl", (now - 60, now - 60))
+    _os.utime(src / "b.jsonl", (now, now))
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    q = (
+        streaming_row_features(good)
+        .writeStream.format("memory")
+        .queryName("srowfeat")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["trade_id"]: (r["sma_20"], r["ewm_12"], r["regime_tag"])
+        for r in spark.sql("SELECT * FROM srowfeat").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                dt.datetime.fromtimestamp(r["time"] / 1000),
+                r["symbol"],
+                float(r["price"]),
+                float(r["volume"]),
+                r["trade_id"],
+                None, None, None, "t",
+            )
+            for r in rows
+        ],
+        TRADES_SCHEMA,
+    )
+    sma_b = {r["trade_id"]: r["sma_20"] for r in FX.sma(batch_df, 20).collect()}
+    ewm_b = {r["trade_id"]: r["ewm_12"] for r in FX.ewm(batch_df, 12).collect()}
+    reg_b = {r["trade_id"]: r["regime_tag"] for r in FX.regime_tags(batch_df, 20).collect()}
+
+    assert len(got) == len(rows)
+    for tid, (sma_s, ewm_s, reg_s) in got.items():
+        assert abs(sma_s - sma_b[tid]) < 1e-9, tid
+        assert abs(ewm_s - ewm_b[tid]) < 1e-12, tid
+        assert reg_s == reg_b[tid], tid
