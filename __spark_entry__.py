@@ -2559,6 +2559,68 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sql_daily_activity",
+    oracle(
+        """
+SELECT CAST(date_trunc('day', time) AS DATE) AS day,
+       symbol,
+       count(*) AS n_trades,
+       ROUND(sum(volume), 6) AS total_volume,
+       ROUND(min(price), 6) AS low,
+       ROUND(max(price), 6) AS high
+FROM trades
+GROUP BY 1, 2
+"""
+    ),
+)
+def sql_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end path: the engine's views registered in the
+    catalog and the query written as literal Spark SQL — the same
+    Catalyst plan as the DataFrame form (the two APIs are one engine;
+    this query exists to keep the SQL surface exercised in the driver
+    contract)."""
+    _trades(spark, sf_dir).createOrReplaceTempView("trades_v")
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('day', time) AS DATE) AS day,
+               symbol,
+               count(*) AS n_trades,
+               ROUND(sum(volume), 6) AS total_volume,
+               ROUND(min(price), 6) AS low,
+               ROUND(max(price), 6) AS high
+        FROM trades_v
+        GROUP BY 1, 2
+        """
+    )
+
+
+@q(
+    "decimal_volume_totals",
+    oracle(
+        """
+SELECT symbol,
+       CAST(sum(CAST(volume AS DECIMAL(20, 2))) AS DOUBLE) AS exact_volume,
+       count(*) AS n_trades
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def decimal_volume_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal fidelity (SURVEY §1.2): volumes summed as DECIMAL(20,2)
+    — exact fixed-point arithmetic on both engines, no FP summation
+    order to reconcile and no ROUND convention needed on the sum. The
+    final cast to double is for the comparison harness only."""
+    t = _trades(spark, sf_dir)
+    return t.groupBy("symbol").agg(
+        F.sum(F.col("volume").cast("decimal(20,2)"))
+        .cast("double")
+        .alias("exact_volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
