@@ -81,6 +81,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # Warm PIT point-lookup (BASELINE.md: the reference's <100 ms
+    # Postgres/Redis targets are measured against the warm cached
+    # serving table, separately from cold-job latency). Median of 20
+    # single-symbol lookups against the materialized online store.
+    from open_source_financial_time_series_data_pipeline_architecture_spark.api import Engine
+
+    eng = Engine(spark, SF_DIR)
+    store = eng.online_store()
+    syms = [r["symbol"] for r in store.get().select("symbol").collect()]
+    store.get([syms[0]]).collect()  # warm the lookup path
+    lookups = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        store.get([syms[i % len(syms)]]).collect()
+        lookups.append(time.perf_counter() - t0)
+    pit_lookup_ms = round(sorted(lookups)[len(lookups) // 2] * 1000, 1)
     print(
         json.dumps(
             {
@@ -89,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
+                "pit_point_lookup_warm_ms": pit_lookup_ms,
             }
         )
     )

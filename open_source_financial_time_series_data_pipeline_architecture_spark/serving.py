@@ -80,7 +80,10 @@ class OnlineFeatureStore:
 
     def _swap_in(self, wide: DataFrame) -> None:
         old = self._wide
-        self._wide = wide.cache()
+        # one cached partition: the store is O(|keys|) rows by design,
+        # and a point lookup should schedule exactly one task — this is
+        # what keeps warm get() inside the <100 ms serving budget
+        self._wide = wide.coalesce(1).cache()
         self._wide.count()  # force materialization NOW — get() must be warm
         if old is not None:
             old.unpersist()
