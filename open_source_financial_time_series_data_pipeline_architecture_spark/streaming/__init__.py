@@ -10,6 +10,7 @@ from .jobs import (
 )
 from .cep import streaming_row_features, streaming_volatility
 from .quantile import streaming_quantile_flags
+from .twstate import top_trades_tracker
 
 __all__ = [
     "parse_trades_with_dlq",
@@ -23,4 +24,5 @@ __all__ = [
     "streaming_trade_quote_join",
     "streaming_volatility",
     "streaming_vwap",
+    "top_trades_tracker",
 ]
