@@ -2621,6 +2621,52 @@ def decimal_volume_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ohlc_gapfill_locf",
+    oracle(
+        """
+o AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+b AS (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM o GROUP BY 1),
+grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS bucket
+  FROM b
+),
+j AS (
+  SELECT g.symbol, g.bucket, o.close
+  FROM grid g LEFT JOIN o ON o.symbol = g.symbol AND o.bucket = g.bucket
+)
+SELECT symbol, bucket,
+       ROUND(last_value(close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close,
+       close IS NULL AS is_gap
+FROM j
+"""
+    ),
+)
+def ohlc_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB `time_bucket_gapfill` + `locf` parity: densify the
+    per-symbol minute grid and carry the close forward across empty
+    minutes (operators/gapfill.py). The grid is generated per key with
+    sequence()+explode — no driver loop — and the forward-fill window
+    reuses the join's symbol partitioning."""
+    ohlc = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    filled = OPS.gapfill_locf(
+        ohlc, key="symbol", ts_col="bucket", value_cols=["close"], step_seconds=60
+    )
+    return filled.select(
+        "symbol", "bucket", F.round("close", 6).alias("close"), "is_gap"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

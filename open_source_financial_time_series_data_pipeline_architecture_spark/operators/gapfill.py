@@ -1,0 +1,53 @@
+"""Time-series gap filling + LOCF (last observation carried forward).
+
+TimescaleDB ships `time_bucket_gapfill(...)` + `locf(...)` for exactly
+this (the reference's stack; its continuous aggregates leave missing
+buckets absent). Spark-first equivalent: generate the dense bucket grid
+per key with `sequence()` (one row per key → explode, no driver loop),
+left-join the sparse aggregate, then forward-fill with
+`last(value, ignorenulls=True)` over an unbounded-preceding row frame.
+
+Scale: the grid is |keys| × |buckets-in-range| rows — the same
+cardinality the filled output must have, so nothing is materialized
+beyond the answer; the forward-fill window reuses the (key) partition
+the join just produced. Per-key ranges keep sparse keys from inflating
+the grid to the global min/max span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    step_seconds: int = 60,
+) -> DataFrame:
+    """Densify `df` to one row per (key, step bucket) between each
+    key's min and max `ts_col`, carrying each value column forward
+    across the introduced gaps. Adds `is_gap` marking synthesized rows.
+    """
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    bounds = df.groupBy(key).agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(ts_col),
+    )
+    joined = grid.join(df, [key, ts_col], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn(
+        "is_gap", F.col(value_cols[0]).isNull()
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
