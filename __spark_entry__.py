@@ -2667,6 +2667,126 @@ def ohlc_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("price_interpolate")  # tolerance-gated rows-only: see docstring
+def price_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB `interpolate()` parity (the companion to locf):
+    linear interpolation of the close series across empty minutes,
+    from the surrounding non-null observations. Two windows over the
+    same symbol partition (trailing last ignorenulls ASC + the same
+    frame DESC for the leading neighbor) — one shuffle total.
+
+    Rows-only for the driver gate, by documented necessity: dyadic
+    interpolation weights land values EXACTLY on the 0.5e-6 rounding
+    grid, where Spark's round() (half-up on the shortest decimal repr)
+    and DuckDB's round() (nearest on the scaled binary value) disagree
+    — ~6 rows in 215k differ in the 6th decimal. Value parity at
+    atol 1.1e-6 against the DuckDB recomputation is pinned in
+    tests/test_interpolate_parity.py."""
+    from pyspark.sql import Window
+
+    ohlc = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    bounds = ohlc.groupBy("symbol").agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = bounds.select(
+        "symbol",
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("INTERVAL 60 SECONDS"))
+        ).alias("bucket"),
+    )
+    j = grid.join(ohlc, ["symbol", "bucket"], "left")
+    wp = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # leading lookups via a DESC-ordered GROWING frame: Spark evaluates
+    # unbounded-preceding frames incrementally (O(n)), while a
+    # CURRENT→UNBOUNDED FOLLOWING frame recomputes per row (O(n²) per
+    # partition — unusable on a dense month-long minute grid)
+    wn = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_ts = F.when(F.col("close").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.last("close", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(wp).cast("double").alias("pt"),
+        F.last("close", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_ts, ignorenulls=True).over(wn).cast("double").alias("nt"),
+    )
+    eb = F.col("bucket").cast("double")
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (eb - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return f.select(
+        "symbol",
+        "bucket",
+        F.round(interp, 6).alias("close_interp"),
+        F.col("close").isNull().alias("is_gap"),
+    )
+
+
+@q(
+    "price_histogram",
+    oracle(
+        """
+WITH b AS (
+  SELECT symbol, min(price) AS mn, max(price) AS mx FROM trades GROUP BY 1
+)
+SELECT t.symbol,
+       CAST(least(floor((t.price - b.mn) / ((b.mx - b.mn) / 10.0)), 9) AS BIGINT)
+           AS bin,
+       count(*) AS n,
+       ROUND(min(t.price), 6) AS bin_min,
+       ROUND(max(t.price), 6) AS bin_max
+FROM trades t JOIN b ON t.symbol = b.symbol
+GROUP BY 1, 2
+"""
+    ),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning (TimescaleDB `histogram()` /
+    width_bucket parity): 10 bins per symbol over [min, max]. The
+    per-symbol bounds are an O(|symbols|) aggregate broadcast back onto
+    the fact scan; bin arithmetic is the identical double expression on
+    both engines, so bucket assignment is exact."""
+    t = _trades(spark, sf_dir)
+    b = t.groupBy("symbol").agg(
+        F.min("price").alias("mn"), F.max("price").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    return (
+        t.join(F.broadcast(b), "symbol")
+        .withColumn(
+            "bin",
+            F.least(F.floor((F.col("price") - F.col("mn")) / width), F.lit(9)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("symbol", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("price"), 6).alias("bin_min"),
+            F.round(F.max("price"), 6).alias("bin_max"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
