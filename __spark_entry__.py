@@ -2787,6 +2787,36 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "price_volume_stats",
+    oracle(
+        """
+SELECT symbol,
+       ROUND(corr(price, volume), 6) AS pv_corr,
+       ROUND(covar_samp(price, volume), 6) AS pv_covar,
+       ROUND(regr_slope(price, volume), 6) AS pv_slope,
+       ROUND(regr_intercept(price, volume), 6) AS pv_intercept,
+       count(*) AS n
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def price_volume_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (the family beyond G6/G7's
+    mean/stddev): correlation, sample covariance, and the OLS
+    slope/intercept of price on volume per symbol — all single-pass
+    hash aggregates with map-side partials, no second scan."""
+    t = _trades(spark, sf_dir)
+    return t.groupBy("symbol").agg(
+        F.round(F.corr("price", "volume"), 6).alias("pv_corr"),
+        F.round(F.covar_samp("price", "volume"), 6).alias("pv_covar"),
+        F.round(F.regr_slope("price", "volume"), 6).alias("pv_slope"),
+        F.round(F.regr_intercept("price", "volume"), 6).alias("pv_intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
