@@ -2817,6 +2817,87 @@ def price_volume_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "word_frequencies",
+    """
+SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral coverage: explode the tokenized corpus to one
+    row per word occurrence, then the classic term-frequency top-k.
+    The explode is streamed (no materialized word table) and the top-20
+    is TakeOrderedAndProject; count(DISTINCT doc_id) uses Spark's
+    two-phase distinct aggregation (Expand), the one place the engine
+    accepts an Expand for exactness."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "revenue_grouping_sets",
+    """
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(o.o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       ROUND(sum(o.o_totalprice), 4) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority))
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third family member next to ROLLUP
+    and CUBE): two independent groupings — by nation and by priority —
+    computed in ONE Expand + aggregate pass instead of two jobs + a
+    union. Uses Spark 4's DataFrame.groupingSets API."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupingSets(
+            [[F.col("n_name")], [F.col("o_orderpriority")]],
+            F.col("n_name"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
