@@ -2898,6 +2898,68 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "tfidf_top_terms",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+),
+w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+)
+SELECT doc_id, word, tfidf FROM (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the canonical text-pipeline
+    scoring built from the engine's own primitives: one explode, two
+    hash aggregates (term frequency per doc, document frequency per
+    word), a broadcast of the O(|vocab|) df table back onto tf, and a
+    per-doc rank window on the ROUND(...,6) score (FP-stable ranking).
+    The corpus-size scalar is a 1-row broadcast cross join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
