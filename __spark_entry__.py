@@ -2960,6 +2960,95 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "user_funnel",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+           AS n_view_click_purchase
+FROM f
+""",
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (sequential behavioral pattern): users who
+    viewed, then clicked after viewing, then purchased after clicking —
+    expressed as per-user conditional min-timestamps (one hash
+    aggregate over events) and ordering predicates between the stages.
+    No self-joins: the classic n-way funnel stays a single pass
+    regardless of funnel depth."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stage.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@q(
+    "cohort_retention",
+    """
+WITH first_day AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, CAST(date_trunc('day', e.ts) AS DATE) AS active_day
+  FROM events e
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+WHERE datediff('day', f.cohort_day, a.active_day) <= 7
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the other classic event-analytics shape):
+    users grouped by first-seen day, counted on each subsequent active
+    day up to a week out. The cohort table is O(|users|) and joins back
+    on user_id — the key both aggregates already hashed on — and the
+    (user, day) activity set is deduplicated BEFORE the join so the
+    join input is minimal."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("active_day", "cohort_day").cast("bigint")
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
