@@ -3049,6 +3049,41 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rolling_median_10",
+    oracle(
+        """
+SELECT symbol, trade_id,
+       ROUND(quantile_cont(price, 0.5) OVER (
+         PARTITION BY symbol ORDER BY time, trade_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med_10
+FROM trades
+"""
+    ),
+)
+def rolling_median_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving order statistic: exact median over a trailing 10-row
+    frame per symbol (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    linear interpolation — the same equivalence price_quantiles pins
+    for the grouped form). Frame size is constant, so the per-row cost
+    is O(w log w) with one symbol-partition shuffle — the robust
+    (outlier-resistant) alternative to SMA that no plain sum-based
+    window can express."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time", "trade_id")
+        .rowsBetween(-9, 0)
+    )
+    return t.select(
+        "symbol",
+        "trade_id",
+        F.round(F.expr("percentile(price, 0.5)").over(w), 6).alias("med_10"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
