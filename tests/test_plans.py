@@ -231,3 +231,21 @@ def test_lead_window_queries_single_shuffle(spark):
 def test_range_frame_single_shuffle(spark):
     df = em.QUERIES["rolling_5m_price"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) == 1, PL.physical_plan(df)
+
+
+def test_gapfill_and_interpolate_no_cartesian(spark):
+    for name in ("ohlc_gapfill_locf", "price_interpolate"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        PL.assert_no_cartesian(df)
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    # the O(|vocab|) document-frequency side and the 1-row corpus size
+    # must broadcast — the tf fact table never re-shuffles for them
+    df = em.QUERIES["tfidf_top_terms"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=2)
+
+
+def test_rolling_median_single_shuffle(spark):
+    df = em.QUERIES["rolling_median_10"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) == 1, PL.physical_plan(df)
