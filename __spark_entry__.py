@@ -986,12 +986,13 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.2
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs, distributed block-matrix form: O(N·P)
+    shuffle + one BLAS matmul per block pair — no BroadcastNestedLoopJoin
+    anywhere in the plan (asserted in tests/test_plans.py). The exact
+    all-pairs baseline lives in `dedup.embedding_cosine_pairs`; the
+    approximate high-threshold path is `similarity.lsh_bucketed_pairs`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = DD.embedding_cosine_pairs(emb, threshold=-2.0)
-    return (
-        pairs.withColumn("cosine", F.round("cosine", 6))
-        .filter(F.col("cosine") >= 0.2)
-    )
+    return SIM.blocked_exact_pairs(emb, threshold=0.2, n_blocks=8)
 
 
 # --------------------------------------------------------------------------
@@ -1429,6 +1430,11 @@ def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessionization",
     oracle(
         """
+base AS (
+  -- ns -> us truncation: the driver's view preserves TIMESTAMP_NS while
+  -- Spark's load_table truncates (ts DIV 1000); emit only us values.
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+),
 flags AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1436,7 +1442,7 @@ flags AS (
                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id)) > 1800
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM base
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
@@ -1481,8 +1487,9 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(
-            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")), 0
+        (
+            F.floor(F.max("ts").cast("double"))
+            - F.floor(F.min("ts").cast("double"))
         ).cast("double").alias("duration_sec"),
     )
 
@@ -1619,13 +1626,19 @@ def orders_recent_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(v, v)), 6) AS norm,
-       list_transform(v, x -> ROUND(x / sqrt(list_dot_product(v, v)), 6)) AS unit
+       unnest(range(1, len(v) + 1)) AS pos,
+       unnest(list_transform(v, x -> ROUND(x / sqrt(list_dot_product(v, v)), 6)))
+           AS component
 FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 """,
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings — pure higher-order vector math (the
-    preprocessing step ahead of any cosine/IVF pipeline)."""
+    preprocessing step ahead of any cosine/IVF pipeline). The output is
+    exploded to scalar rows (vec_id, norm, pos, component): the driver's
+    value hash cannot canonicalize array columns, and scalar rows are
+    also the shuffle-friendly shape for downstream per-component work.
+    1-based pos matches SQL ordinality."""
     from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
         vector as VX,
     )
@@ -1635,10 +1648,18 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("n", VX.norm(F.col("v")))
-    return base.select(
+    unit = base.select(
         "vec_id",
         F.round("n", 6).alias("norm"),
-        F.transform(F.col("v"), lambda x: F.round(x / F.col("n"), 6)).alias("unit"),
+        F.posexplode(
+            F.transform(F.col("v"), lambda x: F.round(x / F.col("n"), 6))
+        ).alias("pos0", "component"),
+    )
+    return unit.select(
+        "vec_id",
+        "norm",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "component",
     )
 
 
@@ -2345,26 +2366,38 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first_prices_per_symbol",
     oracle(
         """
-SELECT symbol, (list(ROUND(price, 6) ORDER BY time, trade_id))[1:5] AS first5
-FROM trades GROUP BY symbol
+lists AS (
+  SELECT symbol, (list(ROUND(price, 6) ORDER BY time, trade_id))[1:5] AS first5
+  FROM trades GROUP BY symbol
+)
+SELECT symbol,
+       unnest(range(1, len(first5) + 1)) AS pos,
+       unnest(first5) AS price
+FROM lists
 """
     ),
 )
 def first_prices_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation (array_agg ... ORDER BY): the first five
-    prices per symbol as an array column. Spark has no ordered
+    prices per symbol, exploded to scalar (symbol, pos, price) rows —
+    array columns are not driver-hashable. Spark has no ordered
     collect_list, so the deterministic form is collect structs → one
-    in-row array_sort → project — the sort happens per GROUP inside a
-    row, never as a global sort."""
+    in-row array_sort → slice → posexplode — the sort happens per GROUP
+    inside a row, never as a global sort."""
     t = _trades(spark, sf_dir)
     collected = t.groupBy("symbol").agg(
         F.collect_list(F.struct("time", "trade_id", "price")).alias("rows")
     )
     srt = F.slice(F.array_sort("rows"), 1, 5)
     ordered = collected.select("symbol", srt.alias("head"))
-    return ordered.select(
+    exploded = ordered.select(
         "symbol",
-        F.transform(F.col("head"), lambda s: F.round(s["price"], 6)).alias("first5"),
+        F.posexplode(
+            F.transform(F.col("head"), lambda s: F.round(s["price"], 6))
+        ).alias("pos0", "price"),
+    )
+    return exploded.select(
+        "symbol", (F.col("pos0") + 1).cast("long").alias("pos"), "price"
     )
 
 
@@ -2963,12 +2996,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "user_funnel",
     """
-WITH f AS (
+WITH base AS (
+  -- ns -> us so stage comparisons happen at Spark's precision
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+f AS (
   SELECT user_id,
          min(ts) FILTER (WHERE event_type = 'view') AS t_view,
          min(ts) FILTER (WHERE event_type = 'click') AS t_click,
          min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
-  FROM events GROUP BY user_id
+  FROM base GROUP BY user_id
 )
 SELECT count(t_view) AS n_view,
        count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
@@ -3008,13 +3045,16 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "cohort_retention",
     """
-WITH first_day AS (
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+first_day AS (
   SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
-  FROM events GROUP BY user_id
+  FROM base GROUP BY user_id
 ),
 activity AS (
   SELECT DISTINCT e.user_id, CAST(date_trunc('day', e.ts) AS DATE) AS active_day
-  FROM events e
+  FROM base e
 )
 SELECT f.cohort_day,
        CAST(datediff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,

@@ -369,3 +369,95 @@ def knn_join_vectorized(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def blocked_exact_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold as a distributed block-matrix
+    product — the scale-correct form of `dedup.embedding_cosine_pairs`.
+
+    The naive `a JOIN b ON id_a < id_b` is a BroadcastNestedLoopJoin:
+    O(N²) join rows materialized through the executor row pipeline. Here
+    each vector lands in block ``id % n_blocks`` and is replicated to the
+    n_blocks block-PAIRS it participates in, so the shuffle is O(N ·
+    n_blocks) rows; each of the n_blocks(n_blocks+1)/2 groups scores its
+    two blocks with ONE numpy matmul (BLAS, Arrow-batched) and emits only
+    the pairs that clear the threshold. O(N²) multiply-adds are inherent
+    to exact all-pairs semantics — but they run inside BLAS at memory
+    bandwidth, never as join rows. ``n_blocks`` tunes the per-task memory
+    ((2N/n_blocks)·d doubles) independently of cluster size; at 100 TB
+    raise it so a block pair fits an executor.
+
+    For approximate near-dup at high thresholds use `lsh_bucketed_pairs`
+    (linear shuffle, recall tested); this operator is for when the
+    contract demands exactness at an arbitrary threshold.
+
+    Arithmetic matches `knn_join_vectorized` (normalized matmul then
+    np.round 6, zero-norm guarded) — pinned ≡ DuckDB
+    list_cosine_similarity after ROUND(,6) on this data.
+    """
+    import numpy as np
+
+    P = n_blocks
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        (F.col(id_col) % P).alias("blk"),
+    )
+    # replicate each vector to every block pair it belongs to:
+    # (gp, gq) = (min(blk, other), max(blk, other)) for other in 0..P-1
+    # each distinct `other` yields a distinct (gp, gq) for a fixed blk,
+    # so no duplicate replicas arise and no dedup shuffle is needed.
+    exploded = vecs.withColumn(
+        "other", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("gp"),
+        F.greatest("blk", "other").alias("gq"),
+    )
+
+    thr = float(threshold)
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        gp = int(pdf["gp"].iloc[0])
+        gq = int(pdf["gq"].iloc[0])
+        a_rows = pdf[pdf["blk"] == gp]
+        b_rows = pdf[pdf["blk"] == gq] if gp != gq else a_rows
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        a_ids = a_rows["id"].to_numpy(dtype=np.int64)
+        b_ids = b_rows["id"].to_numpy(dtype=np.int64)
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in a_rows["v"]])
+        B = (
+            np.asarray([np.asarray(v, dtype=np.float64) for v in b_rows["v"]])
+            if gp != gq
+            else A
+        )
+        an = np.linalg.norm(A, axis=1)
+        bn = np.linalg.norm(B, axis=1) if gp != gq else an
+        an = np.where(an == 0.0, 1.0, an)
+        bn = np.where(bn == 0.0, 1.0, bn)
+        sims = np.round((A @ B.T) / np.outer(an, bn), 6)
+        ii, jj = np.nonzero(sims >= thr)
+        ida, idb = a_ids[ii], b_ids[jj]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        keep = lo < hi  # drops self-pairs; i<j dedup handled by min/max
+        out = pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": sims[ii, jj][keep]}
+        )
+        # within-block pairs appear once per (gp,gq) group only, but the
+        # same (i,j) shows twice inside a gp==gq matmul (sym) — dedup.
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return exploded.groupBy("gp", "gq").applyInPandas(
+        score_block_pair, schema="id_a long, id_b long, cosine double"
+    )

@@ -74,7 +74,10 @@ def trades_from_events(events: DataFrame) -> DataFrame:
 TRADES_CTE = """
 trades AS (
     SELECT
-        ts AS time,
+        -- ns -> us: Spark's load_table truncates TIMESTAMP(NANOS) via
+        -- `ts DIV 1000`; the driver's DuckDB view preserves TIMESTAMP_NS,
+        -- so truncate here or raw `time` values hash-mismatch.
+        CAST(ts AS TIMESTAMP) AS time,
         event_type AS symbol,
         value AS price,
         1 + CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) AS volume,

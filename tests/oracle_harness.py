@@ -1,8 +1,24 @@
-"""Local replica of the driver's DuckDB-oracle comparison.
+"""Local replica of the driver's DuckDB-oracle comparison — STRICT.
 
-Runs a Spark query and its oracle SQL side-by-side, normalizes (column
-sort, row sort, timestamp precision) and asserts exact equality — the
-same bar as the driver's order-insensitive value hash.
+Runs a Spark query and its oracle SQL side-by-side, canonicalizes the
+way the driver does (column sort, row sort over all columns) and asserts
+exact equality.
+
+Strictness notes (round 2 — each masked a real driver failure in r01):
+
+- Views are registered from pandas frames, NOT ``read_parquet`` —
+  DuckDB's parquet reader truncates TIMESTAMP(NANOS) to microseconds,
+  while a registered pandas frame keeps ``TIMESTAMP_NS``.  The driver
+  preserves nanos, so an oracle that emits raw ``events.ts`` values
+  diverges from Spark's microsecond reads unless the oracle truncates
+  explicitly (``CAST(ts AS TIMESTAMP)``).
+- Timestamps are compared at nanosecond precision (Spark's µs values
+  pad with zeros); no coercion to ``datetime64[us]``.
+- List/array-typed output columns raise immediately: the driver's
+  canonicalization does a pandas sort over all columns and crashes on
+  unhashable lists (verbatim error in CORRECTNESS_r01.json).
+- ``-0.0`` in any float column raises: a value hash distinguishes the
+  two zero bit patterns even though ``==`` does not.
 """
 
 from __future__ import annotations
@@ -10,6 +26,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = (
     "region",
@@ -26,28 +43,57 @@ TABLES = (
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views over pandas frames — preserves TIMESTAMP_NS like the driver."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        frame = pq.read_table(f"{sf_dir}/{t}.parquet").to_pandas()
+        con.register(f"_pdf_{t}", frame)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM _pdf_{t}")
     return con
+
+
+def _check_driver_hashable(df: pd.DataFrame, side: str, name: str) -> None:
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and col.notna().any():
+            sample = col.dropna().iloc[0]
+            if isinstance(sample, (list, np.ndarray, dict, set)):
+                raise AssertionError(
+                    f"{name}: {side} column {c!r} is {type(sample).__name__}-typed "
+                    f"— the driver's canonicalization crashes on unhashable "
+                    f"values; restructure to scalar rows (posexplode/unnest)"
+                )
+        if pd.api.types.is_float_dtype(col):
+            vals = col.to_numpy(dtype=float, na_value=np.nan)
+            neg_zero = np.signbit(vals) & (vals == 0.0)
+            if neg_zero.any():
+                raise AssertionError(
+                    f"{name}: {side} column {c!r} contains -0.0 "
+                    f"({int(neg_zero.sum())} rows) — a value hash distinguishes "
+                    f"the zero bit patterns; add `+ 0.0` on both sides"
+                )
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
-        elif df[c].dtype == object and len(df) and isinstance(df[c].dropna().iloc[0] if df[c].notna().any() else None, (list, np.ndarray)):
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+            # common ns precision WITHOUT truncation: µs values pad zeros,
+            # genuine sub-µs digits survive and fail the comparison.
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+            )
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
-    got = _normalize(spark_df.toPandas())
-    exp = _normalize(con.execute(sql).df())
+    got_raw = spark_df.toPandas()
+    exp_raw = con.execute(sql).df()
+    _check_driver_hashable(got_raw, "spark", name)
+    _check_driver_hashable(exp_raw, "oracle", name)
+    got = _normalize(got_raw)
+    exp = _normalize(exp_raw)
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"
     )

@@ -210,3 +210,23 @@ def test_knn_join_vectorized_matches_interpreted(spark):
     a = sorted(map(tuple, SIMx.knn_join(qs, emb, k=5).collect()))
     b = sorted(map(tuple, SIMx.knn_join_vectorized(qs, emb, k=5).collect()))
     assert a == b and a
+
+
+def test_blocked_exact_pairs_equals_all_pairs_baseline(spark):
+    # the block-matrix form is EXACT: same pair set and same rounded
+    # cosine as the brute-force all-pairs baseline at every threshold
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in SIM.blocked_exact_pairs(
+            emb, threshold=0.2, n_blocks=5
+        ).collect()
+    }
+    base = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in DD.embedding_cosine_pairs(emb, threshold=-2.0).collect()
+        if round(r.cosine, 6) >= 0.2
+    }
+    assert set(got) == set(base)
+    for k, v in base.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)

@@ -1,0 +1,39 @@
+"""The local harness must hold the DRIVER's bar: array-typed output
+columns crash the driver's canonicalization (CORRECTNESS_r01.json,
+verbatim `unhashable type: 'list'`), -0.0 breaks the value hash, and
+ns-vs-µs timestamp drift breaks it too. These meta-tests pin that the
+strict harness actually rejects each hazard class."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.oracle_harness import _check_driver_hashable, _normalize
+
+
+def test_rejects_array_typed_column():
+    df = pd.DataFrame({"id": [1, 2], "arr": [[1.0, 2.0], [3.0]]})
+    with pytest.raises(AssertionError, match="list-typed"):
+        _check_driver_hashable(df, "spark", "meta")
+
+
+def test_rejects_negative_zero():
+    df = pd.DataFrame({"x": [0.0, -0.0, 1.5]})
+    with pytest.raises(AssertionError, match="-0.0"):
+        _check_driver_hashable(df, "spark", "meta")
+
+
+def test_normalize_preserves_sub_microsecond_digits():
+    ns = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 00:00:00.000000001"])})
+    us = pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01 00:00:00.000000"]).astype("datetime64[us]")}
+    )
+    a, b = _normalize(ns), _normalize(us)
+    assert not (a["t"] == b["t"]).all(), "ns digits must NOT be coerced away"
+
+
+def test_scalar_frame_accepted():
+    df = pd.DataFrame({"id": [1], "x": [2.5], "s": ["ok"]})
+    _check_driver_hashable(df, "spark", "meta")

@@ -249,3 +249,13 @@ def test_tfidf_broadcasts_df_table(spark):
 def test_rolling_median_single_shuffle(spark):
     df = em.QUERIES["rolling_median_10"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) == 1, PL.physical_plan(df)
+
+
+def test_dedup_embedding_cosine_no_nested_loop(spark):
+    # the exact cosine pair query must be the block-matrix form: replicate
+    # O(N·P) rows, one matmul per block pair — never a
+    # BroadcastNestedLoopJoin materializing O(N^2) join rows
+    df = em.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
