@@ -890,10 +890,15 @@ sh AS (
   FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
   WHERE len(ws) >= 3
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+-- hot-shingle cap (df <= 20), applied to intersection AND sizes: Jaccard
+-- is exact over the capped universe; matches max_doc_freq on the Spark side
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+         WHERE dfreq.df <= 20),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -907,7 +912,10 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
         DD.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+            load_table(spark, sf_dir, "documents"),
+            n=3,
+            threshold=0.5,
+            max_doc_freq=20,
         ),
         "jaccard",
     )

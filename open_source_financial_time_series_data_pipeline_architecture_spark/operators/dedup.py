@@ -78,14 +78,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|); pairs with id_a < id_b and
-    jaccard ≥ threshold. This is the exact ground truth the approximate
-    strategies are validated against.
+    jaccard ≥ threshold. With ``max_doc_freq`` unset this is the exact
+    ground truth the approximate strategies are validated against.
+
+    ``max_doc_freq``: the scale guard. Candidate generation joins on raw
+    shingle, so one stop-phrase shingle shared by half the corpus yields
+    a quadratic candidate blowup. Shingles with document frequency >
+    max_doc_freq are dropped from the UNIVERSE (intersection AND sizes —
+    Jaccard is then exact over the capped shingle set); such shingles
+    cannot discriminate near-dups anyway. The hot set is tiny by
+    definition of "hot", so it broadcasts into a left-anti join and the
+    per-shingle posting-list size — hence the worst-case candidate
+    fan-out per shingle — is bounded by max_doc_freq².
     """
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).cache()
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -230,3 +230,31 @@ def test_blocked_exact_pairs_equals_all_pairs_baseline(spark):
     assert set(got) == set(base)
     for k, v in base.items():
         assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # a stop-phrase shared by the whole corpus must not generate O(n^2)
+    # candidates once capped: pairs related ONLY through the hot phrase
+    # disappear, genuine near-dups (discriminative shingle overlap) stay
+    stop = "terms and conditions apply to all"
+    docs = [(i, f"{stop} unique{i} alpha{i} beta{i} gamma{i}") for i in range(40)]
+    # one true near-dup pair: 41/42 share a long discriminative tail
+    docs += [
+        (41, f"{stop} shared body of text that repeats verbatim here"),
+        (42, f"{stop} shared body of text that repeats verbatim here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = DD.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_doc_freq=5)
+    rows = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (41, 42) in rows
+    assert rows == {(41, 42)}, rows
+
+    # uncapped, the stop phrase alone creates cross-corpus candidates;
+    # the capped CANDIDATE set (pre-threshold) must be quadratically smaller
+    uncapped_cand = DD.ngram_jaccard_pairs(df, n=3, threshold=0.0).count()
+    capped_cand = DD.ngram_jaccard_pairs(
+        df, n=3, threshold=0.0, max_doc_freq=5
+    ).count()
+    assert uncapped_cand > 800  # ~C(42,2) from the hot shingles
+    assert capped_cand <= 1
