@@ -2663,6 +2663,39 @@ def decimal_volume_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "decimal_price_stats",
+    oracle(
+        """
+SELECT symbol,
+       CAST(sum(CAST(price AS DECIMAL(20, 8))) AS VARCHAR) AS total_price8,
+       CAST(min(CAST(price AS DECIMAL(20, 8))) AS VARCHAR) AS min_price8,
+       CAST(max(CAST(price AS DECIMAL(20, 8))) AS VARCHAR) AS max_price8,
+       count(*) AS n_trades
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def decimal_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal ingest fidelity at the Avro contract's price precision
+    (SURVEY §1.2, schemas/market_data.v1.avsc:20-28): prices ingested as
+    DECIMAL(20,8) via the canonical schema path's decimal mode, then
+    aggregated EXACTLY — both engines round the identical binary double
+    to 8 fixed decimals, sum in fixed point, and the result is emitted
+    as the decimal's string form (all 8 fractional digits, no float
+    round-trip in the comparison)."""
+    t = trades_from_events(
+        load_table(spark, sf_dir, "events"), decimal_price=True
+    )
+    return t.groupBy("symbol").agg(
+        F.sum("price").cast("string").alias("total_price8"),
+        F.min("price").cast("string").alias("min_price8"),
+        F.max("price").cast("string").alias("max_price8"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+@q(
     "ohlc_gapfill_locf",
     oracle(
         """
@@ -3130,6 +3163,137 @@ def rolling_median_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_id",
         F.round(F.expr("percentile(price, 0.5)").over(w), 6).alias("med_10"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming plane, batch-checkable (VERDICT r01 item 5): each query runs a
+# REAL Structured Streaming job (file source → stateful op → memory sink,
+# Trigger.AvailableNow) and returns the drained sink table, so the DuckDB
+# oracle grades the streaming engine's output, not a batch lookalike.
+# Reference: spark/streaming_feature_updates.py:96-126.
+# --------------------------------------------------------------------------
+@q(
+    "streaming_ohlc_1m",
+    oracle(
+        """
+SELECT * FROM (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(first(price ORDER BY time, trade_id), 6) AS open,
+    ROUND(max(price), 6) AS high,
+    ROUND(min(price), 6) AS low,
+    ROUND(last(price ORDER BY time, trade_id), 6) AS close,
+    ROUND(sum(volume), 6) AS volume,
+    count(*) AS trade_count
+  FROM trades
+  GROUP BY 1, 2
+)
+"""
+    ),
+)
+def streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a STREAM: the events file is consumed by a streaming file
+    source, OHLC aggregated with the streaming `window()` path, drained
+    via availableNow into a memory sink. Complete output mode emits
+    every window (nothing withheld behind the watermark at end-of-
+    stream), so the result is bit-identical to the batch oracle."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        jobs as SJ,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    ohlc = SJ.streaming_ohlc(trades_from_events(ev), bucket="1 minute")
+    out = bridge.run_available_now(ohlc, output_mode="complete")
+    return _r6(out, "open", "high", "low", "close", "volume")
+
+
+@q(
+    "streaming_dedup_trades",
+    oracle(
+        """
+SELECT trade_id, symbol, ROUND(price, 6) AS price
+FROM trades
+"""
+    ),
+)
+def streaming_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/T idempotent ingest as a STREAM: the events file is ingested
+    TWICE (two file sources unioned — a replayed topic), and streaming
+    `dropDuplicates` on trade_id keeps exactly the first delivery. The
+    oracle is simply the distinct trade set — exactly-once downstream
+    of an at-least-once source."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+    )
+
+    s1 = trades_from_events(bridge.load_events_stream(spark, sf_dir))
+    s2 = trades_from_events(bridge.load_events_stream(spark, sf_dir))
+    deduped = (
+        s1.unionByName(s2)
+        .select("trade_id", "symbol", "price")
+        .dropDuplicates(["trade_id"])
+    )
+    out = bridge.run_available_now(deduped, output_mode="append")
+    return out.withColumn("price", F.round("price", 6))
+
+
+@q(
+    "streaming_session_windows",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+),
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_no
+  FROM flags
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 as a driver-checkable STREAM: `session_window(ts, 30 min)`
+    per user over the streaming file source, drained with availableNow.
+    Spark session-window semantics: an event at exactly gap seconds
+    after the previous one starts a NEW session (merge requires
+    event < window end), hence the oracle's `>= 1800` flag — note the
+    difference from batch `user_sessionization`'s `> 1800` lag rule.
+    session_start/end are min/max event times (not window bounds, which
+    pad `end` by the gap)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    out = bridge.run_available_now(sessions, output_mode="complete")
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -47,6 +47,15 @@ BENCH_QUERIES = [
     # quality + star-schema analytics
     "dq_score",
     "revenue_rollup",
+    # round-2 breadth: heaviest post-snapshot queries so regressions show
+    "tfidf_top_terms",
+    "corpus_prep_pipeline",
+    "rolling_median_10",
+    "revenue_cube",
+    "dedup_embedding_cosine",
+    "user_sessionization",
+    # streaming plane (real availableNow streaming jobs)
+    "streaming_ohlc_1m",
 ]
 
 

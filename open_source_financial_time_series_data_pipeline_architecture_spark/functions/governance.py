@@ -37,14 +37,20 @@ def register_tenant_view(
     tenant_col: str,
     allowed_tenants: list,
 ) -> None:
-    """SQL-side variant: CREATE VIEW ... WHERE tenant IN (...)."""
-    quoted = ", ".join(
-        f"'{t}'" if isinstance(t, str) else str(t) for t in allowed_tenants
-    )
-    spark.sql(
-        f"CREATE OR REPLACE TEMP VIEW {view_name} AS "
-        f"SELECT * FROM {source_view} WHERE {tenant_col} IN ({quoted})"
-    )
+    """SQL-side variant of `tenant_view`.
+
+    Security note: the predicate is built with column EXPRESSIONS
+    (`isin`), never interpolated SQL text — a tenant value containing a
+    quote is just a value, not a way out of the RLS predicate. The
+    identifiers still land in SQL (view names can't be parameterized),
+    so they are validated against a strict identifier charset.
+    """
+    for ident in (source_view, view_name, tenant_col):
+        if not ident.replace("_", "").isalnum() or ident[0].isdigit():
+            raise ValueError(f"invalid identifier: {ident!r}")
+    spark.table(source_view).filter(
+        F.col(tenant_col).isin(allowed_tenants)
+    ).createOrReplaceTempView(view_name)
 
 
 AUDIT_SCHEMA = (
@@ -74,9 +80,13 @@ def encrypt_column(
     semantically secure but non-deterministic; use mode='ECB' only when
     a deterministic cyphertext is required for equality joins (the
     classic deterministic-encryption tradeoff)."""
+    # column-form aes_encrypt: the key is a bound literal, NOT SQL text —
+    # it never appears in query plans, EXPLAIN output, or logs
     return df.withColumn(
         col,
-        F.expr(f"aes_encrypt(cast({col} as string), '{key}', '{mode}')"),
+        F.aes_encrypt(
+            F.col(col).cast("string"), F.lit(key), F.lit(mode)
+        ),
     )
 
 
@@ -84,5 +94,6 @@ def decrypt_column(
     df: DataFrame, col: str, key: str, mode: str = "GCM"
 ) -> DataFrame:
     return df.withColumn(
-        col, F.expr(f"cast(aes_decrypt({col}, '{key}', '{mode}') as string)")
+        col,
+        F.aes_decrypt(F.col(col), F.lit(key), F.lit(mode)).cast("string"),
     )

@@ -54,6 +54,7 @@ def asof_join(
     values: list[str] | None = None,
     ttl_seconds: float | None = None,
     matched_time_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each entity row, attach the latest feature row with
     ``feature_time <= entity_time`` (within ``ttl_seconds`` if given).
@@ -61,6 +62,12 @@ def asof_join(
     Returns the entity rows with the requested ``values`` columns
     appended (NULL when no feature row qualifies — Feast LEFT-join
     semantics).
+
+    ``tiebreak_cols``: feature-side columns (must be in ``values``)
+    appended to the carry window's ordering so several feature rows
+    sharing the same (key, timestamp) resolve deterministically — the
+    repo-wide '(time, trade_id)' determinism convention. Without it the
+    carried value among exact-timestamp ties is engine-order dependent.
     """
     values = values or [c for c in feature.columns if c not in (key, feature_time)]
     clash = set(values) & set(entity.columns)
@@ -86,9 +93,20 @@ def asof_join(
     unioned = e.unionByName(f.select(*e.columns))
     # Feature rows (tag 0) sort before entity probes (tag 1) at the same
     # timestamp → `<=` semantics, same as the reference PIT proc.
+    if tiebreak_cols:
+        missing = set(tiebreak_cols) - set(values)
+        if missing:
+            raise ValueError(
+                f"tiebreak_cols must be value columns, got extras: {sorted(missing)}"
+            )
+    # tiebreaks only order feature rows among themselves: entity probes
+    # carry NULL there and are already separated by the tag column
+    order_cols = [F.col(_TIME).asc(), F.col(_TAG).asc()] + [
+        F.col(c).asc_nulls_first() for c in (tiebreak_cols or [])
+    ]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(_TIME).asc(), F.col(_TAG).asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -116,6 +134,7 @@ def get_historical_features(
     key: str = "symbol",
     entity_time: str = "event_timestamp",
     ttl_seconds: float | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Feast-style vectorized PIT retrieval over any number of feature
     views in **one shuffle**: all feature rows are unioned with the
@@ -163,9 +182,15 @@ def get_historical_features(
                 f = f.withColumn(c, F.lit(None))
         unioned = unioned.unionByName(f.select(*e.columns))
 
+    # optional deterministic tiebreak among equal-timestamp feature rows
+    # (columns must exist across the union; NULL on probes/other views)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(_TIME).asc(), F.col(_TAG).asc())
+        .orderBy(
+            F.col(_TIME).asc(),
+            F.col(_TAG).asc(),
+            *[F.col(c).asc_nulls_first() for c in (tiebreak_cols or [])],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carry = [F.last(v, ignorenulls=True).over(w).alias(v) for v in all_vals]

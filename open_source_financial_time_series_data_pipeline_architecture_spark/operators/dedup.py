@@ -382,17 +382,16 @@ def simhash64(
             for j in range(64)
         ]
     )
-    fp = bit_sums.select(
-        id_col,
-        sum(
-            (
-                F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(0)
-                * F.lit(2 ** j).cast("long")
-                for j in range(63)
-            ),
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
+    # shiftleft + bitwise OR materializes ALL 64 bits: shiftleft(1, 63)
+    # wraps to the sign bit (Java shift semantics), so bit 63 is real —
+    # a multiply-add by 2^63 would overflow the long literal instead
+    fp_expr = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_expr = fp_expr.bitwiseOR(F.shiftleft(bit, j))
+    fp = bit_sums.select(id_col, fp_expr.alias("simhash"))
     return fp
 
 

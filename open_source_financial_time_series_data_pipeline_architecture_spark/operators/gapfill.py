@@ -32,6 +32,10 @@ def gapfill_locf(
     across the introduced gaps. Adds `is_gap` marking synthesized rows.
     """
     step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    # explicit presence marker: a source row whose FIRST value column is
+    # NULL is still a real observation — inferring is_gap from value
+    # nullity would mislabel it and LOCF would silently overwrite it
+    src = df.withColumn("__present", F.lit(True))
     bounds = df.groupBy(key).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )
@@ -39,15 +43,20 @@ def gapfill_locf(
         key,
         F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(ts_col),
     )
-    joined = grid.join(df, [key, ts_col], "left")
+    joined = grid.join(src, [key, ts_col], "left")
     w = (
         Window.partitionBy(key)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn(
-        "is_gap", F.col(value_cols[0]).isNull()
-    )
+    out = joined.withColumn("is_gap", F.col("__present").isNull())
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        # carry forward only across synthesized rows: a real row keeps
+        # its own value (including a genuine NULL)
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col("is_gap"), F.last(c, ignorenulls=True).over(w)
+            ).otherwise(F.col(c)),
+        )
+    return out.drop("__present")

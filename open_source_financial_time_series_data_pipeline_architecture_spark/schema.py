@@ -44,20 +44,31 @@ TRADES_SCHEMA = T.StructType(
 )
 
 
-def trades_from_events(events: DataFrame) -> DataFrame:
+def trades_from_events(events: DataFrame, decimal_price: bool = False) -> DataFrame:
     """Map the driver's ``events`` table onto the canonical trades schema.
 
     Pure column expressions — stays inside whole-stage codegen, and
     Catalyst pushes any downstream filter through this projection to the
     parquet scan.
+
+    ``decimal_price=True`` switches ``price`` to DECIMAL(20,8) — the
+    Avro wire contract's fixed-point price mode (reference
+    schemas/market_data.v1.avsc:20-28 carries decimals as strings
+    precisely so consumers ingest at fixed precision): aggregation is
+    then exact, with no FP summation order to reconcile.
     """
     k = F.get_json_object("props", "$.k").cast("int")
     half_spread = (1 + k % 10) / F.lit(200.0)
     mod3 = F.col("user_id") % 3
+    price = (
+        F.col("value").cast("decimal(20,8)")
+        if decimal_price
+        else F.col("value")
+    )
     return events.select(
         F.col("ts").alias("time"),
         F.col("event_type").alias("symbol"),
-        F.col("value").alias("price"),
+        price.alias("price"),
         (1 + k.cast("double")).alias("volume"),
         F.col("event_id").cast("string").alias("trade_id"),
         F.when(mod3 == 0, F.lit("buy"))

@@ -103,3 +103,27 @@ def test_asof_ttl_property(spark, feats, probes, ttl):
             assert r["v"] is None, (k, p, r["v"])
         else:
             assert r["v"] in {v for ts, v in cands if ts == best_ts}
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    # two feature rows share (key, timestamp); tiebreak_cols resolves the
+    # carry deterministically (the row sorting last in tiebreak order is
+    # the one carried to the probe), stable across partitionings/reruns
+    t0 = BASE
+    feat = spark.createDataFrame(
+        [("A", t0, 1.0, "first"), ("A", t0, 2.0, "second")],
+        "symbol string, time timestamp, px double, src string",
+    )
+    probe = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(seconds=1))],
+        "symbol string, event_timestamp timestamp",
+    )
+    for _ in range(3):
+        out = asof_join(
+            probe.repartition(4),
+            feat.repartition(4),
+            values=["px", "src"],
+            tiebreak_cols=["src"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["src"] == "second" and out[0]["px"] == 2.0
