@@ -1,0 +1,144 @@
+"""Technical indicators beyond the reference's 11-feature contract —
+the indicator family its feature registry is designed to grow into
+(reference src/features/smartdb_contract.py keeps the list open-ended;
+sql/timescaledb_schema.sql's continuous aggregates are the same
+window-over-time shape).
+
+All pure window/aggregate expressions (whole-stage codegen, one shuffle
+on symbol per indicator); deterministic ordering by (time, trade_id)
+per the repo convention.
+
+Scale: each indicator is ONE window pass over the symbol partition —
+trailing-row frames are computed incrementally by Spark's window
+operator (UNBOUNDED PRECEDING and fixed-width trailing frames are both
+O(n) per partition; see CLAUDE.md note on leading frames, avoided
+here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(symbol_col: str = "symbol"):
+    return Window.partitionBy(symbol_col).orderBy("time", "trade_id")
+
+
+def max_drawdown(trades: DataFrame) -> DataFrame:
+    """Per-symbol maximum drawdown: min over t of price_t / runmax_t − 1.
+
+    The running max is an incremental growing frame; guard against a
+    zero running max (sf0.1 has price=0 rows) — division stays NULL on
+    both engines only if made explicit.
+    """
+    runmax = F.max("price").over(
+        _w().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.when(runmax > 0, F.col("price") / runmax - 1.0)
+    return (
+        trades.withColumn("dd", dd)
+        .groupBy("symbol")
+        .agg(F.round(F.min("dd"), 6).alias("max_drawdown"))
+    )
+
+
+def rsi(trades: DataFrame, n: int = 14) -> DataFrame:
+    """Simple (SMA-based) RSI over a trailing n-delta frame.
+
+    delta = price − lag(price); RSI = 100·avg_gain/(avg_gain+avg_loss)
+    over the last n deltas. All-gain windows hit the loss=0 branch — it
+    is made explicit (100.0) so both engines agree instead of relying
+    on divide-by-zero semantics.
+    """
+    w = _w()
+    frame = w.rowsBetween(-(n - 1), 0)
+    delta = F.col("price") - F.lag("price").over(w)
+    out = (
+        trades.withColumn("delta", delta)
+        .withColumn("gain", F.greatest(F.col("delta"), F.lit(0.0)))
+        .withColumn("loss", F.greatest(-F.col("delta"), F.lit(0.0)))
+        .withColumn("avg_gain", F.avg("gain").over(frame))
+        .withColumn("avg_loss", F.avg("loss").over(frame))
+    )
+    rsi_col = F.when(F.col("avg_gain").isNull(), None).otherwise(
+        F.when(F.col("avg_loss") == 0.0, 100.0).otherwise(
+            100.0 * F.col("avg_gain") / (F.col("avg_gain") + F.col("avg_loss"))
+        )
+    )
+    return out.select(
+        "symbol",
+        "trade_id",
+        F.round(rsi_col, 6).alias(f"rsi_{n}"),
+    )
+
+
+def bollinger(trades: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
+    """Bollinger bands over a trailing n-row frame; rows emitted only
+    once the frame is FULL (count == n) so the sample stddev is always
+    defined and both engines agree on the band values."""
+    frame = _w().rowsBetween(-(n - 1), 0)
+    mid = F.avg("price").over(frame)
+    sd = F.stddev_samp("price").over(frame)
+    cnt = F.count("price").over(frame)
+    return (
+        trades.select(
+            "symbol",
+            "trade_id",
+            F.round(mid, 6).alias("mid"),
+            F.round(mid + k * sd, 6).alias("upper"),
+            F.round(mid - k * sd, 6).alias("lower"),
+            cnt.alias("__cnt"),
+        )
+        .filter(F.col("__cnt") == n)
+        .drop("__cnt")
+    )
+
+
+def obv(trades: DataFrame) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the price
+    delta's direction (first row contributes 0)."""
+    w = _w()
+    delta = F.col("price") - F.lag("price").over(w)
+    signed = (
+        F.when(delta > 0, F.col("volume"))
+        .when(delta < 0, -F.col("volume"))
+        .otherwise(0.0)
+    )
+    run = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return trades.withColumn("signed", signed).select(
+        "symbol",
+        "trade_id",
+        F.round(F.sum("signed").over(run), 6).alias("obv"),
+    )
+
+
+def pairwise_minute_correlation(trades: DataFrame) -> DataFrame:
+    """Pearson correlation of per-minute mean prices for every symbol
+    pair (sym_a < sym_b) over buckets where BOTH traded.
+
+    Shape: O(|symbols|²) output but the join input is the minute-bucket
+    aggregate — |buckets|·|symbols| rows, tiny relative to trades — so
+    the self-join is a bucket-key equi-join of pre-aggregated data, and
+    at production symbol counts the per-pair corr is a hash aggregate
+    over aligned buckets (no all-trades shuffle beyond the first agg).
+    """
+    per_min = trades.groupBy(
+        F.floor(F.col("time").cast("double") / 60).alias("bucket"),
+        "symbol",
+    ).agg(F.avg("price").alias("px"))
+    a = per_min.select(
+        "bucket", F.col("symbol").alias("sym_a"), F.col("px").alias("px_a")
+    )
+    b = per_min.select(
+        "bucket", F.col("symbol").alias("sym_b"), F.col("px").alias("px_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.round(F.corr("px_a", "px_b"), 6).alias("price_corr"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
