@@ -1351,25 +1351,11 @@ FROM runs GROUP BY symbol
 )
 def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-max drawdown per symbol: one window pass + one aggregate."""
-    from pyspark.sql import Window
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
 
-    trades = _trades(spark, sf_dir)
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(F.col("time").asc(), F.col("trade_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    runs = trades.withColumn("run_max", F.max("price").over(w))
-    return runs.groupBy("symbol").agg(
-        F.round(
-            F.max(
-                F.when(
-                    F.col("run_max") > 0, 1 - F.col("price") / F.col("run_max")
-                ).otherwise(F.lit(0.0))
-            ),
-            6,
-        ).alias("max_drawdown")
-    )
+    return IX.max_drawdown(_trades(spark, sf_dir))
 
 
 @q(
@@ -3170,30 +3156,6 @@ def rolling_median_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # indicator surface the reference's feature registry is designed to grow
 # into. One window pass per indicator, (time, trade_id) determinism.
 # --------------------------------------------------------------------------
-@q(
-    "max_drawdown",
-    oracle(
-        """
-d AS (
-  SELECT symbol,
-         CASE WHEN max(price) OVER w > 0
-              THEN price / max(price) OVER w - 1.0 END AS dd
-  FROM trades
-  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT symbol, ROUND(min(dd), 6) AS max_drawdown FROM d GROUP BY symbol
-"""
-    ),
-)
-def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
-        indicators as IX,
-    )
-
-    return IX.max_drawdown(_trades(spark, sf_dir))
-
-
 @q(
     "rsi_14",
     oracle(

@@ -26,20 +26,21 @@ def _w(symbol_col: str = "symbol"):
 
 
 def max_drawdown(trades: DataFrame) -> DataFrame:
-    """Per-symbol maximum drawdown: min over t of price_t / runmax_t − 1.
+    """Per-symbol maximum drawdown magnitude: max over t of
+    1 − price_t / runmax_t (0.0 where the running max is 0 — sf0.1 has
+    price=0 rows; the guard keeps both engines off divide-by-zero).
 
-    The running max is an incremental growing frame; guard against a
-    zero running max (sf0.1 has price=0 rows) — division stays NULL on
-    both engines only if made explicit.
+    The running max is an incremental growing frame: one window pass +
+    one hash aggregate.
     """
     runmax = F.max("price").over(
         _w().rowsBetween(Window.unboundedPreceding, 0)
     )
-    dd = F.when(runmax > 0, F.col("price") / runmax - 1.0)
+    dd = F.when(runmax > 0, 1 - F.col("price") / runmax).otherwise(F.lit(0.0))
     return (
         trades.withColumn("dd", dd)
         .groupBy("symbol")
-        .agg(F.round(F.min("dd"), 6).alias("max_drawdown"))
+        .agg(F.round(F.max("dd"), 6).alias("max_drawdown"))
     )
 
 
