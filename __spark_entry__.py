@@ -3157,6 +3157,35 @@ def rolling_median_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into. One window pass per indicator, (time, trade_id) determinism.
 # --------------------------------------------------------------------------
 @q(
+    "macd",
+    oracle(
+        """
+SELECT symbol, trade_id,
+       ROUND(
+         list_reduce(
+           list(price) OVER w, (acc, x) -> 0.15 * x + 0.85 * acc)
+         - list_reduce(
+           list(price) OVER w, (acc, x) -> 0.075 * x + 0.925 * acc),
+         6) AS macd
+FROM trades
+WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line = EMA(α=.15) − EMA(α=.075), both exact recurrences in
+    ONE applyInPandas pass; bit-identical to the DuckDB double fold
+    (1−α literals verified exact: 1.0−0.15 == 0.85, 1.0−0.075 == 0.925
+    as doubles)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    return IX.macd(_trades(spark, sf_dir), alpha_fast=0.15, alpha_slow=0.075)
+
+
+@q(
     "rsi_14",
     oracle(
         """

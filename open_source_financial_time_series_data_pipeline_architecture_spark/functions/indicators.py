@@ -143,3 +143,44 @@ def pairwise_minute_correlation(trades: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_buckets"),
         )
     )
+
+
+def macd(
+    trades: DataFrame,
+    alpha_fast: float = 0.15,
+    alpha_slow: float = 0.075,
+) -> DataFrame:
+    """MACD line: EMA_fast(price) − EMA_slow(price), both the exact
+    recurrence y = α·x + (1−α)·y seeded with the first price (same
+    kernel contract as `functions.features.ewm`, bit-identical to a
+    DuckDB list_reduce fold).
+
+    BOTH recurrences run in ONE applyInPandas pass — one shuffle on
+    symbol total, not one per EMA plus a join. Sequential only within a
+    symbol; symbols parallelize.
+    """
+    import pandas as pd
+
+    bf, bs = 1.0 - alpha_fast, 1.0 - alpha_slow
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "trade_id"]).reset_index(drop=True)
+        fast = slow = None
+        out = []
+        for x in pdf["price"].to_numpy():
+            x = float(x)
+            fast = x if fast is None else alpha_fast * x + bf * fast
+            slow = x if slow is None else alpha_slow * x + bs * slow
+            out.append(fast - slow)
+        # raw values out; rounding happens with F.round downstream (the
+        # repo's Spark-round ≡ DuckDB-ROUND convention — Python round()
+        # is half-even and would diverge)
+        pdf["macd"] = out
+        return pdf[["symbol", "trade_id", "macd"]]
+
+    rows = (
+        trades.select("time", "symbol", "trade_id", "price")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema="symbol string, trade_id string, macd double")
+    )
+    return rows.select("symbol", "trade_id", F.round("macd", 6).alias("macd"))

@@ -86,38 +86,63 @@ def ngram_jaccard_pairs(
     jaccard ≥ threshold. With ``max_doc_freq`` unset this is the exact
     ground truth the approximate strategies are validated against.
 
-    ``max_doc_freq``: the scale guard. Candidate generation joins on raw
-    shingle, so one stop-phrase shingle shared by half the corpus yields
-    a quadratic candidate blowup. Shingles with document frequency >
-    max_doc_freq are dropped from the UNIVERSE (intersection AND sizes —
-    Jaccard is then exact over the capped shingle set); such shingles
-    cannot discriminate near-dups anyway. The hot set is tiny by
-    definition of "hot", so it broadcasts into a left-anti join and the
-    per-shingle posting-list size — hence the worst-case candidate
-    fan-out per shingle — is bounded by max_doc_freq².
+    ``max_doc_freq``: the scale guard. Candidate generation pivots on
+    shingles, so one stop-phrase shingle shared by half the corpus
+    yields a quadratic candidate blowup. Shingles with document
+    frequency > max_doc_freq are dropped from the UNIVERSE
+    (intersection AND sizes — Jaccard is then exact over the capped
+    shingle set); such shingles cannot discriminate near-dups anyway.
+
+    Physical strategy when capped: ONE aggregation builds the sorted
+    posting list per shingle, the DF filter is a predicate on the same
+    aggregate (free), and candidate pairs are expanded IN-ROW from each
+    posting list (≤ C(max_doc_freq, 2) structs per shingle) — no
+    shingle self-join shuffle at all; the only remaining wide ops are
+    the posting-list groupBy and the (id_a, id_b) count. Uncapped, the
+    exact ground-truth baseline keeps the classic self-join (an
+    unbounded posting list must not be materialized into one row).
     """
     sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
     if max_doc_freq is not None:
-        hot = (
+        posting = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .filter(F.size("ids") <= max_doc_freq)
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # Self-join strategy: at corpus scale the shingle posting lists are
-    # the big side and MUST shuffle (sort-merge on shingle); when one
-    # side fits in memory Catalyst/AQE picks broadcast automatically.
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        # sizes over the capped universe: explode the kept posting lists
+        sizes = (
+            posting.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+        # in-row i<j pair expansion over the sorted ids (id_a < id_b holds
+        # by construction); ids is a projected column, so the lambda does
+        # not re-evaluate upstream expressions (CLAUDE.md)
+        pair_expr = F.expr(
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS id_a, b AS id_b))))"
+        )
+        common = (
+            posting.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        sh = sh.cache()
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        # Self-join strategy: at corpus scale the shingle posting lists
+        # are the big side and MUST shuffle (sort-merge on shingle); when
+        # one side fits in memory Catalyst/AQE picks broadcast.
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
     jac = (

@@ -85,3 +85,93 @@ def append_dlq(dlq_df: DataFrame, target_dir: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def merge_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    target_dir: str,
+    keys: list[str] | None = None,
+    when_matched: str = "update",
+    partition_col: str | None = "trade_date",
+) -> dict[str, int]:
+    """Full MERGE INTO semantics on a parquet table without a
+    transaction log — the Delta-less analog of
+    reference spark/batch_feature_calculation.py:61-65:
+
+      MERGE INTO target USING source ON keys
+        WHEN MATCHED THEN UPDATE SET *   (when_matched='update')
+        WHEN MATCHED THEN DELETE         (when_matched='delete')
+        WHEN MATCHED THEN <nothing>      (when_matched='ignore')
+        WHEN NOT MATCHED THEN INSERT *
+
+    Scale strategy: only partitions PRESENT IN THE SOURCE batch are
+    rewritten — the target is filtered to the affected partition values
+    (partition pruning serves this from the dir listing), survivors are
+    anti-joined against the source keys, and the union is written back
+    with DYNAMIC partition overwrite, so a 10-row merge into a 100 TB
+    table rewrites one day's partition, not the table. The affected
+    partition-value collect is bounded by the source batch's distinct
+    days. Caveat (documented): if a merge deletes a partition's LAST
+    row, dynamic overwrite leaves the now-stale partition in place —
+    a tombstone write or manifest is needed for that edge, which is
+    exactly the bookkeeping a Delta log automates.
+
+    Returns {"inserted": n, "updated"|"deleted": m}.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched: {when_matched!r}")
+    keys = keys or DEFAULT_KEYS
+    source = source.dropDuplicates(keys)
+    if partition_col and partition_col not in source.columns:
+        source = source.withColumn(partition_col, F.to_date("time"))
+
+    empty_target = not (
+        os.path.isdir(target_dir)
+        and any(not f.startswith("_") for f in os.listdir(target_dir))
+    )
+    if empty_target:
+        n = source.count()
+        writer = source.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_dir)
+        return {"inserted": n, "updated": 0, "deleted": 0}
+
+    target = spark.read.parquet(target_dir)
+    if partition_col:
+        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        affected = target.filter(F.col(partition_col).isin(parts))
+    else:
+        affected = target
+    src_keys = source.select(*keys)
+    n_matched = affected.join(src_keys, keys, "left_semi").count()
+    survivors = affected.join(src_keys, keys, "left_anti")
+    if when_matched == "update":
+        merged = survivors.unionByName(source.select(*affected.columns))
+        counts = {"inserted": source.count() - n_matched, "updated": n_matched, "deleted": 0}
+    elif when_matched == "delete":
+        unmatched_src = source.join(
+            affected.select(*keys), keys, "left_anti"
+        )
+        merged = survivors.unionByName(unmatched_src.select(*affected.columns))
+        counts = {"inserted": source.count() - n_matched, "updated": 0, "deleted": n_matched}
+    else:  # ignore — first-write-wins upsert
+        unmatched_src = source.join(
+            affected.select(*keys), keys, "left_anti"
+        )
+        merged = affected.unionByName(unmatched_src.select(*affected.columns))
+        counts = {"inserted": source.count() - n_matched, "updated": 0, "deleted": 0}
+
+    # the merged plan READS target_dir and the write OVERWRITES it —
+    # materialize (cut lineage) first or Spark rejects the self-overwrite.
+    # The checkpoint's working set is the affected partitions only, i.e.
+    # exactly the rewrite granularity.
+    merged = merged.localCheckpoint()
+    writer = merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_dir)
+    return counts

@@ -1,0 +1,105 @@
+"""MERGE INTO semantics on parquet (sources.sinks.merge_parquet):
+update / delete / ignore matched-branches, insert-unmatched, and the
+partition-scoped rewrite property (untouched partitions' files are not
+rewritten — the 100 TB requirement)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+    merge_parquet,
+)
+
+KEYS = ["symbol", "trade_id"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, trade_id string, px double, trade_date date"
+    )
+
+
+def _seed(spark, path):
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    base = _mk(
+        spark,
+        [
+            ("A", "t1", 1.0, d1),
+            ("A", "t2", 2.0, d1),
+            ("B", "t3", 3.0, d2),
+        ],
+    )
+    merge_parquet(spark, base, path, keys=KEYS, partition_col="trade_date")
+    return d1, d2
+
+
+def _read(spark, path):
+    return {
+        (r.symbol, r.trade_id): r.px
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_merge_update_and_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, _ = _seed(spark, path)
+    src = _mk(spark, [("A", "t1", 10.0, d1), ("A", "t9", 9.0, d1)])
+    counts = merge_parquet(
+        spark, src, path, keys=KEYS, when_matched="update", partition_col="trade_date"
+    )
+    assert counts == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = _read(spark, path)
+    assert got[("A", "t1")] == 10.0  # updated
+    assert got[("A", "t9")] == 9.0  # inserted
+    assert got[("A", "t2")] == 2.0 and got[("B", "t3")] == 3.0  # untouched
+
+
+def test_merge_delete_branch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, _ = _seed(spark, path)
+    src = _mk(spark, [("A", "t2", 0.0, d1), ("A", "t9", 9.0, d1)])
+    counts = merge_parquet(
+        spark, src, path, keys=KEYS, when_matched="delete", partition_col="trade_date"
+    )
+    assert counts == {"inserted": 1, "updated": 0, "deleted": 1}
+    got = _read(spark, path)
+    assert ("A", "t2") not in got
+    assert got[("A", "t9")] == 9.0 and got[("A", "t1")] == 1.0
+
+
+def test_merge_ignore_is_first_write_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, _ = _seed(spark, path)
+    src = _mk(spark, [("A", "t1", 99.0, d1), ("A", "t9", 9.0, d1)])
+    counts = merge_parquet(
+        spark, src, path, keys=KEYS, when_matched="ignore", partition_col="trade_date"
+    )
+    assert counts == {"inserted": 1, "updated": 0, "deleted": 0}
+    got = _read(spark, path)
+    assert got[("A", "t1")] == 1.0  # original kept
+    assert got[("A", "t9")] == 9.0
+
+
+def test_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    d1, d2 = _seed(spark, path)
+    part2 = os.path.join(path, "trade_date=2024-01-02")
+    before = {
+        f: os.path.getmtime(os.path.join(part2, f))
+        for f in os.listdir(part2)
+        if f.endswith(".parquet")
+    }
+    src = _mk(spark, [("A", "t1", 10.0, d1)])  # touches d1 only
+    merge_parquet(
+        spark, src, path, keys=KEYS, when_matched="update", partition_col="trade_date"
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(part2, f))
+        for f in os.listdir(part2)
+        if f.endswith(".parquet")
+    }
+    assert before == after, "untouched partition was rewritten"
+    got = _read(spark, path)
+    assert got[("A", "t1")] == 10.0 and got[("B", "t3")] == 3.0
