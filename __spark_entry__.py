@@ -3360,6 +3360,63 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stratified_sample_docs",
+    """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+)
+SELECT doc_id, lang FROM tagged
+WHERE h < CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling for training-data curation:
+    rate per language (en ≈20%, others ≈50%) decided by comparing the
+    md5 hex prefix of the key — reproducible across engines, runs, and
+    partitionings, unlike `sampleBy` (seeded RNG, engine-specific).
+    Lexicographic comparison of equal-length lowercase hex IS the
+    numeric comparison, and md5 agrees byte-for-byte between Spark and
+    DuckDB, so this sampler is fully oracle-checkable (contrast
+    `hash_sample`, rows-only because xxhash64 has no DuckDB analog).
+    Pure projection + filter — no shuffle, pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thresh = F.when(F.col("lang") == "en", "33333333").otherwise("80000000")
+    return docs.select("doc_id", "lang").filter(h < thresh)
+
+
+@q(
+    "price_percent_ranks",
+    oracle(
+        """
+SELECT symbol, trade_id,
+       ROUND(percent_rank() OVER (PARTITION BY symbol ORDER BY price, trade_id), 6)
+           AS pct_rank,
+       CAST(ntile(10) OVER (PARTITION BY symbol ORDER BY price, trade_id) AS BIGINT)
+           AS decile
+FROM trades
+"""
+    ),
+)
+def price_percent_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank + ntile decile) per
+    symbol — the remaining ranking-function surface beyond row_number/
+    dense_rank; ties broken by trade_id per the determinism convention."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("price", "trade_id")
+    return t.select(
+        "symbol",
+        "trade_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming plane, batch-checkable (VERDICT r01 item 5): each query runs a
 # REAL Structured Streaming job (file source → stateful op → memory sink,

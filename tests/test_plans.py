@@ -259,3 +259,19 @@ def test_dedup_embedding_cosine_no_nested_loop(spark):
     plan = PL.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_capped_jaccard_no_shingle_self_join(spark):
+    # with the DF cap, candidates come from in-row posting-list expansion:
+    # the plan must contain NO join at all before the pair aggregation
+    # (sizes join is broadcast of a tiny aggregate, so allow broadcast
+    # joins but no sort-merge join on the shingle column)
+    df = em.QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_doc_chunking_zero_shuffles(spark):
+    # chunking is a projection + explode: no exchange anywhere
+    df = em.QUERIES["doc_chunking"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) == 0, PL.physical_plan(df)
