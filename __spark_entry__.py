@@ -3361,6 +3361,171 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ann_topk_int8",
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+amax AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS am
+  FROM base
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN am > 0
+              THEN list_transform(v, x -> CAST(ROUND(x * 127.0 / am) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qv
+  FROM amax
+),
+q AS (SELECT vec_id AS query_id, qv AS qqv FROM quant WHERE vec_id % 499 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CASE WHEN list_dot_product(CAST(e.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[])) = 0
+                OR list_dot_product(CAST(q.qqv AS DOUBLE[]), CAST(q.qqv AS DOUBLE[])) = 0
+              THEN 0.0
+              ELSE ROUND(list_cosine_similarity(
+                     CAST(e.qv AS DOUBLE[]), CAST(q.qqv AS DOUBLE[])), 6) END
+             AS cosine
+  FROM quant e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED corpus (symmetric per-vector
+    scalar quantization, `similarity.scalar_quantize`): cosine over
+    dequantized vectors equals cosine over the raw int vectors (scales
+    cancel), so the int arrays feed the same Arrow-batched matmul kNN.
+    The memory story is the point — int8 is 8× smaller than float64 at
+    100 TB; recall vs the float baseline is pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = SIM.scalar_quantize(emb).select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
+    )
+    queries_df = quant.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.knn_join_vectorized(queries_df, quant, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "volume_profile_dow_hour",
+    oracle(
+        """
+SELECT symbol,
+       CAST(dayofweek(time) AS BIGINT) AS dow,
+       CAST(hour(time) AS BIGINT) AS hod,
+       ROUND(sum(volume), 6) AS total_volume,
+       ROUND(avg(volume), 6) AS avg_volume,
+       count(*) AS n_trades
+FROM trades
+GROUP BY 1, 2, 3
+"""
+    ),
+)
+def volume_profile_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar liquidity profile: volume by (symbol, day-of-week,
+    hour-of-day) — the classic intraday/weekly seasonality surface
+    (datetime-function coverage: dayofweek/hour). One hash aggregate.
+    DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7, so the
+    Spark side uses dayofweek−1 to align."""
+    t = _trades(spark, sf_dir)
+    return t.groupBy(
+        "symbol",
+        (F.dayofweek("time") - 1).cast("long").alias("dow"),
+        F.hour("time").cast("long").alias("hod"),
+    ).agg(
+        F.round(F.sum("volume"), 6).alias("total_volume"),
+        F.round(F.avg("volume"), 6).alias("avg_volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+@q(
+    "session_conversion",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+),
+flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+),
+sessions AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_no
+  FROM flags
+),
+per_session AS (
+  SELECT user_id, session_no,
+         count(*) AS n_events,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+  FROM sessions GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       count(CASE WHEN n_purchases > 0 THEN 1 END) AS n_converting,
+       ROUND(count(CASE WHEN n_purchases > 0 THEN 1 END) * 1.0 / count(*), 6)
+           AS conversion_rate,
+       ROUND(avg(n_events), 6) AS avg_session_events
+FROM per_session
+""",
+)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: gap-sessionize (30-min rule, same as
+    user_sessionization), then the share of sessions containing a
+    purchase — the composed shape of the two event-analytics primitives
+    in one DAG (one user_id shuffle + one global aggregate)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ob = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*ob)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("new_session", new_sess).withColumn(
+        "session_no", F.sum("new_session").over(wsum)
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_purchases") > 0, 1)).alias("n_converting"),
+        F.round(
+            F.count(F.when(F.col("n_purchases") > 0, 1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conversion_rate"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+    )
+
+
+@q(
     "stratified_sample_docs",
     """
 WITH tagged AS (
@@ -3546,6 +3711,43 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bridge.run_available_now(sessions, output_mode="complete")
     return out
+
+
+@q(
+    "streaming_imbalance_5m",
+    oracle(
+        """
+SELECT
+  to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+  symbol,
+  ROUND(sum(CASE WHEN side = 'buy' THEN volume ELSE 0.0 END), 6) AS buy_volume,
+  ROUND(sum(CASE WHEN side = 'sell' THEN volume ELSE 0.0 END), 6) AS sell_volume,
+  ROUND((sum(CASE WHEN side = 'buy' THEN volume ELSE 0.0 END)
+       - sum(CASE WHEN side = 'sell' THEN volume ELSE 0.0 END))
+      / nullif(sum(CASE WHEN side = 'buy' THEN volume ELSE 0.0 END)
+             + sum(CASE WHEN side = 'sell' THEN volume ELSE 0.0 END), 0.0), 6)
+      AS trade_imbalance
+FROM trades
+WHERE side IS NOT NULL
+GROUP BY 1, 2
+"""
+    ),
+)
+def streaming_imbalance_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 as a STREAM: watermarked conditional aggregation (buy/sell
+    split inside one agg) over the streaming file source, drained with
+    availableNow in complete mode — same oracle as the batch
+    trade_imbalance_5m query, graded against the streaming engine's own
+    sink output."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        jobs as SJ,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    imb = SJ.streaming_imbalance(trades_from_events(ev), bucket="5 minutes")
+    out = bridge.run_available_now(imb, output_mode="complete")
+    return _r6(out, "buy_volume", "sell_volume", "trade_imbalance")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -258,3 +258,50 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     ).count()
     assert uncapped_cand > 800  # ~C(42,2) from the hot shingles
     assert capped_cand <= 1
+
+
+def test_int8_quantized_ann_recall(spark):
+    # int8 scalar quantization must preserve neighborhood structure:
+    # recall@5 vs the float brute-force baseline >= 0.8 on this corpus
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    quant = SIM.scalar_quantize(emb).select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_queries = quant.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.knn_join_vectorized(queries, emb, k=5).collect()
+    approx = SIM.knn_join_vectorized(q_queries, quant, k=5).collect()
+    by_q_exact: dict[int, set] = {}
+    by_q_approx: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, want in by_q_exact.items():
+        got = by_q_approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.8, (hits, total)
+
+
+def test_scalar_quantize_range_and_zero_vector(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = SIM.scalar_quantize(emb)
+    row = q.selectExpr(
+        "max(array_max(qvec)) AS mx",
+        "min(array_min(qvec)) AS mn",
+    ).collect()[0]
+    assert row["mx"] <= 127 and row["mn"] >= -127
+    # synthetic zero vector quantizes to zeros with scale 0
+    import pyspark.sql.functions as SF
+
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    zq = SIM.scalar_quantize(zdf).collect()[0]
+    assert list(zq["qvec"]) == [0, 0, 0, 0] and zq["scale"] == 0.0
