@@ -3186,6 +3186,50 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "macd_signal",
+    oracle(
+        """
+m AS (
+  SELECT symbol, trade_id, time,
+         list_reduce(list(price) OVER w, (acc, x) -> 0.15 * x + 0.85 * acc)
+         - list_reduce(list(price) OVER w, (acc, x) -> 0.075 * x + 0.925 * acc)
+             AS macd
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT symbol, trade_id, macd,
+         list_reduce(list(macd) OVER w2, (acc, x) -> 0.25 * x + 0.75 * acc)
+             AS signal
+  FROM m
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY time, trade_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_id, ROUND(macd, 6) AS macd, ROUND(signal, 6) AS signal,
+       ROUND(macd - signal, 6) AS histogram
+FROM s
+"""
+    ),
+)
+def macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MACD triple (line / signal / histogram): the signal is a
+    recurrence OVER a recurrence (EMA of the raw macd series) — still
+    one applyInPandas pass; the oracle nests a second fold over the
+    windowed macd values. All 1−α literals are exact doubles."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    return IX.macd(
+        _trades(spark, sf_dir),
+        alpha_fast=0.15,
+        alpha_slow=0.075,
+        alpha_signal=0.25,
+    )
+
+
+@q(
     "rsi_14",
     oracle(
         """

@@ -149,38 +149,68 @@ def macd(
     trades: DataFrame,
     alpha_fast: float = 0.15,
     alpha_slow: float = 0.075,
+    alpha_signal: float | None = None,
 ) -> DataFrame:
     """MACD line: EMA_fast(price) − EMA_slow(price), both the exact
     recurrence y = α·x + (1−α)·y seeded with the first price (same
     kernel contract as `functions.features.ewm`, bit-identical to a
     DuckDB list_reduce fold).
 
-    BOTH recurrences run in ONE applyInPandas pass — one shuffle on
-    symbol total, not one per EMA plus a join. Sequential only within a
-    symbol; symbols parallelize.
+    With ``alpha_signal`` set, the signal line (EMA of the raw macd
+    series, seeded with the first macd value) and histogram
+    (macd − signal) are emitted too — a recurrence OVER a recurrence,
+    still ONE applyInPandas pass and one symbol shuffle total.
+    Sequential only within a symbol; symbols parallelize.
     """
     import pandas as pd
 
     bf, bs = 1.0 - alpha_fast, 1.0 - alpha_slow
+    asig = alpha_signal
+    bsig = None if asig is None else 1.0 - asig
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["time", "trade_id"]).reset_index(drop=True)
-        fast = slow = None
-        out = []
+        fast = slow = sig = None
+        out, sig_out = [], []
         for x in pdf["price"].to_numpy():
             x = float(x)
             fast = x if fast is None else alpha_fast * x + bf * fast
             slow = x if slow is None else alpha_slow * x + bs * slow
-            out.append(fast - slow)
+            m = fast - slow
+            out.append(m)
+            if asig is not None:
+                sig = m if sig is None else asig * m + bsig * sig
+                sig_out.append(sig)
         # raw values out; rounding happens with F.round downstream (the
         # repo's Spark-round ≡ DuckDB-ROUND convention — Python round()
         # is half-even and would diverge)
         pdf["macd"] = out
+        if asig is not None:
+            pdf["signal"] = sig_out
+            return pdf[["symbol", "trade_id", "macd", "signal"]]
         return pdf[["symbol", "trade_id", "macd"]]
 
+    if asig is None:
+        rows = (
+            trades.select("time", "symbol", "trade_id", "price")
+            .groupBy("symbol")
+            .applyInPandas(
+                compute, schema="symbol string, trade_id string, macd double"
+            )
+        )
+        return rows.select("symbol", "trade_id", F.round("macd", 6).alias("macd"))
     rows = (
         trades.select("time", "symbol", "trade_id", "price")
         .groupBy("symbol")
-        .applyInPandas(compute, schema="symbol string, trade_id string, macd double")
+        .applyInPandas(
+            compute,
+            schema="symbol string, trade_id string, macd double, signal double",
+        )
     )
-    return rows.select("symbol", "trade_id", F.round("macd", 6).alias("macd"))
+    return rows.select(
+        "symbol",
+        "trade_id",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
+    )

@@ -103,3 +103,49 @@ def test_merge_rewrites_only_affected_partitions(spark, tmp_path):
     assert before == after, "untouched partition was rewritten"
     got = _read(spark, path)
     assert got[("A", "t1")] == 10.0 and got[("B", "t3")] == 3.0
+
+
+def test_merge_random_sequences_match_dict_model(spark, tmp_path):
+    # model-based: any sequence of merges must leave the table equal to a
+    # dict driven by the same rules (deterministic "random" via hash)
+    import itertools
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    key_space = [("A", f"t{i}") for i in range(6)] + [("B", f"t{i}") for i in range(4)]
+    modes = ["update", "delete", "ignore"]
+    counter = itertools.count(1)
+
+    for seq in range(3):
+        path = str(tmp_path / f"m{seq}")
+        model: dict[tuple, float] = {}
+        for step in range(4):
+            mode = modes[(seq * 7 + step * 5) % 3]
+            batch_keys = [
+                key_space[(seq * 5 + step * 2 + j) % len(key_space)]
+                for j in range(3)
+            ]
+            batch_keys = list(dict.fromkeys(batch_keys))  # dedup, keep order
+            rows = [
+                (s, t, float(next(counter)), d1 if s == "A" else d2)
+                for (s, t) in batch_keys
+            ]
+            merge_parquet(
+                spark,
+                _mk(spark, rows),
+                path,
+                keys=KEYS,
+                when_matched=mode,
+                partition_col="trade_date",
+            )
+            first_write = step == 0
+            for s, t, px, _ in rows:
+                k = (s, t)
+                if first_write or k not in model:
+                    model[k] = px
+                elif mode == "update":
+                    model[k] = px
+                elif mode == "delete":
+                    del model[k]
+                # ignore: keep existing
+        got = _read(spark, path)
+        assert got == model, (seq, got, model)

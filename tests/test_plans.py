@@ -275,3 +275,24 @@ def test_doc_chunking_zero_shuffles(spark):
     # chunking is a projection + explode: no exchange anywhere
     df = em.QUERIES["doc_chunking"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) == 0, PL.physical_plan(df)
+
+
+def test_indicator_queries_single_shuffle(spark):
+    # every per-symbol indicator is ONE window/agg pass over the symbol
+    # partition — a second exchange means a plan regressed
+    for name in (
+        "rsi_14",
+        "bollinger_bands_20",
+        "obv",
+        "macd_signal",
+        "price_percent_ranks",
+        "volume_profile_dow_hour",
+        "decimal_price_stats",
+    ):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        assert PL.shuffle_count(df) == 1, (name, PL.physical_plan(df))
+
+
+def test_stratified_sample_no_shuffle(spark):
+    df = em.QUERIES["stratified_sample_docs"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) == 0, PL.physical_plan(df)
