@@ -3570,6 +3570,112 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "unigram_logprob_score",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+),
+freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY 1),
+total AS (SELECT count(*) AS total FROM words)
+SELECT w.doc_id,
+       ROUND(avg(ln(f.cnt * 1.0 / t.total)), 6) AS logprob_score,
+       count(*) AS n_words
+FROM words w JOIN freq f USING (word), total t
+GROUP BY w.doc_id
+""",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: mean ln p(word) under the corpus's own
+    unigram distribution — the classifier-free fluency filter of a
+    training-data pipeline. Frequency table is O(|vocab|), broadcast;
+    one explode + two hash aggregates."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "benchmark_contamination",
+    """
+WITH bench_words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM bench_words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cand_words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+  FROM documents WHERE doc_id % 97 <> 0
+),
+cand_sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM cand_words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+overlap AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM cand_sh c JOIN bench_sh b USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(o.n_overlap, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN overlap o ON d.doc_id = o.doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination decision table: distinct-trigram overlap of every
+    candidate document against the benchmark partition (doc_id % 97 = 0
+    plays the eval suite). Benchmark shingles broadcast into the
+    candidate shingle stream; zero-overlap docs kept via left join."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cands = docs.filter(F.col("doc_id") % 97 != 0)
+    return CX.benchmark_contamination(cands, bench, n=3)
+
+
+@q(
+    "doc_repetition_ratio",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, sum(c) AS n_grams,
+       ROUND(max(c) * 1.0 / sum(c), 6) AS rep_ratio
+FROM per_gram GROUP BY doc_id
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam detector: share of a document's trigrams taken
+    by its single most frequent trigram (non-distinct n-grams — the
+    counting variant of the dedup shingle shape)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.repetition_ratio(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@q(
     "stratified_sample_docs",
     """
 WITH tagged AS (
