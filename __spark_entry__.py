@@ -3676,6 +3676,52 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "salted_symbol_totals",
+    oracle(
+        """
+SELECT symbol,
+       ROUND(sum(volume), 6) AS sum_volume,
+       count(*) AS n_rows,
+       ROUND(max(price), 6) AS max_price,
+       ROUND(min(price), 6) AS min_price
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def salted_symbol_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation path driver-proven: two-phase salted aggregation
+    (operators/skew.py — hot grouping keys spread over 16 (key, salt)
+    partials before the final per-key merge) must be output-identical
+    to the plain GROUP BY the oracle computes. Salt is deterministic
+    (xxhash64 of trade_id), so replays repartition identically. The
+    aggregates chosen are order-independent (integer-valued volume
+    sums, counts, max/min), so the equality is exact, not approximate."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        skew as SK,
+    )
+
+    t = _trades(spark, sf_dir)
+    out = SK.salted_aggregate(
+        t,
+        keys=["symbol"],
+        sums=["volume"],
+        counts=True,
+        maxs=["price"],
+        mins=["price"],
+        n_salts=16,
+        salt_on="trade_id",
+    )
+    return out.select(
+        "symbol",
+        F.round("sum_volume", 6).alias("sum_volume"),
+        "n_rows",
+        F.round("max_price", 6).alias("max_price"),
+        F.round("min_price", 6).alias("min_price"),
+    )
+
+
+@q(
     "stratified_sample_docs",
     """
 WITH tagged AS (

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "user_sessionization",
     # streaming plane (real availableNow streaming jobs)
     "streaming_ohlc_1m",
+    # corpus-statistics plane
+    "unigram_logprob_score",
+    "benchmark_contamination",
+    "macd_signal",
 ]
 
 
