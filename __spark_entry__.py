@@ -3946,6 +3946,55 @@ def streaming_imbalance_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, "buy_volume", "sell_volume", "trade_imbalance")
 
 
+@q(
+    "streaming_cep_large_trades",
+    oracle(
+        """
+lt AS (
+  SELECT symbol, time, volume FROM trades WHERE volume > 50.0
+),
+w AS (
+  SELECT symbol, time AS anomaly_time,
+         CAST(count(*) OVER win AS BIGINT) AS n_large_trades,
+         ROUND(sum(volume) OVER win, 6) AS total_volume
+  FROM lt
+  WINDOW win AS (PARTITION BY symbol ORDER BY time
+                 RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, anomaly_time, n_large_trades, total_volume
+FROM w WHERE n_large_trades >= 3
+"""
+    ),
+)
+def streaming_cep_large_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 driver-graded: the STATEFUL CEP operator itself
+    (applyInPandasWithState, pruned per-symbol buffer crossing
+    micro-batches) runs as a real availableNow stream; an anomaly fires
+    for every large trade (volume > 50) that brings the trailing-600 s
+    per-symbol large-trade count to ≥ 3. The oracle re-derives exactly
+    that with a RANGE window over the filtered stream — valid because
+    (symbol, time) pairs are unique in this data (no same-timestamp
+    ambiguity between the row-at-a-time buffer and the RANGE frame).
+    The buffer's trade_ids array is projected away (scalar-only driver
+    contract)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        cep as CEP,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    alerts = CEP.large_trade_cep(
+        trades_from_events(ev), threshold=50.0, window_sec=600.0, min_count=3
+    )
+    out = bridge.run_available_now(alerts, output_mode="append")
+    return out.select(
+        "symbol",
+        "anomaly_time",
+        F.col("n_large_trades").cast("long").alias("n_large_trades"),
+        F.round("total_volume", 6).alias("total_volume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
