@@ -3995,6 +3995,59 @@ def streaming_cep_large_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_spread_ema_alerts",
+    oracle(
+        """
+sp AS (
+  SELECT symbol, time, ask - bid AS spread
+  FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+),
+r AS (
+  SELECT symbol, time, spread,
+         row_number() OVER (PARTITION BY symbol ORDER BY time) AS rn,
+         list(spread) OVER (PARTITION BY symbol ORDER BY time
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prior
+  FROM sp
+),
+e AS (
+  SELECT symbol, time AS alert_time, spread,
+         list_reduce(prior, (acc, x) -> 0.1 * x + 0.9 * acc) AS ema_prev
+  FROM r WHERE rn > 1
+)
+SELECT symbol, alert_time, ROUND(spread, 6) AS spread,
+       ROUND(ema_prev, 6) AS ema_spread
+FROM e
+WHERE ema_prev > 0 AND spread > 1.5 * ema_prev
+"""
+    ),
+)
+def streaming_spread_ema_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/W5 driver-graded: the keyed-EMA spread monitor
+    (applyInPandasWithState — EMA state crosses micro-batches) as a
+    real availableNow stream. An alert fires when a spread exceeds
+    1.5× the EMA of all PRIOR spreads (the EMA updates after the check);
+    the oracle re-derives that with a fold over the prefix window
+    ending one row back. α literals exact (1.0 − 0.1 == 0.9)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        cep as CEP,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    alerts = CEP.spread_ema_monitor(
+        trades_from_events(ev), alpha=0.1, mult=1.5
+    )
+    out = bridge.run_available_now(alerts, output_mode="append")
+    return out.select(
+        "symbol",
+        "alert_time",
+        F.round("spread", 6).alias("spread"),
+        F.round("ema_spread", 6).alias("ema_spread"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
