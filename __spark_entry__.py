@@ -3676,6 +3676,106 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "late_shipment_orders",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS): orders with at least one
+    lineitem shipped >60 days after the order date, counted by
+    priority. The EXISTS becomes a LEFT SEMI join whose condition mixes
+    the equi key with the correlated range predicate — Catalyst keeps
+    the equi part as the join key and evaluates the range as a join
+    filter, so the plan is a plain shuffled semi-join, no cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate.cast("date"), 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "supplier_part_counts",
+    """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN subquery + distinct-count rollup):
+    distinct suppliers per (brand, size) over shipped lineitems,
+    excluding one brand and all negative-balance suppliers. The NOT IN
+    is an anti-join against the (tiny, broadcast) excluded-supplier
+    set — never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(part.filter(F.col("p_brand") != "Brand#1"), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "excess_stock_suppliers",
+    """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'ECONOMY'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 2400
+)
+""",
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (IN over a grouped-HAVING subquery): suppliers
+    who moved >2400 units of ECONOMY parts. The subquery is an
+    aggregate-then-semi-join — the part filter broadcasts into the
+    lineitem scan, the HAVING runs as a post-aggregate filter, and the
+    supplier table is probed with a semi-join on the surviving keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 2400)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return supp.join(heavy, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@q(
     "salted_symbol_totals",
     oracle(
         """
