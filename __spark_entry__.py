@@ -4148,6 +4148,56 @@ def streaming_spread_ema_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_trade_quote_join",
+    oracle(
+        """
+q AS (
+  SELECT symbol, time, bid, ask FROM trades
+  WHERE bid IS NOT NULL AND ask IS NOT NULL
+)
+SELECT t.time, t.symbol, t.trade_id, ROUND(t.price, 6) AS price,
+       q.time AS qtime, ROUND(q.bid, 6) AS bid, ROUND(q.ask, 6) AS ask,
+       ROUND(q.ask - q.bid, 6) AS quote_spread
+FROM trades t JOIN q ON t.symbol = q.symbol
+ AND q.time <= t.time
+ AND q.time >= t.time - INTERVAL 30 SECONDS
+"""
+    ),
+)
+def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join, driver-graded: two independent file
+    streams over the same events (the trade stream, and a quote stream
+    of the rows carrying bid/ask) joined on symbol with quote time
+    bounded to [trade.time − 30 s, trade.time] — the bound is what lets
+    Spark evict both sides' state at the watermark. With availableNow
+    the single batch holds all data, so the streamed result equals the
+    batch interval join the oracle computes."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        jobs as SJ,
+    )
+
+    t_stream = trades_from_events(bridge.load_events_stream(spark, sf_dir))
+    quotes = (
+        trades_from_events(bridge.load_events_stream(spark, sf_dir))
+        .filter(F.col("bid").isNotNull() & F.col("ask").isNotNull())
+        .select(F.col("time").alias("qtime"), "symbol", "bid", "ask")
+    )
+    joined = SJ.streaming_trade_quote_join(t_stream, quotes, lag_seconds=30)
+    out = bridge.run_available_now(joined, output_mode="append")
+    return out.select(
+        "time",
+        "symbol",
+        "trade_id",
+        F.round("price", 6).alias("price"),
+        "qtime",
+        F.round("bid", 6).alias("bid"),
+        F.round("ask", 6).alias("ask"),
+        F.round("quote_spread", 6).alias("quote_spread"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
