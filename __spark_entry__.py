@@ -4198,6 +4198,80 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Sequence packing for LLM pre-training batches (training-data plane;
+# reference has no analog — the corpus-prep operators SURVEY §2 scopes in)
+# --------------------------------------------------------------------------
+@q(
+    "sequence_packing",
+    """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS token_offset
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, token_offset,
+       token_offset // 512 AS seq_start,
+       (token_offset + n_tokens - 1) // 512 AS seq_end,
+       (token_offset // 512) <> ((token_offset + n_tokens - 1) // 512)
+           AS crosses_boundary
+FROM cum
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked (concat-and-split) packing: each document's placement in
+    fixed 512-token training sequences, computed as one window cumsum
+    per corpus shard — no UDF, single shuffle on the shard column."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        packing as PK,
+    )
+
+    return PK.chunked_packing(
+        load_table(spark, sf_dir, "documents"), seq_len=512
+    )
+
+
+@q(
+    "greedy_packing",
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), fold AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN f.bin_fill + t.n_tokens > 512
+              THEN f.bin_id + 1 ELSE f.bin_id END,
+         CASE WHEN f.bin_fill + t.n_tokens > 512
+              THEN t.n_tokens ELSE f.bin_fill + t.n_tokens END
+  FROM fold f JOIN toks t ON t.source = f.source AND t.rn = f.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id, bin_fill FROM fold
+""",
+)
+def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing (documents never straddle a boundary): the
+    per-shard sequential fold runs as one Arrow-batched applyInPandas
+    per shard; the DuckDB oracle recomputes it as a recursive CTE."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        packing as PK,
+    )
+
+    return PK.greedy_packing(
+        load_table(spark, sf_dir, "documents"), budget=512
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
