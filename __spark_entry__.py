@@ -4272,6 +4272,100 @@ def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# PII / secret pattern scanning + redaction (governance plane, V1–V3
+# neighbors; training-data pipelines scrub corpora before training)
+# --------------------------------------------------------------------------
+@q(
+    "pii_scan",
+    """
+SELECT 'documents.text' AS src, 'digit_run' AS pattern,
+       CAST(count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS BIGINT) AS rows_matched,
+       CAST(coalesce(sum(len(regexp_extract_all(text, '[0-9]{4,}'))), 0) AS BIGINT) AS total_matches
+FROM documents
+UNION ALL
+SELECT 'documents.text', 'email',
+       CAST(count(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'documents.text', 'id_token',
+       CAST(count(CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+#[0-9]+')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(text, '[A-Za-z]+#[0-9]+'))), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'customer.c_name', 'digit_run',
+       CAST(count(CASE WHEN len(regexp_extract_all(c_name, '[0-9]{4,}')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(c_name, '[0-9]{4,}'))), 0) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'customer.c_name', 'email',
+       CAST(count(CASE WHEN len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))), 0) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'customer.c_name', 'id_token',
+       CAST(count(CASE WHEN len(regexp_extract_all(c_name, '[A-Za-z]+#[0-9]+')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(c_name, '[A-Za-z]+#[0-9]+'))), 0) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events.props', 'digit_run',
+       CAST(count(CASE WHEN len(regexp_extract_all(props, '[0-9]{4,}')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(props, '[0-9]{4,}'))), 0) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events.props', 'email',
+       CAST(count(CASE WHEN len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))), 0) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events.props', 'id_token',
+       CAST(count(CASE WHEN len(regexp_extract_all(props, '[A-Za-z]+#[0-9]+')) > 0 THEN 1 END) AS BIGINT),
+       CAST(coalesce(sum(len(regexp_extract_all(props, '[A-Za-z]+#[0-9]+'))), 0) AS BIGINT)
+FROM events
+""",
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII/secret scan: one aggregated pass per table evaluating
+    every pattern simultaneously (regexp_count, JVM-side); union of the
+    tiny per-table aggregates in long format."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        governance as GV,
+    )
+
+    return GV.pii_scan(
+        [
+            ("documents.text", load_table(spark, sf_dir, "documents"), "text"),
+            ("customer.c_name", load_table(spark, sf_dir, "customer"), "c_name"),
+            ("events.props", load_table(spark, sf_dir, "events"), "props"),
+        ]
+    )
+
+
+@q(
+    "pii_redact_names",
+    """
+SELECT c_custkey,
+       nullif(regexp_extract(c_name, '([0-9]{4,})', 1), '') AS digit_run,
+       CASE WHEN regexp_extract(c_name, '([0-9]{4,})', 1) = '' THEN NULL
+            ELSE repeat('*', greatest(length(regexp_extract(c_name, '([0-9]{4,})', 1)) - 4, 0))
+                 || right(regexp_extract(c_name, '([0-9]{4,})', 1), 4)
+       END AS masked_run
+FROM customer
+""",
+)
+def pii_redact_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction primitive: keep-last-4 masking of long digit runs in
+    customer names — pure built-in expressions, no UDF."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        governance as GV,
+    )
+
+    return GV.redact_digit_runs(
+        load_table(spark, sf_dir, "customer"), "c_name"
+    ).select("c_custkey", "digit_run", "masked_run")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

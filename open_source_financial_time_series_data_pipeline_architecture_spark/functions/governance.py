@@ -97,3 +97,84 @@ def decrypt_column(
         col,
         F.aes_decrypt(F.col(col), F.lit(key), F.lit(mode)).cast("string"),
     )
+
+
+# -- PII / secret pattern scanning (training-data governance) ---------------
+#
+# RE2-compatible patterns only (no lookaround/backreferences) so the
+# same literal runs identically under Spark's Java regex and the DuckDB
+# oracle's RE2. Keys are stable labels carried into the scan output.
+PII_PATTERNS: dict[str, str] = {
+    "digit_run": "[0-9]{4,}",
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "id_token": "[A-Za-z]+#[0-9]+",
+}
+
+
+def pii_scan(
+    sources: list[tuple[str, DataFrame, str]],
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Pattern-scan text columns across tables: one full-column pass per
+    table computes rows-matched and total-matches for EVERY pattern at
+    once (all regexp_count expressions share the scan, column pruning
+    reaches parquet), then the per-table 1-row aggregates are exploded
+    to long format and unioned — the union is over tiny aggregated
+    frames, never raw data.
+
+    ``sources``: (label, df, text_column) triples.
+    Returns (src, pattern, rows_matched, total_matches).
+    """
+    patterns = patterns or PII_PATTERNS
+    parts = []
+    for label, df, col in sources:
+        aggs = []
+        for i, pat in enumerate(patterns.values()):
+            n = F.regexp_count(F.col(col), F.lit(pat))
+            aggs.append(
+                F.count(F.when(n > 0, F.lit(1))).cast("long").alias(f"rm_{i}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(n), F.lit(0)).cast("long").alias(f"tm_{i}")
+            )
+        wide = df.agg(*aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("pattern"),
+                    F.col(f"rm_{i}").alias("rows_matched"),
+                    F.col(f"tm_{i}").alias("total_matches"),
+                )
+                for i, name in enumerate(patterns)
+            ]
+        )
+        parts.append(
+            wide.select(F.lit(label).alias("src"), F.inline(rows))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def redact_digit_runs(
+    df: DataFrame, col: str, keep_last: int = 4, min_len: int = 4
+) -> DataFrame:
+    """Redaction primitive: pull the first long digit run out of ``col``
+    and emit a masked form that keeps only the last ``keep_last``
+    digits (`*****0042`). Pure built-in expressions — no UDF."""
+    run = F.regexp_extract(F.col(col), f"([0-9]{{{min_len},}})", 1)
+    masked = F.when(
+        run == "", F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.repeat(
+                F.lit("*"),
+                F.greatest(F.length(run) - keep_last, F.lit(0)),
+            ),
+            run.substr(-keep_last, keep_last),
+        )
+    )
+    return df.withColumn("digit_run", F.nullif(run, F.lit(""))).withColumn(
+        "masked_run", masked
+    )
