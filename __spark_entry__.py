@@ -372,6 +372,72 @@ def pit_features_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J2-forward next_bar_labels — FORWARD as-of join for label generation.
+# Training pipelines need the mirror of PIT retrieval: for each sampled
+# probe trade, attach the NEXT 1-min bar (earliest bucket >= event time)
+# as the prediction target, masked to NULL beyond a 600 s horizon. Same
+# single-shuffle union-and-window plan as J2, timeline traversed DESC.
+# Reference: feast get_historical_features is backward-only
+# (tests/test_feast_pit_correctness.py:42-151); forward is the label-side
+# complement. Oracle: DuckDB LATERAL min-lookup (no forward ASOF JOIN).
+# --------------------------------------------------------------------------
+@q(
+    "next_bar_labels",
+    oracle(
+        """
+ohlc AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(first(price ORDER BY time, trade_id), 6) AS next_open,
+    ROUND(last(price ORDER BY time, trade_id), 6) AS next_close
+  FROM trades GROUP BY 1, 2
+),
+entity AS (
+  SELECT symbol, time AS event_timestamp, trade_id
+  FROM trades WHERE CAST(trade_id AS BIGINT) % 97 = 0
+)
+SELECT e.symbol, e.event_timestamp, e.trade_id,
+       CASE WHEN epoch(m.bucket) <= epoch(e.event_timestamp) + 600
+            THEN m.next_open END AS next_open,
+       CASE WHEN epoch(m.bucket) <= epoch(e.event_timestamp) + 600
+            THEN m.next_close END AS next_close,
+       m.bucket AS next_bucket
+FROM entity e
+LEFT JOIN LATERAL (
+  SELECT o.bucket, o.next_open, o.next_close
+  FROM ohlc o
+  WHERE o.symbol = e.symbol AND o.bucket >= e.event_timestamp
+  ORDER BY o.bucket ASC LIMIT 1
+) m ON TRUE
+"""
+    ),
+)
+def next_bar_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = _trades(spark, sf_dir)
+    entity = trades.filter(
+        F.col("trade_id").cast("bigint") % 97 == 0
+    ).select("symbol", F.col("time").alias("event_timestamp"), "trade_id")
+    ohlc = _r6(FX.ohlc(trades, 60), "open", "close").select(
+        "symbol",
+        "bucket",
+        F.col("open").alias("next_open"),
+        F.col("close").alias("next_close"),
+    )
+    return OPS.asof_join(
+        entity,
+        ohlc,
+        key="symbol",
+        entity_time="event_timestamp",
+        feature_time="bucket",
+        values=["next_open", "next_close"],
+        ttl_seconds=600.0,
+        matched_time_col="next_bucket",
+        direction="forward",
+    )
+
+
+# --------------------------------------------------------------------------
 # A11/J1 pit_snapshot — scalar wide-row snapshot for (symbol, as_of).
 # symbol = 'purchase'; as_of = max trade time (deterministic). Reference:
 # feature_pit_snapshot (sql/timescaledb_schema.sql:292-411).

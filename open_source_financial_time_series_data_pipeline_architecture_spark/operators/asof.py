@@ -55,6 +55,7 @@ def asof_join(
     ttl_seconds: float | None = None,
     matched_time_col: str | None = None,
     tiebreak_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each entity row, attach the latest feature row with
     ``feature_time <= entity_time`` (within ``ttl_seconds`` if given).
@@ -68,7 +69,22 @@ def asof_join(
     sharing the same (key, timestamp) resolve deterministically — the
     repo-wide '(time, trade_id)' determinism convention. Without it the
     carried value among exact-timestamp ties is engine-order dependent.
+
+    ``direction``: ``"backward"`` (default — latest feature row at or
+    before the probe, Feast/kdb ``aj`` semantics) or ``"forward"`` —
+    the EARLIEST feature row with ``feature_time >= entity_time``
+    (next-quote / forward-fill lookup). Forward uses the identical
+    single-shuffle union-and-window plan with the timeline traversed
+    DESC; the growing UNBOUNDED PRECEDING frame stays incremental in
+    either direction (a following-frame formulation would recompute
+    per row). With ``ttl_seconds``, a forward match further than ttl
+    AFTER the probe is masked to NULL. Equal-timestamp feature rows
+    resolve to the row sorting LAST in tiebreak order (largest
+    tiebreak) in both directions, matching ``latest_per_key``'s
+    ``max_by`` convention.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     values = values or [c for c in feature.columns if c not in (key, feature_time)]
     clash = set(values) & set(entity.columns)
     if clash:
@@ -92,7 +108,9 @@ def asof_join(
 
     unioned = e.unionByName(f.select(*e.columns))
     # Feature rows (tag 0) sort before entity probes (tag 1) at the same
-    # timestamp → `<=` semantics, same as the reference PIT proc.
+    # timestamp → `<=` (backward) / `>=` (forward) semantics, same as
+    # the reference PIT proc. Forward traverses the timeline DESC so the
+    # growing frame still carries "nearest qualifying feature row".
     if tiebreak_cols:
         missing = set(tiebreak_cols) - set(values)
         if missing:
@@ -101,7 +119,10 @@ def asof_join(
             )
     # tiebreaks only order feature rows among themselves: entity probes
     # carry NULL there and are already separated by the tag column
-    order_cols = [F.col(_TIME).asc(), F.col(_TAG).asc()] + [
+    time_order = (
+        F.col(_TIME).desc() if direction == "forward" else F.col(_TIME).asc()
+    )
+    order_cols = [time_order, F.col(_TAG).asc()] + [
         F.col(c).asc_nulls_first() for c in (tiebreak_cols or [])
     ]
     w = (
@@ -116,9 +137,11 @@ def asof_join(
     )
     out = carried.filter(F.col(_TAG) == 1)
     if ttl_seconds is not None:
-        expired = F.col("__ft") < (
-            F.col(entity_time) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
-        )
+        ttl = F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+        if direction == "forward":
+            expired = F.col("__ft") > (F.col(entity_time) + ttl)
+        else:
+            expired = F.col("__ft") < (F.col(entity_time) - ttl)
         out = out.select(
             *[c for c in out.columns if c not in values],
             *[F.when(~expired, F.col(v)).alias(v) for v in values],
