@@ -3419,6 +3419,129 @@ def symbol_minute_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IX.pairwise_minute_correlation(_trades(spark, sf_dir))
 
 
+# shared oracle CTE: rounded 1-minute bars (the b1 base every bar-level
+# indicator below starts from — identical to ohlc_1m's output)
+_B1_CTE = """
+b1 AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    ROUND(first(price ORDER BY time, trade_id), 6) AS open,
+    ROUND(max(price), 6) AS high,
+    ROUND(min(price), 6) AS low,
+    ROUND(last(price ORDER BY time, trade_id), 6) AS close,
+    ROUND(sum(volume), 6) AS volume,
+    count(*) AS trade_count
+  FROM trades GROUP BY 1, 2
+)"""
+
+
+def _bars_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _r6(
+        FX.ohlc(_trades(spark, sf_dir), 60),
+        "open", "high", "low", "close", "volume",
+    )
+
+
+@q(
+    "bar_rollup_5m",
+    oracle(
+        _B1_CTE
+        + """,
+r AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(bucket) / 300) * 300 AS BIGINT))::TIMESTAMP AS b5,
+    symbol,
+    first(open ORDER BY bucket) AS open,
+    ROUND(max(high), 6) AS high,
+    ROUND(min(low), 6) AS low,
+    last(close ORDER BY bucket) AS close,
+    ROUND(sum(volume), 6) AS volume,
+    CAST(sum(trade_count) AS BIGINT) AS trade_count
+  FROM b1 GROUP BY 1, 2
+)
+SELECT b5 AS bucket, symbol, open, high, low, close, volume, trade_count
+FROM r
+"""
+    ),
+)
+def bar_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate rollup: 5m bars composed FROM
+    the 1m bars (min_by/max_by on child bucket), never re-reading raw
+    trades — the TimescaleDB cagg-on-cagg maintenance shape at 1/60th
+    the input size."""
+    rolled = FX.bar_rollup(_bars_1m(spark, sf_dir), 300)
+    return _r6(rolled, "high", "low", "volume")
+
+
+@q(
+    "candlestick_patterns",
+    oracle(
+        _B1_CTE
+        + """
+SELECT bucket, symbol,
+       (high - low > 0) AND (abs(close - open) <= 0.1 * (high - low)) AS doji,
+       coalesce(
+         lag(close) OVER w < lag(open) OVER w AND close - open > 0
+         AND open <= lag(close) OVER w AND close >= lag(open) OVER w,
+         false) AS bullish_engulfing,
+       coalesce(
+         lag(close) OVER w > lag(open) OVER w AND close - open < 0
+         AND open >= lag(close) OVER w AND close <= lag(open) OVER w,
+         false) AS bearish_engulfing
+FROM b1
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+"""
+    ),
+)
+def candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doji + engulfing flags per 1m bar — one lag window pass over the
+    bar aggregate, all comparisons codegen'd."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    return IX.candlestick_patterns(_bars_1m(spark, sf_dir), doji_ratio=0.1)
+
+
+@q(
+    "atr_14",
+    oracle(
+        _B1_CTE
+        + """,
+t AS (
+  SELECT symbol, bucket, high, low,
+         lag(close) OVER (PARTITION BY symbol ORDER BY bucket) AS pc
+  FROM b1
+),
+tr AS (
+  SELECT symbol, bucket,
+         greatest(high - low,
+                  coalesce(abs(high - pc), high - low),
+                  coalesce(abs(low - pc), high - low)) AS tr
+  FROM t
+)
+SELECT symbol, bucket,
+       ROUND(list_reduce(list(tr) OVER w, (acc, x) -> acc + (x - acc) / 14.0),
+             6) AS atr_14
+FROM tr
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder-smoothed ATR over 1m bars: the exact recurrence
+    acc + (tr − acc)/14 in one applyInPandas pass, bit-identical to the
+    DuckDB prefix fold (both evaluate the same double ops in the same
+    order)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    return IX.atr(_bars_1m(spark, sf_dir), n=14)
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline: document chunking (the step between cleaning and
 # tokenization in a training-data pipeline)

@@ -2,6 +2,7 @@ from .features import (
     bidask_spreads,
     ewm,
     large_trade_flags,
+    bar_rollup,
     ohlc,
     regime_tags,
     sma,
@@ -15,6 +16,7 @@ __all__ = [
     "bidask_spreads",
     "ewm",
     "large_trade_flags",
+    "bar_rollup",
     "ohlc",
     "regime_tags",
     "sma",

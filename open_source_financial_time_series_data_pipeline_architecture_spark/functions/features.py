@@ -74,6 +74,39 @@ def ohlc(trades: DataFrame, bucket_seconds: int = 60) -> DataFrame:
     )
 
 
+def bar_rollup(bars: DataFrame, to_seconds: int = 300) -> DataFrame:
+    """Hierarchical bar rollup: coarser OHLC bars aggregated FROM finer
+    bars, not from raw trades — TimescaleDB's continuous-aggregate-on-
+    continuous-aggregate pattern (reference sql/timescaledb_schema.sql's
+    cagg hierarchy; 1m bars feed 5m/1h rollups without re-reading the
+    hypertable).
+
+    open/close pick the earliest/latest child bar's open/close via
+    ``min_by/max_by(col, bucket)`` (child buckets are unique per symbol,
+    so no tiebreak needed); high/low/volume/trade_count compose
+    associatively.
+
+    Scale: this is THE way to maintain multi-resolution bars at 100 TB —
+    the 5m rollup reads |1m bars| rows (~1/60th of trades), and each
+    coarser level reads the level below. One hash aggregate, partial
+    aggregation map-side; no window, no sort.
+    """
+    return (
+        bars.groupBy(
+            time_bucket("bucket", to_seconds).alias("bucket"),
+            "symbol",
+        )
+        .agg(
+            F.min_by("open", "bucket").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "bucket").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("trade_count").alias("trade_count"),
+        )
+    )
+
+
 def sma(trades: DataFrame, n: int = 20) -> DataFrame:
     """A2 — n-row trailing mean of price per symbol, ordered by time.
 

@@ -145,6 +145,91 @@ def pairwise_minute_correlation(trades: DataFrame) -> DataFrame:
     )
 
 
+def candlestick_patterns(bars: DataFrame, doji_ratio: float = 0.1) -> DataFrame:
+    """Per-bar candlestick pattern flags over OHLC bars: doji (body no
+    larger than ``doji_ratio`` of the range) and bullish/bearish
+    engulfing (current body swallows the previous bar's opposite-signed
+    body).
+
+    Input: OHLC bars (bucket, symbol, open, high, low, close) — child
+    buckets unique per symbol so lag ordering is deterministic without a
+    tiebreak. One window pass (lag only), all comparisons codegen'd;
+    first bar per symbol has no engulfing flags (NULL lag → false).
+    """
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    po, pc = F.lag("open").over(w), F.lag("close").over(w)
+    body = F.col("close") - F.col("open")
+    rng = F.col("high") - F.col("low")
+    doji = (rng > 0) & (F.abs(body) <= doji_ratio * rng)
+    bullish = (
+        (pc < po)
+        & (body > 0)
+        & (F.col("open") <= pc)
+        & (F.col("close") >= po)
+    )
+    bearish = (
+        (pc > po)
+        & (body < 0)
+        & (F.col("open") >= pc)
+        & (F.col("close") <= po)
+    )
+    return bars.select(
+        "bucket",
+        "symbol",
+        doji.alias("doji"),
+        F.coalesce(bullish, F.lit(False)).alias("bullish_engulfing"),
+        F.coalesce(bearish, F.lit(False)).alias("bearish_engulfing"),
+    )
+
+
+def atr(bars: DataFrame, n: int = 14) -> DataFrame:
+    """Average True Range with Wilder smoothing over OHLC bars.
+
+    true range = greatest(high−low, |high−prev_close|, |low−prev_close|)
+    (first bar: high−low); ATR is the exact Wilder recurrence
+    ``atr = atr_prev + (tr − atr_prev)/n`` seeded with the first bar's
+    TR. The recurrence is genuinely sequential per symbol, so it runs as
+    ONE Arrow-batched applyInPandas pass (same kernel contract as
+    `functions.features.ewm`) — bit-identical to a DuckDB list_reduce
+    fold because both sides evaluate ``acc + (x − acc)/n`` in doubles.
+
+    Scale: sequential only within a symbol; symbols parallelize. Input
+    is bars (≥60× smaller than trades), so per-group state is bounded.
+    """
+    import pandas as pd
+
+    nf = float(n)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        prev_close = pdf["close"].shift(1)
+        tr = pd.concat(
+            [
+                pdf["high"] - pdf["low"],
+                (pdf["high"] - prev_close).abs(),
+                (pdf["low"] - prev_close).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        acc = None
+        out = []
+        for x in tr.to_numpy():
+            x = float(x)
+            acc = x if acc is None else acc + (x - acc) / nf
+            out.append(acc)
+        pdf["atr"] = out
+        return pdf[["symbol", "bucket", "atr"]]
+
+    rows = (
+        bars.select("symbol", "bucket", "high", "low", "close")
+        .groupBy("symbol")
+        .applyInPandas(compute, schema="symbol string, bucket timestamp, atr double")
+    )
+    return rows.select(
+        "symbol", "bucket", F.round("atr", 6).alias(f"atr_{n}")
+    )
+
+
 def macd(
     trades: DataFrame,
     alpha_fast: float = 0.15,

@@ -296,3 +296,20 @@ def test_indicator_queries_single_shuffle(spark):
 def test_stratified_sample_no_shuffle(spark):
     df = em.QUERIES["stratified_sample_docs"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) == 0, PL.physical_plan(df)
+
+
+def test_bar_level_queries_two_shuffles(spark):
+    # bar-level operators: one shuffle for the 1m bar aggregate + one
+    # for the rollup/window repartition — never a third
+    for name in ("bar_rollup_5m", "candlestick_patterns", "atr_14"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        assert PL.shuffle_count(df) <= 2, (name, PL.physical_plan(df))
+
+
+def test_asof_forward_single_shuffle(spark):
+    # forward as-of shares the union-and-window plan: the bar aggregate
+    # shuffle + ONE union-timeline window shuffle, no range/theta join
+    df = em.QUERIES["next_bar_labels"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert PL.shuffle_count(df) <= 2, plan
