@@ -41,10 +41,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes nanosecond timestamps."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Any long column that parquet declared TIMESTAMP(NANOS) arrives as
-    # LongType; for this dataset that is exactly events.ts.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+    # build it arrives as LongType (nanosAsLong) or TIMESTAMP_NTZ
+    # (Spark 4.1+ native read, already µs-truncated). Normalize both to
+    # session-zone TimestampType so every downstream epoch cast
+    # (`ts.cast("double")`, `unix_micros`) stays legal and the output
+    # type matches the DuckDB oracle's ns→µs CAST convention. The
+    # session zone is pinned to UTC (session.py), so the NTZ→LTZ cast
+    # is a pure re-tag, not a wall-clock shift.
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -44,8 +44,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Spark 4.1 reads parquet TIMESTAMP(NANOS) as NTZ; watermarks
+        # require TIMESTAMP. Session zone is UTC, so this is a re-tag.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
