@@ -4555,6 +4555,373 @@ def pii_redact_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "digit_run", "masked_run")
 
 
+# --------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014) — the dashboard-serving
+# downsample next to the reference's 1-minute continuous aggregates
+# (sql/timescaledb_schema.sql:44-57), keeping the extreme points' times.
+# --------------------------------------------------------------------------
+@q(
+    "m4_downsample",
+    oracle(
+        """
+SELECT
+  to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+  symbol,
+  first(time ORDER BY time, trade_id) AS t_first,
+  ROUND(first(price ORDER BY time, trade_id), 6) AS v_first,
+  first(time ORDER BY price, time, trade_id) AS t_min,
+  ROUND(min(price), 6) AS v_min,
+  first(time ORDER BY price DESC, time, trade_id) AS t_max,
+  ROUND(max(price), 6) AS v_max,
+  last(time ORDER BY time, trade_id) AS t_last,
+  ROUND(last(price ORDER BY time, trade_id), 6) AS v_last,
+  count(*) AS n_points
+FROM trades
+GROUP BY 1, 2
+"""
+    ),
+)
+def m4_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        downsample as DS,
+    )
+
+    return DS.m4_downsample(_trades(spark, sf_dir), bucket_seconds=300)
+
+
+# --------------------------------------------------------------------------
+# Regime state durations — TimescaleDB-toolkit state_agg/duration_in
+# analog over the A9 regime tag (sql/timescaledb_schema.sql:241-265).
+# --------------------------------------------------------------------------
+@q(
+    "regime_durations",
+    oracle(
+        """
+WITH s AS (
+  SELECT time, symbol, trade_id,
+         CASE WHEN price > avg(price) OVER w THEN 'up'
+              WHEN price < avg(price) OVER w THEN 'down'
+              ELSE 'neutral' END AS regime_tag
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT symbol, regime_tag,
+         CASE WHEN lag(regime_tag) OVER v IS DISTINCT FROM regime_tag
+              THEN 1 ELSE 0 END AS is_start,
+         coalesce(lead(epoch(time)) OVER v - epoch(time), 0) AS dur
+  FROM s
+  WINDOW v AS (PARTITION BY symbol ORDER BY time, trade_id)
+)
+SELECT symbol, regime_tag,
+       CAST(sum(is_start) AS BIGINT) AS episodes,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(dur), 6) AS total_seconds
+FROM d GROUP BY symbol, regime_tag
+"""
+    ),
+)
+def regime_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        statetrack as ST,
+    )
+
+    tagged = FX.regime_tags(_trades(spark, sf_dir), n=20)
+    return ST.state_durations(tagged, "regime_tag")
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of 1-minute log close returns — the
+# momentum/mean-reversion diagnostic next to A4 volatility
+# (sql/timescaledb_schema.sql:141-158 builds the same log returns).
+# --------------------------------------------------------------------------
+@q(
+    "return_autocorr",
+    oracle(
+        """
+WITH bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+), r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+), p AS (
+  SELECT symbol, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY bucket) AS ret_prev
+  FROM r
+)
+SELECT symbol,
+       ROUND(corr(ret, ret_prev), 6) AS autocorr,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p
+WHERE ret IS NOT NULL AND ret_prev IS NOT NULL
+GROUP BY symbol
+"""
+    ),
+)
+def return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IND,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    return IND.return_autocorrelation(bars, lag=1)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: LEFT outer join
+# preserved through a two-level aggregation (the reference's cohort/
+# distribution reporting shape).
+# --------------------------------------------------------------------------
+@q(
+    "customer_order_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps zero-order customers; per-customer count then a
+    distribution re-aggregation. Both aggs are hash aggregates; the
+    second one's input is |customers| rows, so the shuffle is tiny."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share: conditional aggregation over a
+# date-bounded fact scan with a broadcast dimension join.
+# --------------------------------------------------------------------------
+@q(
+    "promo_revenue",
+    """
+SELECT ROUND(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date predicate reaches the parquet scan (pushdown); part is
+    broadcast so the month of fact rows never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+# clauses evaluated in one pass over the joined fact.
+# --------------------------------------------------------------------------
+@q(
+    "disjunctive_revenue",
+    """
+SELECT ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-of-ANDs filter runs post-join as one codegen'd predicate;
+    part stays broadcast so no fact shuffle. (Catalyst also extracts
+    the common `p_brand IN (...)` factor for dimension-side pruning.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(clause).agg(
+        F.round(F.sum(rev), 6).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape — scalar subquery threshold + anti join: well-funded
+# customers in target segments who never ordered.
+# --------------------------------------------------------------------------
+@q(
+    "dormant_customers",
+    """
+WITH seg AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'BUILDING')
+), thr AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM seg WHERE c_acctbal > 0
+)
+SELECT s.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(sum(s.c_acctbal), 6) AS totacctbal
+FROM seg s, thr
+WHERE s.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = s.c_custkey)
+GROUP BY s.c_mktsegment
+""",
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar average is a 1-row broadcast (no driver collect); the
+    NOT EXISTS is a left-anti join on the order keys."""
+    seg = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD", "BUILDING")
+    )
+    thr = seg.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        seg.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, seg.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier scoring — cosine to the label centroid (training-
+# data curation: drop mislabeled/junk vectors before fine-tuning).
+# --------------------------------------------------------------------------
+@q(
+    "embedding_centroid_cosine",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+), cent AS (
+  SELECT label, pos, avg(comp) AS c FROM e GROUP BY label, pos
+), cnorm AS (
+  SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label
+), per_vec AS (
+  SELECT e.vec_id, e.label,
+         sum(e.comp * cent.c) AS dot,
+         sqrt(sum(e.comp * e.comp)) AS vnorm
+  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT p.vec_id, p.label,
+       ROUND(p.dot / nullif(p.vnorm * n.cnorm, 0.0), 6) AS cos_centroid
+FROM per_vec p JOIN cnorm n ON p.label = n.label
+""",
+)
+def embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.centroid_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Balanced mixture sampling — exactly-k-per-source deterministic
+# downsample (training-corpus mixture rebalancing without an RNG).
+# --------------------------------------------------------------------------
+@q(
+    "balanced_mixture_sample",
+    """
+WITH c AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), k AS (
+  SELECT min(cnt) AS k FROM c
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS sample_rank
+FROM r, k WHERE r.rnk <= k.k
+""",
+)
+def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize the per-source mix by keeping the k docs with the
+    smallest (md5(doc_id), doc_id) hash order in each source, where k =
+    the smallest source's size. Hash-order sampling is uniform-without-
+    replacement, reproducible across engines/runs/partitionings (no
+    seeded RNG), and nested: a smaller k is always a subset of a larger
+    one. One window pass per source + a 1-row broadcast threshold."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    k = counts.agg(F.min("cnt").alias("k"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("sample_rank")
+    )
+    return ranked.join(F.broadcast(k)).filter(
+        F.col("sample_rank") <= F.col("k")
+    ).select("doc_id", "source", "sample_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -299,3 +299,36 @@ def macd(
         F.round("signal", 6).alias("signal"),
         F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
     )
+
+
+def return_autocorrelation(bars: DataFrame, lag: int = 1) -> DataFrame:
+    """Per-symbol lag-k autocorrelation of 1-minute log close returns —
+    the mean-reversion/momentum diagnostic quants run next to the A4
+    volatility feature (reference sql/timescaledb_schema.sql:141-158
+    computes the same log returns; the autocorrelation is the natural
+    follow-on statistic).
+
+    Input: OHLC bars (bucket, symbol, close). Log returns guard
+    close > 0 on BOTH the numerator and the lagged denominator
+    explicitly (sf0.1 has price=0 rows; ANSI off means ln() would go
+    NULL silently — the guard makes the semantics engine-portable).
+    One window pass for returns + the lagged return, then corr() per
+    symbol — a single shuffle on symbol.
+    """
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev_close > 0),
+        F.log(F.col("close") / prev_close),
+    )
+    with_ret = bars.withColumn("ret", ret)
+    ret_lagged = F.lag("ret", lag).over(w)
+    return (
+        with_ret.withColumn("ret_prev", ret_lagged)
+        .filter(F.col("ret").isNotNull() & F.col("ret_prev").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.round(F.corr("ret", "ret_prev"), 6).alias("autocorr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )

@@ -493,3 +493,51 @@ def scalar_quantize(
         q.alias("qvec"),
         (F.col("__amax") / 127.0).alias("scale"),
     )
+
+
+def centroid_cosine(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine of every vector to its group's mean vector (centroid) —
+    the embedding-space outlier/quality score a training-data pipeline
+    runs to drop mislabeled or junk examples before fine-tuning
+    (pgvector-era analog of the reference's ivfflat clustering,
+    sql/timescaledb_schema.sql:285-286, reused as a diagnostic).
+
+    Plan: posexplode to (id, group, pos, comp) — linear in N·d; one
+    hash aggregate builds the centroid table (|groups|·d rows, tiny →
+    broadcast); one equi-join + per-vector aggregate computes the dot
+    and norms. No all-pairs anything: O(N·d) end to end, partial
+    aggregation applies, and the only shuffle of the big side is the
+    per-vector groupBy on (id, group).
+    """
+    e = emb.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "comp"
+        ),
+    )
+    cent = e.groupBy(group_col, "pos").agg(F.avg("comp").alias("c"))
+    cnorm = cent.groupBy(group_col).agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    per_vec = (
+        e.join(F.broadcast(cent), [group_col, "pos"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sum(F.col("comp") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("comp") * F.col("comp"))).alias("vnorm"),
+        )
+    )
+    return per_vec.join(F.broadcast(cnorm), group_col).select(
+        id_col,
+        group_col,
+        F.round(
+            F.col("dot") / F.nullif(F.col("vnorm") * F.col("cnorm"), F.lit(0.0)),
+            6,
+        ).alias("cos_centroid"),
+    )

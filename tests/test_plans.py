@@ -313,3 +313,48 @@ def test_asof_forward_single_shuffle(spark):
     plan = PL.physical_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert PL.shuffle_count(df) <= 2, plan
+
+
+def test_m4_downsample_single_partial_aggregate(spark):
+    # M4 is ONE aggregate with map-side partials (struct-keyed min_by
+    # picks SortAggregate, but the shuffle still carries only
+    # pre-aggregated bucket rows): one exchange, no join, no window
+    df = em.QUERIES["m4_downsample"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert PL.shuffle_count(df) == 1, plan
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_state_durations_one_sort_one_agg(spark):
+    # lag+lead share one (symbol)-partitioned sort; then a hash agg
+    df = em.QUERIES["regime_durations"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_centroid_cosine_broadcasts_centroids(spark):
+    # centroid table (|labels|*d rows) must broadcast; no nested loop
+    df = em.QUERIES["embedding_centroid_cosine"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    PL.assert_broadcast_join(df, at_least=2)
+    assert "NestedLoop" not in plan, plan
+
+
+def test_promo_and_disjunctive_broadcast_part(spark):
+    for name in ("promo_revenue", "disjunctive_revenue"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        PL.assert_broadcast_join(df, at_least=1)
+        PL.assert_no_cartesian(df)
+
+
+def test_promo_revenue_pushes_date_filter(spark):
+    df = em.QUERIES["promo_revenue"](spark, SF_SMOKE)
+    assert "PushedFilters" in PL.physical_plan(df)
+
+
+def test_balanced_mixture_single_window_pass(spark):
+    # one shuffle for the per-source window + the tiny count aggregate;
+    # the k threshold joins as a broadcast, never a sort-merge
+    df = em.QUERIES["balanced_mixture_sample"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
+    assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
