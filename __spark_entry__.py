@@ -4922,6 +4922,160 @@ def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "sample_rank")
 
 
+# --------------------------------------------------------------------------
+# Robust statistics (quality plane G7 neighbors): MAD z-score outlier
+# accounting and winsorized means — fat-tail-safe alternatives to the
+# reference's mean/stddev z-score check
+# (src/quality/data_quality_framework.py).
+# --------------------------------------------------------------------------
+@q(
+    "mad_outliers",
+    oracle(
+        """
+med AS (
+  SELECT symbol, quantile_cont(price, 0.5) AS med FROM trades GROUP BY symbol
+), mad AS (
+  SELECT t.symbol, quantile_cont(abs(t.price - m.med), 0.5) AS mad
+  FROM trades t JOIN med m ON t.symbol = m.symbol GROUP BY t.symbol
+)
+SELECT t.symbol,
+       ROUND(min(m.med), 6) AS median,
+       ROUND(min(d.mad), 6) AS mad,
+       CAST(count(CASE WHEN abs(t.price - m.med)
+                            / (1.4826 * nullif(d.mad, 0.0)) > 3.0
+                       THEN 1 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM trades t
+JOIN med m ON t.symbol = m.symbol
+JOIN mad d ON t.symbol = d.symbol
+GROUP BY t.symbol
+"""
+    ),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QX.mad_outlier_stats(_trades(spark, sf_dir))
+
+
+@q(
+    "winsorized_price_stats",
+    oracle(
+        """
+qs AS (
+  SELECT symbol,
+         quantile_cont(price, 0.01) AS q_lo,
+         quantile_cont(price, 0.99) AS q_hi
+  FROM trades GROUP BY symbol
+)
+SELECT t.symbol,
+       ROUND(avg(t.price), 6) AS raw_mean,
+       ROUND(avg(least(greatest(t.price, q.q_lo), q.q_hi)), 6) AS winsor_mean,
+       ROUND(min(q.q_lo), 6) AS p_lo,
+       ROUND(min(q.q_hi), 6) AS p_hi,
+       CAST(count(CASE WHEN t.price < q.q_lo THEN 1 END) AS BIGINT)
+           AS n_clipped_low,
+       CAST(count(CASE WHEN t.price > q.q_hi THEN 1 END) AS BIGINT)
+           AS n_clipped_high
+FROM trades t JOIN qs q ON t.symbol = q.symbol
+GROUP BY t.symbol
+"""
+    ),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QX.winsorized_stats(_trades(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Trading-session rollup — UTC session-of-day bucketing (asia/europe/us)
+# per symbol and day: the calendar dimension the reference's hourly
+# continuous aggregates imply but never materialize.
+# --------------------------------------------------------------------------
+@q(
+    "trading_session_rollup",
+    oracle(
+        """
+SELECT symbol,
+       CAST(time AS DATE) AS trade_date,
+       CASE WHEN hour(time) < 8 THEN 'asia'
+            WHEN hour(time) < 16 THEN 'europe'
+            ELSE 'us' END AS session,
+       ROUND(sum(price * volume) / nullif(sum(volume), 0.0), 6) AS vwap,
+       ROUND(sum(volume), 6) AS volume,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY 1, 2, 3
+"""
+    ),
+)
+def trading_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    session = (
+        F.when(F.hour("time") < 8, "asia")
+        .when(F.hour("time") < 16, "europe")
+        .otherwise("us")
+    )
+    return (
+        t.groupBy(
+            "symbol",
+            F.to_date("time").alias("trade_date"),
+            session.alias("session"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("price") * F.col("volume"))
+                / F.nullif(F.sum("volume"), F.lit(0.0)),
+                6,
+            ).alias("vwap"),
+            F.round(F.sum("volume"), 6).alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment — the hash-split every
+# training-data pipeline needs: reproducible across engines and runs,
+# no RNG, stable under corpus growth (a doc never changes split).
+# --------------------------------------------------------------------------
+@q(
+    "dataset_splits",
+    """
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY split, lang
+""",
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~80/10/10 by md5 hex prefix (0xCCCCCCCC/2^32 ≈ 0.8,
+    0xE6666666/2^32 ≈ 0.9). Lexicographic compare of equal-length hex
+    IS the numeric compare; md5 agrees across engines, so the split is
+    fully oracle-checkable. Projection + filter + one tiny hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -322,3 +322,87 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return stacked.withColumn("passed", F.col("n_violations") == 0)
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    value_col: str = "price",
+    key: str = "symbol",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Robust anomaly accounting per key: median, MAD (median absolute
+    deviation), and how many rows exceed ``z_threshold`` robust
+    z-scores (|x − med| / (1.4826·MAD)) — the outlier detector the
+    reference's z-score accuracy check (G7,
+    src/quality/data_quality_framework.py) should be using where the
+    distribution has fat tails: mean/stddev are themselves dragged by
+    the outliers being hunted.
+
+    Two aggregate passes (median, then MAD over the residuals) with the
+    tiny per-key stats broadcast back — no window, no sort of the fact
+    table; both joins are broadcast at any realistic key count.
+    """
+    med = df.groupBy(key).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), key)
+    mad = with_med.groupBy(key).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    scored = with_med.join(F.broadcast(mad), key)
+    robust_z = F.abs(F.col(value_col) - F.col("med")) / (
+        1.4826 * F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        scored.withColumn("is_outlier", robust_z > z_threshold)
+        .groupBy(key)
+        .agg(
+            F.round(F.min("med"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("is_outlier"), 1)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str = "price",
+    key: str = "symbol",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorized vs raw mean per key: clip values to the [p_lo, p_hi]
+    quantiles and report both means plus how many rows were clipped on
+    each side — the standard robust-mean preprocessing for feature
+    columns feeding model training.
+
+    One quantile aggregate (tiny, broadcast back) + one clipped
+    aggregate over the fact — two shuffles total, both partial-agg.
+    """
+    q = df.groupBy(key).agg(
+        F.percentile(F.col(value_col), F.lit(lo)).alias("q_lo"),
+        F.percentile(F.col(value_col), F.lit(hi)).alias("q_hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
+    return (
+        df.join(F.broadcast(q), key)
+        .groupBy(key)
+        .agg(
+            F.round(F.avg(v), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsor_mean"),
+            F.round(F.min("q_lo"), 6).alias("p_lo"),
+            F.round(F.min("q_hi"), 6).alias("p_hi"),
+            F.count(F.when(v < F.col("q_lo"), 1)).cast("bigint").alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(v > F.col("q_hi"), 1)).cast("bigint").alias(
+                "n_clipped_high"
+            ),
+        )
+    )

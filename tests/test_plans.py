@@ -358,3 +358,20 @@ def test_balanced_mixture_single_window_pass(spark):
     df = em.QUERIES["balanced_mixture_sample"](spark, SF_SMOKE)
     PL.assert_broadcast_join(df, at_least=1)
     assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
+
+
+def test_robust_stats_broadcast_back(spark):
+    # per-key medians/quantiles are tiny aggregates broadcast back to
+    # the fact — never a sort-merge join of the fact against itself
+    for name, n in (("mad_outliers", 2), ("winsorized_price_stats", 1)):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        PL.assert_broadcast_join(df, at_least=n)
+        PL.assert_no_cartesian(df)
+
+
+def test_session_rollup_and_splits_single_agg(spark):
+    for name in ("trading_session_rollup", "dataset_splits"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        plan = PL.physical_plan(df)
+        assert PL.shuffle_count(df) == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
