@@ -110,6 +110,16 @@ def main() -> None:
         store.get([syms[i % len(syms)]]).collect()
         lookups.append(time.perf_counter() - t0)
     pit_lookup_ms = round(sorted(lookups)[len(lookups) // 2] * 1000, 1)
+    # KV-analog serving path (driver-resident snapshot ≡ Feast→Redis
+    # online store): median of 1000 single-key reads.
+    local_lookups = []
+    for i in range(1000):
+        t0 = time.perf_counter()
+        store.get_local([syms[i % len(syms)]])
+        local_lookups.append(time.perf_counter() - t0)
+    pit_local_ms = round(
+        sorted(local_lookups)[len(local_lookups) // 2] * 1000, 4
+    )
     print(
         json.dumps(
             {
@@ -119,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
                 "pit_point_lookup_warm_ms": pit_lookup_ms,
+                "pit_point_lookup_local_ms": pit_local_ms,
             }
         )
     )

@@ -45,6 +45,7 @@ class OnlineFeatureStore:
         self.spark = spark
         self.key = key
         self._wide: DataFrame | None = None
+        self._local: dict = {}
         self._views_meta: dict[str, tuple[str, list[str]]] = {}
         self.materialized_at: _dt.datetime | None = None
 
@@ -84,7 +85,14 @@ class OnlineFeatureStore:
         # and a point lookup should schedule exactly one task — this is
         # what keeps warm get() inside the <100 ms serving budget
         self._wide = wide.coalesce(1).cache()
-        self._wide.count()  # force materialization NOW — get() must be warm
+        # Driver-resident KV snapshot — the Redis/Feast-online analog.
+        # Feast's serving path materializes the latest-per-key rows INTO
+        # a KV store and never runs a cluster job per lookup; collecting
+        # the O(|keys|) wide table at refresh time (the materialization
+        # write) gives get_local() the same sub-ms read path. The Spark
+        # cached table stays the source of truth for joins/scans.
+        rows = self._wide.collect()  # also forces the cache NOW
+        self._local = {r[self.key]: r.asDict() for r in rows}
         if old is not None:
             old.unpersist()
         self.materialized_at = _dt.datetime.now(_dt.timezone.utc).replace(
@@ -161,6 +169,19 @@ class OnlineFeatureStore:
         keys if None). Executes against the cached wide table."""
         df = self._store()
         return df if keys is None else df.filter(F.col(self.key).isin(keys))
+
+    def get_local(self, keys: list[str] | None = None) -> list[dict]:
+        """KV-analog point lookup from the driver-resident snapshot —
+        no Spark job, microseconds per read (the reference serves this
+        path from Redis/Feast-online; scripts/benchmark_performance.py
+        measures its p95 < 100 ms against Postgres btree lookups).
+        Refreshed atomically with the Spark store on every
+        materialize/refresh_from_batch/streaming_refresh fold."""
+        if self._wide is None:
+            raise RuntimeError("materialize() first")
+        if keys is None:
+            return list(self._local.values())
+        return [self._local[k] for k in keys if k in self._local]
 
     def freshness(self, now=None) -> DataFrame:
         """Age of each feature view's latest value per key — the online

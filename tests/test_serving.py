@@ -178,3 +178,28 @@ def test_streaming_refresh_folds_batches(spark, tmp_path):
     assert {tuple(r) for r in store.get().collect()} == {
         tuple(r) for r in full.get().collect()
     }
+
+
+def test_local_kv_snapshot_matches_spark_store(spark):
+    """get_local (the Redis/Feast-online analog) must serve exactly the
+    Spark store's rows, stay in lockstep across incremental refreshes,
+    and answer without running a Spark job."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.serving import (
+        OnlineFeatureStore,
+    )
+
+    first, second = _mk_trades(spark, range(0, 5)), _mk_trades(spark, range(5, 9))
+    store = OnlineFeatureStore(spark)
+    store.materialize(_ohlc_views(first))
+    spark_rows = {r["symbol"]: r.asDict() for r in store.get().collect()}
+    local_rows = {d["symbol"]: d for d in store.get_local()}
+    assert spark_rows == local_rows
+
+    store.refresh_from_batch(_ohlc_views(second))
+    spark_rows = {r["symbol"]: r.asDict() for r in store.get().collect()}
+    local_rows = {d["symbol"]: d for d in store.get_local()}
+    assert spark_rows == local_rows
+
+    one = store.get_local([next(iter(spark_rows))])
+    assert len(one) == 1 and one[0] in local_rows.values()
+    assert store.get_local(["__absent__"]) == []
