@@ -5076,6 +5076,116 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Market microstructure: VPIN volume-clock toxicity (Easley/López de
+# Prado/O'Hara RFS 2012), effective-spread stats, heartbeat uptime —
+# the family the reference's A6/A8 features are the first steps of.
+# --------------------------------------------------------------------------
+@q(
+    "volume_bucket_vpin",
+    oracle(
+        """
+cum AS (
+  SELECT symbol, side, volume,
+         coalesce(sum(volume) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM trades
+), b AS (
+  SELECT symbol,
+         CAST(floor(cum_before / 50.0) AS BIGINT) AS bucket_id,
+         ROUND(sum(CASE WHEN side = 'buy' THEN volume ELSE 0 END), 6)
+             AS buy_volume,
+         ROUND(sum(CASE WHEN side = 'sell' THEN volume ELSE 0 END), 6)
+             AS sell_volume,
+         ROUND(sum(volume), 6) AS total_volume,
+         CAST(count(*) AS BIGINT) AS n_trades
+  FROM cum GROUP BY 1, 2
+), i AS (
+  SELECT *, abs(buy_volume - sell_volume) / nullif(total_volume, 0.0) AS imb
+  FROM b
+)
+SELECT symbol, bucket_id, buy_volume, sell_volume, total_volume, n_trades,
+       ROUND(imb, 6) AS imbalance,
+       ROUND(avg(imb) OVER (
+           PARTITION BY symbol ORDER BY bucket_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS vpin
+FROM i
+"""
+    ),
+)
+def volume_bucket_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.volume_bucket_imbalance(
+        _trades(spark, sf_dir), bucket_volume=50.0, trailing=5
+    )
+
+
+@q(
+    "effective_spread_stats",
+    oracle(
+        """
+SELECT symbol,
+       ROUND(avg(ask - bid), 6) AS avg_quoted_spread,
+       ROUND(avg(2.0 * abs(price - (bid + ask) / 2.0)), 6)
+           AS avg_effective_spread,
+       ROUND(count(CASE WHEN price > bid AND price < ask THEN 1 END)
+             * 1.0 / count(*), 6) AS price_improvement_rate,
+       CAST(count(*) AS BIGINT) AS n_quoted_trades
+FROM trades
+WHERE bid IS NOT NULL AND ask IS NOT NULL
+GROUP BY symbol
+"""
+    ),
+)
+def effective_spread_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.effective_spread_stats(_trades(spark, sf_dir))
+
+
+@q(
+    "feed_uptime",
+    oracle(
+        """
+g AS (
+  SELECT symbol,
+         lead(epoch(time)) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id) - epoch(time)
+             AS gap,
+         epoch(time) AS ts
+  FROM trades
+)
+SELECT symbol,
+       ROUND(max(ts) - min(ts), 6) AS span_seconds,
+       ROUND(sum(CASE WHEN gap <= 1800.0 THEN gap ELSE 0 END), 6)
+           AS up_seconds,
+       CAST(count(CASE WHEN gap > 1800.0 THEN 1 END) AS BIGINT)
+           AS n_outages,
+       ROUND(sum(CASE WHEN gap <= 1800.0 THEN gap ELSE 0 END)
+             / nullif(max(ts) - min(ts), 0.0), 6) AS uptime_ratio,
+       CAST(count(*) AS BIGINT) AS n_heartbeats
+FROM g GROUP BY symbol
+"""
+    ),
+)
+def feed_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat/uptime accounting per symbol feed (TimescaleDB toolkit
+    heartbeat_agg analog): gaps ≤ 30 min count as live coverage, longer
+    gaps are outages."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        statetrack as ST,
+    )
+
+    return ST.gap_uptime(_trades(spark, sf_dir), heartbeat_seconds=1800.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

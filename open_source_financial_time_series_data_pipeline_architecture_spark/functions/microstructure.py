@@ -1,0 +1,100 @@
+"""Market-microstructure diagnostics over the canonical trades table.
+
+Three classics the reference's feature registry is shaped to grow into
+(its A6/A8 large-trade and imbalance features are the first steps of
+this family; reference sql/timescaledb_schema.sql:218-239):
+
+- ``volume_bucket_imbalance`` — VPIN-style order-flow toxicity (Easley,
+  López de Prado, O'Hara, "Flow Toxicity and Liquidity in a High-
+  Frequency World", RFS 2012): partition the tape into equal-VOLUME
+  buckets and measure |buy − sell| / total per bucket. Volume clock,
+  not wall clock.
+- ``effective_spread_stats`` — effective spread 2·|price − mid| vs the
+  quoted spread, plus price-improvement share (trades inside the
+  quote).
+- heartbeat/uptime lives in `statetrack.gap_uptime` (TimescaleDB
+  toolkit heartbeat_agg analog).
+
+All pure window/aggregate expressions — one shuffle on symbol each,
+whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def volume_bucket_imbalance(
+    trades: DataFrame, bucket_volume: float = 50.0, trailing: int = 5
+) -> DataFrame:
+    """Per equal-volume bucket: buy/sell split and the VPIN-style
+    imbalance |buy − sell| / total, plus a trailing-``trailing``-bucket
+    mean (the VPIN estimate).
+
+    Bucket id = floor(cumulative volume BEFORE the trade / V): a trade
+    whose volume straddles a boundary is assigned wholly to the bucket
+    it started in (whole-trade assignment — the common simplification;
+    sub-trade splitting changes little and costs an explode). One
+    running-sum window (incremental growing frame, O(n)) + one hash
+    aggregate + one small window over buckets.
+    """
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    cum_before = F.coalesce(
+        F.sum("volume").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0),
+    )
+    bucketed = trades.withColumn(
+        "bucket_id", F.floor(cum_before / bucket_volume).cast("long")
+    )
+    side_vol = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("side") == s, F.col("volume")).otherwise(0.0)
+    )
+    per_bucket = bucketed.groupBy("symbol", "bucket_id").agg(
+        F.round(side_vol("buy"), 6).alias("buy_volume"),
+        F.round(side_vol("sell"), 6).alias("sell_volume"),
+        F.round(F.sum("volume"), 6).alias("total_volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
+    imb = F.abs(F.col("buy_volume") - F.col("sell_volume")) / F.nullif(
+        F.col("total_volume"), F.lit(0.0)
+    )
+    wb = Window.partitionBy("symbol").orderBy("bucket_id").rowsBetween(
+        -(trailing - 1), 0
+    )
+    return per_bucket.withColumn("imbalance", imb).select(
+        "symbol",
+        "bucket_id",
+        "buy_volume",
+        "sell_volume",
+        "total_volume",
+        "n_trades",
+        F.round("imbalance", 6).alias("imbalance"),
+        F.round(F.avg("imbalance").over(wb), 6).alias("vpin"),
+    )
+
+
+def effective_spread_stats(trades: DataFrame) -> DataFrame:
+    """Per symbol: mean quoted spread, mean effective spread
+    (2·|price − mid|), and the share of trades executed strictly inside
+    the quoted spread (price improvement). Quote-less rows (NULL
+    bid/ask) are excluded — the same null-guard as the A7 feature.
+    One filtered hash aggregate.
+    """
+    mid = (F.col("bid") + F.col("ask")) / 2.0
+    eff = 2.0 * F.abs(F.col("price") - mid)
+    quoted = F.col("ask") - F.col("bid")
+    inside = (F.col("price") > F.col("bid")) & (F.col("price") < F.col("ask"))
+    return (
+        trades.filter(F.col("bid").isNotNull() & F.col("ask").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.round(F.avg(quoted), 6).alias("avg_quoted_spread"),
+            F.round(F.avg(eff), 6).alias("avg_effective_spread"),
+            F.round(
+                F.count(F.when(inside, 1)) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("price_improvement_rate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_quoted_trades"),
+        )
+    )

@@ -55,3 +55,41 @@ def state_durations(
             F.round(F.sum("_dur"), 6).alias("total_seconds"),
         )
     )
+
+
+def gap_uptime(
+    df: DataFrame,
+    heartbeat_seconds: float,
+    key: str = "symbol",
+    time_col: str = "time",
+    tiebreak: str = "trade_id",
+) -> DataFrame:
+    """TimescaleDB toolkit ``heartbeat_agg`` analog: treat each row as a
+    liveness heartbeat; a gap ≤ ``heartbeat_seconds`` counts as "up"
+    time, a longer gap is downtime (an outage). Per key: observed span,
+    up seconds, outage count, and uptime share of the span.
+
+    Same single-window shape as `state_durations`: one (key, time,
+    tiebreak) sort feeds a lead(), then a hash aggregate.
+    """
+    w = Window.partitionBy(key).orderBy(time_col, tiebreak)
+    ts = F.col(time_col).cast("double")
+    gap = F.lead(ts).over(w) - ts
+    up = F.when(gap <= heartbeat_seconds, gap).otherwise(F.lit(0.0))
+    is_outage = F.when(gap > heartbeat_seconds, 1).otherwise(0)
+    return (
+        df.select(key, time_col, tiebreak)
+        .withColumn("_gap", gap)
+        .withColumn("_up", up)
+        .withColumn("_outage", is_outage)
+        .groupBy(key)
+        .agg(
+            F.round(F.max(ts) - F.min(ts), 6).alias("span_seconds"),
+            F.round(F.sum("_up"), 6).alias("up_seconds"),
+            F.sum("_outage").cast("bigint").alias("n_outages"),
+            F.round(
+                F.sum("_up") / F.nullif(F.max(ts) - F.min(ts), F.lit(0.0)), 6
+            ).alias("uptime_ratio"),
+            F.count(F.lit(1)).cast("bigint").alias("n_heartbeats"),
+        )
+    )

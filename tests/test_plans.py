@@ -375,3 +375,17 @@ def test_session_rollup_and_splits_single_agg(spark):
         plan = PL.physical_plan(df)
         assert PL.shuffle_count(df) == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_microstructure_plans(spark):
+    # VPIN: running-sum window + bucket agg + bucket window — at most
+    # two exchanges (symbol window reused by the bucket aggregate)
+    df = em.QUERIES["volume_bucket_vpin"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+    # effective spread: one filtered hash aggregate, no join/window
+    df = em.QUERIES["effective_spread_stats"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert PL.shuffle_count(df) == 1 and "Join" not in plan, plan
+    # uptime: one window sort + one hash aggregate
+    df = em.QUERIES["feed_uptime"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
