@@ -5186,6 +5186,221 @@ def feed_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.gap_uptime(_trades(spark, sf_dir), heartbeat_seconds=1800.0)
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape — nation-pair trade volume: two dimension chains
+# (customer→nation, supplier→nation) meeting at the fact, yearly.
+# --------------------------------------------------------------------------
+@q(
+    "nation_pair_volume",
+    """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both nation dims and supplier broadcast (fixed-size tables); the
+    fact shuffles once for the orders join and once for the final
+    aggregate — the cross-border flow report of TPC-H Q7 without its
+    date window (the testdata spans fewer years)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation",
+        "supp_nation",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s) by quarterly revenue: aggregate →
+# scalar max → equality against the max (view + subquery in the spec).
+# --------------------------------------------------------------------------
+@q(
+    "top_supplier_quarter",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter filter reaches the scan; per-supplier revenue is one
+    hash agg (100 rows), the max is a 1-row broadcast, and equality is
+    taken on ROUND(,4) values on both sides so FP ulp drift cannot
+    split the tie."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI collocations — pointwise mutual information over adjacent
+# token pairs (the classic collocation/vocab-induction signal next to
+# word_frequencies/tfidf in the corpus-statistics plane).
+# --------------------------------------------------------------------------
+@q(
+    "bigram_pmi",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w FROM words) GROUP BY 1
+), n1 AS (
+  SELECT sum(c1) AS n FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+    FROM words
+  ) GROUP BY 1, 2
+), n2 AS (
+  SELECT sum(c12) AS n FROM bi
+), scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         ln((b.c12 * 1.0 / n2.n)
+            / ((u1.c1 * 1.0 / n1.n) * (u2.c1 * 1.0 / n1.n))) AS pmi
+  FROM bi b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE b.c12 >= 25
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count, ROUND(pmi, 6) AS pmi
+FROM scored
+ORDER BY ROUND(pmi, 6) DESC, w1 ASC, w2 ASC
+LIMIT 20
+""",
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram and unigram
+    probabilities from their own totals. One explode for unigrams, one
+    index-shift transform for bigrams (both linear, no self-join); the
+    vocab aggregates are small and broadcast; the final top-20 is a
+    TakeOrdered on (rounded pmi, w1, w2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    # size guard: Spark's sequence(0, -1) DESCENDS (a 1-token doc would
+    # fabricate bogus pairs); DuckDB's range(1, 1) is empty.
+    bigrams = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n2 = bi.agg(F.sum("c12").alias("n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    scored = (
+        bi.filter(F.col("c12") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c12") * 1.0 / F.col("n2"))
+                / (
+                    (F.col("c1_w1") * 1.0 / F.col("n1"))
+                    * (F.col("c1_w2") * 1.0 / F.col("n1"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -389,3 +389,25 @@ def test_microstructure_plans(spark):
     # uptime: one window sort + one hash aggregate
     df = em.QUERIES["feed_uptime"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_nation_pair_broadcasts_dims(spark):
+    df = em.QUERIES["nation_pair_volume"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=3)
+    PL.assert_no_cartesian(df)
+
+
+def test_top_supplier_pushdown_and_broadcast_max(spark):
+    df = em.QUERIES["top_supplier_quarter"](spark, SF_SMOKE)
+    PL.assert_pushed_filter(df, "l_shipdate")
+    PL.assert_broadcast_join(df, at_least=2)
+
+
+def test_bigram_pmi_no_self_join_topk(spark):
+    # bigrams come from an index-shift transform, never a token
+    # self-join; the top-20 must be TakeOrderedAndProject
+    df = em.QUERIES["bigram_pmi"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    PL.assert_broadcast_join(df, at_least=3)
+    PL.assert_no_cartesian(df)
