@@ -5401,6 +5401,85 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_vwap_5m",
+    oracle(
+        """
+SELECT
+  to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+  symbol,
+  ROUND(sum(price * volume) / nullif(sum(volume), 0.0), 6) AS vwap,
+  ROUND(sum(volume), 6) AS volume
+FROM trades
+GROUP BY 1, 2
+"""
+    ),
+)
+def streaming_vwap_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as a STREAM (reference spark/streaming_feature_updates.py
+    windowed VWAP): streaming file source → window() aggregate →
+    availableNow drain; complete mode emits every window, so the sink
+    is bit-identical to the batch oracle."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        jobs as SJ,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    vwap = SJ.streaming_vwap(trades_from_events(ev), bucket="5 minutes")
+    out = bridge.run_available_now(vwap, output_mode="complete")
+    return _r6(
+        out.withColumnRenamed("total_volume", "volume"), "vwap", "volume"
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured profiling — per-JSON-key presence/type/value stats
+# over the raw events.props payloads (the ingestion-time schema audit
+# run before a contract like S4's from_json is frozen).
+# --------------------------------------------------------------------------
+@q(
+    "props_key_profile",
+    """
+SELECT k AS key,
+       CAST(count(v) AS BIGINT) AS n_present,
+       CAST(count(*) - count(v) AS BIGINT) AS n_absent,
+       CAST(count(CASE WHEN v IS NOT NULL
+                        AND try_cast(v AS DOUBLE) IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_numeric,
+       ROUND(avg(try_cast(v AS DOUBLE)), 6) AS avg_numeric,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+FROM (
+  SELECT 'k' AS k, json_extract_string(props, '$.k') AS v FROM events
+  UNION ALL
+  SELECT 'tag', json_extract_string(props, '$.tag') AS v FROM events
+  UNION ALL
+  SELECT 'note', json_extract_string(props, '$.note') AS v FROM events
+)
+GROUP BY k
+""",
+)
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass per audited key (stacked long-form), all JVM-side
+    get_json_object — the schema-discovery audit that justifies the
+    from_json contract (S4). try_cast semantics == Spark's non-ANSI
+    cast (bad numerics → NULL on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for key in ("k", "tag", "note"):
+        v = F.get_json_object("props", f"$.{key}")
+        parts.append(ev.select(F.lit(key).alias("key"), v.alias("v")))
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    num = F.col("v").cast("double")
+    return stacked.groupBy("key").agg(
+        F.count("v").cast("bigint").alias("n_present"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_absent"),
+        F.count(F.when(num.isNotNull(), 1)).cast("bigint").alias("n_numeric"),
+        F.round(F.avg(num), 6).alias("avg_numeric"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -23,6 +23,7 @@ the same chunk-pruning shape as the reference's 1-day hypertable chunks
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,3 +176,53 @@ def merge_parquet(
         writer = writer.partitionBy(partition_col)
     writer.parquet(target_dir)
     return counts
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    target_dir: str,
+    max_records_per_file: int = 1_000_000,
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: micro-batch appends leave thousands of KB-sized files whose
+    open/footer cost eventually dominates scans (the reference relies on
+    TimescaleDB chunk management + S3 lifecycle for the same hygiene,
+    src/cost/s3_lifecycle.py; a lakehouse runs OPTIMIZE).
+
+    Strategy: read the table, write it back ATOMICALLY VIA A SIDE DIR
+    (write to `<dir>.__compact__`, then swap) with
+    ``maxRecordsPerFile`` bounding file size. Partitioned layouts pass
+    ``partition_col`` to preserve the directory scheme (each partition
+    compacts to ⌈rows/max⌉ files). Row data is byte-identical — only
+    the file layout changes. Returns before/after file counts.
+
+    At 100 TB: run per-partition on recent partitions only (older ones
+    are already compacted); this whole-table form is the building
+    block the scheduler calls with a partition predicate.
+    """
+    def _count_files(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return n
+
+    before = _count_files(target_dir)
+    df = spark.read.parquet(target_dir)
+    tmp_dir = target_dir.rstrip("/") + ".__compact__"
+    writer = (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp_dir)
+    old_dir = target_dir.rstrip("/") + ".__old__"
+    os.rename(target_dir, old_dir)
+    os.rename(tmp_dir, target_dir)
+    shutil.rmtree(old_dir)
+    return {"files_before": before, "files_after": _count_files(target_dir)}

@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from pyspark.sql import functions as F
+
 from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
     merge_parquet,
 )
@@ -149,3 +151,41 @@ def test_merge_random_sequences_match_dict_model(spark, tmp_path):
                 # ignore: keep existing
         got = _read(spark, path)
         assert got == model, (seq, got, model)
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+        compact_parquet_dir,
+    )
+
+    target = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # fragment: 64 small files, streaming-append style
+    df.repartition(64).write.mode("overwrite").parquet(target)
+    before_rows = {tuple(r) for r in spark.read.parquet(target).collect()}
+
+    stats = compact_parquet_dir(spark, target, max_records_per_file=100_000)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    after_rows = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert after_rows == before_rows
+    assert not os.path.exists(target + ".__compact__")
+    assert not os.path.exists(target + ".__old__")
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+        compact_parquet_dir,
+    )
+
+    target = str(tmp_path / "part_frag")
+    df = spark.range(0, 1000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(20).write.mode("overwrite").partitionBy("p").parquet(target)
+    stats = compact_parquet_dir(
+        spark, target, max_records_per_file=10_000, partition_col="p"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(
+        d for d in os.listdir(target) if d.startswith("p=")
+    ) == ["p=0", "p=1", "p=2"]
+    assert spark.read.parquet(target).count() == 1000
