@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "unigram_logprob_score",
     "benchmark_contamination",
     "macd_signal",
+    # session-2 families: microstructure, downsampling, embedding
+    # curation, collocations
+    "volume_bucket_vpin",
+    "m4_downsample",
+    "embedding_centroid_cosine",
+    "bigram_pmi",
+    "mad_outliers",
 ]
 
 
