@@ -5480,6 +5480,158 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# CAPM diagnostics — per-symbol beta/alpha/R² of 1-minute log returns
+# against the equal-weight market return (the cross-sectional risk
+# factorization next to A4 volatility and the Sharpe G6 check).
+# --------------------------------------------------------------------------
+@q(
+    "market_beta",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+), rets AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+), mkt AS (
+  SELECT bucket, avg(ret) AS mkt_ret, count(ret) AS n_syms
+  FROM rets WHERE ret IS NOT NULL
+  GROUP BY bucket HAVING count(ret) >= 2
+)
+SELECT r.symbol,
+       ROUND(regr_slope(r.ret, m.mkt_ret), 6) AS beta,
+       ROUND(regr_intercept(r.ret, m.mkt_ret), 6) AS alpha,
+       ROUND(regr_r2(r.ret, m.mkt_ret), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_buckets
+FROM rets r JOIN mkt m ON r.bucket = m.bucket
+WHERE r.ret IS NOT NULL
+GROUP BY r.symbol
+"""
+    ),
+)
+def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log returns per (symbol, 1m bucket); the equal-weight market
+    return is a bucket-level aggregate (tiny — O(|buckets|) rows)
+    broadcast back onto the per-symbol returns; beta/alpha/R² are
+    single-pass regression aggregates. Buckets with fewer than two
+    reporting symbols are excluded (a 1-symbol 'market' is just that
+    symbol — beta would be tautologically 1)."""
+    from pyspark.sql import Window
+
+    bars = FX.ohlc(_trades(spark, sf_dir), 60).select(
+        "bucket", "symbol", "close"
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    rets = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    mkt = (
+        rets.groupBy("bucket")
+        .agg(F.avg("ret").alias("mkt_ret"), F.count("ret").alias("n_syms"))
+        .filter(F.col("n_syms") >= 2)
+        .select("bucket", "mkt_ret")
+    )
+    return (
+        rets.join(F.broadcast(mkt), "bucket")
+        .groupBy("symbol")
+        .agg(
+            F.round(F.regr_slope("ret", "mkt_ret"), 6).alias("beta"),
+            F.round(F.regr_intercept("ret", "mkt_ret"), 6).alias("alpha"),
+            F.round(F.regr_r2("ret", "mkt_ret"), 6).alias("r2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape — market share: one nation's share of a region's
+# yearly revenue, as a conditional-sum ratio over the joined fact.
+# --------------------------------------------------------------------------
+@q(
+    "nation_market_share",
+    """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       ROUND(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dimension chains broadcast; the customer-region filter
+    restricts the fact before the final year aggregate; the share is a
+    conditional sum over one pass (no second scan for the
+    denominator)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust_region = (
+        cust.join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_regionkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -411,3 +411,18 @@ def test_bigram_pmi_no_self_join_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     PL.assert_broadcast_join(df, at_least=3)
     PL.assert_no_cartesian(df)
+
+
+def test_market_beta_broadcasts_market_series(spark):
+    # the bucket-level market return is tiny and must broadcast onto
+    # the per-symbol returns; regression is one hash aggregate
+    df = em.QUERIES["market_beta"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
+    PL.assert_no_cartesian(df)
+
+
+def test_market_share_semi_join_and_broadcasts(spark):
+    df = em.QUERIES["nation_market_share"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    PL.assert_broadcast_join(df, at_least=2)
+    assert "LeftSemi" in plan, plan
