@@ -5632,6 +5632,55 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Liquidity/impact estimators — Kyle's lambda (1985), Amihud
+# illiquidity (2002), Roll implied spread (1984): the literature's
+# standard trio, one window pass + one aggregate per symbol.
+# --------------------------------------------------------------------------
+@q(
+    "liquidity_measures",
+    oracle(
+        """
+d AS (
+  SELECT symbol, time, trade_id, price, volume,
+         price - lag(price) OVER w AS dp,
+         CASE WHEN price > 0 AND lag(price) OVER w > 0
+              THEN ln(price / lag(price) OVER w) END AS ret,
+         CASE WHEN side = 'buy' THEN volume
+              WHEN side = 'sell' THEN -volume END AS sv,
+         price * volume AS dollar_vol
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+), d2 AS (
+  SELECT *, lag(dp) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+         AS dp_prev
+  FROM d
+), a AS (
+  SELECT symbol,
+         regr_slope(dp, sv) AS kl,
+         avg(CASE WHEN dollar_vol > 0
+                  THEN abs(ret) / dollar_vol * 1e6 END) AS am,
+         covar_samp(dp, dp_prev) AS sc,
+         count(*) AS n
+  FROM d2 GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(kl, 6) AS kyle_lambda,
+       ROUND(am, 6) AS amihud_illiq,
+       ROUND(CASE WHEN sc < 0 THEN 2.0 * sqrt(-sc) END, 6) AS roll_spread,
+       CAST(n AS BIGINT) AS n_trades
+FROM a
+"""
+    ),
+)
+def liquidity_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.liquidity_measures(_trades(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -98,3 +98,61 @@ def effective_spread_stats(trades: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_quoted_trades"),
         )
     )
+
+
+def liquidity_measures(trades: DataFrame) -> DataFrame:
+    """Three canonical liquidity/impact estimators per symbol, one
+    window pass + one hash aggregate:
+
+    - Kyle's lambda (Kyle, Econometrica 1985): regression slope of the
+      trade-to-trade price change on signed volume (buy = +v,
+      sell = −v; unsigned rows excluded from the regression by NULLing
+      the regressor pair).
+    - Amihud illiquidity (Amihud, J. Fin. Markets 2002): mean
+      |return| / dollar volume, scaled ×1e6 for readability.
+    - Roll's implied spread (Roll, J. Finance 1984):
+      2·√(−cov(Δp_t, Δp_{t−1})) when the serial covariance is
+      negative, else NULL (the model is undefined on positive
+      autocovariance).
+    """
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    dp = F.col("price") - F.lag("price").over(w)
+    prev_price = F.lag("price").over(w)
+    ret = F.when(
+        (F.col("price") > 0) & (prev_price > 0),
+        F.log(F.col("price") / prev_price),
+    )
+    signed_vol = F.when(F.col("side") == "buy", F.col("volume")).when(
+        F.col("side") == "sell", -F.col("volume")
+    )
+    base = (
+        trades.withColumn("dp", dp)
+        .withColumn("dp_prev", F.lag("dp").over(w))
+        .withColumn("ret", ret)
+        .withColumn("sv", signed_vol)
+        .withColumn("dollar_vol", F.col("price") * F.col("volume"))
+    )
+    agg = base.groupBy("symbol").agg(
+        F.round(F.regr_slope("dp", "sv"), 6).alias("kyle_lambda"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("dollar_vol") > 0,
+                    F.abs(F.col("ret")) / F.col("dollar_vol") * 1e6,
+                )
+            ),
+            6,
+        ).alias("amihud_illiq"),
+        F.covar_samp("dp", "dp_prev").alias("_serial_cov"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
+    roll = F.when(
+        F.col("_serial_cov") < 0, 2.0 * F.sqrt(-F.col("_serial_cov"))
+    )
+    return agg.select(
+        "symbol",
+        "kyle_lambda",
+        "amihud_illiq",
+        F.round(roll, 6).alias("roll_spread"),
+        "n_trades",
+    )

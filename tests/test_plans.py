@@ -426,3 +426,12 @@ def test_market_share_semi_join_and_broadcasts(spark):
     plan = PL.physical_plan(df)
     PL.assert_broadcast_join(df, at_least=2)
     assert "LeftSemi" in plan, plan
+
+
+def test_liquidity_measures_single_window_pass(spark):
+    # dp, ret, signed volume, and the lagged dp share ONE
+    # (symbol)-ordered window sort; then a single hash aggregate
+    df = em.QUERIES["liquidity_measures"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert PL.shuffle_count(df) <= 2, plan
+    assert "Join" not in plan, plan
