@@ -5681,6 +5681,91 @@ def liquidity_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MS.liquidity_measures(_trades(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# Drawdown episodes — time-underwater accounting per symbol (episode
+# count, total/longest underwater spell, max depth): the duration
+# complement of the max_drawdown magnitude indicator.
+# --------------------------------------------------------------------------
+@q(
+    "drawdown_episodes",
+    oracle(
+        """
+b AS (
+  SELECT symbol, time, trade_id, price,
+         max(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax,
+         coalesce(lead(epoch(time)) OVER w - epoch(time), 0) AS dur
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+), u AS (
+  SELECT symbol, time, trade_id, dur,
+         price < runmax AS under,
+         CASE WHEN runmax > 0 THEN 1 - price / runmax ELSE 0 END AS depth,
+         CASE WHEN (price < runmax) AND NOT
+                   coalesce(lag(price < runmax) OVER v, FALSE)
+              THEN 1 ELSE 0 END AS is_start
+  FROM b
+  WINDOW v AS (PARTITION BY symbol ORDER BY time, trade_id)
+), e AS (
+  SELECT symbol, under, dur, depth,
+         sum(is_start) OVER (PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_id
+  FROM u
+), per_ep AS (
+  SELECT symbol, episode_id, sum(dur) AS ep_dur, max(depth) AS ep_depth
+  FROM e WHERE under GROUP BY symbol, episode_id
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_episodes,
+       ROUND(sum(ep_dur), 6) AS total_underwater_seconds,
+       ROUND(max(ep_dur), 6) AS longest_underwater_seconds,
+       ROUND(max(ep_depth), 6) AS max_depth
+FROM per_ep GROUP BY symbol
+"""
+    ),
+)
+def drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running max → underwater flag → episode sessionization (running
+    count of episode starts) → per-episode durations/depths → symbol
+    rollup. All growing-frame windows over ONE (symbol, time, trade_id)
+    sort — incremental O(n) per partition — plus two hash aggregates
+    over episode-grain rows."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    grow = w.rowsBetween(Window.unboundedPreceding, 0)
+    epoch = F.col("time").cast("double")
+    b = t.withColumn("runmax", F.max("price").over(grow)).withColumn(
+        "dur", F.coalesce(F.lead(epoch).over(w) - epoch, F.lit(0.0))
+    )
+    under = F.col("price") < F.col("runmax")
+    u = b.withColumn("under", under).withColumn(
+        "depth",
+        F.when(
+            F.col("runmax") > 0, 1 - F.col("price") / F.col("runmax")
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "is_start",
+        (
+            F.col("under")
+            & ~F.coalesce(F.lag("under").over(w), F.lit(False))
+        ).cast("int"),
+    )
+    e = u.withColumn("episode_id", F.sum("is_start").over(grow))
+    per_ep = (
+        e.filter(F.col("under"))
+        .groupBy("symbol", "episode_id")
+        .agg(F.sum("dur").alias("ep_dur"), F.max("depth").alias("ep_depth"))
+    )
+    return per_ep.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.round(F.sum("ep_dur"), 6).alias("total_underwater_seconds"),
+        F.round(F.max("ep_dur"), 6).alias("longest_underwater_seconds"),
+        F.round(F.max("ep_depth"), 6).alias("max_depth"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

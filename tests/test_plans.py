@@ -435,3 +435,13 @@ def test_liquidity_measures_single_window_pass(spark):
     plan = PL.physical_plan(df)
     assert PL.shuffle_count(df) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_drawdown_episodes_single_sort(spark):
+    # runmax, lead, lag, and the episode-id cumsum all share ONE
+    # (symbol, time, trade_id) window sort; two aggregates follow
+    df = em.QUERIES["drawdown_episodes"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert plan.count("Window") <= 2, plan
+    assert PL.shuffle_count(df) <= 3, plan
+    assert "Join" not in plan, plan
