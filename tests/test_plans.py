@@ -438,10 +438,11 @@ def test_liquidity_measures_single_window_pass(spark):
 
 
 def test_drawdown_episodes_single_sort(spark):
-    # runmax, lead, lag, and the episode-id cumsum all share ONE
-    # (symbol, time, trade_id) window sort; two aggregates follow
+    # runmax, lead, lag, and the episode-id cumsum stack as separate
+    # Window nodes but share ONE (symbol, time, trade_id) sort and ONE
+    # fact exchange — no re-sort, no join
     df = em.QUERIES["drawdown_episodes"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
-    assert plan.count("Window") <= 2, plan
+    assert plan.count("+- Sort") == 1, plan
     assert PL.shuffle_count(df) <= 3, plan
     assert "Join" not in plan, plan
