@@ -5766,6 +5766,52 @@ def drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Boilerplate chunk detection — chunk-level exact dedup across docs
+# (the C4/RefinedWeb-style repeated-passage screen): which 50-word
+# chunks recur, in how many distinct documents.
+# --------------------------------------------------------------------------
+@q(
+    "boilerplate_chunks",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+         unnest(range(0, (len(ws) - 1) // 40 + 1)) AS chunk_idx
+  FROM w
+), h AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' '))
+             AS chunk_md5
+  FROM c
+)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM h
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes `doc_chunking`'s in-row slicing with a hash aggregate
+    on the chunk fingerprint: chunks shared by ≥2 distinct documents
+    are boilerplate candidates (headers, disclaimers, templates). The
+    only shuffle is the group-by on the 16-byte hash — at 100 TB this
+    is the standard repeated-passage screen run before training."""
+    chunks = QUERIES["doc_chunking"](spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
