@@ -5812,6 +5812,110 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Rolling 7-day active users — sliding distinct-count via contribution
+# explode: each (user, day) membership contributes to the 7 target
+# days it stays active for, turning a rolling COUNT DISTINCT (not
+# window-expressible) into explode + hash aggregate. The 100 TB shape:
+# linear in memberships, no range join, no per-day rescan.
+# --------------------------------------------------------------------------
+@q(
+    "rolling_active_users",
+    """
+WITH m AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM m
+), windowed AS (
+  SELECT CAST(day + off * INTERVAL 1 DAY AS DATE) AS target_day, user_id
+  FROM (SELECT unnest(range(0, 7)) AS off, day, user_id FROM m)
+), au7 AS (
+  SELECT d.day, count(DISTINCT w.user_id) AS active_7d
+  FROM days d JOIN windowed w ON w.target_day = d.day
+  GROUP BY d.day
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS active_1d FROM m GROUP BY day
+)
+SELECT a.day,
+       CAST(a.active_7d AS BIGINT) AS active_7d,
+       CAST(d.active_1d AS BIGINT) AS active_1d
+FROM au7 a JOIN dau d ON a.day = d.day
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day AU per observed day. Memberships dedup to
+    (user, day) once; each membership is exploded into its 7
+    contribution days and re-aggregated — two hash aggregates and one
+    small join against the observed-day list (so leading days with no
+    observed traffic do not appear, matching the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = m.select("day").distinct()
+    windowed = m.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("target_day"), "user_id")
+    au7 = (
+        windowed.join(
+            F.broadcast(days), windowed.target_day == days.day
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+    )
+    dau = m.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_1d")
+    )
+    return au7.join(dau, "day").select("day", "active_7d", "active_1d")
+
+
+# --------------------------------------------------------------------------
+# Daily volume concentration — per-symbol share and the Herfindahl-
+# Hirschman index per trading day (market-structure monitoring).
+# --------------------------------------------------------------------------
+@q(
+    "volume_concentration",
+    oracle(
+        """
+s AS (
+  SELECT CAST(time AS DATE) AS day, symbol, sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+), t AS (
+  SELECT day, sum(vol) AS day_vol FROM s GROUP BY day
+)
+SELECT s.day,
+       ROUND(sum(power(s.vol / t.day_vol, 2)), 6) AS hhi,
+       ROUND(max(s.vol / t.day_vol), 6) AS top_share,
+       CAST(count(*) AS BIGINT) AS n_symbols
+FROM s JOIN t ON s.day = t.day
+GROUP BY s.day
+"""
+    ),
+)
+def volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stacked hash aggregates (symbol-day, then day) with the tiny
+    day totals broadcast back; HHI = Σ share² per day."""
+    t = _trades(spark, sf_dir)
+    s = t.groupBy(
+        F.to_date("time").alias("day"), "symbol"
+    ).agg(F.sum("volume").alias("vol"))
+    tot = s.groupBy("day").agg(F.sum("vol").alias("day_vol"))
+    share = F.col("vol") / F.col("day_vol")
+    return (
+        s.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

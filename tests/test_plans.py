@@ -446,3 +446,18 @@ def test_drawdown_episodes_single_sort(spark):
     assert plan.count("+- Sort") == 1, plan
     assert PL.shuffle_count(df) <= 3, plan
     assert "Join" not in plan, plan
+
+
+def test_rolling_active_users_no_range_join(spark):
+    # the sliding distinct-count is explode + hash agg — a range/theta
+    # join here would be the quadratic anti-pattern
+    df = em.QUERIES["rolling_active_users"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Generate" in plan, plan  # the contribution explode
+
+
+def test_volume_concentration_broadcast_totals(spark):
+    df = em.QUERIES["volume_concentration"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
+    assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
