@@ -5916,6 +5916,108 @@ def volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming feed-outage alerts — the stateful streaming twin of
+# feed_uptime: per-symbol last-seen carried in GroupState, an alert per
+# gap > 30 min. Eighth driver-graded streaming query.
+# --------------------------------------------------------------------------
+@q(
+    "streaming_gap_alerts",
+    oracle(
+        """
+g AS (
+  SELECT symbol,
+         lag(time) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+             AS gap_start,
+         time AS gap_end,
+         epoch(time) - lag(epoch(time)) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id) AS gap
+  FROM trades
+)
+SELECT symbol, gap_start, gap_end, ROUND(gap, 6) AS gap_seconds
+FROM g WHERE gap > 1800.0
+"""
+    ),
+)
+def streaming_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL availableNow streaming job through the stateful gap
+    monitor (applyInPandasWithState, O(1) state per key crossing
+    micro-batches); the oracle re-derives each alert with a batch lag
+    over the same input."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        cep as CEP,
+    )
+
+    ev = bridge.load_events_stream(spark, sf_dir)
+    alerts = CEP.gap_monitor(trades_from_events(ev), threshold_sec=1800.0)
+    out = bridge.run_available_now(alerts, output_mode="append")
+    return out.select(
+        "symbol",
+        "gap_start",
+        "gap_end",
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Signal PnL — mark-to-market PnL of a momentum signal per symbol (the
+# G12 PnL-simulation semantics as a driver-hashable window/agg plan;
+# reference src/serving/triton_canary.py:60-96).
+# --------------------------------------------------------------------------
+@q(
+    "signal_pnl_by_symbol",
+    oracle(
+        """
+s AS (
+  SELECT symbol, time, trade_id, price,
+         sign(price - lag(price) OVER w) AS signal,
+         lead(price) OVER w AS next_price
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+)
+SELECT symbol,
+       ROUND(sum(signal * (next_price - price)), 6) AS pnl,
+       CAST(count(CASE WHEN signal = 1 THEN 1 END) AS BIGINT) AS n_long,
+       CAST(count(CASE WHEN signal = -1 THEN 1 END) AS BIGINT) AS n_short,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM s
+WHERE signal IS NOT NULL AND next_price IS NOT NULL
+GROUP BY symbol
+"""
+    ),
+)
+def signal_pnl_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position = sign of the last price move (momentum); PnL accrues
+    on the next move: Σ signal_t · (p_{t+1} − p_t). One lag+lead window
+    pass + one hash aggregate — the same fold `functions/pnl.py` runs
+    per model, expressed declaratively so the driver can hash it."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    s = t.withColumn(
+        "signal", F.signum(F.col("price") - F.lag("price").over(w))
+    ).withColumn("next_price", F.lead("price").over(w))
+    return (
+        s.filter(F.col("signal").isNotNull() & F.col("next_price").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.round(
+                F.sum(F.col("signal") * (F.col("next_price") - F.col("price"))),
+                6,
+            ).alias("pnl"),
+            F.count(F.when(F.col("signal") == 1, 1)).cast("bigint").alias(
+                "n_long"
+            ),
+            F.count(F.when(F.col("signal") == -1, 1)).cast("bigint").alias(
+                "n_short"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -325,3 +325,63 @@ def streaming_row_features(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_SCHEMA = (
+    "symbol string, gap_start timestamp, gap_end timestamp,"
+    " gap_seconds double"
+)
+_GAP_STATE_SCHEMA = "last_us long, last_tid string"
+
+
+def _gap_monitor_fn(threshold_sec: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # exact integer microseconds — a float-seconds roundtrip would
+        # perturb the emitted gap_start at the nanosecond level and
+        # break hash parity with the oracle's lag(time)
+        last_us = state.get[0] if state.exists else None
+        out_rows = []
+        rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
+        last_tid = state.get[1] if state.exists else None
+        for r in rows.itertuples():
+            ts_us = r.time.value // 1000
+            if last_us is not None and (ts_us - last_us) / 1e6 > threshold_sec:
+                out_rows.append(
+                    {
+                        "symbol": key[0],
+                        "gap_start": pd.Timestamp(last_us * 1000),
+                        "gap_end": r.time,
+                        "gap_seconds": round((ts_us - last_us) / 1e6, 6),
+                    }
+                )
+            last_us, last_tid = ts_us, r.trade_id
+        if last_us is not None:
+            state.update((int(last_us), str(last_tid)))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["symbol", "gap_start", "gap_end", "gap_seconds"],
+        )
+
+    return fn
+
+
+def gap_monitor(trades: DataFrame, threshold_sec: float = 1800.0) -> DataFrame:
+    """Streaming feed-outage detector (the streaming twin of the batch
+    heartbeat/uptime accounting): per-symbol last-seen timestamp lives
+    in GroupState — O(1) floats per key — and an alert row is emitted
+    for every inter-arrival gap exceeding ``threshold_sec``. State
+    crosses micro-batch boundaries, so a gap spanning two batches is
+    still detected exactly once."""
+    return trades.select("time", "symbol", "trade_id").groupBy(
+        "symbol"
+    ).applyInPandasWithState(
+        _gap_monitor_fn(threshold_sec),
+        outputStructType=GAP_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

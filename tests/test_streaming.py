@@ -672,3 +672,46 @@ def test_streaming_row_features_match_batch(spark, tmp_path):
         assert abs(sma_s - sma_b[tid]) < 1e-9, tid
         assert abs(ewm_s - ewm_b[tid]) < 1e-12, tid
         assert reg_s == reg_b[tid], tid
+
+
+def test_gap_monitor_state_crosses_batches(spark, tmp_path):
+    """A feed gap spanning two micro-batches must be detected exactly
+    once, using the last-seen state carried from the first batch."""
+    import os as _os
+    import time as _time
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+        gap_monitor,
+    )
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    ckpt = tmp_path / "gap_ckpt"
+    _write_jsonl(
+        src / "b1.jsonl",
+        [_trade(400, minute=0.0), _trade(401, minute=1.0)],
+    )
+    # 40 minutes later — the gap crosses the micro-batch boundary
+    _write_jsonl(src / "b2.jsonl", [_trade(402, minute=41.0)])
+    now = _time.time()
+    _os.utime(src / "b1.jsonl", (now - 60, now - 60))
+    _os.utime(src / "b2.jsonl", (now, now))
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    alerts = gap_monitor(good, threshold_sec=1800.0)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("gap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM gap_out").collect()
+    assert len(got) == 1
+    assert abs(got[0]["gap_seconds"] - 2400.0) < 1e-6
