@@ -6018,6 +6018,78 @@ def signal_pnl_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: a pure filtered aggregate
+# whose predicates must ALL reach the parquet scan.
+# --------------------------------------------------------------------------
+@q(
+    "forecast_revenue_change",
+    """
+SELECT ROUND(sum(l_extendedprice * l_discount), 6) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix — per-user Markov transition counts
+# (the behavioral-sequence statistic behind funnel/session analytics).
+# --------------------------------------------------------------------------
+@q(
+    "event_transition_matrix",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag over (user, ts, event_id) then a hash aggregate on the
+    (prev, next) pair — one shuffle for the per-user sort, one for the
+    25-cell matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -461,3 +461,16 @@ def test_volume_concentration_broadcast_totals(spark):
     df = em.QUERIES["volume_concentration"](spark, SF_SMOKE)
     PL.assert_broadcast_join(df, at_least=1)
     assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = em.QUERIES["forecast_revenue_change"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    PL.assert_pushed_filter(df, "l_discount")
+    PL.assert_pushed_filter(df, "l_quantity")
+    assert "partial_" in plan, plan  # map-side combine before the 1-row agg
+
+
+def test_transition_matrix_two_shuffles(spark):
+    df = em.QUERIES["event_transition_matrix"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
