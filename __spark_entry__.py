@@ -6568,6 +6568,238 @@ def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "var_es_95",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+v AS (
+  SELECT symbol, CAST(count(r1) AS BIGINT) AS n_rets,
+         ROUND(quantile_cont(r1, 0.05), 6) AS var_95
+  FROM r GROUP BY 1
+)
+SELECT v.symbol, v.n_rets, v.var_95,
+       ROUND(avg(r.r1), 6) AS es_95
+FROM v JOIN r ON r.symbol = v.symbol
+WHERE r.r1 <= (SELECT quantile_cont(r2.r1, 0.05) FROM r r2 WHERE r2.symbol = v.symbol)
+GROUP BY 1, 2, 3
+"""
+    ),
+)
+def var_es_95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and Expected Shortfall per symbol
+    over minute log returns: VaR = the 5th return percentile, ES = the
+    mean of returns at-or-below it (the coherent tail measure Basel
+    moved to). The per-symbol quantile is computed once and broadcast
+    back for the tail mean — two grouped aggregates, no per-row
+    subquery (the oracle's correlated form is the semantic spec, not
+    the plan)."""
+    from pyspark.sql import Window
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(wl)
+    r = bars.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+        ).alias("r1"),
+    )
+    v = r.groupBy("symbol").agg(
+        F.count("r1").cast("bigint").alias("n_rets"),
+        F.expr("percentile(r1, 0.05)").alias("q05"),
+    )
+    tail = (
+        r.join(F.broadcast(v), "symbol")
+        .filter(F.col("r1") <= F.col("q05"))
+        .groupBy("symbol", "n_rets", F.round("q05", 6).alias("var_95"))
+        .agg(F.round(F.avg("r1"), 6).alias("es_95"))
+    )
+    return tail.select("symbol", "n_rets", "var_95", "es_95")
+
+
+@q(
+    "benford_price_digits",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+o AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM o)
+SELECT o.digit, CAST(o.n AS BIGINT) AS n,
+       ROUND(o.n / CAST(t.total AS DOUBLE), 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / o.digit), 6) AS benford_share,
+       ROUND(pow(o.n / CAST(t.total AS DOUBLE) - log10(1.0 + 1.0 / o.digit), 2)
+             / log10(1.0 + 1.0 / o.digit), 6) AS chi2_term
+FROM o, t
+""",
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on extended prices — the classic
+    fabricated-data / ingestion-corruption screen for financial
+    tables: observed digit shares vs log10(1+1/d), with per-digit
+    chi-square contributions. One hash aggregate to 9 rows; the total
+    is a 1-row broadcast cross join (no second scan, no collect)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = o.groupBy().agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return o.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(ben, 6).alias("benford_share"),
+        F.round(F.pow(obs - ben, 2) / ben, 6).alias("chi2_term"),
+    )
+
+
+@q(
+    "intraday_seasonality",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, hour(bucket) AS hod,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+m AS (
+  SELECT symbol, hod, avg(r1) AS hod_mean FROM r WHERE r1 IS NOT NULL GROUP BY 1, 2
+)
+SELECT r.symbol,
+       CAST(count(*) AS BIGINT) AS n_rets,
+       ROUND(var_samp(r.r1), 6) AS var_total,
+       ROUND(var_samp(r.r1 - m.hod_mean), 6) AS var_deseason,
+       ROUND(1 - var_samp(r.r1 - m.hod_mean) / NULLIF(var_samp(r.r1), 0), 6)
+           AS seasonality_strength
+FROM r JOIN m ON r.symbol = m.symbol AND r.hod = m.hod
+WHERE r.r1 IS NOT NULL
+GROUP BY 1
+"""
+    ),
+)
+def intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday seasonality strength (STL-lite): share of minute-return
+    variance explained by the hour-of-day profile, 1 − Var(residual)/
+    Var(total). The 24-row-per-symbol hour profile is broadcast back
+    onto the return stream — the seasonal component join costs nothing
+    at any scale."""
+    from pyspark.sql import Window
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    wl = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(wl)
+    r = bars.select(
+        "symbol",
+        F.hour("bucket").alias("hod"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+        ).alias("r1"),
+    ).filter(F.col("r1").isNotNull())
+    m = r.groupBy("symbol", "hod").agg(F.avg("r1").alias("hod_mean"))
+    joined = r.join(F.broadcast(m), ["symbol", "hod"])
+    resid = F.col("r1") - F.col("hod_mean")
+    return joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rets"),
+        F.round(F.var_samp("r1"), 6).alias("var_total"),
+        F.round(F.var_samp(resid), 6).alias("var_deseason"),
+        F.round(
+            1 - F.var_samp(resid) / F.nullif(F.var_samp("r1"), F.lit(0)), 6
+        ).alias("seasonality_strength"),
+    )
+
+
+@q(
+    "trade_sign_autocorr",
+    oracle(
+        """
+s AS (
+  SELECT symbol, time, trade_id,
+         CASE side WHEN 'buy' THEN 1.0 WHEN 'sell' THEN -1.0 END AS sgn
+  FROM trades WHERE side IS NOT NULL
+),
+l AS (
+  SELECT symbol, sgn,
+         lag(sgn) OVER (PARTITION BY symbol ORDER BY time, trade_id) AS sgn_prev
+  FROM s
+)
+SELECT symbol,
+       CAST(count(sgn_prev) AS BIGINT) AS n_pairs,
+       ROUND(corr(sgn, sgn_prev), 6) AS sign_autocorr,
+       ROUND(avg(sgn), 6) AS mean_sign
+FROM l
+GROUP BY 1
+"""
+    ),
+)
+def trade_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow sign persistence (the microstructure fact behind
+    order splitting: trade signs are positively autocorrelated):
+    lag-1 autocorrelation of the ±1 side sequence per symbol, plus the
+    mean sign (net flow direction). One window pass over side-tagged
+    trades, one aggregate."""
+    from pyspark.sql import Window
+
+    t = _trades(spark, sf_dir).filter(F.col("side").isNotNull())
+    s = t.select(
+        "symbol",
+        "time",
+        "trade_id",
+        F.when(F.col("side") == "buy", 1.0)
+        .when(F.col("side") == "sell", -1.0)
+        .alias("sgn"),
+    )
+    wl = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    l = s.select(
+        "symbol", "sgn", F.lag("sgn").over(wl).alias("sgn_prev")
+    )
+    return l.groupBy("symbol").agg(
+        F.count("sgn_prev").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("sgn", "sgn_prev"), 6).alias("sign_autocorr"),
+        F.round(F.avg("sgn"), 6).alias("mean_sign"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Final TPC-H shapes (Q2/Q9/Q11/Q12/Q21) — completing all 22 query
 # archetypes. The testdata ships no partsupp table and no
