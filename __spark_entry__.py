@@ -7099,6 +7099,338 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Session-3 additions: information-driven bars, ML labeling, Hurst regime
+# diagnostic, containment dedup, cross-source contamination, behavioral
+# entropy, k-means cluster profile.
+# ==========================================================================
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    labels as LB,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    microstructure as MS,
+)
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    indicators as IND,
+)
+
+
+@q(
+    "dollar_bars",
+    oracle(
+        """
+pv AS (
+  SELECT symbol, time, trade_id, price, price * volume AS pv,
+         sum(price * volume) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM trades
+),
+b AS (
+  SELECT *, CAST(floor((running - pv) / 50000.0) AS BIGINT) AS bar_id FROM pv
+)
+SELECT symbol, bar_id,
+       count(*) AS n_trades,
+       min(time) AS bar_start,
+       max(time) AS bar_end,
+       ROUND(first(price ORDER BY time, trade_id), 6) AS open,
+       ROUND(max(price), 6) AS high,
+       ROUND(min(price), 6) AS low,
+       ROUND(last(price ORDER BY time, trade_id), 6) AS close,
+       ROUND(sum(pv), 6) AS dollar_volume
+FROM b GROUP BY 1, 2
+"""
+    ),
+)
+def dollar_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar-clock bar sampling (AFML ch.2) — equal-information bars on
+    the tape the reference only buckets by wall clock
+    (sql/timescaledb_schema.sql:44-57)."""
+    return MS.dollar_bars(_trades(spark, sf_dir), threshold=50_000.0)
+
+
+@q(
+    "triple_barrier_labels",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+f AS (
+  SELECT symbol, bucket, close,
+         list(close) OVER (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS future,
+         count(*) OVER (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS nf
+  FROM bars
+),
+lab AS (
+  SELECT symbol, bucket, close,
+         coalesce(list_position(
+             list_transform(future, x -> x >= close * (1.0 + 0.002)), true), 0)
+             AS up_idx,
+         coalesce(list_position(
+             list_transform(future, x -> x <= close * (1.0 - 0.002)), true), 0)
+             AS dn_idx,
+         future[10] AS last_close
+  FROM f WHERE nf = 10
+)
+SELECT symbol, bucket, ROUND(close, 6) AS close,
+       CAST(up_idx AS BIGINT) AS up_idx,
+       CAST(dn_idx AS BIGINT) AS dn_idx,
+       CAST(CASE WHEN up_idx > 0 AND (dn_idx = 0 OR up_idx < dn_idx) THEN 1
+                 WHEN dn_idx > 0 AND (up_idx = 0 OR dn_idx < up_idx) THEN -1
+                 ELSE 0 END AS INT) AS label,
+       ROUND(CASE WHEN close > 0 THEN last_close / close - 1.0 END, 6)
+           AS horizon_ret
+FROM lab
+"""
+    ),
+)
+def triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier training labels (AFML ch.3) over 1-minute close
+    bars: first-touch of ±0.2% within a 10-bar horizon."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    return LB.triple_barrier(bars, horizon=10, up_pct=0.002, dn_pct=0.002)
+
+
+_HURST_SCALES = (1, 2, 4, 8, 16)
+
+
+def _hurst_oracle() -> str:
+    cs = IND.hurst_slope_coeffs(_HURST_SCALES)
+    lag_cols = ",\n         ".join(
+        f"lnp - lag(lnp, {k}) OVER w AS r_{k}" for k in _HURST_SCALES
+    )
+    var_cols = ",\n         ".join(
+        f"var_samp(r_{k}) AS v_{k}" for k in _HURST_SCALES
+    )
+    valid = " AND ".join(f"v_{k} > 0" for k in _HURST_SCALES)
+    slope = " + ".join(
+        f"{c!r} * ln(v_{k})" for k, c in zip(_HURST_SCALES, cs)
+    )
+    out_vars = ",\n       ".join(
+        f"ROUND(v_{k}, 6) AS var_{k}m" for k in _HURST_SCALES
+    )
+    return oracle(
+        f"""
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+l AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 THEN ln(close) END AS lnp
+  FROM bars
+),
+d AS (
+  SELECT symbol,
+         {lag_cols}
+  FROM l WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+v AS (
+  SELECT symbol,
+         {var_cols},
+         count(*) AS n_bars
+  FROM d GROUP BY 1
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       {out_vars},
+       ROUND(CASE WHEN {valid}
+             THEN ({slope}) / 2.0 END, 6) AS hurst
+FROM v
+"""
+    )
+
+
+@q("hurst_exponent", _hurst_oracle())
+def hurst_exponent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-aggregated-returns Hurst exponent per symbol — the
+    quantitative regime diagnostic behind A9's regime_tag."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    return IND.hurst_exponent(bars, scales=_HURST_SCALES)
+
+
+@q(
+    "dedup_containment",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+         WHERE dfreq.df <= 20),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / sa.n, 6) AS containment_ab,
+       ROUND(common * 1.0 / sb.n, 6) AS containment_ba
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE common * 1.0 / sa.n >= 0.5 OR common * 1.0 / sb.n >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment pairs — the short-doc-inside-
+    long-doc near-dup screen Jaccard misses."""
+    return _r6(
+        DD.containment_pairs(
+            load_table(spark, sf_dir, "documents"),
+            n=3,
+            threshold=0.5,
+            max_doc_freq=20,
+        ),
+        "containment_ab",
+        "containment_ba",
+    )
+
+
+@q(
+    "cross_source_overlap",
+    """
+WITH words AS (
+  SELECT source, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(ws[(c*10+1):(c*10+10)], ' ')) AS fingerprint
+  FROM words, UNNEST(range(0, CAST(floor(len(ws) / 10) AS BIGINT))) AS t(c)
+  WHERE len(ws) >= 10
+),
+totals AS (SELECT source, count(*) AS n FROM fp GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ta.n AS na, tb.n AS nb,
+       ROUND(n_shared * 1.0 / least(ta.n, tb.n), 6) AS overlap_ratio
+FROM shared
+JOIN totals ta ON source_a = ta.source
+JOIN totals tb ON source_b = tb.source
+""",
+)
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix over 10-word passage
+    fingerprints — the pre-blend re-crawl screen."""
+    return DD.cross_source_overlap(
+        load_table(spark, sf_dir, "documents"), chunk_words=10
+    )
+
+
+@q(
+    "event_type_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, sum(cnt) AS total, count(*) AS n_types FROM c GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(t.total AS BIGINT) AS n_events,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       ROUND(0.0 - sum((cnt * 1.0 / total) * ln(cnt * 1.0 / total)), 6)
+           AS entropy_nats
+FROM c JOIN t USING (user_id)
+GROUP BY 1, 2, 3
+""",
+)
+def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Shannon entropy over event types — a
+    bot/spam screen (uniform high-entropy vs single-action accounts).
+    Two hash aggregates + one equi-join on user_id; `0.0 - sum(...)`
+    (not unary minus) so single-type users yield +0.0, never the
+    -0.0 the driver hash would see as a distinct value."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "total", "n_types")
+        .agg(
+            F.round(F.lit(0.0) - F.sum(p * F.log(p)), 6).alias("entropy_nats")
+        )
+        .select(
+            "user_id",
+            F.col("total").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            "entropy_nats",
+        )
+    )
+
+
+@q("kmeans_cluster_sizes")
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means-lite cluster profile of the embedding
+    corpus (the IVF codebook exposed as an analytics surface): cluster
+    sizes + mean cosine to the assigned centroid. Rows-only by design —
+    the iterative Lloyd refinement is not expressible in one DuckDB
+    SQL statement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, k=8, iters=4)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    assigned = vecs.select(
+        "vec_id",
+        SIM._nearest_centroid(F.col("v"), cents).alias("cluster_id"),
+        *[
+            cosine_similarity(
+                F.col("v"), F.array(*[F.lit(x) for x in c])
+            ).alias(f"__s{i}")
+            for i, c in enumerate(cents)
+        ],
+    )
+    sim_to_assigned = None
+    for i in range(len(cents)):
+        term = F.when(F.col("cluster_id") == i, F.col(f"__s{i}"))
+        sim_to_assigned = (
+            term if sim_to_assigned is None else F.coalesce(sim_to_assigned, term)
+        )
+    return (
+        assigned.withColumn("sim", sim_to_assigned)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("sim"), 6).alias("mean_cosine"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -332,3 +332,62 @@ def return_autocorrelation(bars: DataFrame, lag: int = 1) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         )
     )
+
+
+def hurst_exponent(
+    bars: DataFrame, scales: tuple[int, ...] = (1, 2, 4, 8, 16)
+) -> DataFrame:
+    """Hurst exponent per symbol via the variance-of-aggregated-returns
+    method: for a self-affine process, Var[r_k] ~ k^(2H), so H is half
+    the OLS slope of ln Var[r_k] on ln k across scales k (in minute
+    BARS — row offsets on the per-symbol minute series; calendar gaps
+    are deliberately row-counted, documented). H≈0.5 random walk,
+    >0.5 trending, <0.5 mean-reverting — the regime diagnostic behind
+    the reference's regime_tag feature (A9).
+
+    One sort per symbol computes all k lags (same window spec → Spark
+    reuses the single shuffle+sort), then one hash aggregate takes the
+    five variances and the regression slope is closed-form constant
+    arithmetic. Null H when any scale's variance is non-positive.
+    """
+    import math
+
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    lnp = F.when(F.col("close") > 0, F.log("close"))
+    base = bars.withColumn("lnp", lnp)
+    for k in scales:
+        base = base.withColumn(f"r_{k}", F.col("lnp") - F.lag("lnp", k).over(w))
+    aggs = [
+        F.var_samp(f"r_{k}").alias(f"v_{k}") for k in scales
+    ] + [F.count(F.lit(1)).cast("bigint").alias("n_bars")]
+    per_sym = base.groupBy("symbol").agg(*aggs)
+    # OLS slope of ln(v_k) on ln(k): slope = sum(c_k * ln(v_k)) with
+    # centered-x constants c_k — computed once here; oracle SQL embeds
+    # the identical literals (hurst_slope_coeffs).
+    coeffs = hurst_slope_coeffs(scales)
+    valid = None
+    for k in scales:
+        cond = F.col(f"v_{k}") > 0
+        valid = cond if valid is None else (valid & cond)
+    slope = None
+    for k, c in zip(scales, coeffs):
+        term = F.lit(c) * F.log(F.col(f"v_{k}"))
+        slope = term if slope is None else (slope + term)
+    h = F.when(valid, slope / 2.0)
+    return per_sym.select(
+        "symbol",
+        "n_bars",
+        *[F.round(F.col(f"v_{k}"), 6).alias(f"var_{k}m") for k in scales],
+        F.round(h, 6).alias("hurst"),
+    )
+
+
+def hurst_slope_coeffs(scales: tuple[int, ...]) -> list[float]:
+    """Centered-x OLS coefficients: slope = Σ c_i·y_i with
+    c_i = (x_i − x̄)/Σ(x_j − x̄)², x_i = ln(scale_i)."""
+    import math
+
+    xs = [math.log(float(k)) for k in scales]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    return [(x - xbar) / sxx for x in xs]

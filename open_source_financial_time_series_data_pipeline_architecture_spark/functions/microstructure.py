@@ -156,3 +156,40 @@ def liquidity_measures(trades: DataFrame) -> DataFrame:
         F.round(roll, 6).alias("roll_spread"),
         "n_trades",
     )
+
+
+def dollar_bars(trades: DataFrame, threshold: float = 50_000.0) -> DataFrame:
+    """Information-driven bar sampling on a DOLLAR clock (López de
+    Prado, *Advances in Financial Machine Learning* ch. 2): a new bar
+    starts each time cumulative traded dollar value crosses a multiple
+    of ``threshold``, so bars carry roughly equal information content
+    instead of equal wall-clock time. The reference's continuous
+    aggregates are wall-clock only (sql/timescaledb_schema.sql:44-57);
+    this is the sampling the ML plane wants on top of the same tape.
+
+    bar_id = floor(cum_dollar_before_this_trade / threshold) — the
+    cumulative window sum is computed incrementally per symbol
+    partition (one shuffle, O(n)); bar OHLC then falls out of one hash
+    aggregate with min_by/max_by struct keys (no second sort).
+    """
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.col("price") * F.col("volume")
+    base = trades.withColumn("pv", pv).withColumn(
+        "bar_id",
+        F.floor((F.sum("pv").over(w) - F.col("pv")) / F.lit(threshold)),
+    )
+    key = F.struct(F.col("time"), F.col("trade_id"))
+    return base.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.min("time").alias("bar_start"),
+        F.max("time").alias("bar_end"),
+        F.round(F.min_by("price", key), 6).alias("open"),
+        F.round(F.max("price"), 6).alias("high"),
+        F.round(F.min("price"), 6).alias("low"),
+        F.round(F.max_by("price", key), 6).alias("close"),
+        F.round(F.sum("pv"), 6).alias("dollar_volume"),
+    )

@@ -487,3 +487,134 @@ def embedding_cosine_pairs(
     return pairs.select(
         "id_a", "id_b", cosine_similarity("va", "vb").alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 20,
+) -> DataFrame:
+    """Directional near-dup detection by n-gram CONTAINMENT
+    C(A,B) = |A∩B| / |A| — the asymmetric companion to Jaccard that
+    catches a short document embedded inside a long one (quote-and-
+    expand spam, boilerplate wrappers), which symmetric Jaccard misses
+    because the union is dominated by the long side.
+
+    Emits (id_a < id_b) pairs where EITHER direction's containment
+    reaches ``threshold``, with both directions reported. Same
+    hot-shingle DF cap and in-row posting-list pair expansion as
+    ``ngram_jaccard_pairs`` — candidate shuffle is bounded by
+    C(max_doc_freq, 2) per shingle, never all pairs.
+    """
+    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("ids") <= max_doc_freq)
+    sizes = (
+        posting.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    common = (
+        posting.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / F.col("na")).alias("containment_ab"),
+            (F.col("common") / F.col("nb")).alias("containment_ba"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_ab") >= threshold)
+        | (F.col("containment_ba") >= threshold)
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of sources, how
+    many distinct ``chunk_words``-word passage fingerprints appear in
+    BOTH — the "is corpus B partly a re-crawl of corpus A?" screen run
+    before mixing sources into a training blend. Chunk granularity
+    (same positional chunking as ``boilerplate_chunks``) catches shared
+    passages whole-document hashing misses.
+
+    One narrow (source, md5(chunk)) projection → distinct →
+    self-equi-join on fingerprint (sources per fingerprint are few, so
+    the join output is near-linear) → count per ordered pair, with
+    per-source distinct totals broadcast back for the overlap ratio.
+    """
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.split(F.trim(F.col(text_col)), " +").alias("__ws"),
+    )
+    cw = chunk_words
+    # __ws is a projected column, so the lambda does not re-evaluate
+    # the split per element (CLAUDE.md).
+    chunk_fps = F.when(
+        F.size("__ws") >= cw,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.floor(F.size("__ws") / cw) - 1).cast("long"),
+            ),
+            lambda c: F.md5(F.array_join(F.slice("__ws", c * cw + 1, cw), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fp = base.select(
+        "source", F.explode(chunk_fps).alias("fingerprint")
+    ).distinct()
+    totals = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    a = fp.select(F.col("source").alias("source_a"), "fingerprint")
+    b = fp.select(F.col("source").alias("source_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("na")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "na",
+            "nb",
+            F.round(
+                F.col("n_shared") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("overlap_ratio"),
+        )
+    )
