@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "embedding_centroid_cosine",
     "bigram_pmi",
     "mad_outliers",
+    # session-3 families: information-driven bars, ML labels, containment
+    "dollar_bars",
+    "triple_barrier_labels",
+    "hurst_exponent",
+    "dedup_containment",
+    "cross_source_overlap",
 ]
 
 
