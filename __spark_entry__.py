@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_source_financial_time_series_data_pipeline_architecture_spark import functions as FX
@@ -7429,6 +7429,327 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 6).alias("mean_cosine"),
         )
     )
+
+
+@q(
+    "tick_rule_sides",
+    oracle(
+        """
+s AS (
+  SELECT symbol, side, time, trade_id,
+         CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+              WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS tick
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+c AS (
+  SELECT symbol, side,
+         last_value(tick IGNORE NULLS) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+  FROM s
+),
+i AS (
+  SELECT symbol, side,
+         CASE WHEN carried > 0 THEN 'buy'
+              WHEN carried < 0 THEN 'sell' END AS inferred
+  FROM c
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(count(inferred) AS BIGINT) AS n_inferred,
+       CAST(count(CASE WHEN side IS NOT NULL AND inferred IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_comparable,
+       CAST(count(CASE WHEN side = inferred THEN 1 END) AS BIGINT) AS n_match,
+       ROUND(count(CASE WHEN side = inferred THEN 1 END)
+             / nullif(CAST(count(CASE WHEN side IS NOT NULL
+                                      AND inferred IS NOT NULL
+                                 THEN 1 END) AS DOUBLE), 0.0), 6) AS accuracy
+FROM i GROUP BY 1
+"""
+    ),
+)
+def tick_rule_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee–Ready tick-rule aggressor inference scored against the
+    labeled side column."""
+    return MS.tick_rule_classification(_trades(spark, sf_dir))
+
+
+@q(
+    "momentum_portfolio",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN close / lag(close) OVER w - 1.0 END AS ret
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+rr AS (
+  SELECT symbol, d, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY d) AS prev_ret
+  FROM r
+),
+valid AS (
+  SELECT * FROM rr WHERE ret IS NOT NULL AND prev_ret IS NOT NULL
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY d ORDER BY prev_ret DESC, symbol) AS rk_hi,
+         row_number() OVER (PARTITION BY d ORDER BY prev_ret ASC, symbol) AS rk_lo,
+         count(*) OVER (PARTITION BY d) AS n_sym
+  FROM valid
+),
+port AS (
+  SELECT d, CAST(max(n_sym) AS BIGINT) AS n_sym,
+         avg(CASE WHEN rk_hi <= 2 THEN ret END) AS long_ret,
+         avg(CASE WHEN rk_lo <= 2 THEN ret END) AS short_ret
+  FROM rk GROUP BY 1 HAVING max(n_sym) >= 4
+)
+SELECT d, n_sym,
+       ROUND(long_ret, 6) AS long_ret,
+       ROUND(short_ret, 6) AS short_ret,
+       ROUND(long_ret - short_ret, 6) AS ls_ret,
+       ROUND(sum(long_ret - short_ret) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_ls
+FROM port
+"""
+    ),
+)
+def momentum_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional daily momentum: long the top-2 / short the
+    bottom-2 symbols by PREVIOUS-day return, realize TODAY's return —
+    the classic winner-loser portfolio fold, all window/agg
+    (one sort per symbol series + two per-day rank windows)."""
+    tr = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = tr.groupBy(
+        "symbol", F.col("time").cast("date").alias("d")
+    ).agg(F.max_by("price", tkey).alias("close"))
+    ws = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(ws)
+    r = daily.withColumn(
+        "ret", F.when(prev_close > 0, F.col("close") / prev_close - 1.0)
+    )
+    rr = r.withColumn("prev_ret", F.lag("ret").over(ws)).filter(
+        F.col("ret").isNotNull() & F.col("prev_ret").isNotNull()
+    )
+    wd_hi = Window.partitionBy("d").orderBy(F.col("prev_ret").desc(), "symbol")
+    wd_lo = Window.partitionBy("d").orderBy(F.col("prev_ret").asc(), "symbol")
+    wd = Window.partitionBy("d")
+    rk = (
+        rr.withColumn("rk_hi", F.row_number().over(wd_hi))
+        .withColumn("rk_lo", F.row_number().over(wd_lo))
+        .withColumn("n_sym", F.count(F.lit(1)).over(wd))
+    )
+    port = (
+        rk.groupBy("d")
+        .agg(
+            F.max("n_sym").cast("bigint").alias("n_sym"),
+            F.avg(F.when(F.col("rk_hi") <= 2, F.col("ret"))).alias("long_ret"),
+            F.avg(F.when(F.col("rk_lo") <= 2, F.col("ret"))).alias("short_ret"),
+        )
+        .filter(F.col("n_sym") >= 4)
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ls = F.col("long_ret") - F.col("short_ret")
+    return port.select(
+        "d",
+        "n_sym",
+        F.round("long_ret", 6).alias("long_ret"),
+        F.round("short_ret", 6).alias("short_ret"),
+        F.round(ls, 6).alias("ls_ret"),
+        F.round(F.sum(ls).over(wcum), 6).alias("cum_ls"),
+    )
+
+
+@q(
+    "zipf_fit",
+    """
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+),
+f AS (SELECT w, count(*) AS freq FROM words GROUP BY 1),
+rk AS (
+  SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM f
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_vocab,
+       CAST(count(*) AS BIGINT) AS n_fit,
+       ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+       ROUND(regr_r2(ln(freq), ln(rank)), 6) AS r2
+FROM rk WHERE rank <= 100
+""",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the top-100 words — slope ≈ −1 for
+    natural language; a flat slope flags synthetic/templated text.
+    One explode + hash agg + top-100 rank window (global window over
+    100 surviving rows only after the TakeOrdered-style cut)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    )
+    f = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    n_vocab = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    rk = f.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("w"))),
+    ).filter(F.col("rank") <= 100)
+    lnf, lnr = F.log("freq"), F.log("rank")
+    fit = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fit"),
+        F.round(F.regr_slope(lnf, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnf, lnr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lnf, lnr), 6).alias("r2"),
+    )
+    return F.broadcast(n_vocab).crossJoin(fit).select(
+        "n_vocab", "n_fit", "zipf_slope", "zipf_intercept", "r2"
+    )
+
+
+@q(
+    "weighted_doc_sample",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), ' +')) AS n_words
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         least(1.0, n_words / 100.0) AS weight,
+         ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u01
+  FROM d
+)
+SELECT doc_id, source,
+       ROUND(weight, 6) AS weight,
+       ROUND(u01, 6) AS u01,
+       (u01 < weight) AS kept
+FROM w
+""",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli curation sampling: each doc is
+    kept with probability = its weight (here a length proxy; any
+    quality score plugs in), decided by a Knuth multiplicative hash of
+    doc_id — reproducible across runs/engines with NO RNG state, the
+    property a 100 TB curation pass needs for resumability. Pure
+    projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " +"))
+    weight = F.least(F.lit(1.0), n_words / 100.0)
+    u01 = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) / F.lit(
+        4294967296.0
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(weight, 6).alias("weight"),
+        F.round(u01, 6).alias("u01"),
+        (u01 < weight).alias("kept"),
+    )
+
+
+@q(
+    "embedding_dim_stats",
+    """
+WITH e AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(x), 6) AS mean,
+       ROUND(stddev_samp(x), 6) AS std,
+       ROUND(min(x), 6) AS min_x,
+       ROUND(max(x), 6) AS max_x
+FROM e GROUP BY 1
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding corpus — the
+    normalization/whitening pre-pass (and the drift monitor once a
+    reference snapshot exists). One posexplode + hash agg, O(N·d)
+    shuffle of (dim, partial-moment) pairs only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+
+
+@q(
+    "streaming_sector_rollup",
+    oracle(
+        """
+SELECT
+  to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+  CASE WHEN symbol IN ('click', 'view') THEN 'web'
+       WHEN symbol IN ('purchase', 'signup') THEN 'conversion'
+       WHEN symbol = 'error' THEN 'ops'
+       ELSE 'other' END AS sector,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  ROUND(sum(price * volume), 6) AS notional
+FROM trades GROUP BY 1, 2
+"""
+    ),
+)
+def streaming_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast-join enrichment (the dimension-join every
+    production stream runs before aggregating): trades stream joined to
+    a static symbol→sector dimension, then a 5-minute windowed rollup;
+    availableNow drain, complete mode. The static side is broadcast to
+    every micro-batch — no stream-side shuffle for the join."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "web"),
+            ("view", "web"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "symbol string, sector string",
+    )
+    ev = bridge.load_events_stream(spark, sf_dir)
+    tr = trades_from_events(ev)
+    enriched = tr.join(F.broadcast(dim), "symbol", "left").withColumn(
+        "sector", F.coalesce(F.col("sector"), F.lit("other"))
+    )
+    agg = (
+        enriched.groupBy(F.window("time", "5 minutes"), "sector")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.sum(F.col("price") * F.col("volume")).alias("notional"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "sector",
+            "n_trades",
+            "notional",
+        )
+    )
+    out = bridge.run_available_now(agg, output_mode="complete")
+    return _r6(out, "notional")
 
 
 def entry(spark: SparkSession) -> DataFrame:

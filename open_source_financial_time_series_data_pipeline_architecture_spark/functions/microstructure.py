@@ -193,3 +193,45 @@ def dollar_bars(trades: DataFrame, threshold: float = 50_000.0) -> DataFrame:
         F.round(F.max_by("price", key), 6).alias("close"),
         F.round(F.sum("pv"), 6).alias("dollar_volume"),
     )
+
+
+def tick_rule_classification(trades: DataFrame) -> DataFrame:
+    """Tick-rule trade-sign inference (the tick test of Lee & Ready,
+    JF 1991): an uptick is a buy, a downtick a sell, and a zero tick
+    inherits the last non-zero tick direction. Scored per symbol
+    against the labeled ``side`` column where present — the validation
+    a venue runs before trusting inferred aggressor flags on feeds
+    that lack them.
+
+    Two window passes over ONE (symbol, time, trade_id) sort (lag +
+    ignore-nulls carry), then a hash aggregate; whole-stage codegen
+    throughout.
+    """
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp = F.col("price") - F.lag("price").over(w)
+    tick = F.when(F.signum(dp) != 0, F.signum(dp))
+    base = trades.withColumn("__tick", tick).withColumn(
+        "__carried", F.last("__tick", ignorenulls=True).over(wc)
+    )
+    inferred = (
+        F.when(F.col("__carried") > 0, F.lit("buy"))
+        .when(F.col("__carried") < 0, F.lit("sell"))
+    )
+    scored = base.withColumn("__inferred", inferred)
+    comparable = F.col("side").isNotNull() & F.col("__inferred").isNotNull()
+    return scored.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.count("__inferred").cast("bigint").alias("n_inferred"),
+        F.count(F.when(comparable, F.lit(1))).cast("bigint").alias("n_comparable"),
+        F.count(F.when(F.col("side") == F.col("__inferred"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_match"),
+        F.round(
+            F.count(F.when(F.col("side") == F.col("__inferred"), F.lit(1)))
+            / F.nullif(
+                F.count(F.when(comparable, F.lit(1))).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+    )

@@ -474,3 +474,35 @@ def test_q6_all_predicates_pushed(spark):
 def test_transition_matrix_two_shuffles(spark):
     df = em.QUERIES["event_transition_matrix"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_weighted_doc_sample_no_shuffle(spark):
+    # deterministic Bernoulli sampling is a pure projection
+    df = em.QUERIES["weighted_doc_sample"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) == 0, PL.physical_plan(df)
+
+
+def test_tick_rule_single_symbol_sort(spark):
+    # lag + ignore-nulls carry + aggregate ride ONE symbol shuffle
+    df = em.QUERIES["tick_rule_sides"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_dollar_bars_one_window_one_agg(spark):
+    df = em.QUERIES["dollar_bars"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_triple_barrier_no_self_join(spark):
+    # bounded forward frame, never a range self-join
+    df = em.QUERIES["triple_barrier_labels"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_cross_source_overlap_broadcast_totals(spark):
+    df = em.QUERIES["cross_source_overlap"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
