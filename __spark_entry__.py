@@ -7752,6 +7752,271 @@ def streaming_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, "notional")
 
 
+@q(
+    "cointegration_adf",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades
+  WHERE symbol IN ('click', 'view')
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.bucket, ln(a.close / b.close) AS spread
+  FROM bars a JOIN bars b USING (bucket)
+  WHERE a.symbol = 'click' AND b.symbol = 'view'
+    AND a.close > 0 AND b.close > 0
+),
+l AS (
+  SELECT spread, lag(spread) OVER (ORDER BY bucket) AS sl FROM j
+),
+d AS (
+  SELECT spread - sl AS ds, sl FROM l WHERE sl IS NOT NULL
+)
+SELECT CAST(regr_count(ds, sl) AS BIGINT) AS n_obs,
+       ROUND(regr_slope(ds, sl), 6) AS phi,
+       ROUND(regr_slope(ds, sl)
+             / sqrt((regr_syy(ds, sl) * (1 - regr_r2(ds, sl))
+                     / (regr_count(ds, sl) - 2)) / regr_sxx(ds, sl)), 6)
+           AS adf_t
+FROM d
+"""
+    ),
+)
+def cointegration_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller mean-reversion test on the click/view pair spread
+    (the go/no-go gate before trading pairs_spread_zscore's signal):
+    regress Δs_t on s_{t−1}; a strongly negative t-stat rejects the
+    unit root. The whole test is ONE regression aggregate over the
+    spread series — slope, t-stat via regr_sxx/syy/r2, no iteration."""
+    t = _trades(spark, sf_dir).filter(F.col("symbol").isin("click", "view"))
+    bars = FX.ohlc(t, bucket_seconds=60).select("symbol", "bucket", "close")
+    a = bars.filter((F.col("symbol") == "click") & (F.col("close") > 0)).select(
+        "bucket", F.col("close").alias("close_a")
+    )
+    b = bars.filter((F.col("symbol") == "view") & (F.col("close") > 0)).select(
+        "bucket", F.col("close").alias("close_b")
+    )
+    j = a.join(b, "bucket").select(
+        "bucket", F.log(F.col("close_a") / F.col("close_b")).alias("spread")
+    )
+    w = Window.orderBy("bucket")
+    d = (
+        j.withColumn("sl", F.lag("spread").over(w))
+        .filter(F.col("sl").isNotNull())
+        .select((F.col("spread") - F.col("sl")).alias("ds"), "sl")
+    )
+    ds, sl = F.col("ds"), F.col("sl")
+    stderr = F.sqrt(
+        (F.regr_syy(ds, sl) * (1 - F.regr_r2(ds, sl)) / (F.regr_count(ds, sl) - 2))
+        / F.regr_sxx(ds, sl)
+    )
+    return d.agg(
+        F.regr_count(ds, sl).cast("bigint").alias("n_obs"),
+        F.round(F.regr_slope(ds, sl), 6).alias("phi"),
+        F.round(F.regr_slope(ds, sl) / stderr, 6).alias("adf_t"),
+    )
+
+
+@q(
+    "tail_index_hill",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         abs(ln(close / lag(close) OVER w)) AS x
+  FROM bars
+  WHERE close > 0
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pos AS (SELECT * FROM r WHERE x > 0),
+rk AS (
+  SELECT symbol, x,
+         row_number() OVER (PARTITION BY symbol ORDER BY x DESC, bucket) AS rn
+  FROM pos
+),
+thr AS (SELECT symbol, x AS xk FROM rk WHERE rn = 51),
+top AS (
+  SELECT rk.symbol, ln(rk.x / thr.xk) AS lr
+  FROM rk JOIN thr USING (symbol) WHERE rn <= 50
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS k,
+       ROUND(avg(lr), 6) AS hill,
+       ROUND(1.0 / nullif(avg(lr), 0), 6) AS tail_alpha
+FROM top GROUP BY 1
+"""
+    ),
+)
+def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the return-distribution tail index per symbol
+    (k = 50 upper order statistics of |1-minute log returns|):
+    ξ = mean ln(x_(i)/x_(k+1)), tail α = 1/ξ — fat-tail accounting the
+    Gaussian-assuming volatility features (A4, VaR) need as a caveat.
+    One window ranks the tail, the k+1-st value broadcasts back."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    r = (
+        bars.filter(F.col("close") > 0)
+        .withColumn("x", F.abs(F.log(F.col("close") / F.lag("close").over(ws))))
+        .filter(F.col("x") > 0)
+    )
+    wrk = Window.partitionBy("symbol").orderBy(F.col("x").desc(), F.col("bucket"))
+    rk = r.withColumn("rn", F.row_number().over(wrk))
+    thr = rk.filter(F.col("rn") == 51).select("symbol", F.col("x").alias("xk"))
+    top = rk.filter(F.col("rn") <= 50).join(F.broadcast(thr), "symbol")
+    lr = F.log(F.col("x") / F.col("xk"))
+    return top.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(F.avg(lr), 6).alias("hill"),
+        F.round(1.0 / F.nullif(F.avg(lr), F.lit(0.0)), 6).alias("tail_alpha"),
+    )
+
+
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    prev = "pr0"
+    ctes = [
+        """e AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT event_type, lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events) s
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)""",
+        "nodes AS (SELECT DISTINCT event_type AS node FROM events)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1)",
+        "p AS (SELECT src, dst, w / ow AS p FROM e JOIN outw USING (src))",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nodes.node AS node,
+         {1 - d} / (SELECT n FROM nn) + {d} * coalesce(
+             (SELECT sum({prev}.rank * p.p)
+              FROM {prev} JOIN p ON p.src = {prev}.node
+              WHERE p.dst = nodes.node), 0.0) AS rank
+  FROM nodes
+)"""
+        )
+        prev = f"pr{i}"
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, ROUND(rank, 6) AS pagerank FROM {prev}"
+    )
+
+
+@q("pagerank_event_types", _pagerank_oracle())
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (d=0.85, 10
+    iterations, uniform init): which state do user journeys
+    concentrate in? The DISTRIBUTED work is the edge aggregation (one
+    per-user sort + one hash agg — the same plan as
+    event_transition_matrix); the converged iteration then runs on the
+    collected k×k matrix, k = #event types — the kmeans_centroids
+    driver-loop convention (bounded by contract, documented). The
+    oracle unrolls the same 10 Jacobi steps as chained CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    edges = (
+        s.groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .collect()
+    )
+    nodes = sorted(
+        {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    )
+    n = float(len(nodes))
+    outw: dict[str, float] = {}
+    for r in edges:
+        outw[r.src] = outw.get(r.src, 0.0) + r.w
+    p = [(r.src, r.dst, r.w / outw[r.src]) for r in edges]
+    d = 0.85
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        nxt = {}
+        for v in nodes:
+            inc = sum(rank[src] * pw for src, dst, pw in p if dst == v)
+            nxt[v] = (1 - d) / n + d * inc
+        rank = nxt
+    out = [(v, round(rank[v], 6)) for v in nodes]
+    return spark.createDataFrame(out, "node string, pagerank double")
+
+
+@q(
+    "riskmetrics_vol",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS (SELECT symbol, bucket, ret * ret AS r2 FROM r WHERE ret IS NOT NULL)
+SELECT symbol, bucket,
+       ROUND(sqrt(list_reduce(
+           list(r2) OVER (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (acc, x) -> 0.06 * x + 0.94 * acc)), 6) AS rm_vol
+FROM rr
+"""
+    ),
+)
+def riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (λ=0.94, the industry-standard
+    recurrence σ²_t = λσ²_{t−1} + (1−λ)r²_t) over minute-bar log
+    returns — the same bit-exact fold contract as A3's ewm_12, via the
+    generic keyed ``ewm_series`` recurrence (Arrow-batched
+    applyInPandas, sequential only within a symbol)."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    rr = (
+        bars.withColumn(
+            "ret",
+            F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+        )
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", "bucket", (F.col("ret") * F.col("ret")).alias("r2"))
+    )
+    out = FX.ewm_series(
+        rr, alpha=0.06, value_col="r2", out_col="ewma_var",
+        key_col="symbol", order_col="bucket",
+    )
+    return out.select(
+        "symbol", "bucket", F.round(F.sqrt("ewma_var"), 6).alias("rm_vol")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -1,6 +1,7 @@
 from .features import (
     bidask_spreads,
     ewm,
+    ewm_series,
     large_trade_flags,
     bar_rollup,
     ohlc,
@@ -15,6 +16,7 @@ from .features import (
 __all__ = [
     "bidask_spreads",
     "ewm",
+    "ewm_series",
     "large_trade_flags",
     "bar_rollup",
     "ohlc",

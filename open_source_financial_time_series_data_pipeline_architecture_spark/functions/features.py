@@ -292,3 +292,41 @@ def regime_tags(trades: DataFrame, n: int = 20) -> DataFrame:
         .when(F.col("price") < F.col(sma_col), F.lit("down"))
         .otherwise(F.lit("neutral")),
     )
+
+
+def _ewm_series_fn(alpha: float, value_col: str, out_col: str, order_col: str):
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col]).reset_index(drop=True)
+        acc = None
+        out = []
+        for x in pdf[value_col].to_numpy():
+            acc = float(x) if acc is None else alpha * float(x) + (1.0 - alpha) * acc
+            out.append(acc)
+        pdf[out_col] = out
+        return pdf
+
+    return compute
+
+
+def ewm_series(
+    df: DataFrame,
+    alpha: float,
+    value_col: str,
+    out_col: str,
+    key_col: str = "symbol",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """Generic keyed EWM recurrence y_t = α·x_t + (1−α)·y_{t−1} (seed =
+    first value) over any (key, order, value) series — the
+    column-agnostic generalization of A3's ``ewm``, bit-identical to a
+    DuckDB ``list_reduce`` fold with the same constants. One shuffle on
+    the key; sequential only within a key (the same parallelism bound
+    every recurrence has). ``value_col`` must be non-null."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    return df.groupBy(key_col).applyInPandas(
+        _ewm_series_fn(alpha, value_col, out_col, order_col), schema=schema
+    )
