@@ -8017,6 +8017,326 @@ def riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "kaplan_meier_sessions",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+),
+flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no,
+         ts
+  FROM flags
+),
+durs AS (
+  SELECT user_id, session_no,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS DOUBLE) AS t,
+         (max(ts) > (SELECT max(ts) FROM base) - INTERVAL 1800 SECOND)
+             AS censored
+  FROM sessions GROUP BY 1, 2
+),
+grid AS (
+  SELECT t,
+         CAST(count(CASE WHEN NOT censored THEN 1 END) AS BIGINT) AS d,
+         CAST(count(CASE WHEN censored THEN 1 END) AS BIGINT) AS c
+  FROM durs GROUP BY 1
+),
+risk AS (
+  SELECT t, d, c,
+         (SELECT CAST(count(*) AS BIGINT) FROM durs)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM grid
+),
+km AS (
+  SELECT t, d, c, n,
+         sum(CASE WHEN d < n THEN ln((n - d) * 1.0 / n) END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumlog,
+         sum(CASE WHEN d >= n THEN 1 ELSE 0 END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS dead
+  FROM risk
+)
+SELECT t AS duration_sec, n AS n_at_risk, d AS n_events, c AS n_censored,
+       ROUND(CASE WHEN dead > 0 THEN 0.0 ELSE exp(cumlog) END, 6)
+           AS km_survival
+FROM km
+""",
+)
+def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of session durations, with sessions
+    still active in the final 30 minutes of the observation window
+    right-censored — the product-limit estimator the naive empirical
+    CDF gets wrong under censoring. Cumulative product via
+    exp(Σ ln((n−d)/n)) — two sequential window passes over the tiny
+    duration grid; the heavy lifting (sessionization) is the same
+    one-shuffle plan as user_sessionization."""
+    events = load_table(spark, sf_dir, "events")
+    ob = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*ob)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("new_session", new_sess).withColumn(
+        "session_no", F.sum("new_session").over(wsum)
+    )
+    durs = sess.groupBy("user_id", "session_no").agg(
+        (
+            F.floor(F.max("ts").cast("double"))
+            - F.floor(F.min("ts").cast("double"))
+        ).cast("double").alias("t"),
+        F.max("ts").alias("session_end"),
+    )
+    max_ts = events.agg(F.max("ts").alias("mx"))
+    durs = durs.crossJoin(F.broadcast(max_ts)).withColumn(
+        "censored", F.col("session_end") > F.col("mx") - F.expr("INTERVAL 1800 SECONDS")
+    )
+    total = durs.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    grid = durs.groupBy("t").agg(
+        F.count(F.when(~F.col("censored"), F.lit(1))).cast("bigint").alias("d"),
+        F.count(F.when(F.col("censored"), F.lit(1))).cast("bigint").alias("c"),
+    )
+    wt = Window.orderBy("t")
+    before = wt.rowsBetween(Window.unboundedPreceding, -1)
+    upto = wt.rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.crossJoin(F.broadcast(total)).withColumn(
+        "n",
+        F.col("total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before), F.lit(0)),
+    )
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.log((F.col("n") - F.col("d")) * 1.0 / F.col("n")),
+    )
+    km = risk.withColumn("cumlog", F.sum(term).over(upto)).withColumn(
+        "dead",
+        F.sum(F.when(F.col("d") >= F.col("n"), 1).otherwise(0)).over(upto),
+    )
+    return km.select(
+        F.col("t").alias("duration_sec"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.when(F.col("dead") > 0, F.lit(0.0)).otherwise(F.exp("cumlog")), 6
+        ).alias("km_survival"),
+    )
+
+
+@q(
+    "ab_test_conversion",
+    """
+WITH arms AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(conv_a * 1.0 / n_a, 6) AS p_a,
+       ROUND(conv_b * 1.0 / n_b, 6) AS p_b,
+       ROUND(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
+       ROUND((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+             / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM s
+""",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between user-id
+    parity arms (the experimentation-plane readout): pooled-variance
+    z-score in one pass — per-user reduce, then a single global
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    s = arms.agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    p_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (p_b - p_a) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(p_b - p_a, 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@q(
+    "forecast_backtest_mae",
+    oracle(
+        """
+hourly AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS h,
+    symbol,
+    sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+),
+fc AS (
+  SELECT symbol, h, vol,
+         lag(vol, 24) OVER (PARTITION BY symbol ORDER BY h) AS forecast
+  FROM hourly
+)
+SELECT symbol,
+       CAST(count(forecast) AS BIGINT) AS n_eval,
+       ROUND(avg(abs(vol - forecast)), 6) AS mae,
+       ROUND(avg(CASE WHEN vol > 0 THEN abs(vol - forecast) / vol END), 6)
+           AS mape,
+       ROUND(avg(vol - forecast), 6) AS bias
+FROM fc WHERE forecast IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (ŷ_t = y_{t−24h} on the hourly
+    volume grid, row-lag semantics on the dense hour series): MAE /
+    MAPE / bias per symbol — the baseline every fancier forecaster
+    must beat, and the degradation monitor for the one in production.
+    One bar aggregate + one lag window + one aggregate."""
+    tr = _trades(spark, sf_dir)
+    hourly = tr.groupBy(
+        FX.time_bucket("time", 3600).alias("h"), "symbol"
+    ).agg(F.sum("volume").alias("vol"))
+    w = Window.partitionBy("symbol").orderBy("h")
+    fc = hourly.withColumn("forecast", F.lag("vol", 24).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    err = F.col("vol") - F.col("forecast")
+    return fc.groupBy("symbol").agg(
+        F.count("forecast").cast("bigint").alias("n_eval"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(
+            F.avg(F.when(F.col("vol") > 0, F.abs(err) / F.col("vol"))), 6
+        ).alias("mape"),
+        F.round(F.avg(err), 6).alias("bias"),
+    )
+
+
+@q(
+    "market_basket_lift",
+    """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob),
+brand_n AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both,
+       ROUND(n_both * 1.0 / (SELECT n FROM n_orders), 6) AS support,
+       ROUND(n_both * 1.0 / na.n_brand, 6) AS confidence,
+       ROUND((n_both * 1.0 / (SELECT n FROM n_orders))
+             / ((na.n_brand * 1.0 / (SELECT n FROM n_orders))
+                * (nb.n_brand * 1.0 / (SELECT n FROM n_orders))), 6) AS lift
+FROM pairs
+JOIN brand_n na ON brand_a = na.brand
+JOIN brand_n nb ON brand_b = nb.brand
+WHERE n_both >= 5
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over TPC-H orders: brand pairs
+    co-purchased in one order, scored by support / confidence / lift.
+    Candidate generation is a self-equi-join on the order key — output
+    bounded by (basket size choose 2), never all brand pairs; brand
+    totals broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
+    brand_n = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    a = ob.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    na = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    out = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    sup = F.col("n_both") * 1.0 / F.col("n")
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_both",
+        F.round(sup, 6).alias("support"),
+        F.round(F.col("n_both") * 1.0 / F.col("na"), 6).alias("confidence"),
+        F.round(
+            sup
+            / (
+                (F.col("na") * 1.0 / F.col("n"))
+                * (F.col("nb") * 1.0 / F.col("n"))
+            ),
+            6,
+        ).alias("lift"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
