@@ -8337,6 +8337,246 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_A = (2654435761, 40503, 2246822519, 3266489917)
+_CMS_B = (17, 101, 911, 65537)
+_CMS_P = 2147483647
+_CMS_W = 128
+
+
+def _cms_oracle() -> str:
+    hashes = ",\n         ".join(
+        f"((user_id * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS h{j}"
+        for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+    )
+    cell_union = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, h{j} AS cell FROM hashed" for j in range(4)
+    )
+    probe_union = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, exact_n, {j} AS j,"
+        f" ((user_id * {_CMS_A[j]} + {_CMS_B[j]}) % {_CMS_P}) % {_CMS_W} AS cell"
+        f" FROM top" for j in range(4)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT user_id,
+         {hashes}
+  FROM events
+),
+cells AS (
+  SELECT j, cell, CAST(count(*) AS BIGINT) AS n FROM (
+{cell_union}
+  ) GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1
+),
+top AS (
+  SELECT user_id, exact_n FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_n DESC, user_id) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+probes AS (
+{probe_union}
+)
+SELECT p.user_id, p.exact_n,
+       CAST(min(c.n) AS BIGINT) AS cms_est,
+       CAST(min(c.n) - p.exact_n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+GROUP BY 1, 2
+"""
+
+
+@q("countmin_heavy_hitters", _cms_oracle())
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch (Cormode & Muthukrishnan 2005) demonstrated
+    end-to-end with an EXACT oracle: a depth-4 × width-128 counter
+    array built in ONE pass over events (explode to 4 cells/row →
+    hash agg — the mergeable-across-partitions shape that lets a
+    1000-executor cluster estimate per-key frequencies without ever
+    shuffling the keys), probed for the exact top-20 users;
+    ``overestimate ≥ 0`` is the CMS guarantee. All-integer multiply-
+    add hashes, so DuckDB reproduces the sketch bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.col("user_id") * _CMS_A[j] + _CMS_B[j]) % _CMS_P % _CMS_W
+                ).alias("cell"),
+            )
+            for j in range(4)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(cells_arr).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.col("user_id") * _CMS_A[j] + _CMS_B[j])
+                            % _CMS_P
+                            % _CMS_W
+                        ).alias("cell"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    )
+
+
+@q(
+    "theil_sen_beta",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN close / lag(close) OVER w - 1.0 END AS ret
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+rv AS (SELECT * FROM r WHERE ret IS NOT NULL),
+mkt AS (SELECT d, avg(ret) AS m FROM rv GROUP BY 1),
+j AS (SELECT rv.symbol, rv.d, rv.ret, mkt.m FROM rv JOIN mkt USING (d)),
+pairs AS (
+  SELECT a.symbol, (b.ret - a.ret) / (b.m - a.m) AS slope
+  FROM j a JOIN j b ON a.symbol = b.symbol AND a.d < b.d
+  WHERE b.m <> a.m
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_beta
+FROM pairs GROUP BY 1
+"""
+    ),
+)
+def theil_sen_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust market beta: median of pairwise slopes between
+    each symbol's daily returns and the equal-weight market — immune
+    to the outlier days that drag the OLS beta (market_beta). The
+    pairwise self-join is bounded by the DAILY series length (n·(n−1)/2
+    per symbol on ~30 points), never the tape."""
+    tr = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = tr.groupBy("symbol", F.col("time").cast("date").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    ws = Window.partitionBy("symbol").orderBy("d")
+    prev = F.lag("close").over(ws)
+    rv = daily.withColumn(
+        "ret", F.when(prev > 0, F.col("close") / prev - 1.0)
+    ).filter(F.col("ret").isNotNull())
+    mkt = rv.groupBy("d").agg(F.avg("ret").alias("m"))
+    j = rv.join(F.broadcast(mkt), "d").select("symbol", "d", "ret", "m")
+    a = j.select("symbol", F.col("d").alias("da"), F.col("ret").alias("ra"), F.col("m").alias("ma"))
+    b = j.select("symbol", F.col("d").alias("db"), F.col("ret").alias("rb"), F.col("m").alias("mb"))
+    pairs = (
+        a.join(b, "symbol")
+        .filter((F.col("da") < F.col("db")) & (F.col("mb") != F.col("ma")))
+        .select(
+            "symbol",
+            ((F.col("rb") - F.col("ra")) / (F.col("mb") - F.col("ma"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_beta"),
+    )
+
+
+@q(
+    "seasonal_anomaly_flags",
+    oracle(
+        """
+hourly AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS h,
+    symbol,
+    sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+),
+z AS (
+  SELECT symbol, h, vol,
+         hour(h) AS hod,
+         (vol - avg(vol) OVER w) / nullif(stddev_samp(vol) OVER w, 0) AS zscore
+  FROM hourly
+  WINDOW w AS (PARTITION BY symbol, hour(h))
+)
+SELECT symbol, h, ROUND(vol, 6) AS vol, CAST(hod AS INT) AS hod,
+       ROUND(zscore, 6) AS zscore,
+       (abs(zscore) > 2.0) AS is_anomaly
+FROM z
+"""
+    ),
+)
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomalies: each hour's volume z-scored
+    against its own (symbol, hour-of-day) stratum, so a busy lunch hour
+    isn't flagged just for being lunch — the deseasonalized cousin of
+    mad_outliers. Group stats via an unordered partition window (no
+    join), one shuffle."""
+    tr = _trades(spark, sf_dir)
+    hourly = tr.groupBy(FX.time_bucket("time", 3600).alias("h"), "symbol").agg(
+        F.sum("volume").alias("vol")
+    )
+    hod = F.hour("h")
+    w = Window.partitionBy("symbol", hod)
+    z = (F.col("vol") - F.avg("vol").over(w)) / F.nullif(
+        F.stddev_samp("vol").over(w), F.lit(0.0)
+    )
+    return hourly.select(
+        "symbol",
+        "h",
+        F.round("vol", 6).alias("vol"),
+        hod.cast("int").alias("hod"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
