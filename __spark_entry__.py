@@ -72,6 +72,22 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRADES_CACHE[key]
 
 
+# Shared distinct-shingle projection over documents (n=3 word grams):
+# the dedup family (jaccard / containment / minhash / clusters) all
+# start from it, so one cached pass replaces four explode+distinct
+# scans. Logically identical to each operator building its own.
+_SHINGLES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLES_CACHE:
+        _SHINGLES_CACHE[key] = TX.shingles(
+            load_table(spark, sf_dir, "documents"), n=3
+        ).cache()
+    return _SHINGLES_CACHE[key]
+
+
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
     out = df
     for c in cols:
@@ -982,6 +998,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=3,
             threshold=0.5,
             max_doc_freq=20,
+            shingle_df=_doc_shingles(spark, sf_dir),
         ),
         "jaccard",
     )
@@ -1028,8 +1045,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup decision: near-dup clusters (connected components
     over exact n-gram-Jaccard pairs, min-label propagation) + the
     keep/drop flag. Oracle = DuckDB recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
     return DD.dedup_cluster_assignments(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        docs,
+        n=3,
+        threshold=0.5,
+        pairs=DD.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5,
+            shingle_df=_doc_shingles(spark, sf_dir),
+        ),
     )
 
 
@@ -1037,7 +1061,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
         DD.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.5
+            load_table(spark, sf_dir, "documents"),
+            num_hashes=64,
+            bands=16,
+            threshold=0.5,
+            shingle_df=_doc_shingles(spark, sf_dir),
         ),
         "est_jaccard",
         "jaccard",
@@ -7301,6 +7329,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=3,
             threshold=0.5,
             max_doc_freq=20,
+            shingle_df=_doc_shingles(spark, sf_dir),
         ),
         "containment_ab",
         "containment_ba",

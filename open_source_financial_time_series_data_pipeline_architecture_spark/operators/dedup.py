@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -102,7 +103,11 @@ def ngram_jaccard_pairs(
     exact ground-truth baseline keeps the classic self-join (an
     unbounded posting list must not be materialized into one row).
     """
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    )
     if max_doc_freq is not None:
         posting = (
             sh.groupBy("shingle")
@@ -195,6 +200,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact
     Jaccard. Returns (id_a, id_b, est_jaccard, jaccard) with
@@ -216,9 +222,11 @@ def minhash_lsh_pairs(
     # pair at 10^3 shingles/doc), and the shuffle carries longs instead
     # of n-gram strings.
     a_b = _hash_family(num_hashes)
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col).withColumn(
-        "__h0", F.xxhash64("shingle")
-    )
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    ).withColumn("__h0", F.xxhash64("shingle"))
     per_doc = (
         sh.groupBy(id_col)
         .agg(
@@ -496,6 +504,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = 20,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Directional near-dup detection by n-gram CONTAINMENT
     C(A,B) = |A∩B| / |A| — the asymmetric companion to Jaccard that
@@ -509,7 +518,11 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` — candidate shuffle is bounded by
     C(max_doc_freq, 2) per shingle, never all pairs.
     """
-    sh = shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    )
     posting = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
