@@ -8606,6 +8606,294 @@ def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "implementation_shortfall",
+    oracle(
+        """
+p95 AS (
+  SELECT symbol, quantile_cont(volume, 0.95) AS v95 FROM trades GROUP BY 1
+),
+big AS (
+  SELECT t.* FROM trades t JOIN p95 USING (symbol) WHERE t.volume >= p95.v95
+),
+matched AS (
+  SELECT b.symbol, b.trade_id, b.price, b.side,
+         avg(r.price) AS twap, CAST(count(*) AS BIGINT) AS n_neighbors
+  FROM big b JOIN trades r
+    ON r.symbol = b.symbol
+   AND r.time > b.time - INTERVAL 3600 SECOND
+   AND r.time <= b.time + INTERVAL 3600 SECOND
+   AND r.trade_id <> b.trade_id
+  GROUP BY 1, 2, 3, 4
+),
+dev AS (
+  SELECT symbol, side,
+         (price - twap) / twap * 10000 AS dev_bps
+  FROM matched WHERE twap > 0
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_large,
+       ROUND(avg(abs(dev_bps)), 6) AS avg_abs_dev_bps,
+       ROUND(avg(CASE WHEN side = 'buy' THEN dev_bps
+                      WHEN side = 'sell' THEN -dev_bps END), 6)
+           AS avg_cost_bps
+FROM dev GROUP BY 1
+"""
+    ),
+)
+def implementation_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution quality of the p95-largest trades vs the ±1 h TWAP of
+    surrounding trades (Perold's implementation-shortfall readout):
+    signed cost in bps from the aggressor's side. The neighborhood
+    lookup runs through the bucketed interval join — a linear
+    equi-join on (symbol, time-bucket), never a nested-loop range
+    scan."""
+    tr = _trades(spark, sf_dir)
+    p95 = tr.groupBy("symbol").agg(
+        F.percentile("volume", F.lit(0.95)).alias("v95")
+    )
+    big = tr.join(F.broadcast(p95), "symbol").filter(
+        F.col("volume") >= F.col("v95")
+    ).select("symbol", "time", "trade_id", "price", "side")
+    right = tr.select(
+        "symbol",
+        F.col("time").alias("r_time"),
+        F.col("trade_id").alias("r_tid"),
+        F.col("price").alias("r_price"),
+    )
+    joined = OPS.interval_join_bucketed(
+        big, right, keys=["symbol"], left_ts="time", right_ts="r_time",
+        lower_s=-3600.0, upper_s=3600.0,
+    ).filter(F.col("r_tid") != F.col("trade_id"))
+    matched = joined.groupBy("symbol", "trade_id", "price", "side").agg(
+        F.avg("r_price").alias("twap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+    )
+    dev = matched.filter(F.col("twap") > 0).withColumn(
+        "dev_bps", (F.col("price") - F.col("twap")) / F.col("twap") * 10000
+    )
+    cost = F.when(F.col("side") == "buy", F.col("dev_bps")).when(
+        F.col("side") == "sell", -F.col("dev_bps")
+    )
+    return dev.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_large"),
+        F.round(F.avg(F.abs("dev_bps")), 6).alias("avg_abs_dev_bps"),
+        F.round(F.avg(cost), 6).alias("avg_cost_bps"),
+    )
+
+
+@q(
+    "ngram_novelty",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       ROUND(avg(CASE WHEN first_seen.first_doc = sh.doc_id
+                      THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM sh JOIN first_seen USING (shingle)
+GROUP BY 1
+""",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score per document: the share of its 3-gram
+    shingles it is the FIRST (lowest doc_id) to contribute — the
+    dedup-adjacent curation signal that separates original content
+    from remix (sequential-ingest analog: ids are arrival order). One
+    min-aggregate over the shared cached shingle pass, joined back."""
+    sh = _doc_shingles(spark, sf_dir)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first_seen, "shingle")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.round(
+            F.avg(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("novelty"),
+    )
+
+
+@q(
+    "risk_adjusted_ratios",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket, close,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1,
+         CASE WHEN max(close) OVER (PARTITION BY symbol ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+              THEN 1 - close / max(close) OVER (PARTITION BY symbol
+                  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
+              ELSE 0.0 END AS dd
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol,
+       CAST(count(r1) AS BIGINT) AS n_rets,
+       ROUND(avg(r1), 6) AS mean_ret,
+       ROUND(avg(r1) / nullif(sqrt(avg(CASE WHEN r1 < 0 THEN r1 * r1
+                                            ELSE 0.0 END)), 0), 6)
+           AS sortino,
+       ROUND(max(dd), 6) AS max_drawdown,
+       ROUND(sum(r1) / nullif(max(dd), 0), 6) AS calmar
+FROM r GROUP BY 1
+"""
+    ),
+)
+def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downside-aware performance ratios per symbol on the minute
+    grid: Sortino (mean over root-mean-square of the negative part,
+    target 0) and Calmar (cumulative return over max drawdown) — the
+    companions G6's Sharpe needs when returns are skewed. One bar
+    aggregate + one window pass (lag and running max share the sort) +
+    one aggregate."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    wrun = ws.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("close").over(ws)
+    runmax = F.max("close").over(wrun)
+    r = bars.withColumn(
+        "r1",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).withColumn(
+        "dd",
+        F.when(runmax > 0, 1 - F.col("close") / runmax).otherwise(0.0),
+    )
+    downside = F.sqrt(
+        F.avg(F.when(F.col("r1") < 0, F.col("r1") * F.col("r1")).otherwise(0.0))
+    )
+    return r.groupBy("symbol").agg(
+        F.count("r1").cast("bigint").alias("n_rets"),
+        F.round(F.avg("r1"), 6).alias("mean_ret"),
+        F.round(
+            F.avg("r1") / F.nullif(downside, F.lit(0.0)), 6
+        ).alias("sortino"),
+        F.round(F.max("dd"), 6).alias("max_drawdown"),
+        F.round(
+            F.sum("r1") / F.nullif(F.max("dd"), F.lit(0.0)), 6
+        ).alias("calmar"),
+    )
+
+
+@q(
+    "var_backtest_kupiec",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rv AS (SELECT * FROM r WHERE r1 IS NOT NULL),
+var_in AS (
+  SELECT symbol, quantile_cont(r1, 0.05) AS var_95
+  FROM rv WHERE bucket < TIMESTAMP '2024-01-21' GROUP BY 1
+),
+test AS (
+  SELECT rv.symbol, var_in.var_95,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN rv.r1 <= var_in.var_95 THEN 1 END) AS BIGINT)
+             AS x
+  FROM rv JOIN var_in USING (symbol)
+  WHERE rv.bucket >= TIMESTAMP '2024-01-21'
+  GROUP BY 1, 2
+)
+SELECT symbol, ROUND(var_95, 6) AS var_95, n, x,
+       ROUND(x * 1.0 / n, 6) AS viol_rate,
+       ROUND(CASE WHEN x > 0 AND x < n THEN
+           -2.0 * ((n - x) * ln(0.95) + x * ln(0.05)
+                   - (n - x) * ln(1 - x * 1.0 / n) - x * ln(x * 1.0 / n))
+           END, 6) + 0.0 AS kupiec_lr
+FROM test
+"""
+    ),
+)
+def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest: fit 95% historical
+    VaR on the first 20 days, count violations out-of-sample, and
+    score the likelihood ratio against the 5% target (LR ~ χ²₁;
+    > 3.84 rejects the model) — the regulatory-style model-validation
+    step downstream of var_es_95. Broadcast per-symbol VaR joined to
+    the test window; two aggregates total."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    rv = bars.withColumn(
+        "r1",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("r1").isNotNull())
+    split = F.lit("2024-01-21").cast("timestamp")
+    var_in = (
+        rv.filter(F.col("bucket") < split)
+        .groupBy("symbol")
+        .agg(F.percentile("r1", F.lit(0.05)).alias("var_95"))
+    )
+    test = (
+        rv.filter(F.col("bucket") >= split)
+        .join(F.broadcast(var_in), "symbol")
+        .groupBy("symbol", "var_95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("r1") <= F.col("var_95"), F.lit(1)))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    xr = F.col("x") * 1.0 / F.col("n")
+    lr = F.when(
+        (F.col("x") > 0) & (F.col("x") < F.col("n")),
+        -2.0
+        * (
+            (F.col("n") - F.col("x")) * F.log(F.lit(0.95))
+            + F.col("x") * F.log(F.lit(0.05))
+            - (F.col("n") - F.col("x")) * F.log(1 - xr)
+            - F.col("x") * F.log(xr)
+        ),
+    )
+    return test.select(
+        "symbol",
+        F.round("var_95", 6).alias("var_95"),
+        "n",
+        "x",
+        F.round(xr, 6).alias("viol_rate"),
+        # `+ 0.0` canonicalizes a rounded -0.0 (LR is ~0 when the
+        # violation rate sits exactly on target) — the driver hash
+        # distinguishes zero bit patterns
+        (F.round(lr, 6) + F.lit(0.0)).alias("kupiec_lr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
