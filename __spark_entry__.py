@@ -7434,24 +7434,30 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity,
     )
 
-    assigned = vecs.select(
-        "vec_id",
-        SIM._nearest_centroid(F.col("v"), cents).alias("cluster_id"),
-        *[
-            cosine_similarity(
-                F.col("v"), F.array(*[F.lit(x) for x in c])
-            ).alias(f"__s{i}")
-            for i, c in enumerate(cents)
-        ],
+    # Assignment via a broadcast join against the k-row centroid table,
+    # NOT k inlined literal-array expressions: the expression-tree form
+    # serializes a multi-MiB task closure (deep-nested whens over
+    # k·dim literals) that can blow the deserializer stack; the join
+    # keeps the plan O(1) and is the shape that scales with k anyway.
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster_id int, centroid array<double>"
     )
-    sim_to_assigned = None
-    for i in range(len(cents)):
-        term = F.when(F.col("cluster_id") == i, F.col(f"__s{i}"))
-        sim_to_assigned = (
-            term if sim_to_assigned is None else F.coalesce(sim_to_assigned, term)
-        )
+    sims = vecs.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "cluster_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cluster_id"), F.col("sim")),
+            # argmax on (sim, -cluster_id): ties resolve to the LOWEST
+            # cluster id, matching _nearest_centroid's strict-> rule
+            F.struct(F.col("sim"), (-F.col("cluster_id")).alias("neg")),
+        ).alias("b")
+    )
     return (
-        assigned.withColumn("sim", sim_to_assigned)
+        best.select(F.col("b.cluster_id").alias("cluster_id"), F.col("b.sim").alias("sim"))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),

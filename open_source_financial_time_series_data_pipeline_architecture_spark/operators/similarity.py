@@ -155,15 +155,22 @@ def kmeans_centroids(
 
 
 def _nearest_centroid(vec, centroids: list[list[float]]):
-    """Argmin over centroid cosine distances, as a pure column expr."""
-    best_id = F.lit(0)
-    best_sim = cosine_similarity(vec, F.array(*[F.lit(x) for x in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        sim = cosine_similarity(vec, F.array(*[F.lit(x) for x in c]))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_id
+    """Argmax over centroid cosines, as a pure column expr.
+
+    Flat form — a sims array + array_position of its max (first
+    occurrence, so ties resolve to the lowest centroid id, identical
+    to a strict-`>` scan). The earlier when-chain fold re-embedded the
+    running best_sim subtree twice per step, making the expression
+    tree (and the serialized task binary) EXPONENTIAL in k — at k=8,
+    d=64 that was a multi-MiB closure per job and an OOM/stack hazard
+    in long-lived sessions."""
+    sims = F.array(
+        *[
+            cosine_similarity(vec, F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def ivf_topk(
