@@ -8900,6 +8900,238 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pairwise_cointegration",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.bucket,
+         ln(a.close / b.close) AS spread
+  FROM bars a JOIN bars b
+    ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.close > 0 AND b.close > 0
+),
+l AS (
+  SELECT sym_a, sym_b, spread,
+         lag(spread) OVER (PARTITION BY sym_a, sym_b ORDER BY bucket) AS sl
+  FROM j
+),
+d AS (
+  SELECT sym_a, sym_b, spread - sl AS ds, sl FROM l WHERE sl IS NOT NULL
+)
+SELECT sym_a, sym_b,
+       CAST(regr_count(ds, sl) AS BIGINT) AS n_obs,
+       ROUND(regr_slope(ds, sl), 6) AS phi,
+       ROUND(regr_slope(ds, sl)
+             / sqrt((regr_syy(ds, sl) * (1 - regr_r2(ds, sl))
+                     / (CAST(regr_count(ds, sl) AS BIGINT) - 2))
+                    / regr_sxx(ds, sl)), 6)
+           AS adf_t
+FROM d GROUP BY 1, 2
+HAVING regr_count(ds, sl) >= 3
+"""
+    ),
+)
+def pairwise_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-scan generalization of cointegration_adf: Dickey–Fuller
+    t-stat for EVERY symbol pair's log-ratio spread in one plan — the
+    universe screen that feeds the pairs-trading book. Pair alignment
+    is a minute-bucket self-equi-join (tiny after the bar aggregate);
+    one regression aggregate per pair, grouped."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    ).filter(F.col("close") > 0)
+    a = bars.select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("close").alias("ca")
+    )
+    b = bars.select(
+        F.col("symbol").alias("sym_b"), "bucket", F.col("close").alias("cb")
+    )
+    j = (
+        a.join(b, "bucket")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .select(
+            "sym_a", "sym_b", "bucket", F.log(F.col("ca") / F.col("cb")).alias("spread")
+        )
+    )
+    wp = Window.partitionBy("sym_a", "sym_b").orderBy("bucket")
+    d = (
+        j.withColumn("sl", F.lag("spread").over(wp))
+        .filter(F.col("sl").isNotNull())
+        .select("sym_a", "sym_b", (F.col("spread") - F.col("sl")).alias("ds"), "sl")
+    )
+    ds, sl = F.col("ds"), F.col("sl")
+    stderr = F.sqrt(
+        (F.regr_syy(ds, sl) * (1 - F.regr_r2(ds, sl)) / (F.regr_count(ds, sl) - 2))
+        / F.regr_sxx(ds, sl)
+    )
+    return (
+        d.groupBy("sym_a", "sym_b")
+        .agg(
+            F.regr_count(ds, sl).cast("bigint").alias("n_obs"),
+            F.round(F.regr_slope(ds, sl), 6).alias("phi"),
+            F.round(F.regr_slope(ds, sl) / stderr, 6).alias("adf_t"),
+        )
+        # a 1-obs pair underflows DuckDB's unsigned regr_count on n-2,
+        # and the t-stat needs n > 2 anyway
+        .filter(F.col("n_obs") >= 3)
+    )
+
+
+@q(
+    "arrival_dispersion",
+    oracle(
+        """
+counts AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP
+             AS bucket,
+         CAST(count(*) AS DOUBLE) AS n_t
+  FROM trades GROUP BY 1, 2
+),
+bounds AS (
+  SELECT symbol, min(bucket) AS b0, max(bucket) AS b1 FROM counts GROUP BY 1
+),
+grid AS (
+  SELECT symbol, unnest(generate_series(b0, b1, INTERVAL 1 MINUTE)) AS bucket
+  FROM bounds
+),
+full_grid AS (
+  SELECT g.symbol, g.bucket, coalesce(c.n_t, 0.0) AS n_t
+  FROM grid g LEFT JOIN counts c USING (symbol, bucket)
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_minutes,
+       ROUND(avg(n_t), 6) AS mean_rate,
+       ROUND(var_samp(n_t) / nullif(avg(n_t), 0), 6) AS fano,
+       ROUND((count(*) - 1) * var_samp(n_t) / nullif(avg(n_t), 0), 6)
+           AS dispersion_stat
+FROM full_grid GROUP BY 1
+"""
+    ),
+)
+def arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-arrival diagnostic per symbol: Fano factor (variance /
+    mean of per-minute trade counts over the FULL minute grid,
+    zero-minutes included via a generated calendar) and the χ²
+    index-of-dispersion statistic — Fano ≫ 1 means clustered arrivals,
+    the stylized fact VPIN's volume clock exists to absorb. Grid
+    synthesis is `sequence()` + explode per symbol — no driver loop."""
+    tr = _trades(spark, sf_dir)
+    counts = tr.groupBy(
+        "symbol", FX.time_bucket("time", 60).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_t"))
+    bounds = counts.groupBy("symbol").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "symbol",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("bucket"),
+    )
+    full_grid = grid.join(counts, ["symbol", "bucket"], "left").select(
+        "symbol", "bucket", F.coalesce(F.col("n_t"), F.lit(0.0)).alias("n_t")
+    )
+    mean = F.avg("n_t")
+    return full_grid.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+        F.round(mean, 6).alias("mean_rate"),
+        F.round(F.var_samp("n_t") / F.nullif(mean, F.lit(0.0)), 6).alias("fano"),
+        F.round(
+            (F.count(F.lit(1)) - 1)
+            * F.var_samp("n_t")
+            / F.nullif(mean, F.lit(0.0)),
+            6,
+        ).alias("dispersion_stat"),
+    )
+
+
+@q(
+    "ljung_box_q",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+lags AS (
+  SELECT symbol, r1,
+         lag(r1, 1) OVER w AS l1, lag(r1, 2) OVER w AS l2,
+         lag(r1, 3) OVER w AS l3, lag(r1, 4) OVER w AS l4,
+         lag(r1, 5) OVER w AS l5
+  FROM r WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+acf AS (
+  SELECT symbol,
+         CAST(count(r1) AS BIGINT) AS n,
+         corr(r1, l1) AS rho1, corr(r1, l2) AS rho2, corr(r1, l3) AS rho3,
+         corr(r1, l4) AS rho4, corr(r1, l5) AS rho5
+  FROM lags WHERE r1 IS NOT NULL GROUP BY 1
+)
+SELECT symbol, n,
+       ROUND(rho1, 6) AS rho1, ROUND(rho2, 6) AS rho2,
+       ROUND(rho3, 6) AS rho3, ROUND(rho4, 6) AS rho4,
+       ROUND(rho5, 6) AS rho5,
+       ROUND(n * (n + 2.0) * (rho1 * rho1 / (n - 1) + rho2 * rho2 / (n - 2)
+             + rho3 * rho3 / (n - 3) + rho4 * rho4 / (n - 4)
+             + rho5 * rho5 / (n - 5)), 6) AS ljung_box_q
+FROM acf
+"""
+    ),
+)
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test (K=5) of return autocorrelation per
+    symbol — the "is there anything left to model?" diagnostic behind
+    return_autocorr (Q ~ χ²₅; > 11.07 rejects white noise at 5%).
+    Five lag columns ride ONE per-symbol sort; lag-k autocorrelations
+    via pairwise `corr` (documented convention — both sides identical),
+    then a single closed-form aggregate."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    r = bars.withColumn(
+        "r1",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    )
+    lagged = r
+    for k in range(1, 6):
+        lagged = lagged.withColumn(f"l{k}", F.lag("r1", k).over(ws))
+    acf = lagged.filter(F.col("r1").isNotNull()).groupBy("symbol").agg(
+        F.count("r1").cast("bigint").alias("n"),
+        *[F.corr("r1", f"l{k}").alias(f"_rho{k}") for k in range(1, 6)],
+    )
+    n = F.col("n")
+    q_stat = n * (n + 2.0) * sum(
+        F.col(f"_rho{k}") * F.col(f"_rho{k}") / (n - k) for k in range(1, 6)
+    )
+    return acf.select(
+        "symbol",
+        "n",
+        *[F.round(F.col(f"_rho{k}"), 6).alias(f"rho{k}") for k in range(1, 6)],
+        F.round(q_stat, 6).alias("ljung_box_q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
