@@ -9132,6 +9132,118 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_report",
+    """
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp,
+         len(string_split_regex(trim(text), ' +')) AS n_words
+  FROM documents
+),
+doc_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_tokens,
+         ROUND(avg(n_words), 6) AS mean_doc_words,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM base
+),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+         WHERE dfreq.df <= 20),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT CAST(count(*) AS BIGINT) AS near_dup_pairs
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+),
+langs AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY 1
+),
+lang_ent AS (
+  SELECT ROUND(0.0 - sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6) AS lang_entropy
+  FROM (SELECT lang, c, sum(c) OVER () AS t FROM langs)
+)
+SELECT d.n_docs, d.n_exact_dup_docs, n.near_dup_pairs, d.total_tokens,
+       d.mean_doc_words, d.n_sources, e.lang_entropy
+FROM doc_stats d, near n, lang_ent e
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus report card a curation run ends with: size,
+    exact-dup docs, near-dup pairs (capped-universe Jaccard ≥ 0.5),
+    token budget, source count, language-distribution entropy — every
+    piece reuses an existing operator (exact_dedup fingerprints, the
+    shared shingle cache, the entropy fold), composed into one DAG of
+    broadcast single-row aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " +"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+        ).alias("fp"),
+        n_words.alias("n_words"),
+    )
+    doc_stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_words"), 6).alias("mean_doc_words"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    near = (
+        DD.ngram_jaccard_pairs(
+            docs,
+            n=3,
+            threshold=0.5,
+            max_doc_freq=20,
+            shingle_df=_doc_shingles(spark, sf_dir),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
+    )
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    p = F.col("c") / F.sum("c").over(wall)
+    lang_ent = (
+        langs.select((p * F.log(p)).alias("term"))
+        .agg(F.round(F.lit(0.0) - F.sum("term"), 6).alias("lang_entropy"))
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(near))
+        .crossJoin(F.broadcast(lang_ent))
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "near_dup_pairs",
+            "total_tokens",
+            "mean_doc_words",
+            "n_sources",
+            "lang_entropy",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
