@@ -9244,6 +9244,226 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bootstrap_sharpe_ci",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rv AS (
+  SELECT symbol, r1,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM r WHERE r1 IS NOT NULL
+),
+sizes AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM rv GROUP BY 1),
+draws AS (
+  SELECT s.symbol, b.b, i.i,
+         ((b.b * 2654435761 + i.i * 40503) % 2147483647) % s.n + 1 AS idx
+  FROM sizes s,
+       (SELECT unnest(range(0, 100)) AS b) b,
+       LATERAL (SELECT unnest(range(1, s.n + 1)) AS i) i
+),
+resampled AS (
+  SELECT d.symbol, d.b, rv.r1
+  FROM draws d JOIN rv ON rv.symbol = d.symbol AND rv.rn = d.idx
+),
+rep AS (
+  SELECT symbol, b,
+         avg(r1) / nullif(stddev_samp(r1), 0) AS sharpe_b
+  FROM resampled GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(sharpe_b) AS BIGINT) AS n_replicas,
+       ROUND(avg(sharpe_b), 6) AS sharpe_mean,
+       ROUND(quantile_cont(sharpe_b, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(sharpe_b, 0.975), 6) AS ci_hi
+FROM rep GROUP BY 1
+"""
+    ),
+)
+def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap: a 95% confidence interval on each
+    symbol's per-minute Sharpe from B=100 deterministic resamples —
+    the error bar G6's point estimate ships without. "Randomness" is a
+    multiplicative hash of (replica, position), so the resample is
+    reproducible on any engine/cluster and the oracle matches exactly.
+    The B× expansion is generated row-side (sequence + explode), the
+    draw is an equi-join on (symbol, position) — bootstrap at 100 TB
+    is exactly this shape, with B partial aggregates merged map-side."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    rv = (
+        bars.withColumn(
+            "r1",
+            F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+        )
+        .filter(F.col("r1").isNotNull())
+        .withColumn("rn", F.row_number().over(ws))
+        .select("symbol", "rn", "r1")
+    )
+    sizes = rv.groupBy("symbol").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    draws = (
+        sizes.select(
+            "symbol",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(99).cast("long"))).alias("b"),
+        )
+        .select(
+            "symbol",
+            "n",
+            "b",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n"))).alias("i"),
+        )
+        .select(
+            "symbol",
+            "b",
+            (
+                ((F.col("b") * 2654435761 + F.col("i") * 40503) % 2147483647)
+                % F.col("n")
+                + 1
+            ).alias("idx"),
+        )
+    )
+    resampled = draws.join(
+        rv.withColumnRenamed("rn", "idx"), ["symbol", "idx"]
+    )
+    rep = resampled.groupBy("symbol", "b").agg(
+        (F.avg("r1") / F.nullif(F.stddev_samp("r1"), F.lit(0.0))).alias("sharpe_b")
+    )
+    return rep.groupBy("symbol").agg(
+        F.count("sharpe_b").cast("bigint").alias("n_replicas"),
+        F.round(F.avg("sharpe_b"), 6).alias("sharpe_mean"),
+        F.round(F.percentile("sharpe_b", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("sharpe_b", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+
+
+@q(
+    "markov_entropy_rate",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+e AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS w
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+total AS (SELECT sum(w) AS tw FROM e),
+cond AS (
+  SELECT e.src,
+         outw.ow,
+         0.0 - sum((e.w * 1.0 / outw.ow) * ln(e.w * 1.0 / outw.ow)) AS h_src
+  FROM e JOIN outw USING (src)
+  GROUP BY 1, 2
+)
+SELECT src,
+       CAST(ow AS BIGINT) AS n_out,
+       ROUND(h_src, 6) AS conditional_entropy,
+       ROUND(h_src * (ow / (SELECT tw FROM total)), 6) AS weighted_term
+FROM cond
+""",
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain: per source state,
+    the conditional next-event entropy H(next|src) and its
+    stationary-frequency-weighted term (summing the last column gives
+    the chain's entropy rate) — how PREDICTABLE each state's future is,
+    the companion statistic to pagerank_event_types. Two hash
+    aggregates over the same edge frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    e = s.groupBy(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    total = e.agg(F.sum("w").alias("tw"))
+    p = F.col("w") * 1.0 / F.col("ow")
+    cond = (
+        e.join(F.broadcast(outw), "src")
+        .groupBy("src", "ow")
+        .agg((F.lit(0.0) - F.sum(p * F.log(p))).alias("h_src"))
+    )
+    return cond.crossJoin(F.broadcast(total)).select(
+        "src",
+        F.col("ow").cast("bigint").alias("n_out"),
+        F.round("h_src", 6).alias("conditional_entropy"),
+        F.round(F.col("h_src") * (F.col("ow") / F.col("tw")), 6).alias(
+            "weighted_term"
+        ),
+    )
+
+
+@q(
+    "interarrival_burstiness",
+    oracle(
+        """
+g0 AS (
+  SELECT symbol, time, trade_id,
+         epoch(time) - epoch(lag(time) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id)) AS gap
+  FROM trades
+),
+g AS (
+  SELECT symbol, gap,
+         lag(gap) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+             AS prev_gap
+  FROM g0
+),
+gv AS (SELECT * FROM g WHERE gap IS NOT NULL)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       ROUND(avg(gap), 6) AS mean_gap_s,
+       ROUND((stddev_samp(gap) - avg(gap))
+             / nullif(stddev_samp(gap) + avg(gap), 0), 6) AS burstiness,
+       ROUND(corr(gap, prev_gap), 6) AS memory_coeff
+FROM gv GROUP BY 1
+"""
+    ),
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of trade interarrival
+    times per symbol (B→1 bursty, 0 Poisson, −1 regular) plus the
+    memory coefficient (lag-1 gap correlation) — the two-number
+    fingerprint of arrival dynamics behind arrival_dispersion. Two
+    stacked lags on ONE (symbol, time, trade_id) sort + one
+    aggregate."""
+    tr = _trades(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    gap = F.col("time").cast("double") - F.lag(F.col("time").cast("double")).over(ws)
+    g = tr.withColumn("gap", gap).withColumn(
+        "prev_gap", F.lag("gap").over(ws)
+    ).filter(F.col("gap").isNotNull())
+    sd, mu = F.stddev_samp("gap"), F.avg("gap")
+    return g.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6).alias("burstiness"),
+        F.round(F.corr("gap", "prev_gap"), 6).alias("memory_coeff"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
