@@ -9339,7 +9339,11 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx"),
         )
     )
-    resampled = draws.join(
+    # the draws side LOOKS tiny to the optimizer (5-row source before
+    # the B·n explode) and would get broadcast wholesale — measured
+    # ~1 GB at sf0.1 (plans.runtime_metrics). Force the shuffle hash
+    # join: both sides partition on (symbol, idx), nothing broadcasts.
+    resampled = draws.hint("shuffle_hash").join(
         rv.withColumnRenamed("rn", "idx"), ["symbol", "idx"]
     )
     rep = resampled.groupBy("symbol", "b").agg(

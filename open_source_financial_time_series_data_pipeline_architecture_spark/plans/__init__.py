@@ -3,6 +3,7 @@ from .explain import (
     assert_no_cartesian,
     assert_pushed_filter,
     physical_plan,
+    runtime_metrics,
     shuffle_count,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "assert_no_cartesian",
     "assert_pushed_filter",
     "physical_plan",
+    "runtime_metrics",
     "shuffle_count",
 ]

@@ -49,3 +49,65 @@ def shuffle_count(df: DataFrame) -> int:
         line.strip().lstrip("+-* ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def runtime_metrics(df: DataFrame) -> dict:
+    """Execute the plan (noop write) and read back the ACTUAL runtime
+    SQL metrics from the executed plan tree: rows scanned, shuffle
+    bytes/records written, broadcast sizes. `.explain` shows the shape;
+    this shows what the shape COST — the pair of numbers a 100 TB
+    capacity plan is written from.
+
+    Returns {"scan_rows", "shuffle_bytes", "shuffle_records",
+    "broadcast_bytes", "exchanges"} aggregated over the whole tree.
+
+    The action must run df's OWN QueryExecution (a `.write` builds a
+    fresh one whose metrics this handle never sees), so this collects —
+    use on query-sized results, not raw tables.
+    """
+    df.collect()
+    out = {
+        "scan_rows": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "broadcast_bytes": 0,
+        "exchanges": 0,
+    }
+
+    def walk(node):
+        name = node.nodeName()
+        metrics = node.metrics()
+        it = metrics.iterator()
+        vals = {}
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if "Scan" in name:
+            out["scan_rows"] += vals.get("numOutputRows", 0)
+        # count the Exchange node itself, not its QueryStage wrapper
+        # (both would match and double-count)
+        if "Exchange" in name and "QueryStage" not in name and "Reused" not in name:
+            out["exchanges"] += 1
+            out["shuffle_bytes"] += vals.get("shuffle bytes written", 0) or vals.get(
+                "shuffleBytesWritten", 0
+            )
+            out["shuffle_records"] += vals.get("shuffle records written", 0) or vals.get(
+                "shuffleRecordsWritten", 0
+            )
+        if "Broadcast" in name and "Exchange" in name:
+            out["broadcast_bytes"] += vals.get("dataSize", 0)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        # AQE wrappers are leaves from children()'s point of view:
+        # descend the materialized subtrees explicitly
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+        elif name == "ReusedExchange":
+            pass  # metrics counted where the exchange actually ran
+
+    plan = df._jdf.queryExecution().executedPlan()
+    walk(plan)
+    return out

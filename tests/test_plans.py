@@ -506,3 +506,13 @@ def test_triple_barrier_no_self_join(spark):
 def test_cross_source_overlap_broadcast_totals(spark):
     df = em.QUERIES["cross_source_overlap"](spark, SF_SMOKE)
     PL.assert_broadcast_join(df, at_least=1)
+
+
+def test_runtime_metrics_counts_real_shuffles(spark):
+    # the metrics reader must see through AQE stage wrappers
+    m = PL.runtime_metrics(em.QUERIES["pit_features_asof"](spark, SF_SMOKE))
+    assert m["scan_rows"] > 0
+    assert m["exchanges"] >= 1
+    assert m["shuffle_records"] > 0
+    flat = PL.runtime_metrics(em.QUERIES["weighted_doc_sample"](spark, SF_SMOKE))
+    assert flat["exchanges"] == 0 and flat["shuffle_bytes"] == 0
