@@ -9341,9 +9341,10 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the draws side LOOKS tiny to the optimizer (5-row source before
     # the B·n explode) and would get broadcast wholesale — measured
-    # ~1 GB at sf0.1 (plans.runtime_metrics). Force the shuffle hash
-    # join: both sides partition on (symbol, idx), nothing broadcasts.
-    resampled = draws.hint("shuffle_hash").join(
+    # ~1 GB at sf0.1 (plans.runtime_metrics). Force a sort-merge join:
+    # both sides partition on (symbol, idx), nothing broadcasts, and
+    # unlike shuffle_hash the build is fully spillable.
+    resampled = draws.hint("merge").join(
         rv.withColumnRenamed("rn", "idx"), ["symbol", "idx"]
     )
     rep = resampled.groupBy("symbol", "b").agg(

@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "hurst_exponent",
     "dedup_containment",
     "cross_source_overlap",
+    "bootstrap_sharpe_ci",
+    "pairwise_cointegration",
+    "riskmetrics_vol",
+    "corpus_report",
 ]
 
 
