@@ -9469,6 +9469,159 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "first_touch_attribution",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+  FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flags
+),
+rk AS (
+  SELECT user_id, session_no, event_type,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+ft AS (
+  SELECT user_id, session_no, event_type AS first_touch
+  FROM rk WHERE rn = 1
+)
+SELECT ft.first_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT sess.user_id) AS BIGINT) AS n_buyers,
+       ROUND(sum(sess.value), 6) AS attributed_value
+FROM sess JOIN ft USING (user_id, session_no)
+WHERE sess.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: every purchase credits the
+    FIRST event type of its session (30-min gap sessionization) — the
+    channel-credit readout stacked on the same one-shuffle session
+    plan as user_sessionization; the first-touch lookup is an
+    unordered-frame window over the session partition, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_sess).withColumn(
+        "session_no", F.sum("new_session").over(wsum)
+    )
+    tkey = F.struct(F.col("ts"), F.col("event_id"))
+    wfull = Window.partitionBy("user_id", "session_no")
+    touch = sess.withColumn(
+        "first_touch",
+        F.min_by("event_type", tkey).over(
+            wfull.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return (
+        touch.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+    )
+
+
+@q(
+    "rfm_segmentation",
+    """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts) AS now_ts FROM base),
+rfm AS (
+  SELECT user_id,
+         CAST(floor(epoch((SELECT now_ts FROM mx)))
+              - floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(value) AS monetary
+  FROM base GROUP BY 1
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, ROUND(monetary, 6) AS monetary,
+         CAST(6 - ntile(5) OVER (ORDER BY recency_s, user_id) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+  FROM rfm
+)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+FROM scored
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation on purchase events: recency (seconds
+    since last purchase, inverted so fresher = higher), frequency, and
+    monetary quintiles via ntile with deterministic (metric, user_id)
+    tie-break, composed into the classic 3-digit RFM code. One filter
+    + one hash aggregate + three rank windows over the small user
+    frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.max(F.col("now_ts").cast("double")))
+                - F.floor(F.max(F.col("ts").cast("double")))
+            )
+            .cast("bigint")
+            .alias("recency_s"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        (6 - F.ntile(5).over(Window.orderBy("recency_s", "user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
