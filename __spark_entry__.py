@@ -9622,6 +9622,62 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "observed_ingest_stats",
+    oracle(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN price <= 0 THEN 1 END) AS BIGINT) AS n_bad_price,
+       CAST(count(CASE WHEN side IS NULL THEN 1 END) AS BIGINT) AS n_null_side,
+       ROUND(min(price), 6) AS min_price,
+       ROUND(max(price), 6) AS max_price,
+       ROUND(sum(volume), 6) AS total_volume
+FROM trades
+"""
+    ),
+)
+def observed_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-quality counters via Spark's Observation API
+    (`df.observe`) — metrics piggyback on the SAME pass that consumes
+    the data (here a noop sink drain), costing zero extra scans; this
+    is how a production pipeline exports per-batch DQ counters to its
+    metrics bus without a second job. The observed values are returned
+    as a one-row frame for the driver hash."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_dq")
+    tr = _trades(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("price") <= 0, F.lit(1)))
+        .cast("bigint")
+        .alias("n_bad_price"),
+        F.count(F.when(F.col("side").isNull(), F.lit(1)))
+        .cast("bigint")
+        .alias("n_null_side"),
+        F.round(F.min("price"), 6).alias("min_price"),
+        F.round(F.max("price"), 6).alias("max_price"),
+        F.round(F.sum("volume"), 6).alias("total_volume"),
+    )
+    tr.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    row = [
+        (
+            got["n_rows"],
+            got["n_bad_price"],
+            got["n_null_side"],
+            float(got["min_price"]),
+            float(got["max_price"]),
+            float(got["total_volume"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_rows bigint, n_bad_price bigint, n_null_side bigint, "
+        "min_price double, max_price double, total_volume double",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
