@@ -516,3 +516,17 @@ def test_runtime_metrics_counts_real_shuffles(spark):
     assert m["shuffle_records"] > 0
     flat = PL.runtime_metrics(em.QUERIES["weighted_doc_sample"](spark, SF_SMOKE))
     assert flat["exchanges"] == 0 and flat["shuffle_bytes"] == 0
+
+
+def test_bootstrap_resample_join_is_sort_merge(spark):
+    # the draws side must NEVER broadcast (optimizer-blind BxN explode)
+    df = em.QUERIES["bootstrap_sharpe_ci"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_first_touch_attribution_one_user_shuffle(spark):
+    df = em.QUERIES["first_touch_attribution"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert PL.shuffle_count(df) <= 2, plan
