@@ -9323,6 +9323,10 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.explode(F.sequence(F.lit(0).cast("long"), F.lit(99).cast("long"))).alias("b"),
         )
+        # the B·n row expansion below otherwise runs inside the ONE task
+        # holding the 5-row sizes frame — spread the (symbol, replica)
+        # seeds across the cluster first so generation is parallel
+        .repartition("symbol", "b")
         .select(
             "symbol",
             "n",
@@ -9341,11 +9345,14 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the draws side LOOKS tiny to the optimizer (5-row source before
     # the B·n explode) and would get broadcast wholesale — measured
-    # ~1 GB at sf0.1 (plans.runtime_metrics). Force a sort-merge join:
-    # both sides partition on (symbol, idx), nothing broadcasts, and
-    # unlike shuffle_hash the build is fully spillable.
-    resampled = draws.hint("merge").join(
-        rv.withColumnRenamed("rn", "idx"), ["symbol", "idx"]
+    # ~1 GB at sf0.1 (plans.runtime_metrics). Build a shuffle-hash map
+    # on the RETURNS side instead: rv is the bounded side (n rows per
+    # symbol, the actual series), so per-partition hash builds stay
+    # small while the B·n draws stream past unsorted — no 3.5M-row
+    # sort like hint("merge"), no optimizer broadcast of the big side.
+    resampled = draws.join(
+        rv.withColumnRenamed("rn", "idx").hint("shuffle_hash"),
+        ["symbol", "idx"],
     )
     rep = resampled.groupBy("symbol", "b").agg(
         (F.avg("r1") / F.nullif(F.stddev_samp("r1"), F.lit(0.0))).alias("sharpe_b")

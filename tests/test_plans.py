@@ -518,11 +518,14 @@ def test_runtime_metrics_counts_real_shuffles(spark):
     assert flat["exchanges"] == 0 and flat["shuffle_bytes"] == 0
 
 
-def test_bootstrap_resample_join_is_sort_merge(spark):
-    # the draws side must NEVER broadcast (optimizer-blind BxN explode)
+def test_bootstrap_resample_join_is_shuffle_hash(spark):
+    # the draws side must NEVER broadcast (optimizer-blind BxN explode);
+    # shuffle-hash builds on the bounded returns side and skips the
+    # B*n-row sort a merge join would pay
     df = em.QUERIES["bootstrap_sharpe_ci"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
-    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_first_touch_attribution_one_user_shuffle(spark):
