@@ -67,6 +67,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        # local[N] runs every task inside the driver JVM, whose default
+        # heap is 1g — starved at 32 concurrent tasks (GC-locker stalls
+        # kill tasks and their shuffle files on wide joins). Only takes
+        # effect when this factory launches the JVM; a driver-provided
+        # session keeps its own sizing.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -533,3 +533,28 @@ def test_first_touch_attribution_one_user_shuffle(spark):
     plan = PL.physical_plan(df)
     assert "Join" not in plan, plan
     assert PL.shuffle_count(df) <= 2, plan
+
+
+def test_volatility_cone_single_sorted_pass(spark):
+    # three rolling horizons share ONE (symbol, bucket) sort: exactly
+    # the window shuffle + the final aggregate, nothing per-horizon
+    df = em.QUERIES["volatility_cone"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_copurchase_triangles_all_equi_joins(spark):
+    # wedge enumeration and the closing-edge probe must be equi-joins;
+    # the only nested-loop allowed is the final 1x1 scalar crossJoin
+    df = em.QUERIES["copurchase_triangles"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_char_bigram_prob_table_broadcasts(spark):
+    # the alphabet^2 probability table rides a broadcast back onto the
+    # per-doc counts — no shuffle of the corpus for the scoring join
+    df = em.QUERIES["char_bigram_logprob"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
