@@ -10147,6 +10147,364 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multi-lag autocorrelation function: the ACF profile behind Ljung-Box —
+# all lags from ONE sorted window pass.
+# --------------------------------------------------------------------------
+@q(
+    "acf_multilag",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, ret,
+         lag(ret, 1) OVER w AS l1,
+         lag(ret, 2) OVER w AS l2,
+         lag(ret, 3) OVER w AS l3,
+         lag(ret, 5) OVER w AS l5,
+         lag(ret, 10) OVER w AS l10
+  FROM r WHERE ret IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+stacked AS (
+  SELECT symbol, 1 AS lag_k, ret, l1 AS ret_lag FROM l
+  UNION ALL SELECT symbol, 2, ret, l2 FROM l
+  UNION ALL SELECT symbol, 3, ret, l3 FROM l
+  UNION ALL SELECT symbol, 5, ret, l5 FROM l
+  UNION ALL SELECT symbol, 10, ret, l10 FROM l
+)
+SELECT symbol, CAST(lag_k AS BIGINT) AS lag_k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(ret, ret_lag), 6) AS acf
+FROM stacked WHERE ret_lag IS NOT NULL
+GROUP BY 1, 2
+"""
+    ),
+)
+def acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags {1,2,3,5,10} per symbol. All five lag columns come
+    from ONE (symbol, bucket) window sort (same partition/order key),
+    then a stack + corr hash aggregate — lags scale by adding columns,
+    never passes. Complements ljung_box_q (which tests the lags
+    jointly) with the per-lag profile."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    r = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    lag_cols = [F.lag("ret", k).over(ws).alias(f"l{k}") for k in (1, 2, 3, 5, 10)]
+    l = r.select("symbol", "ret", *lag_cols)
+    stacked = l.select(
+        "symbol",
+        "ret",
+        F.expr(
+            "stack(5, 1L, l1, 2L, l2, 3L, l3, 5L, l5, 10L, l10)"
+            " AS (lag_k, ret_lag)"
+        ),
+    ).filter(F.col("ret_lag").isNotNull())
+    return stacked.groupBy("symbol", "lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("ret", "ret_lag"), 6).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corwin-Schultz (2012) high-low spread estimator: bid-ask spread from
+# bar ranges alone — the quote-free companion to effective_spread_stats.
+# --------------------------------------------------------------------------
+@q(
+    "corwin_schultz_spread",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    max(price) AS high,
+    min(price) AS low
+  FROM trades GROUP BY 1, 2
+),
+pairs AS (
+  SELECT symbol, high AS h1, low AS l1,
+         lead(high) OVER w AS h2, lead(low) OVER w AS l2
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+cs AS (
+  SELECT symbol,
+         pow(ln(h1 / l1), 2) + pow(ln(h2 / l2), 2) AS beta,
+         pow(ln(greatest(h1, h2) / least(l1, l2)), 2) AS gamma
+  FROM pairs
+  WHERE l1 > 0 AND l2 > 0
+),
+alpha AS (
+  SELECT symbol,
+         (sqrt(2 * beta) - sqrt(beta)) / (3 - 2 * sqrt(2))
+             - sqrt(gamma / (3 - 2 * sqrt(2))) AS a
+  FROM cs
+),
+s AS (
+  SELECT symbol, 2 * (exp(a) - 1) / (1 + exp(a)) AS spread
+  FROM alpha
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(avg(spread), 6) AS avg_spread_raw,
+       ROUND(avg(greatest(spread, 0)), 6) AS avg_spread_clipped
+FROM s GROUP BY 1
+"""
+    ),
+)
+def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz spread from overlapping 2-bar high/low ranges:
+    variance grows with the interval but the spread doesn't, so the
+    2-bar range (gamma) vs the summed 1-bar ranges (beta) separates
+    them. Negative finite-sample estimates are kept raw AND clipped at
+    0 (the paper's convention), both averaged per symbol. One window
+    lead + one aggregate; nothing beyond the per-symbol sort."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "high", "low"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    pairs = bars.select(
+        "symbol",
+        F.col("high").alias("h1"),
+        F.col("low").alias("l1"),
+        F.lead("high").over(ws).alias("h2"),
+        F.lead("low").over(ws).alias("l2"),
+    ).filter((F.col("l1") > 0) & (F.col("l2") > 0))
+    beta = F.pow(F.log(F.col("h1") / F.col("l1")), 2) + F.pow(
+        F.log(F.col("h2") / F.col("l2")), 2
+    )
+    gamma = F.pow(
+        F.log(
+            F.greatest(F.col("h1"), F.col("h2"))
+            / F.least(F.col("l1"), F.col("l2"))
+        ),
+        2,
+    )
+    k = 3 - 2 * (2**0.5)
+    a = (F.sqrt(2 * beta) - F.sqrt(beta)) / k - F.sqrt(gamma / k)
+    spread = 2 * (F.exp(a) - 1) / (1 + F.exp(a))
+    return pairs.select("symbol", spread.alias("spread")).groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("spread"), 6).alias("avg_spread_raw"),
+        F.round(F.avg(F.greatest(F.col("spread"), F.lit(0.0))), 6).alias(
+            "avg_spread_clipped"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid label accuracy: embedding-quality eval against the
+# labels column — how separable the classes are under cosine.
+# --------------------------------------------------------------------------
+@q(
+    "label_centroid_accuracy",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(v))) AS pos,
+         unnest(v) AS comp
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+cent AS (
+  SELECT label AS clabel, pos, avg(comp) AS c FROM e GROUP BY 1, 2
+),
+cnorm AS (
+  SELECT clabel, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1
+),
+scores AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+         sum(e.comp * cent.c) AS dot,
+         sqrt(sum(e.comp * e.comp)) AS vnorm
+  FROM e JOIN cent ON e.pos = cent.pos
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT s.vec_id, s.label, s.clabel,
+         row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.dot / nullif(s.vnorm * n.cn, 0.0) DESC, s.clabel ASC
+         ) AS rnk
+  FROM scores s JOIN cnorm n ON s.clabel = n.clabel
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(CASE WHEN clabel = label THEN 1 END) AS BIGINT) AS n_correct,
+       ROUND(count(CASE WHEN clabel = label THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM ranked WHERE rnk = 1
+GROUP BY 1
+""",
+)
+def label_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification accuracy per true label — the
+    standard 'are these embeddings any good' probe before spending GPU
+    time fine-tuning on them. Dense scoring is the N x L x d component
+    join (L = 10 labels here; for large L the vectorized matmul path
+    knn_join_vectorized is the same contract). Ties broken (cosine
+    DESC, label ASC) identically on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos", "comp")
+    )
+    cent = e.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("comp").alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    scores = (
+        e.join(F.broadcast(cent.withColumnRenamed("pos", "cpos")),
+               F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(F.col("comp") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("comp") * F.col("comp"))).alias("vnorm"),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.nullif(F.col("vnorm") * F.col("cn"), F.lit(0.0))).desc(),
+        F.col("clabel").asc(),
+    )
+    ranked = (
+        scores.join(F.broadcast(cnorm), "clabel")
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+    )
+    return ranked.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count(F.when(F.col("clabel") == F.col("label"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("clabel") == F.col("label"), F.lit(1)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source word distributions:
+# corpus-mixture drift — which sources are interchangeable, which are
+# distributionally alien.
+# --------------------------------------------------------------------------
+@q(
+    "source_divergence_js",
+    """
+WITH words AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT source, word, count(*) AS n FROM words WHERE word <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n) AS tn FROM wf GROUP BY 1),
+p AS (
+  SELECT wf.source, wf.word, wf.n / CAST(t.tn AS DOUBLE) AS p
+  FROM wf JOIN tot t ON wf.source = t.source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common_words,
+         sum((a.p + b.p) / 2 * ln((a.p + b.p) / 2)
+             - a.p / 2 * ln(a.p / 2) - b.p / 2 * ln(b.p / 2)) AS i_ab
+  FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+  GROUP BY 1, 2
+),
+allpairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM tot a JOIN tot b ON a.source < b.source
+)
+SELECT ap.source_a, ap.source_b,
+       coalesce(i.n_common_words, 0) AS n_common_words,
+       ROUND(ln(2) - coalesce(i.i_ab, 0.0), 6) AS js_nats,
+       ROUND((ln(2) - coalesce(i.i_ab, 0.0)) / ln(2), 6) AS js_normalized
+FROM allpairs ap
+LEFT JOIN inter i
+  ON ap.source_a = i.source_a AND ap.source_b = i.source_b
+""",
+)
+def source_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JS divergence between per-source unigram distributions.
+    Uses the identity JS(p,q) = ln2 - I(p,q) where I needs only the
+    COMMON-word terms (because each distribution sums to 1, the
+    disjoint-support mass contributes exactly ln2) — so one equi-join
+    on word replaces the per-pair full-outer join a naive JS needs.
+    Fan-out per word is bounded by C(n_sources, 2), a fixed catalog
+    dimension, never by corpus size. Pairs with no shared vocabulary
+    surface at the ln2 maximum via the left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    tot = wf.groupBy("source").agg(F.sum("n").alias("tn"))
+    p = wf.join(F.broadcast(tot), "source").select(
+        "source", "word", (F.col("n") / F.col("tn").cast("double")).alias("p")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    half = F.col("a.p") / 2
+    halfb = F.col("b.p") / 2
+    m = (F.col("a.p") + F.col("b.p")) / 2
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common_words"),
+            F.sum(
+                m * F.log(m) - half * F.log(half) - halfb * F.log(halfb)
+            ).alias("i_ab"),
+        )
+    )
+    ta = tot.select(F.col("source").alias("source_a"))
+    tb = tot.select(F.col("source").alias("source_b"))
+    allpairs = ta.crossJoin(tb).filter(F.col("source_a") < F.col("source_b"))
+    ln2 = F.lit(0.6931471805599453)
+    return (
+        allpairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_common_words"), F.lit(0).cast("bigint")).alias(
+                "n_common_words"
+            ),
+            F.round(ln2 - F.coalesce(F.col("i_ab"), F.lit(0.0)), 6).alias("js_nats"),
+            F.round(
+                (ln2 - F.coalesce(F.col("i_ab"), F.lit(0.0))) / ln2, 6
+            ).alias("js_normalized"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -558,3 +558,20 @@ def test_char_bigram_prob_table_broadcasts(spark):
     plan = PL.physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_acf_multilag_single_window_pass(spark):
+    # five lags ride ONE (symbol, bucket) sort; only the window shuffle
+    # and the final aggregate exchange may appear
+    df = em.QUERIES["acf_multilag"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_source_divergence_single_word_join(spark):
+    # the JS identity keeps this to ONE equi-join on word (plus the
+    # broadcast totals and the tiny all-pairs frame) — no outer join
+    # per source pair, no cartesian over corpus-sized inputs
+    df = em.QUERIES["source_divergence_js"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
