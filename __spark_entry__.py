@@ -10505,6 +10505,64 @@ def source_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Bucketed interval join, driver-visible: post-trade activity in the
+# 60 s after each large trade — the generic range-join operator
+# (operators/rangejoin.py) surfaced as an oracle query.
+# --------------------------------------------------------------------------
+@q(
+    "post_large_trade_activity",
+    oracle(
+        """
+big AS (
+  SELECT symbol, time, trade_id, volume
+  FROM trades WHERE volume >= 9
+),
+j AS (
+  SELECT b.symbol, b.trade_id,
+         t.volume AS v_after
+  FROM big b JOIN trades t
+    ON t.symbol = b.symbol
+   AND epoch(t.time) > epoch(b.time)
+   AND epoch(t.time) <= epoch(b.time) + 60.0
+)
+SELECT symbol, trade_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       ROUND(sum(v_after), 6) AS vol_follow
+FROM j GROUP BY 1, 2
+"""
+    ),
+)
+def post_large_trade_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per large trade (volume >= 9): count and total volume of trades
+    on the same symbol in the following 60 s, via the bucketed interval
+    join (operators/rangejoin.py) — left rows explode onto the <= 2
+    time buckets their window spans, the join is a pure equi-join on
+    (symbol, bucket), and the exact range predicate filters after the
+    hash probe. No nested-loop: the candidate set per row is bounded by
+    bucket width, not partition size (plan-tested)."""
+    tr = _trades(spark, sf_dir)
+    big = tr.filter(F.col("volume") >= 9).select("symbol", "time", "trade_id")
+    follow = tr.select(
+        "symbol",
+        F.col("time").alias("f_time"),
+        F.col("volume").alias("v_after"),
+    )
+    joined = OPS.interval_join_bucketed(
+        big,
+        follow,
+        keys=["symbol"],
+        left_ts="time",
+        right_ts="f_time",
+        lower_s=0.0,
+        upper_s=60.0,
+    )
+    return joined.groupBy("symbol", "trade_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+        F.round(F.sum("v_after"), 6).alias("vol_follow"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

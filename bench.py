@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "pairwise_cointegration",
     "riskmetrics_vol",
     "corpus_report",
+    # session-4 families: vol cones, char-LM curation, source drift
+    "volatility_cone",
+    "char_bigram_logprob",
+    "source_divergence_js",
+    "acf_multilag",
 ]
 
 

@@ -575,3 +575,10 @@ def test_source_divergence_single_word_join(spark):
     plan = PL.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_post_large_trade_activity_no_nested_loop(spark):
+    # the interval join must stay an equi-join on (symbol, bucket)
+    df = em.QUERIES["post_large_trade_activity"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
