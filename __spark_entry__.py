@@ -10563,6 +10563,268 @@ def post_large_trade_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Purged K-fold time-series CV accounting (AFML ch.7): fold sizes after
+# purging label-overlap leakage and the post-test embargo.
+# --------------------------------------------------------------------------
+@q(
+    "purged_kfold_splits",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol
+  FROM trades GROUP BY 1, 2
+),
+rn AS (
+  SELECT symbol,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS i,
+         ntile(5) OVER (PARTITION BY symbol ORDER BY bucket) AS fold_of
+  FROM bars
+),
+bounds AS (
+  SELECT symbol, fold_of AS fold, min(i) AS lo, max(i) AS hi
+  FROM rn GROUP BY 1, 2
+),
+cls AS (
+  SELECT b.symbol, b.fold,
+         CASE
+           WHEN r.fold_of = b.fold THEN 'test'
+           WHEN r.i <= b.hi AND r.i + 10 >= b.lo THEN 'purged'
+           WHEN r.i > b.hi AND r.i <= b.hi + 5 THEN 'embargo'
+           ELSE 'train'
+         END AS cls
+  FROM bounds b JOIN rn r ON b.symbol = r.symbol
+)
+SELECT symbol, CAST(fold AS BIGINT) AS fold,
+       CAST(count(CASE WHEN cls = 'test' THEN 1 END) AS BIGINT) AS n_test,
+       CAST(count(CASE WHEN cls = 'train' THEN 1 END) AS BIGINT) AS n_train,
+       CAST(count(CASE WHEN cls = 'purged' THEN 1 END) AS BIGINT) AS n_purged,
+       CAST(count(CASE WHEN cls = 'embargo' THEN 1 END) AS BIGINT) AS n_embargo
+FROM cls GROUP BY 1, 2
+"""
+    ),
+)
+def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold CV accounting over each symbol's bar sequence:
+    5 contiguous folds; training bars whose H=10-bar label window
+    overlaps the test fold are PURGED (label leakage), and the 5 bars
+    after the test fold are EMBARGOED (serial-correlation leakage).
+    The bars-x-folds expansion is a broadcast join against the K-row
+    bound table per symbol — K is a constant, so the pass stays linear
+    in bars at any scale."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    rn = bars.select(
+        "symbol",
+        F.row_number().over(ws).alias("i"),
+        F.ntile(5).over(ws).alias("fold_of"),
+    )
+    bounds = rn.groupBy("symbol", F.col("fold_of").alias("fold")).agg(
+        F.min("i").alias("lo"), F.max("i").alias("hi")
+    )
+    cls = F.when(F.col("fold_of") == F.col("fold"), "test").when(
+        (F.col("i") <= F.col("hi")) & (F.col("i") + 10 >= F.col("lo")), "purged"
+    ).when(
+        (F.col("i") > F.col("hi")) & (F.col("i") <= F.col("hi") + 5), "embargo"
+    ).otherwise("train")
+    joined = F.broadcast(bounds).join(rn, "symbol").select(
+        "symbol", "fold", cls.alias("cls")
+    )
+    agg = joined.groupBy("symbol", F.col("fold").cast("bigint").alias("fold"))
+    return agg.agg(
+        *[
+            F.count(F.when(F.col("cls") == c, F.lit(1)))
+            .cast("bigint")
+            .alias(f"n_{c}")
+            for c in ("test", "train", "purged", "embargo")
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Average label uniqueness (AFML ch.4): sample weights for overlapping
+# fixed-horizon labels via the difference-array concurrency trick.
+# --------------------------------------------------------------------------
+@q(
+    "label_uniqueness_weights",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol
+  FROM trades GROUP BY 1, 2
+),
+rn AS (
+  SELECT symbol, row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS i,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM bars
+),
+conc AS (
+  -- concurrency c_t = #labels whose [i, min(i+10, n)] window covers t:
+  -- with a fixed horizon this is t - max(1, t-10) + 1 in closed form
+  SELECT symbol, i, n, i - greatest(1, i - 10) + 1 AS c
+  FROM rn
+),
+u AS (
+  SELECT symbol, i,
+         avg(1.0 / c) OVER (
+             PARTITION BY symbol ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 10 FOLLOWING) AS uniq
+  FROM conc
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_labels,
+       ROUND(avg(uniq), 6) AS avg_uniqueness,
+       ROUND(min(uniq), 6) AS min_uniqueness,
+       ROUND(max(uniq), 6) AS max_uniqueness
+FROM u GROUP BY 1
+"""
+    ),
+)
+def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average uniqueness of overlapping H=10-bar labels: concurrency
+    per bar (how many label windows cover it — closed form for a fixed
+    horizon; the general case is the +1/-1 difference-array cumsum,
+    same single window pass), then each label's mean of 1/concurrency
+    over its own window. Bounded FOLLOWING frame is O(H) per row —
+    never the O(n^2) unbounded-following trap. Weights like these are
+    what keeps overlapping-label training sets from over-counting the
+    same move."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    rn = bars.select(
+        "symbol",
+        F.row_number().over(ws).alias("i"),
+    )
+    conc = rn.withColumn(
+        "c", F.col("i") - F.greatest(F.lit(1), F.col("i") - 10) + 1
+    )
+    wfwd = Window.partitionBy("symbol").orderBy("i").rowsBetween(0, 10)
+    u = conc.select(
+        "symbol", F.avg(F.lit(1.0) / F.col("c")).over(wfwd).alias("uniq")
+    )
+    return u.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.round(F.avg("uniq"), 6).alias("avg_uniqueness"),
+        F.round(F.min("uniq"), 6).alias("min_uniqueness"),
+        F.round(F.max("uniq"), 6).alias("max_uniqueness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event study: average abnormal return by event-relative offset around
+# large trades, with cumulative abnormal return (CAR).
+# --------------------------------------------------------------------------
+@q(
+    "event_study_car",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+mkt AS (
+  SELECT bucket, avg(r1) AS r_mkt FROM r WHERE r1 IS NOT NULL GROUP BY 1
+),
+ab AS (
+  SELECT r.symbol, r.bucket, r.r1 - m.r_mkt AS ar
+  FROM r JOIN mkt m ON r.bucket = m.bucket
+  WHERE r.r1 IS NOT NULL
+),
+ev AS (
+  SELECT DISTINCT symbol,
+         to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP
+             AS ev_bucket
+  FROM trades WHERE volume >= 9
+),
+panel AS (
+  SELECT o.off, ab.ar
+  FROM ev
+  JOIN (SELECT unnest(range(-5, 6)) AS off) o ON true
+  JOIN ab ON ab.symbol = ev.symbol
+         AND ab.bucket = ev.ev_bucket + to_seconds(CAST(o.off * 60 AS BIGINT))
+),
+prof AS (
+  SELECT CAST(off AS BIGINT) AS rel_minute,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         ROUND(avg(ar), 6) AS avg_abnormal_ret
+  FROM panel GROUP BY 1
+)
+SELECT rel_minute, n_obs, avg_abnormal_ret,
+       ROUND(sum(avg_abnormal_ret) OVER (
+           ORDER BY rel_minute
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS car
+FROM prof
+"""
+    ),
+)
+def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around large trades (volume >= 9): abnormal return
+    = symbol return minus the equal-weight market return that minute;
+    the event panel explodes each event onto offsets -5..+5 and
+    equi-joins bars on (symbol, bucket) — the same bounded-fan-out
+    shape as the interval join, never a range predicate. CAR is the
+    running sum over the 11-row profile (driver-scale)."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    r = bars.withColumn(
+        "r1",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("r1").isNotNull())
+    mkt = r.groupBy("bucket").agg(F.avg("r1").alias("r_mkt"))
+    ab = r.join(mkt, "bucket").select(
+        "symbol", "bucket", (F.col("r1") - F.col("r_mkt")).alias("ar")
+    )
+    tr = _trades(spark, sf_dir)
+    ev = (
+        tr.filter(F.col("volume") >= 9)
+        .select(
+            "symbol",
+            F.window("time", "1 minute").start.alias("ev_bucket"),
+        )
+        .distinct()
+    )
+    panel = (
+        ev.withColumn(
+            "off", F.explode(F.sequence(F.lit(-5), F.lit(5)))
+        )
+        .withColumn(
+            "bucket",
+            F.col("ev_bucket") + F.make_dt_interval(mins=F.col("off")),
+        )
+        .join(ab, ["symbol", "bucket"])
+    )
+    prof = panel.groupBy(F.col("off").cast("bigint").alias("rel_minute")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.avg("ar"), 6).alias("avg_abnormal_ret"),
+    )
+    wc = Window.orderBy("rel_minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return prof.withColumn(
+        "car", F.round(F.sum("avg_abnormal_ret").over(wc), 6)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
