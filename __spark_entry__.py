@@ -10825,6 +10825,256 @@ def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Fractional differencing (AFML ch.5): max-memory stationarization with
+# a fixed-width weight window — K lagged terms, ONE window pass.
+# --------------------------------------------------------------------------
+def _fracdiff_weights(d: float, k_max: int) -> list[float]:
+    w = [1.0]
+    for k in range(1, k_max + 1):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+_FD_W = _fracdiff_weights(0.4, 10)
+
+
+@q(
+    "fracdiff_series_stats",
+    oracle(
+        f"""
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+fd AS (
+  SELECT symbol,
+         {' + '.join(f'({w!r}) * lag(close, {k}) OVER w' for k, w in enumerate(_FD_W))}
+             AS x,
+         row_number() OVER w AS i
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol,
+       CAST(count(x) AS BIGINT) AS n,
+       ROUND(avg(x), 6) AS fd_mean,
+       ROUND(stddev_samp(x), 6) AS fd_std,
+       ROUND(min(x), 6) AS fd_min,
+       ROUND(max(x), 6) AS fd_max
+FROM fd WHERE i > 10 GROUP BY 1
+"""
+    ),
+)
+def fracdiff_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width fractional differencing (d=0.4, K=10): the weights
+    w_k = -w_(k-1)(d-k+1)/k are computed ONCE driver-side (11 scalar
+    literals — identical in the oracle SQL), and the series is a single
+    linear combination of K lags from ONE (symbol, bucket) window pass.
+    Fracdiff keeps long memory that integer differencing destroys while
+    making the series stationary enough to train on — the AFML
+    preprocessing step between raw prices and ML features."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    x = sum(
+        (F.lit(w) * F.lag("close", k).over(ws) for k, w in enumerate(_FD_W)),
+        F.lit(0.0),
+    )
+    fd = bars.select(
+        "symbol", x.alias("x"), F.row_number().over(ws).alias("i")
+    ).filter(F.col("i") > 10)
+    return fd.groupBy("symbol").agg(
+        F.count("x").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("fd_mean"),
+        F.round(F.stddev_samp("x"), 6).alias("fd_std"),
+        F.round(F.min("x"), 6).alias("fd_min"),
+        F.round(F.max("x"), 6).alias("fd_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# STL-lite seasonal decomposition: centered-MA trend, minute-of-hour
+# seasonal index, residual variance accounting.
+# --------------------------------------------------------------------------
+@q(
+    "seasonal_decompose_stats",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+tr AS (
+  SELECT symbol, bucket, close,
+         CASE WHEN count(*) OVER wx = 61 THEN avg(close) OVER wx END AS trend
+  FROM bars
+  WINDOW wx AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+),
+det AS (
+  SELECT symbol, bucket, close - trend AS detr,
+         CAST(minute(bucket) AS BIGINT) AS moh
+  FROM tr WHERE trend IS NOT NULL
+),
+seas AS (
+  SELECT symbol, moh, avg(detr) AS s FROM det GROUP BY 1, 2
+),
+resid AS (
+  SELECT d.symbol, d.detr, d.detr - s.s AS res
+  FROM det d JOIN seas s ON d.symbol = s.symbol AND d.moh = s.moh
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+       ROUND(stddev_samp(detr), 6) AS detrended_std,
+       ROUND(stddev_samp(res), 6) AS residual_std,
+       ROUND(1 - var_samp(res) / nullif(var_samp(detr), 0), 6)
+           AS seasonal_r2
+FROM resid GROUP BY 1
+"""
+    ),
+)
+def seasonal_decompose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite: trend = centered 61-bar moving average (bounded frame,
+    O(61) per row — full-window rows only), seasonal = mean detrended
+    value per minute-of-hour (a 60-row index per symbol, broadcast
+    back), residual = what neither explains. seasonal_r2 is the
+    variance share the minute-of-hour pattern captures — the intraday
+    seasonality strength in one number per symbol."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    wx = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-30, 30)
+    )
+    tr = bars.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(wx) == 61, F.avg("close").over(wx)),
+    ).filter(F.col("trend").isNotNull())
+    det = tr.select(
+        "symbol",
+        (F.col("close") - F.col("trend")).alias("detr"),
+        F.minute("bucket").cast("bigint").alias("moh"),
+    )
+    seas = det.groupBy("symbol", "moh").agg(F.avg("detr").alias("s"))
+    resid = det.join(F.broadcast(seas), ["symbol", "moh"]).select(
+        "symbol", "detr", (F.col("detr") - F.col("s")).alias("res")
+    )
+    return resid.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.stddev_samp("detr"), 6).alias("detrended_std"),
+        F.round(F.stddev_samp("res"), 6).alias("residual_std"),
+        F.round(
+            1 - F.var_samp("res") / F.nullif(F.var_samp("detr"), F.lit(0.0)), 6
+        ).alias("seasonal_r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Newey-West long-run volatility: HAC-corrected sigma vs the naive one —
+# how much serial correlation inflates risk estimates.
+# --------------------------------------------------------------------------
+@q(
+    "newey_west_vol",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, ret,
+         lag(ret, 1) OVER w AS l1,
+         lag(ret, 2) OVER w AS l2,
+         lag(ret, 3) OVER w AS l3,
+         lag(ret, 4) OVER w AS l4,
+         lag(ret, 5) OVER w AS l5
+  FROM r WHERE ret IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol,
+         CAST(count(ret) AS BIGINT) AS n,
+         var_pop(ret) AS g0,
+         covar_pop(ret, l1) AS g1,
+         covar_pop(ret, l2) AS g2,
+         covar_pop(ret, l3) AS g3,
+         covar_pop(ret, l4) AS g4,
+         covar_pop(ret, l5) AS g5
+  FROM l GROUP BY 1
+)
+SELECT symbol, n,
+       ROUND(sqrt(g0), 6) AS sigma_naive,
+       ROUND(sqrt(greatest(
+           g0 + 2 * ((1 - 1/6.0) * g1 + (1 - 2/6.0) * g2 + (1 - 3/6.0) * g3
+                     + (1 - 4/6.0) * g4 + (1 - 5/6.0) * g5), 0)), 6)
+           AS sigma_nw,
+       ROUND(sqrt(greatest(
+           g0 + 2 * ((1 - 1/6.0) * g1 + (1 - 2/6.0) * g2 + (1 - 3/6.0) * g3
+                     + (1 - 4/6.0) * g4 + (1 - 5/6.0) * g5), 0))
+           / nullif(sqrt(g0), 0), 6) AS hac_inflation
+FROM g
+"""
+    ),
+)
+def newey_west_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (Bartlett kernel, L=5) long-run volatility per
+    symbol: autocovariances come from five lag columns sharing ONE
+    window pass, the kernel sum is a closed-form projection, and the
+    negative-estimate corner is clamped at 0 identically on both
+    sides. sigma_nw/sigma_naive is the serial-correlation inflation
+    factor a VaR model must apply."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    ws = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(ws)
+    r = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    l = r.select(
+        "symbol",
+        "ret",
+        *[F.lag("ret", k).over(ws).alias(f"l{k}") for k in range(1, 6)],
+    )
+    g = l.groupBy("symbol").agg(
+        F.count("ret").cast("bigint").alias("n"),
+        F.var_pop("ret").alias("g0"),
+        *[F.covar_pop("ret", f"l{k}").alias(f"g{k}") for k in range(1, 6)],
+    )
+    kern = F.col("g0") + 2 * sum(
+        (F.lit(1 - k / 6.0) * F.col(f"g{k}") for k in range(1, 6)), F.lit(0.0)
+    )
+    lr = F.sqrt(F.greatest(kern, F.lit(0.0)))
+    return g.select(
+        "symbol",
+        "n",
+        F.round(F.sqrt("g0"), 6).alias("sigma_naive"),
+        F.round(lr, 6).alias("sigma_nw"),
+        F.round(lr / F.nullif(F.sqrt("g0"), F.lit(0.0)), 6).alias(
+            "hac_inflation"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
