@@ -11075,6 +11075,316 @@ def newey_west_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Session-5 families — jump-robust volatility, path risk, ordinal
+# complexity (trades); duplicate-coverage, mixing weights, rule gates,
+# semantic dedup (documents/embeddings).
+# --------------------------------------------------------------------------
+@q(
+    "bipower_jump_stats",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+p AS (
+  SELECT symbol, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY bucket) AS ret_prev
+  FROM r
+),
+a AS (
+  SELECT symbol,
+         sum(ret * ret) AS rv,
+         pi() / 2 * sum(abs(ret) * abs(ret_prev)) AS bv,
+         CAST(count(ret) AS BIGINT) AS n_returns
+  FROM p GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(rv, 6) AS realized_var,
+       ROUND(bv, 6) AS bipower_var,
+       ROUND(CASE WHEN rv IS NOT NULL AND bv IS NOT NULL
+                  THEN greatest(0.0, rv - bv) END, 6) AS jump_var,
+       ROUND(CASE WHEN rv > 0 AND bv IS NOT NULL
+                  THEN greatest(0.0, rv - bv) / rv END, 6) AS jump_share,
+       n_returns
+FROM a
+"""
+    ),
+)
+def bipower_jump_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-variance jump decomposition (BNS 2004) on 1-minute
+    bars — the diffusion-vs-jump split of the reference's volatility
+    feature (sql/timescaledb_schema.sql:141-158). One window pass +
+    one symbol aggregate: single shuffle at any scale."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IND,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    return IND.bipower_jump_stats(bars)
+
+
+@q(
+    "ulcer_index",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+dd AS (
+  SELECT symbol,
+         CASE WHEN max(close) OVER (PARTITION BY symbol ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+              THEN (close - max(close) OVER (PARTITION BY symbol ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   / max(close) OVER (PARTITION BY symbol ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0
+         END AS dd_pct
+  FROM bars
+)
+SELECT symbol,
+       ROUND(sqrt(avg(dd_pct * dd_pct)), 6) AS ulcer_index,
+       ROUND(min(dd_pct), 6) AS worst_dd_pct,
+       CAST(count(dd_pct) AS BIGINT) AS n_bars
+FROM dd GROUP BY symbol
+"""
+    ),
+)
+def ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index (RMS drawdown) per symbol — integrates ALL drawdown
+    episodes where `max_drawdown` reports only the worst. Running max
+    is a growing frame (incremental O(n)); one shuffle."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IND,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    return IND.ulcer_index(bars)
+
+
+@q(
+    "permutation_entropy",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+lagd AS (
+  SELECT symbol, close AS c2,
+         lag(close, 1) OVER w AS c1,
+         lag(close, 2) OVER w AS c0
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pats AS (
+  SELECT symbol,
+         CASE WHEN c0 IS NULL OR c1 IS NULL THEN NULL
+              WHEN c0 <= c1 AND c1 <= c2 THEN '012'
+              WHEN c0 <= c2 AND c2 < c1 THEN '021'
+              WHEN c1 < c0 AND c0 <= c2 THEN '102'
+              WHEN c1 <= c2 AND c2 < c0 THEN '120'
+              WHEN c2 < c0 AND c0 <= c1 THEN '201'
+              ELSE '210' END AS pattern
+  FROM lagd
+),
+counts AS (
+  SELECT symbol, pattern, count(*) AS n_pat
+  FROM pats WHERE pattern IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT symbol, sum(n_pat) AS n_triples FROM counts GROUP BY 1)
+SELECT c.symbol,
+       ROUND(-sum((n_pat / CAST(n_triples AS DOUBLE))
+                  * ln(n_pat / CAST(n_triples AS DOUBLE))) / ln(6.0), 6)
+           AS perm_entropy,
+       CAST(max(n_triples) AS BIGINT) AS n_triples,
+       CAST(count(*) AS BIGINT) AS n_patterns
+FROM counts c JOIN tot t USING (symbol)
+GROUP BY c.symbol
+"""
+    ),
+)
+def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy (Bandt-Pompe 2002) per symbol: the
+    ordinal-pattern complexity diagnostic. Two lags + a first-match
+    CASE ladder (tie policy pinned identically in the oracle), then a
+    6-row-per-symbol entropy aggregate."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IND,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    return IND.permutation_entropy(bars)
+
+
+@q(
+    "dup_ngram_coverage",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS g
+  FROM words, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+),
+dftab AS (SELECT g, count(*) AS gram_df FROM grams GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       ROUND(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_coverage
+FROM grams JOIN dftab USING (g)
+GROUP BY doc_id
+""",
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate 5-gram coverage (the C4/RefinedWeb "how
+    much of this doc exists elsewhere" signal) — catches stitched-copy
+    docs that evade pairwise thresholds, without materializing pairs.
+    Gram text is xxhash64-compressed before the shuffle; DF counting is
+    exact and collision behavior is identical on both join sides."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.duplicate_ngram_coverage(
+        load_table(spark, sf_dir, "documents"), n=5
+    )
+
+
+@q(
+    "mixture_weights_temperature",
+    """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_docs) AS n_total,
+         sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+  FROM per
+)
+SELECT source, n_docs,
+       ROUND(n_docs / CAST(n_total AS DOUBLE), 6) AS raw_share,
+       ROUND(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS mix_weight,
+       ROUND((pow(CAST(n_docs AS DOUBLE), 0.7) / z)
+             / (n_docs / CAST(n_total AS DOUBLE)), 6) AS effective_epochs
+FROM per, tot
+""",
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.7) source sampling weights — the
+    multi-source mixing rule a data loader applies to rebalance a
+    pretraining corpus. O(#sources) output; one hash aggregate."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.mixture_weights(load_table(spark, sf_dir, "documents"), alpha=0.7)
+
+
+
+def _gopher_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    n_stop = " + ".join(
+        _occ_sql("' ' || text || ' '", f" {w} ") for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), ' +') AS ws,
+         ({n_stop}) AS n_stop
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, w -> length(w)))
+             / CAST(nullif(len(ws), 0) AS DOUBLE) AS mean_wlen,
+         n_stop,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+             / CAST(nullif(len(ws), 0) AS DOUBLE) AS alpha_frac
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_wlen, 6) AS mean_word_len,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       ROUND(alpha_frac, 6) AS alpha_word_frac,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_mean_word_len,
+       (n_stop >= 2) AS ok_stopwords,
+       (alpha_frac >= 0.8) AS ok_alpha_words,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+        AND (n_stop >= 2) AND (alpha_frac >= 0.8)) AS passes_gopher
+FROM stats
+"""
+
+
+@q("gopher_quality_flags", _gopher_oracle())
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based keep/drop gate (Rae et al. 2021) as
+    individual boolean flags + the conjunction — the hard filter suite
+    upstream of the blended `text_quality_score`. Pure projection, no
+    shuffle."""
+    return TX.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@q("semdedup_prune")
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic-duplicate pruning summary:
+    k-means-lite clusters confine the quadratic cosine comparison to
+    within-cluster pairs (cost N^2/k, bounded by raising k with scale);
+    min-id member of each dup group is kept. Rows-only by design — the
+    iterative codebook is not one DuckDB statement; recall/correctness
+    pinned by tests/test_semdedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = SIM.semdedup(emb, k=8, iters=4, threshold=0.95)
+    return (
+        flags.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_kept") / F.col("n_vecs").cast("double"), 6),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "char_bigram_logprob",
     "source_divergence_js",
     "acf_multilag",
+    # session-5 families: jump decomposition, duplicate-coverage,
+    # semantic dedup
+    "bipower_jump_stats",
+    "dup_ngram_coverage",
+    "semdedup_prune",
 ]
 
 

@@ -123,3 +123,90 @@ def repetition_ratio(
         F.sum("c").alias("n_grams"),
         F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio"),
     )
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate n-gram coverage (the C4/RefinedWeb
+    "fraction of the document that also appears elsewhere" curation
+    signal): of each document's DISTINCT word n-grams, the share whose
+    corpus document-frequency is ≥ 2.
+
+    Complements the pairwise dedup family — a document can evade every
+    pairwise threshold while still being 60% stitched-together copies;
+    this measures that directly, without materializing any pair.
+
+    Plan: one shingle pass → distinct (doc, gram) → gram DF by hash
+    aggregate → join back on gram → per-doc aggregate. The only wide
+    exchanges carry (doc, gram-hash) pairs; the DF table is keyed by
+    gram and partially aggregated map-side. Grams are compared by
+    xxhash64 to keep shuffle rows narrow — DF counting is exact
+    (collisions at 64 bits are negligible and identical on both join
+    sides, so coverage is self-consistent).
+    """
+    grams = _trigrams(docs, text_col, id_col, n).select(
+        id_col, F.xxhash64("gram").alias("g")
+    ).distinct()
+    df_tab = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("gram_df")
+    )
+    per_doc = (
+        grams.join(df_tab, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_df") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_dup_grams",
+        F.round(
+            F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6
+        ).alias("dup_coverage"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual /
+    multi-source mixing rule of Lample & Conneau 2019 §3.1 /
+    GPT-3-style corpus weighting): raw source share p_s = n_s/N is
+    re-tempered to w_s ∝ p_s^α, boosting under-represented sources
+    (α < 1 flattens, α = 1 is proportional). ``effective_epochs`` =
+    w_s/p_s is how many passes over source s one epoch of the mixed
+    stream implies — the over/under-sampling factor a data loader
+    would apply.
+
+    One hash aggregate over the corpus + one 1-row total broadcast —
+    the per-source table is O(#sources), trivially driver-safe.
+    """
+    per_src = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias(
+            "z"
+        ),
+    )
+    p = F.col("n_docs") / F.col("n_total").cast("double")
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z")
+    return per_src.join(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(p, 6).alias("raw_share"),
+        F.round(w, 6).alias("mix_weight"),
+        F.round(w / p, 6).alias("effective_epochs"),
+    )

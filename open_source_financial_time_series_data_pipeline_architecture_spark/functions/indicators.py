@@ -391,3 +391,129 @@ def hurst_slope_coeffs(scales: tuple[int, ...]) -> list[float]:
     xbar = sum(xs) / len(xs)
     sxx = sum((x - xbar) ** 2 for x in xs)
     return [(x - xbar) / sxx for x in xs]
+
+
+def bipower_jump_stats(bars: DataFrame) -> DataFrame:
+    """Realized-variance jump decomposition per symbol (Barndorff-
+    Nielsen & Shephard 2004): RV = Σ r², bipower variation
+    BV = (π/2)·Σ|r_t||r_{t−1}| (robust to jumps), jump component
+    J = max(0, RV − BV) and the relative jump share J/RV.
+
+    The reference's volatility feature (sql/timescaledb_schema.sql:
+    141-158) is plain realized vol; this is its diffusion-vs-jump
+    split — the standard next diagnostic on the same log returns.
+
+    Input: 1-minute bars (bucket, symbol, close). One window pass for
+    (ret, prev ret), one hash aggregate per symbol — single shuffle.
+    """
+    import math
+
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev_close > 0),
+        F.log(F.col("close") / prev_close),
+    )
+    with_ret = bars.withColumn("ret", ret)
+    base = with_ret.withColumn("ret_prev", F.lag("ret").over(w))
+    agg = base.groupBy("symbol").agg(
+        F.sum(F.col("ret") * F.col("ret")).alias("_rv"),
+        (
+            F.lit(math.pi / 2.0)
+            * F.sum(F.abs("ret") * F.abs("ret_prev"))
+        ).alias("_bv"),
+        F.count("ret").cast("bigint").alias("n_returns"),
+    )
+    # explicit null guard: Spark's greatest() IGNORES nulls (would turn
+    # an undefined BV into jump=0), while the oracle must see NULL —
+    # keep both engines on the same CASE semantics
+    jump = F.when(
+        F.col("_rv").isNotNull() & F.col("_bv").isNotNull(),
+        F.greatest(F.lit(0.0), F.col("_rv") - F.col("_bv")),
+    )
+    return agg.select(
+        "symbol",
+        F.round("_rv", 6).alias("realized_var"),
+        F.round("_bv", 6).alias("bipower_var"),
+        F.round(jump, 6).alias("jump_var"),
+        F.round(
+            F.when(F.col("_rv") > 0, jump / F.col("_rv")), 6
+        ).alias("jump_share"),
+        "n_returns",
+    )
+
+
+def ulcer_index(bars: DataFrame) -> DataFrame:
+    """Ulcer index per symbol (Martin & McCann 1989): RMS percentage
+    drawdown from the running peak of the close series — the
+    downside-risk companion to `max_drawdown` (which reports only the
+    single worst excursion; the ulcer index integrates ALL of them).
+
+    One growing-frame window pass (running max — incremental O(n)),
+    then one hash aggregate. Peaks guard close > 0 (sf0.1 has
+    price=0 rows).
+    """
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    dd_pct = F.when(peak > 0, (F.col("close") - peak) / peak * 100.0)
+    base = bars.withColumn("dd_pct", dd_pct)
+    return base.groupBy("symbol").agg(
+        F.round(F.sqrt(F.avg(F.col("dd_pct") * F.col("dd_pct"))), 6).alias(
+            "ulcer_index"
+        ),
+        F.round(F.min("dd_pct"), 6).alias("worst_dd_pct"),
+        F.count("dd_pct").cast("bigint").alias("n_bars"),
+    )
+
+
+def permutation_entropy(bars: DataFrame) -> DataFrame:
+    """Order-3 permutation entropy per symbol (Bandt & Pompe, PRL
+    2002): classify each consecutive close triple into one of six
+    ordinal patterns, then take the Shannon entropy of the pattern
+    distribution, normalized by ln(6) into [0, 1] (1 = white noise,
+    0 = monotone). A complexity/regime diagnostic computed with two
+    lags + a CASE ladder — no UDF.
+
+    Tie policy: the first-match CASE ladder below resolves equal
+    closes deterministically (earlier index wins), identically in
+    Spark and any ANSI engine — keep the ladder order in lockstep
+    with the oracle SQL.
+    """
+    import math
+
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    c2 = F.col("close")
+    c1 = F.lag("close", 1).over(w)
+    c0 = F.lag("close", 2).over(w)
+    pattern = (
+        F.when(c0.isNull() | c1.isNull(), None)
+        .when((c0 <= c1) & (c1 <= c2), "012")
+        .when((c0 <= c2) & (c2 < c1), "021")
+        .when((c1 < c0) & (c0 <= c2), "102")
+        .when((c1 <= c2) & (c2 < c0), "120")
+        .when((c2 < c0) & (c0 <= c1), "201")
+        .otherwise("210")
+    )
+    pats = bars.withColumn("pattern", pattern).filter(
+        F.col("pattern").isNotNull()
+    )
+    counts = pats.groupBy("symbol", "pattern").agg(
+        F.count(F.lit(1)).alias("n_pat")
+    )
+    totals = counts.groupBy("symbol").agg(F.sum("n_pat").alias("n_triples"))
+    p = F.col("n_pat") / F.col("n_triples")
+    return (
+        counts.join(totals, "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.round(
+                -F.sum(p * F.log(p)) / F.lit(math.log(6.0)), 6
+            ).alias("perm_entropy"),
+            F.max("n_triples").cast("bigint").alias("n_triples"),
+            F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        )
+    )

@@ -128,3 +128,46 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return base.select(id_col, F.explode(grams).alias("shingle")).distinct()
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, Table A1)
+    as individual boolean flags plus the conjunction — unlike
+    ``quality_score`` (a blended 0-1 heuristic), this is the hard
+    keep/drop filter suite a pretraining pipeline applies first:
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10
+    - ≥ 2 stopword hits (the "is this running text" check)
+    - ≥ 80 % of words contain at least one alphabetic character
+
+    Pure projection (split + higher-order filters), embarrassingly
+    parallel, no shuffle; every predicate is expressible identically
+    in ANSI SQL for the oracle.
+    """
+    t = F.col(text_col)
+    base = docs.select("doc_id", F.split(F.trim(t), " +").alias("__ws"), t.alias("__t"))
+    n_words = F.size("__ws")
+    mean_wlen = F.aggregate(
+        F.col("__ws"), F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.nullif(n_words.cast("double"), F.lit(0.0))
+    padded = F.concat(F.lit(" "), F.col("__t"), F.lit(" "))
+    n_stop = sum(occurrences(padded, f" {w} ") for w in STOPWORDS)
+    n_alpha = F.size(F.filter(F.col("__ws"), lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = n_alpha / F.nullif(n_words.cast("double"), F.lit(0.0))
+    ok_len = (n_words >= 50) & (n_words <= 100_000)
+    ok_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    ok_stop = n_stop >= 2
+    ok_alpha = alpha_frac >= 0.8
+    return base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        ok_len.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_len & ok_wlen & ok_stop & ok_alpha).alias("passes_gopher"),
+    )

@@ -548,3 +548,86 @@ def centroid_cosine(
             6,
         ).alias("cos_centroid"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with the deterministic k-means-lite
+    codebook, then compare pairs ONLY within a cluster and prune every
+    vector that has a higher-similarity-than-threshold neighbor with a
+    smaller id (the kept vector of each semantic-dup group is its
+    min-id member — deterministic canonical choice, mirroring the
+    dedup family's min-label convention).
+
+    Returns (id, cluster_id, is_kept).
+
+    Scale: this is exactly the SemDeDup design point — the quadratic
+    pair comparison is confined to a cluster, so cost is
+    Σ (n_c choose 2) ≈ N²/k, and k is chosen to bound cluster size
+    (at 100 TB you raise k so n_c stays ~10⁴-10⁵; the assignment pass
+    stays O(N·k·d) with a broadcast codebook). The cluster equi-join
+    below is a plain shuffled hash join on cluster_id — no
+    BroadcastNestedLoopJoin at any size.
+    """
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id int, centroid array<double>",
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sims = vecs.crossJoin(F.broadcast(cent_df)).select(
+        "id",
+        "cluster_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    # cached: consumed three times below (both pair-join sides + the
+    # final flag join) — without it the O(N·k·d) assignment pass runs
+    # per consumer
+    assigned = (
+        sims.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("cluster_id", "sim"), F.struct("sim", -F.col("cluster_id"))
+            ).alias("best")
+        )
+        .select("id", F.col("best.cluster_id").alias("cluster_id"))
+        .join(vecs, "id")
+        .cache()
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), "cluster_id", F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), "cluster_id", F.col("v").alias("v_b")
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_pairs.withColumnRenamed("id_b", "id").withColumn(
+                "__dup", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "cluster_id",
+            F.col("__dup").isNull().alias("is_kept"),
+        )
+    )
