@@ -11385,6 +11385,213 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _epps_oracle() -> str:
+    parts = []
+    unions = []
+    for s in (60, 300, 900):
+        parts.append(f"""b{s} AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / {s}) * {s} AS BIGINT))::TIMESTAMP
+             AS bucket,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r{s} AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM b{s} WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+p{s} AS (
+  SELECT a.sym_a, b.sym_b, CAST({s} AS BIGINT) AS scale_sec,
+         ROUND(corr(a.ret_a, b.ret_b), 6) AS realized_corr,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM (SELECT symbol AS sym_a, bucket, ret AS ret_a FROM r{s}
+        WHERE ret IS NOT NULL) a
+  JOIN (SELECT symbol AS sym_b, bucket, ret AS ret_b FROM r{s}
+        WHERE ret IS NOT NULL) b USING (bucket)
+  WHERE a.sym_a < b.sym_b
+  GROUP BY 1, 2, 3
+)""")
+        unions.append(f"SELECT * FROM p{s}")
+    return oracle(",\n".join(parts) + "\n" + " UNION ALL ".join(unions))
+
+
+@q("epps_effect", _epps_oracle())
+def epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epps effect: realized pairwise correlation at 1/5/15-minute
+    sampling — the cross-asset risk-model diagnostic for asynchronous
+    ticks. Pair joins run on bar-level return tables (|symbols|·
+    |buckets| rows), never ticks."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.epps_realized_correlation(
+        _trades(spark, sf_dir), scales=(60, 300, 900)
+    )
+
+
+@q(
+    "quote_revision_imbalance",
+    oracle(
+        """
+qq AS (
+  SELECT symbol, time, trade_id, (bid + ask) / 2.0 AS mid
+  FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+),
+d AS (
+  SELECT symbol, time,
+         mid - lag(mid) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+             AS dmid
+  FROM qq
+),
+g AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / 1800) * 1800 AS BIGINT))::TIMESTAMP
+             AS bucket,
+         CAST(sum(CASE WHEN dmid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN dmid < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(count(*) AS BIGINT) AS n_revisions
+  FROM d WHERE dmid IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT symbol, bucket, n_up, n_down, n_revisions,
+       ROUND(CASE WHEN n_up + n_down > 0
+                  THEN (n_up - n_down) / CAST(n_up + n_down AS DOUBLE) END, 6)
+           AS revision_imbalance
+FROM g
+"""
+    ),
+)
+def quote_revision_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midquote uptick/downtick imbalance per (symbol, 30 min) — the
+    price-only order-flow-pressure proxy for a quotes-without-sizes
+    feed. Null quotes excluded before the lag on both sides."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.quote_revision_imbalance(_trades(spark, sf_dir), bucket_seconds=1800)
+
+
+@q(
+    "embedding_contamination",
+    """
+WITH b AS (
+  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 97 <> 0
+),
+scored AS (
+  SELECT cand_id, bench_id,
+         ROUND(list_cosine_similarity(cv, bv), 6) AS cos
+  FROM c, b
+),
+ranked AS (
+  SELECT cand_id, bench_id, cos,
+         row_number() OVER (PARTITION BY cand_id
+                            ORDER BY cos DESC, bench_id ASC) AS rn
+  FROM scored
+)
+SELECT cand_id, cos AS max_cosine, bench_id AS nearest_bench_id,
+       cos >= 0.9 AS is_leaked
+FROM ranked WHERE rn = 1
+""",
+)
+def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: max cosine of every candidate
+    vector against the benchmark partition (vec_id % 97 = 0 plays the
+    eval suite, as in `benchmark_contamination`) — catches paraphrased
+    leakage n-gram overlap misses. Benchmark side broadcast; one
+    corpus pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    cands = emb.filter(F.col("vec_id") % 97 != 0)
+    return SIM.embedding_contamination(cands, bench, threshold=0.9)
+
+
+@q(
+    "dsir_importance_weights",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+),
+raw_counts AS (SELECT word, count(*) AS c_raw FROM words GROUP BY 1),
+tgt_counts AS (
+  SELECT word, count(*) AS c_tgt FROM words WHERE doc_id % 97 = 0 GROUP BY 1
+),
+vocab AS (
+  SELECT r.word, r.c_raw, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM raw_counts r LEFT JOIN tgt_counts t USING (word)
+),
+tot AS (
+  SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM vocab
+),
+llr AS (
+  SELECT word,
+         ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE))
+           - ln((c_raw + 1) / CAST(n_raw + v AS DOUBLE)) AS llr
+  FROM vocab, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       ROUND(avg(llr), 6) AS importance_weight
+FROM words JOIN llr USING (word)
+GROUP BY doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (Xie et al. 2023): mean
+    per-word log-likelihood ratio of a target-domain unigram LM
+    (doc_id % 97 = 0 partition) vs the raw-corpus LM, add-one smoothed
+    over the shared vocabulary — the importance-sampling data-selection
+    score."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return CX.dsir_importance_weights(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
+@q(
+    "tokenizer_fertility_by_source",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(sum(ceil(length(text) / 4.0))
+             / CAST(sum(len(string_split_regex(trim(text), ' +'))) AS DOUBLE),
+             6) AS fertility,
+       ROUND(avg(len(string_split_regex(trim(text), ' +'))), 6)
+           AS avg_ws_tokens,
+       ROUND(quantile_cont(len(string_split_regex(trim(text), ' +')), 0.5), 6)
+           AS p50_ws_tokens
+FROM documents GROUP BY source
+""",
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (est BPE tokens per whitespace token) and
+    token-length profile per source — the per-corpus cost model for
+    packing/budgeting decisions. One hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), " +"))
+    bpe = F.ceil(F.length("text") / 4.0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(bpe) / F.sum(ws).cast("double"), 6
+        ).alias("fertility"),
+        F.round(F.avg(ws), 6).alias("avg_ws_tokens"),
+        F.round(F.percentile(ws, F.lit(0.5)), 6).alias("p50_ws_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

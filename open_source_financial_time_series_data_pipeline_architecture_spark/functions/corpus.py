@@ -210,3 +210,64 @@ def mixture_weights(
         F.round(w, 6).alias("mix_weight"),
         F.round(w / p, 6).alias("effective_epochs"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the mean per-word log-likelihood ratio between a
+    TARGET-domain unigram LM and the raw-corpus unigram LM — documents
+    that look like the target domain get positive weight and are
+    up-sampled.
+
+    Both LMs use add-one smoothing over the SHARED raw-corpus
+    vocabulary (p(w) = (c_w + 1)/(N + V)), so out-of-target words are
+    well-defined without branches.
+
+    Plan: two vocabulary aggregates (word counts — map-side combined,
+    O(|vocab|) results, broadcast), one totals row, then a single
+    per-document aggregate over the raw word stream. No pairwise work
+    anywhere; the only wide exchange carries (doc, word-stat) pairs.
+    """
+    raw_words = _words(docs, text_col, id_col)
+    tgt_words = _words(target, text_col, id_col)
+    raw_counts = raw_words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("c_raw")
+    )
+    tgt_counts = tgt_words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    vocab = raw_counts.join(tgt_counts, "word", "left").na.fill(
+        {"c_tgt": 0}
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored_vocab = vocab.join(F.broadcast(totals)).select(
+        "word",
+        (
+            F.log(
+                (F.col("c_tgt") + 1)
+                / (F.col("n_tgt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + 1)
+                / (F.col("n_raw") + F.col("v")).cast("double")
+            )
+        ).alias("llr"),
+    )
+    return (
+        raw_words.join(scored_vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(F.avg("llr"), 6).alias("importance_weight"),
+        )
+    )

@@ -235,3 +235,104 @@ def tick_rule_classification(trades: DataFrame) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+def epps_realized_correlation(
+    trades: DataFrame, scales: tuple[int, ...] = (60, 300, 900)
+) -> DataFrame:
+    """Epps effect diagnostic (Epps 1979): realized correlation of every
+    symbol pair at several sampling scales — pairwise correlation decays
+    toward zero at fine scales because ticks are asynchronous, so a
+    cross-asset risk model must pick its sampling width consciously.
+
+    For each scale: close = last price per (symbol, bucket), log return
+    per bucket, then an equi-join of the RETURN table with itself on
+    bucket (sym_a < sym_b) and corr() per pair. The join input is bars,
+    not ticks — |symbols|·|buckets| rows — so the pair join is tiny
+    relative to the scan at every SF; output is
+    O(|symbols|²·|scales|).
+    """
+    out = None
+    for s in scales:
+        bucket = F.timestamp_seconds(
+            (F.floor(F.col("time").cast("double") / s) * s).cast("long")
+        )
+        bars = (
+            trades.withColumn("bucket", bucket)
+            .groupBy("symbol", "bucket")
+            .agg(
+                F.max_by(
+                    "price", F.struct(F.col("time"), F.col("trade_id"))
+                ).alias("close")
+            )
+        )
+        w = Window.partitionBy("symbol").orderBy("bucket")
+        prev = F.lag("close").over(w)
+        rets = bars.withColumn(
+            "ret",
+            F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+        ).filter(F.col("ret").isNotNull())
+        a = rets.select(
+            F.col("symbol").alias("sym_a"), "bucket", F.col("ret").alias("ret_a")
+        )
+        b = rets.select(
+            F.col("symbol").alias("sym_b"), "bucket", F.col("ret").alias("ret_b")
+        )
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("sym_a") < F.col("sym_b"))
+            .groupBy("sym_a", "sym_b")
+            .agg(
+                F.round(F.corr("ret_a", "ret_b"), 6).alias("realized_corr"),
+                F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            )
+            .withColumn("scale_sec", F.lit(s).cast("bigint"))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.select("sym_a", "sym_b", "scale_sec", "realized_corr", "n_obs")
+
+
+def quote_revision_imbalance(
+    trades: DataFrame, bucket_seconds: int = 1800
+) -> DataFrame:
+    """Quote-revision (midpoint uptick/downtick) imbalance per
+    (symbol, bucket): the price-only order-flow-pressure proxy when
+    quoted sizes are unavailable (this feed quotes prices only —
+    schema.py bid/ask). Rows lacking either quote are excluded BEFORE
+    the lag, so revisions compare consecutive *valid* quotes.
+
+    One symbol-partitioned window pass + one hash aggregate.
+    """
+    q = trades.filter(F.col("bid").isNotNull() & F.col("ask").isNotNull())
+    mid = (F.col("bid") + F.col("ask")) / 2.0
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    base = q.withColumn("mid", mid).withColumn(
+        "dmid", F.col("mid") - F.lag("mid").over(w)
+    )
+    bucket = F.timestamp_seconds(
+        (
+            F.floor(F.col("time").cast("double") / bucket_seconds)
+            * bucket_seconds
+        ).cast("long")
+    )
+    g = (
+        base.filter(F.col("dmid").isNotNull())
+        .withColumn("bucket", bucket)
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.sum(F.when(F.col("dmid") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_up"),
+            F.sum(F.when(F.col("dmid") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_down"),
+            F.count(F.lit(1)).cast("bigint").alias("n_revisions"),
+        )
+    )
+    denom = (F.col("n_up") + F.col("n_down")).cast("double")
+    return g.withColumn(
+        "revision_imbalance",
+        F.round(
+            F.when(denom > 0, (F.col("n_up") - F.col("n_down")) / denom), 6
+        ),
+    )

@@ -631,3 +631,48 @@ def semdedup(
             F.col("__dup").isNull().alias("is_kept"),
         )
     )
+
+
+def embedding_contamination(
+    cands: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: the semantic analog of the
+    n-gram `benchmark_contamination` check — for every candidate
+    vector, its max cosine against the benchmark/eval set and a
+    leaked-or-not flag at ``threshold``. Catches paraphrased eval
+    leakage that exact n-gram overlap misses.
+
+    The benchmark set is small by definition (an eval suite) →
+    broadcast; one pass over the candidate corpus, O(|C|·|B|·d) with
+    |B| bounded. Ranking ties (equal rounded cosine) resolve to the
+    smallest benchmark id — pinned identically in the oracle.
+    """
+    c = cands.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "cand_id",
+        "bench_id",
+        F.round(cosine_similarity(F.col("cv"), F.col("bv")), 6).alias("cos"),
+    )
+    agg = scored.groupBy("cand_id").agg(
+        F.max("cos").alias("max_cosine"),
+        F.max_by(
+            "bench_id", F.struct(F.col("cos"), -F.col("bench_id"))
+        ).alias("nearest_bench_id"),
+    )
+    return agg.select(
+        "cand_id",
+        "max_cosine",
+        "nearest_bench_id",
+        (F.col("max_cosine") >= threshold).alias("is_leaked"),
+    )
