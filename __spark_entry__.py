@@ -11369,7 +11369,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative codebook is not one DuckDB statement; recall/correctness
     pinned by tests/test_semdedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    flags = SIM.semdedup(emb, k=8, iters=4, threshold=0.95)
+    # SemDeDup contract: k grows with the corpus so cluster size stays
+    # bounded (~256 here) and the per-cluster gram matmul stays cheap
+    n = emb.count()
+    k = max(8, int(n // 256))
+    flags = SIM.semdedup(emb, k=k, iters=2, threshold=0.95)
     return (
         flags.groupBy("cluster_id")
         .agg(

@@ -59,10 +59,9 @@ def test_semdedup_no_nested_loop_join(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     out = SIM.semdedup(emb, k=4, iters=1, threshold=0.95)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the quadratic pair comparison must be an equi-join on cluster_id
-    assert "SortMergeJoin [cluster_id" in plan or (
-        "ShuffledHashJoin [cluster_id" in plan
-    )
+    # the quadratic comparison is one Arrow-batched gram matmul per
+    # cluster group — never a pair join
+    assert "FlatMapGroupsInPandas" in plan
     # any nested-loop join in the plan is the k-row broadcast-codebook
     # assignment cross (O(N·k) by construction), never a pair join
     for line in plan.splitlines():
