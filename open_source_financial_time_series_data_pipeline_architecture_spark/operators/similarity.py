@@ -122,7 +122,12 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    vecs = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # persisted across the init pass + every Lloyd iteration (each is a
+    # separate job that would otherwise rescan the source); spills to
+    # disk when the corpus exceeds executor memory
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
     init = (
         vecs.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("__h")
@@ -174,6 +179,7 @@ def kmeans_centroids(
             (sums[i] / counts[i]).tolist() if counts.get(i) else centroids[i]
             for i in range(len(centroids))
         ]
+    vecs.unpersist()
     return centroids
 
 
