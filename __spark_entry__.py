@@ -11596,6 +11596,167 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+@q(
+    "psi_price_drift",
+    oracle(
+        """
+h AS (SELECT symbol AS key, price AS val, epoch(time) AS t FROM trades),
+mid AS (SELECT (min(t) + max(t)) / 2.0 AS t_mid FROM h),
+tagged AS (SELECT key, val, t <= t_mid AS is_ref FROM h, mid),
+deciles AS (
+  SELECT key,
+         quantile_cont(val, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+             AS bounds
+  FROM tagged WHERE is_ref GROUP BY key
+),
+binned AS (
+  SELECT t.key, t.is_ref,
+         len(list_filter(d.bounds, b -> t.val > b)) AS bin,
+         count(*) AS n
+  FROM tagged t JOIN deciles d ON t.key = d.key
+  GROUP BY 1, 2, 3
+),
+grid AS (SELECT key, unnest(range(0, 10)) AS bin FROM deciles),
+full_g AS (
+  SELECT g.key, g.bin,
+         coalesce(r.n, 0) AS n_ref,
+         coalesce(c.n, 0) AS n_cur
+  FROM grid g
+  LEFT JOIN (SELECT key, bin, n FROM binned WHERE is_ref) r
+    USING (key, bin)
+  LEFT JOIN (SELECT key, bin, n FROM binned WHERE NOT is_ref) c
+    USING (key, bin)
+),
+tot AS (
+  SELECT key, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM full_g GROUP BY key
+)
+SELECT f.key AS symbol,
+       CAST(max(t.t_ref) AS BIGINT) AS n_ref,
+       CAST(max(t.t_cur) AS BIGINT) AS n_cur,
+       ROUND(sum(((n_ref + 0.5) / (t_ref + 5.0)
+                  - (n_cur + 0.5) / (t_cur + 5.0))
+                 * ln(((n_ref + 0.5) / (t_ref + 5.0))
+                      / ((n_cur + 0.5) / (t_cur + 5.0)))), 6) AS psi
+FROM full_g f JOIN tot t USING (key)
+GROUP BY f.key
+"""
+    ),
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of price per symbol between the
+    earlier and later half of the window — the decile-bin drift monitor
+    next to the KS test (G8). Laplace-smoothed so empty bins stay
+    defined; no row-level join, shuffles only by symbol."""
+    return QX.psi_drift(_trades(spark, sf_dir))
+
+
+@q(
+    "collapse_rapid_events",
+    """
+WITH base AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id)) AS gap
+  FROM base
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN gap <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_collapsed,
+       ROUND(sum(CASE WHEN gap <= 5 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS collapse_rate
+FROM g GROUP BY event_type
+""",
+)
+def collapse_rapid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time debounce audit: events arriving within 5 s of the
+    previous same-(user, type) event are rapid-fire duplicates a
+    clickstream pipeline collapses. Lag rule (not chained to kept
+    status) keeps the decision one window pass, deterministic on
+    (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    g = ev.withColumn("gap", gap)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 5), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("gap") <= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collapsed"),
+        F.round(
+            F.sum(F.when(F.col("gap") <= 5, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("collapse_rate"),
+    )
+
+
+@q(
+    "price_poc_levels",
+    oracle(
+        """
+lv AS (
+  SELECT symbol, floor(price) AS level,
+         sum(volume) AS level_volume,
+         CAST(count(*) AS BIGINT) AS n_trades
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, level, level_volume, n_trades,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY level_volume DESC, level ASC) AS rnk
+  FROM lv
+)
+SELECT symbol, CAST(rnk AS BIGINT) AS rank,
+       ROUND(level, 6) AS price_level,
+       ROUND(level_volume, 6) AS level_volume,
+       n_trades
+FROM r WHERE rnk <= 3
+"""
+    ),
+)
+def price_poc_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-profile point-of-control levels: the three most-traded
+    integer price levels per symbol (volume-at-price histogram top-k).
+    floor() bins (never round — the engines' half-grid rules differ);
+    volumes are integer-valued doubles, so the DESC ordering is
+    summation-order-safe. Hash agg + per-symbol top-3 window."""
+    t = _trades(spark, sf_dir)
+    lv = t.groupBy("symbol", F.floor("price").alias("level")).agg(
+        F.sum("volume").alias("level_volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("level_volume").desc(), F.col("level").asc()
+    )
+    return (
+        lv.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "symbol",
+            "rank",
+            F.round("level", 6).alias("price_level"),
+            F.round("level_volume", 6).alias("level_volume"),
+            "n_trades",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

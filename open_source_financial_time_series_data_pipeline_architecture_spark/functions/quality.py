@@ -406,3 +406,92 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def psi_drift(
+    trades: DataFrame,
+    value_col: str = "price",
+    key_col: str = "symbol",
+    ts_col: str = "time",
+) -> DataFrame:
+    """Population Stability Index per key between the earlier and later
+    half of the observation window — the standard "has this feature's
+    distribution moved" monitor a model-serving pipeline runs alongside
+    the KS test (G8): decile bins are fit on the REFERENCE (earlier)
+    half, both halves are histogrammed into them, and
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) with +0.5 Laplace smoothing so
+    empty bins stay defined. Rule of thumb: < 0.1 stable, > 0.25 major
+    shift.
+
+    Plan: one global min/max pass (2-value broadcast), one per-key
+    decile aggregate on the reference half (9 doubles per key,
+    broadcast back), one histogram aggregate per (key, half, bin), one
+    k×10-row PSI aggregate. The big table is scanned twice (decile fit
+    + histogram) and shuffled only by key — no row-level join anywhere.
+    """
+    halves = trades.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("val"),
+        F.col(ts_col).cast("double").alias("t"),
+    )
+    bounds_t = halves.agg(
+        ((F.min("t") + F.max("t")) / 2.0).alias("t_mid")
+    )
+    tagged = halves.join(F.broadcast(bounds_t)).select(
+        "key", "val", (F.col("t") <= F.col("t_mid")).alias("is_ref")
+    )
+    deciles = (
+        tagged.filter("is_ref")
+        .groupBy("key")
+        .agg(
+            F.percentile(
+                "val",
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            ).alias("bounds")
+        )
+    )
+    binned = (
+        tagged.join(F.broadcast(deciles), "key")
+        .select(
+            "key",
+            "is_ref",
+            F.size(
+                F.filter(F.col("bounds"), lambda b: F.col("val") > b)
+            ).alias("bin"),
+        )
+        .groupBy("key", "is_ref", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = deciles.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    full = (
+        grid.join(
+            binned.filter("is_ref").select("key", "bin", F.col("n").alias("n_ref")),
+            ["key", "bin"],
+            "left",
+        )
+        .join(
+            binned.filter(~F.col("is_ref")).select(
+                "key", "bin", F.col("n").alias("n_cur")
+            ),
+            ["key", "bin"],
+            "left",
+        )
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = full.groupBy("key").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    qq = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    return (
+        full.join(tot, "key")
+        .groupBy("key")
+        .agg(
+            F.max("t_ref").cast("bigint").alias("n_ref"),
+            F.max("t_cur").cast("bigint").alias("n_cur"),
+            F.round(F.sum((p - qq) * F.log(p / qq)), 6).alias("psi"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

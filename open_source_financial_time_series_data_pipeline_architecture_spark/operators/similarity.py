@@ -114,11 +114,11 @@ def kmeans_centroids(
     """Deterministic k-means-lite coarse quantizer (the IVF codebook).
 
     Init: the k corpus vectors with the smallest xxhash64(id, seed) —
-    reproducible, no RNG state. Each Lloyd iteration is one broadcast
-    assignment pass + one elementwise-mean aggregate (posexplode →
-    (cluster, dim) partials → regroup); centroids (k·dim floats) come
-    back to the driver between iterations, which is the standard Spark
-    iterative-ML shape — the corpus itself never moves.
+    reproducible, no RNG state. Each Lloyd iteration is one
+    Arrow-batched assignment-plus-partial-sum pass (see inline note);
+    only O(#partitions·k·d) partials come back to the driver between
+    iterations — the standard Spark iterative-ML shape, the corpus
+    itself never moves.
     """
     import numpy as np
 
