@@ -114,6 +114,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in queries:
             continue
+        # JVM GC nudge between queries: with ~50 queries in one session,
+        # accumulated garbage otherwise lands GC pauses inside later
+        # queries' timings (measured ~1.6x inflation on the tail)
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
