@@ -11757,6 +11757,188 @@ def price_poc_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q(
+    "bot_burst_users",
+    """
+WITH base AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+bursts AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                        RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+             AS burst
+  FROM base
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(burst) AS BIGINT) AS max_burst_60s,
+       max(burst) >= 5 AS is_bot
+FROM bursts GROUP BY user_id
+""",
+)
+def bot_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristic: the max number of events a user fires in
+    ANY sliding 60-second window (true RANGE frame over integer
+    microseconds — exact on both engines, no float boundary), flagged
+    at ≥ 5. One user-partitioned window pass + one hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (F.col("ts").cast("double") * 1_000_000).cast("long").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    bursts = base.withColumn("burst", F.count(F.lit(1)).over(w))
+    return bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("burst").cast("bigint").alias("max_burst_60s"),
+        (F.max("burst") >= 5).alias("is_bot"),
+    )
+
+
+@q(
+    "order_total_reconciliation",
+    """
+WITH recomputed AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomputed,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority,
+         o.o_totalprice,
+         r.recomputed,
+         r.n_lines,
+         abs(o.o_totalprice - r.recomputed) AS adiff
+  FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing_lines,
+       CAST(sum(CASE WHEN adiff < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reconciled,
+       ROUND(avg(adiff), 4) AS avg_abs_diff,
+       ROUND(max(adiff), 4) AS max_abs_diff
+FROM j GROUP BY o_orderpriority
+""",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit (the data-migration /
+    fact-vs-summary consistency check): recompute every order's total
+    from its line items and compare against the stored o_totalprice.
+    Lineitem pre-aggregates to order grain before the join (map-side
+    combine), orders stay un-shuffled beyond the key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rec = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("recomputed"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = orders.join(
+        rec, orders.o_orderkey == rec.l_orderkey, "left"
+    ).select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("recomputed")).alias("adiff"),
+        F.col("recomputed").isNull().alias("missing"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("missing"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_lines"),
+        F.sum(F.when(F.col("adiff") < 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reconciled"),
+        F.round(F.avg("adiff"), 4).alias("avg_abs_diff"),
+        F.round(F.max("adiff"), 4).alias("max_abs_diff"),
+    )
+
+
+def _curriculum_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    n_stop = " + ".join(
+        _occ_sql("' ' || text || ' '", f" {w} ") for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), ' +')) AS n_words,
+         ({n_stop}) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words,
+         n_stop / CAST(nullif(n_words, 0) AS DOUBLE) AS stop_density
+  FROM base
+),
+bucketed AS (
+  SELECT doc_id, n_words, stop_density,
+         ntile(5) OVER (ORDER BY stop_density, doc_id) AS quality_bucket,
+         ntile(3) OVER (ORDER BY n_words, doc_id) AS length_bucket
+  FROM scored
+)
+SELECT CAST(quality_bucket AS BIGINT) AS quality_bucket,
+       CAST(length_bucket AS BIGINT) AS length_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(stop_density), 6) AS avg_stop_density,
+       ROUND(avg(n_words), 6) AS avg_n_words
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+@q("curriculum_buckets", _curriculum_oracle())
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning bucket grid: stopword-density quintile ×
+    length tercile per document (the ordering axes a staged training
+    schedule samples from), with per-cell counts and means. ntile with
+    a doc_id tiebreak is deterministic and identical across engines.
+
+    Scale note: global ntile implies a total order — at 100 TB replace
+    with percentile-threshold bucketing (as `psi_price_drift` does);
+    at inventory scale the two are equivalent up to boundary ties.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = sum(TX.occurrences(padded, f" {w} ") for w in TX.STOPWORDS)
+    n_words = F.size(F.split(F.trim(t), " +"))
+    scored = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_stop / F.nullif(n_words.cast("double"), F.lit(0.0))).alias(
+            "stop_density"
+        ),
+    )
+    wq = Window.orderBy(F.col("stop_density").asc(), F.col("doc_id").asc())
+    wl = Window.orderBy(F.col("n_words").asc(), F.col("doc_id").asc())
+    b = scored.select(
+        "doc_id",
+        "n_words",
+        "stop_density",
+        F.ntile(5).over(wq).cast("bigint").alias("quality_bucket"),
+        F.ntile(3).over(wl).cast("bigint").alias("length_bucket"),
+    )
+    return b.groupBy("quality_bucket", "length_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("stop_density"), 6).alias("avg_stop_density"),
+        F.round(F.avg("n_words"), 6).alias("avg_n_words"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
