@@ -450,6 +450,9 @@ def psi_drift(
             ).alias("bounds")
         )
     )
+    # ONE histogram pass: both halves' counts come from conditional
+    # sums in the same aggregate, so the fact table is scanned exactly
+    # twice overall (decile fit + histogram) — never once per half
     binned = (
         tagged.join(F.broadcast(deciles), "key")
         .select(
@@ -459,26 +462,17 @@ def psi_drift(
                 F.filter(F.col("bounds"), lambda b: F.col("val") > b)
             ).alias("bin"),
         )
-        .groupBy("key", "is_ref", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("key", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
     )
     grid = deciles.select(
         "key", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
     )
-    full = (
-        grid.join(
-            binned.filter("is_ref").select("key", "bin", F.col("n").alias("n_ref")),
-            ["key", "bin"],
-            "left",
-        )
-        .join(
-            binned.filter(~F.col("is_ref")).select(
-                "key", "bin", F.col("n").alias("n_cur")
-            ),
-            ["key", "bin"],
-            "left",
-        )
-        .na.fill({"n_ref": 0, "n_cur": 0})
+    full = grid.join(F.broadcast(binned), ["key", "bin"], "left").na.fill(
+        {"n_ref": 0, "n_cur": 0}
     )
     tot = full.groupBy("key").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
@@ -486,7 +480,7 @@ def psi_drift(
     p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
     qq = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
     return (
-        full.join(tot, "key")
+        full.join(F.broadcast(tot), "key")
         .groupBy("key")
         .agg(
             F.max("t_ref").cast("bigint").alias("n_ref"),

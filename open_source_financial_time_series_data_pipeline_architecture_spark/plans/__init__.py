@@ -2,6 +2,7 @@ from .explain import (
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filter,
+    optimized_plan,
     physical_plan,
     runtime_metrics,
     shuffle_count,
@@ -11,6 +12,7 @@ __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_pushed_filter",
+    "optimized_plan",
     "physical_plan",
     "runtime_metrics",
     "shuffle_count",

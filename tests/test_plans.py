@@ -582,3 +582,51 @@ def test_post_large_trade_activity_no_nested_loop(spark):
     df = em.QUERIES["post_large_trade_activity"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_bipower_single_symbol_shuffle(spark):
+    # bars + window + agg reuse one symbol-keyed exchange
+    df = em.QUERIES["bipower_jump_stats"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_dup_ngram_coverage_shuffles_hashes_not_text(spark):
+    # the wide exchanges must carry xxhash64(gram), never gram strings
+    df = em.QUERIES["dup_ngram_coverage"](spark, SF_SMOKE)
+    plan = PL.optimized_plan(df)
+    import re
+
+    # the distinct/groupBy keys are the hashed column g, projected
+    # before any exchange: no aggregate key named 'gram' survives
+    assert re.search(r"Aggregate \[[^\]]*\bgram#", plan) is None, plan
+
+
+def test_psi_no_row_level_join(spark):
+    # PSI joins broadcast decile/total tables only — no shuffled
+    # row-level join of the fact table with itself
+    df = em.QUERIES["psi_price_drift"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_epps_pair_join_on_bars(spark):
+    # pair joins are equi-joins (on bucket); no nested loop anywhere
+    df = em.QUERIES["epps_effect"](spark, SF_SMOKE)
+    PL.assert_no_cartesian(df)
+
+
+def test_embedding_contamination_broadcasts_bench(spark):
+    df = em.QUERIES["embedding_contamination"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the corpus side must not shuffle before scoring
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_reconciliation_preaggregates_lineitem(spark):
+    # lineitem collapses to order grain BEFORE the join: an Aggregate
+    # node sits BELOW the join (deeper in the optimized tree)
+    df = em.QUERIES["order_total_reconciliation"](spark, SF_SMOKE)
+    plan = PL.optimized_plan(df)
+    join_at = plan.index("Join")
+    assert "Aggregate" in plan[join_at:], plan
