@@ -11939,6 +11939,74 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q(
+    "realized_moments",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+a AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_returns,
+         sum(pow(ret, 2)) AS s2,
+         sum(pow(ret, 3)) AS s3,
+         sum(pow(ret, 4)) AS s4
+  FROM r WHERE ret IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n_returns,
+       ROUND(s2, 6) AS realized_var,
+       ROUND(CASE WHEN s2 > 0
+                  THEN sqrt(CAST(n_returns AS DOUBLE)) * s3 / pow(s2, 1.5)
+             END, 6) AS realized_skew,
+       ROUND(CASE WHEN s2 > 0
+                  THEN CAST(n_returns AS DOUBLE) * s4 / (s2 * s2)
+             END, 6) AS realized_kurt
+FROM a
+"""
+    ),
+)
+def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized skewness/kurtosis (ACJV 2015) per symbol from intraday
+    power sums — the tail-risk companions to A4's realized variance.
+    Explicit power sums (never the engines' skewness()/kurtosis(),
+    whose sample corrections differ). One window pass + one agg."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IND,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "bucket", "symbol", "close"
+    )
+    return IND.realized_moments(bars)
+
+
+@q("embedding_pca_variance")
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigenvalue spectrum of the embedding corpus via one
+    Arrow-batched partial-moment pass (corpus never shuffles; d×d
+    covariance combined and eigensolved driver-side) — the
+    anisotropy / intrinsic-dimensionality diagnostic run before
+    cosine-threshold dedup. Rows-only by design (eigendecomposition is
+    not one SQL statement); invariants pinned by tests/test_pca.py."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        vector as VX,
+    )
+
+    return VX.pca_variance(load_table(spark, sf_dir, "embeddings"), top=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -517,3 +517,40 @@ def permutation_entropy(bars: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
         )
     )
+
+
+def realized_moments(bars: DataFrame) -> DataFrame:
+    """Realized skewness and kurtosis per symbol (Amaya, Christoffersen,
+    Jacobs & Vasquez, JFE 2015): higher moments of the intraday
+    log-return distribution from power sums —
+    RSkew = √n·Σr³ / RV^{3/2}, RKurt = n·Σr⁴ / RV² — the tail-risk
+    companions to the A4 realized-variance feature.
+
+    Explicit power sums (not the engines' skewness()/kurtosis(), whose
+    sample-correction conventions differ) so Spark and any ANSI oracle
+    compute bit-comparable values. One window pass + one hash agg.
+    """
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev_close > 0),
+        F.log(F.col("close") / prev_close),
+    )
+    base = bars.withColumn("ret", ret).filter(F.col("ret").isNotNull())
+    agg = base.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        F.sum(F.pow("ret", F.lit(2))).alias("_s2"),
+        F.sum(F.pow("ret", F.lit(3))).alias("_s3"),
+        F.sum(F.pow("ret", F.lit(4))).alias("_s4"),
+    )
+    n = F.col("n_returns").cast("double")
+    rv = F.col("_s2")
+    rskew = F.when(rv > 0, F.sqrt(n) * F.col("_s3") / F.pow(rv, F.lit(1.5)))
+    rkurt = F.when(rv > 0, n * F.col("_s4") / (rv * rv))
+    return agg.select(
+        "symbol",
+        "n_returns",
+        F.round(rv, 6).alias("realized_var"),
+        F.round(rskew, 6).alias("realized_skew"),
+        F.round(rkurt, 6).alias("realized_kurt"),
+    )

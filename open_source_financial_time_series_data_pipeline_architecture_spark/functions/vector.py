@@ -47,3 +47,71 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def pca_variance(
+    emb, top: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Distributed PCA spectrum of an embedding corpus: per-partition
+    partial (count, mean-sum, covariance-outer-product) moments via one
+    Arrow-batched pass, combined on the driver into the d×d covariance
+    (d² floats — tiny for any embedding dim), then eigendecomposed with
+    numpy. Returns a DataFrame of the top eigenvalues with explained
+    variance ratios — the intrinsic-dimensionality / anisotropy
+    diagnostic a curation pipeline checks before cosine-based dedup
+    (near-rank-collapse embeddings make cosine thresholds meaningless).
+
+    Scale: the corpus never shuffles; partials are O(#partitions·d²)
+    and the eigensolve is driver-side on d×d. The same moment-combine
+    pattern as `kmeans_centroids`' Lloyd pass.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [mat.shape[0]],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [(mat.T @ mat).reshape(-1).tolist()],
+                }
+            )
+
+    rows = vecs.mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r["s"])
+        ss += np.array(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    out = [
+        (
+            i + 1,
+            round(float(evals[i]), 6),
+            round(float(evals[i] / total), 6) if total > 0 else None,
+            round(float(evals[: i + 1].sum() / total), 6)
+            if total > 0
+            else None,
+        )
+        for i in range(min(top, d))
+    ]
+    return spark.createDataFrame(
+        out,
+        "component bigint, eigenvalue double, explained_ratio double, "
+        "cum_explained double",
+    )
