@@ -12007,6 +12007,158 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.pca_variance(load_table(spark, sf_dir, "embeddings"), top=5)
 
 
+
+@q(
+    "impact_by_size_decile",
+    oracle(
+        """
+base AS (
+  SELECT symbol, time, trade_id, price, volume, side,
+         lead(price) OVER w AS next_price
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+scored AS (
+  SELECT symbol, volume, side,
+         CASE WHEN price > 0 AND next_price > 0
+              THEN ln(next_price / price) END AS next_ret,
+         ntile(10) OVER (PARTITION BY symbol ORDER BY volume, trade_id)
+             AS size_decile
+  FROM base
+)
+SELECT CAST(size_decile AS BIGINT) AS size_decile,
+       CAST(count(next_ret) AS BIGINT) AS n_trades,
+       ROUND(avg(abs(next_ret)), 6) AS avg_abs_impact,
+       ROUND(avg(CASE WHEN side = 'buy' THEN next_ret
+                      WHEN side = 'sell' THEN -next_ret END), 6)
+           AS avg_signed_impact
+FROM scored GROUP BY 1
+"""
+    ),
+)
+def impact_by_size_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-impact curve: mean next-trade return by per-symbol volume
+    decile (the square-root-law diagnostic). Signed impact orients
+    returns in the aggressor's direction (adverse move after buys).
+    ntile with a trade_id tiebreak is deterministic; one window pass
+    per symbol + one 10-row aggregate."""
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("time").asc(), F.col("trade_id").asc()
+    )
+    nxt = F.lead("price").over(w)
+    wd = Window.partitionBy("symbol").orderBy(
+        F.col("volume").asc(), F.col("trade_id").asc()
+    )
+    scored = t.select(
+        "symbol",
+        "side",
+        F.when((F.col("price") > 0) & (nxt > 0), F.log(nxt / F.col("price")))
+        .alias("next_ret"),
+        F.ntile(10).over(wd).cast("bigint").alias("size_decile"),
+    )
+    return scored.groupBy("size_decile").agg(
+        F.count("next_ret").cast("bigint").alias("n_trades"),
+        F.round(F.avg(F.abs("next_ret")), 6).alias("avg_abs_impact"),
+        F.round(
+            F.avg(
+                F.when(F.col("side") == "buy", F.col("next_ret")).when(
+                    F.col("side") == "sell", -F.col("next_ret")
+                )
+            ),
+            6,
+        ).alias("avg_signed_impact"),
+    )
+
+
+@q(
+    "spread_decomposition",
+    oracle(
+        """
+qq AS (
+  SELECT symbol, time, trade_id, price, side,
+         (bid + ask) / 2.0 AS mid
+  FROM trades
+  WHERE bid IS NOT NULL AND ask IS NOT NULL AND side IS NOT NULL
+),
+l AS (
+  SELECT symbol, price, side, mid,
+         lead(mid) OVER (PARTITION BY symbol ORDER BY time, trade_id)
+             AS next_mid
+  FROM qq
+),
+c AS (
+  SELECT symbol,
+         CASE WHEN side = 'buy' THEN 1.0 ELSE -1.0 END AS q,
+         price, mid, next_mid
+  FROM l WHERE next_mid IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(avg(2.0 * q * (price - mid)), 6) + 0.0 AS effective_spread,
+       ROUND(avg(2.0 * q * (price - next_mid)), 6) + 0.0 AS realized_spread,
+       ROUND(avg(2.0 * q * (next_mid - mid)), 6) + 0.0 AS price_impact
+FROM c GROUP BY symbol
+"""
+    ),
+)
+def spread_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-spread decomposition (Huang & Stoll 1996): effective
+    spread = realized spread (dealer revenue) + price impact
+    (information), measured against the NEXT valid midquote. Completes
+    `effective_spread_stats` with the information/revenue split; one
+    window pass + one aggregate; the identity eff = real + impact holds
+    exactly row-wise."""
+    t = _trades(spark, sf_dir)
+    qq = t.filter(
+        F.col("bid").isNotNull()
+        & F.col("ask").isNotNull()
+        & F.col("side").isNotNull()
+    ).select(
+        "symbol",
+        "time",
+        "trade_id",
+        "price",
+        "side",
+        ((F.col("bid") + F.col("ask")) / 2.0).alias("mid"),
+    )
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("time").asc(), F.col("trade_id").asc()
+    )
+    l = qq.withColumn("next_mid", F.lead("mid").over(w)).filter(
+        F.col("next_mid").isNotNull()
+    )
+    sgn = F.when(F.col("side") == "buy", F.lit(1.0)).otherwise(F.lit(-1.0))
+    c = l.withColumn("q", sgn)
+    # + 0.0 canonicalizes -0.0 (the driver's value hash distinguishes
+    # the two zero bit patterns); same normalization in the oracle
+    return c.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        (
+            F.round(
+                F.avg(2.0 * F.col("q") * (F.col("price") - F.col("mid"))), 6
+            )
+            + 0.0
+        ).alias("effective_spread"),
+        (
+            F.round(
+                F.avg(
+                    2.0 * F.col("q") * (F.col("price") - F.col("next_mid"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("realized_spread"),
+        (
+            F.round(
+                F.avg(2.0 * F.col("q") * (F.col("next_mid") - F.col("mid"))),
+                6,
+            )
+            + 0.0
+        ).alias("price_impact"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
