@@ -12159,6 +12159,86 @@ def spread_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q(
+    "multimodal_frame_plan",
+    """
+WITH meta AS (
+  SELECT doc_id, CAST(length(text) * 10 AS BIGINT) AS duration_ms
+  FROM documents
+),
+plan AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1)))
+             * 1000 AS frame_ts_ms
+  FROM meta
+)
+SELECT doc_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms FROM plan
+""",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over the multimodal payload table:
+    one row per frame the (stubbed) decoder would emit, driven purely
+    by typed metadata (duration = 10 ms per payload byte here). Rows
+    scale with duration, not payload size; a sub-interval clip still
+    emits its first frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = MM.attach_binary_payload(docs).withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.media_type"),
+            F.col("media_meta.width"),
+            F.col("media_meta.height"),
+            (F.length("text") * 10).cast("long").alias("duration_ms"),
+            F.col("media_meta.codec"),
+        ),
+    )
+    plan = MM.frame_sample_plan(payloads, every_ms=1000)
+    return plan.select("doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+@q(
+    "multimodal_resize_plan",
+    """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 64 AS INT) AS src_w,
+         CAST(16 + doc_id % 48 AS INT) AS src_h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, src_w, src_h,
+         least(64.0 / src_w, 64.0 / src_h) AS scale
+  FROM meta
+)
+SELECT doc_id, src_w, src_h,
+       ROUND(scale, 6) AS scale,
+       CAST(floor(src_w * scale) AS INT) AS dst_w,
+       CAST(floor(src_h * scale) AS INT) AS dst_h,
+       CAST(64 - floor(src_w * scale) AS INT) AS pad_x,
+       CAST(64 - floor(src_h * scale) AS INT) AS pad_y
+FROM p
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize plan for image payloads: deterministic
+    metadata dims (16 + id % 64 × 16 + id % 48), 64×64 target box —
+    the geometry arithmetic is the real Spark-side plumbing, the pixel
+    resample is the stubbed decode. Pure projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = MM.attach_binary_payload(docs).withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.media_type"),
+            (16 + F.col("doc_id") % 64).cast("int").alias("width"),
+            (16 + F.col("doc_id") % 48).cast("int").alias("height"),
+            F.col("media_meta.duration_ms"),
+            F.col("media_meta.codec"),
+        ),
+    )
+    return MM.resize_plan(payloads, max_w=64, max_h=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

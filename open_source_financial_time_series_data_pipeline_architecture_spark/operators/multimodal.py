@@ -103,8 +103,14 @@ def frame_sample_plan(
     the decoder would emit. Duration is metadata-driven; the decode
     itself is the stubbed step. Shows the explode-shape a real sampler
     uses (rows scale with duration, not payload size)."""
-    n_frames = F.coalesce(
-        (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    # greatest(…, 1): a clip shorter than the sampling interval still
+    # emits its first frame — and Spark's sequence(0, -1) would
+    # otherwise produce a DESCENDING [0, -1] sequence, not empty
+    n_frames = F.greatest(
+        F.coalesce(
+            (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+        ),
+        F.lit(1),
     )
     return df.select(
         id_col,
@@ -114,4 +120,35 @@ def frame_sample_plan(
                 lambda i: (i * every_ms).cast("long"),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    max_w: int = 64,
+    max_h: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aspect-fit resize *plan* for image payloads: the target-geometry
+    arithmetic (the real part — scale factor, fitted dims, letterbox
+    padding) as pure column expressions; the pixel resample itself is
+    the stubbed decode step. Rows with NULL dims pass through with a
+    NULL plan (audio/text payloads).
+
+    Embarrassingly parallel projection — no shuffle at any size.
+    """
+    w = F.col("media_meta.width").cast("double")
+    h = F.col("media_meta.height").cast("double")
+    scale = F.least(max_w / w, max_h / h)
+    dst_w = F.floor(w * scale).cast("int")
+    dst_h = F.floor(h * scale).cast("int")
+    return df.select(
+        id_col,
+        F.col("media_meta.width").alias("src_w"),
+        F.col("media_meta.height").alias("src_h"),
+        F.round(scale, 6).alias("scale"),
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        (F.lit(max_w) - dst_w).alias("pad_x"),
+        (F.lit(max_h) - dst_h).alias("pad_y"),
     )
