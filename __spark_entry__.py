@@ -12239,6 +12239,191 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_plan(payloads, max_w=64, max_h=64)
 
 
+
+def _vol_signature_oracle() -> str:
+    parts = []
+    unions = []
+    for s in (60, 300, 900):
+        parts.append(f"""b{s} AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / {s}) * {s} AS BIGINT))::TIMESTAMP
+             AS bucket,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r{s} AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM b{s} WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+g{s} AS (
+  SELECT symbol, CAST({s} AS BIGINT) AS scale_sec,
+         ROUND(sum(ret * ret), 6) AS realized_var,
+         ROUND(avg(abs(ret)), 6) AS mean_abs_ret,
+         CAST(count(*) AS BIGINT) AS n_returns
+  FROM r{s} WHERE ret IS NOT NULL GROUP BY 1, 2
+)""")
+        unions.append(
+            f"SELECT symbol, scale_sec, realized_var, mean_abs_ret, "
+            f"n_returns FROM g{s}"
+        )
+    return oracle(",\n".join(parts) + "\n" + " UNION ALL ".join(unions))
+
+
+@q("volatility_signature", _vol_signature_oracle())
+def volatility_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility signature plot (ABDL 2000): realized variance per
+    symbol at 1/5/15-minute sampling — the microstructure-noise
+    diagnostic that locates the unbiased RV sampling frequency. Bars
+    only, one shuffle per scale."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.volatility_signature(_trades(spark, sf_dir), scales=(60, 300, 900))
+
+
+@q(
+    "side_runs_test",
+    oracle(
+        """
+s AS (
+  SELECT symbol, side, time, trade_id FROM trades WHERE side IS NOT NULL
+),
+r AS (
+  SELECT symbol, side,
+         CASE WHEN lag(side) OVER w IS NULL OR side <> lag(side) OVER w
+              THEN 1 ELSE 0 END AS run_start
+  FROM s WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+a AS (
+  SELECT symbol,
+         CAST(sum(run_start) AS BIGINT) AS n_runs,
+         CAST(sum(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buy,
+         CAST(sum(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sell
+  FROM r GROUP BY symbol
+)
+SELECT symbol, n_runs, n_buy, n_sell,
+       ROUND(2.0 * n_buy * n_sell / (n_buy + n_sell) + 1.0, 6)
+           AS expected_runs,
+       ROUND(CASE WHEN (2.0 * n_buy * n_sell
+                        * (2.0 * n_buy * n_sell - n_buy - n_sell)
+                        / (pow(CAST(n_buy + n_sell AS DOUBLE), 2)
+                           * (n_buy + n_sell - 1.0))) > 0
+                  THEN (n_runs - (2.0 * n_buy * n_sell / (n_buy + n_sell)
+                                  + 1.0))
+                       / sqrt(2.0 * n_buy * n_sell
+                              * (2.0 * n_buy * n_sell - n_buy - n_sell)
+                              / (pow(CAST(n_buy + n_sell AS DOUBLE), 2)
+                                 * (n_buy + n_sell - 1.0)))
+             END, 6) AS runs_z
+FROM a
+"""
+    ),
+)
+def side_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the per-symbol buy/sell sequence:
+    herding vs contrarian order flow as a z-score against the exact
+    two-sample runs moments. One window pass + one aggregate."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.side_runs_test(_trades(spark, sf_dir))
+
+
+@q(
+    "heaps_law_fit",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+),
+doc_tokens AS (
+  SELECT doc_id, count(*) AS n_tokens FROM words GROUP BY 1
+),
+first_seen AS (
+  SELECT word, min(doc_id) AS first_doc FROM words GROUP BY 1
+),
+new_types AS (
+  SELECT first_doc AS doc_id, count(*) AS n_new FROM first_seen GROUP BY 1
+),
+curve AS (
+  SELECT d.doc_id,
+         sum(d.n_tokens) OVER w AS cum_tokens,
+         sum(coalesce(nt.n_new, 0)) OVER w AS cum_types
+  FROM doc_tokens d LEFT JOIN new_types nt USING (doc_id)
+  WINDOW w AS (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+         ln(CAST(cum_types AS DOUBLE)) AS y
+  FROM curve
+),
+fit AS (
+  SELECT count(*) AS n_points,
+         regr_slope(y, x) AS beta,
+         avg(y) - regr_slope(y, x) * avg(x) AS ln_k
+  FROM pts
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       ROUND(beta, 6) AS heaps_beta,
+       ROUND(exp(ln_k), 6) AS heaps_k
+FROM fit
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit V(N) = K·N^beta over the
+    corpus ingest order (doc_id): the companion to `zipf_fit` that
+    predicts vocabulary size — hence tokenizer OOV pressure — at 100 TB
+    from the observed curve. Per-doc token counts and first-seen type
+    counts are hash aggregates; the cumulative curve is one global
+    ordered window over |docs| points (the already-aggregated table),
+    then a closed-form OLS in one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
+    )
+    doc_tokens = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    new_types = (
+        words.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .na.fill({"n_new": 0})
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("cum_types"),
+        )
+    )
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_types").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.regr_slope("y", "x").alias("beta"),
+        (F.avg("y") - F.regr_slope("y", "x") * F.avg("x")).alias("ln_k"),
+    )
+    return fit.select(
+        "n_points",
+        F.round("beta", 6).alias("heaps_beta"),
+        F.round(F.exp("ln_k"), 6).alias("heaps_k"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -336,3 +336,95 @@ def quote_revision_imbalance(
             F.when(denom > 0, (F.col("n_up") - F.col("n_down")) / denom), 6
         ),
     )
+
+
+def volatility_signature(
+    trades: DataFrame, scales: tuple[int, ...] = (60, 300, 900)
+) -> DataFrame:
+    """Volatility signature plot (Andersen, Bollerslev, Diebold & Labys
+    2000): realized variance per symbol at several sampling scales —
+    microstructure noise inflates RV at fine scales, so the plateau
+    locates the unbiased sampling frequency (the same diagnostic role
+    the Epps curve plays for correlations).
+
+    Per scale: one bar aggregate + one window pass + one symbol
+    aggregate — bars only, never tick-level joins.
+    """
+    out = None
+    for s in scales:
+        bucket = F.timestamp_seconds(
+            (F.floor(F.col("time").cast("double") / s) * s).cast("long")
+        )
+        bars = (
+            trades.withColumn("bucket", bucket)
+            .groupBy("symbol", "bucket")
+            .agg(
+                F.max_by(
+                    "price", F.struct(F.col("time"), F.col("trade_id"))
+                ).alias("close")
+            )
+        )
+        w = Window.partitionBy("symbol").orderBy("bucket")
+        prev = F.lag("close").over(w)
+        ret = F.when(
+            (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+        )
+        g = (
+            bars.withColumn("ret", ret)
+            .filter(F.col("ret").isNotNull())
+            .groupBy("symbol")
+            .agg(
+                F.round(F.sum(F.col("ret") * F.col("ret")), 6).alias(
+                    "realized_var"
+                ),
+                F.round(F.avg(F.abs("ret")), 6).alias("mean_abs_ret"),
+                F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+            )
+            .withColumn("scale_sec", F.lit(s).cast("bigint"))
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.select(
+        "symbol", "scale_sec", "realized_var", "mean_abs_ret", "n_returns"
+    )
+
+
+def side_runs_test(trades: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test on the buy/sell sequence per symbol:
+    too few runs ⇒ herding/momentum in order flow, too many ⇒
+    contrarian alternation. z = (R − μ)/σ with the exact two-sample
+    runs moments. Unsigned rows are excluded before the lag. One
+    window pass + one aggregate.
+    """
+    s = trades.filter(F.col("side").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    prev = F.lag("side").over(w)
+    run_start = F.when(
+        prev.isNull() | (F.col("side") != prev), 1
+    ).otherwise(0)
+    base = s.withColumn("run_start", run_start)
+    agg = base.groupBy("symbol").agg(
+        F.sum("run_start").cast("bigint").alias("n_runs"),
+        F.sum(F.when(F.col("side") == "buy", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buy"),
+        F.sum(F.when(F.col("side") == "sell", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sell"),
+    )
+    n1 = F.col("n_buy").cast("double")
+    n2 = F.col("n_sell").cast("double")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (n * n * (n - 1.0))
+    )
+    z = F.when(var > 0, (F.col("n_runs") - mu) / F.sqrt(var))
+    return agg.select(
+        "symbol",
+        "n_runs",
+        "n_buy",
+        "n_sell",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("runs_z"),
+    )
