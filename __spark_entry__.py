@@ -12424,6 +12424,46 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q(
+    "props_variant_extract",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_events,
+       ROUND(avg(k), 6) AS avg_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM v GROUP BY event_type
+""",
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4 VariantType: parse_json
+    once into the binary variant encoding, typed try_variant_get
+    extraction, then plain aggregation — the modern replacement for
+    per-access get_json_object re-parsing (the variant parse happens
+    once per row, every downstream path access is O(1) on the encoded
+    form). Oracle uses DuckDB's native JSON extraction on the same
+    column."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_events"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count_distinct(F.col("k")).cast("bigint").alias("n_distinct_k"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

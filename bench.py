@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "bipower_jump_stats",
     "dup_ngram_coverage",
     "semdedup_prune",
+    # session-5 batches 2-8: multi-scale correlation, importance
+    # resampling, drift monitor, vocabulary-growth fit
+    "epps_effect",
+    "dsir_importance_weights",
+    "psi_price_drift",
+    "heaps_law_fit",
+    "embedding_contamination",
 ]
 
 
