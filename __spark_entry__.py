@@ -12464,6 +12464,77 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q(
+    "dup_span_coverage",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, len(ws) AS n_tokens, i AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+               || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' '
+               || ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9] AS g
+  FROM words, UNNEST(range(1, len(ws) - 8)) AS t(i)
+  WHERE len(ws) >= 10
+),
+cross_doc AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dup_pos AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM cross_doc)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS island_start
+  FROM dup_pos
+),
+islanded AS (
+  SELECT doc_id, pos,
+         sum(island_start) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, island_id, min(pos) AS start, max(pos) + 9 AS "end"
+  FROM islanded GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum("end" - start + 1) AS BIGINT) AS covered_tokens
+  FROM islands GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       ROUND(coalesce(p.covered_tokens, 0)
+             / CAST(len(w.ws) AS DOUBLE), 6) AS covered_frac
+FROM words w LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans at 10-gram granularity (Lee et
+    al. 2022 substring dedup): maximal per-doc token ranges whose every
+    window also occurs in another document — the ranges a
+    substring-level deduper would cut, with per-doc coverage. Grams
+    hashed before any shuffle; islands via one window pass over dup
+    positions only."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.duplicate_span_coverage(
+        load_table(spark, sf_dir, "documents"), n=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -25,7 +25,7 @@ suites) — broadcast semi-join against the candidate shingle stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -269,5 +269,84 @@ def dsir_importance_weights(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.round(F.avg("llr"), 6).alias("importance_weight"),
+        )
+    )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level exact-substring duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    substring-dedup signal, at fixed n-gram granularity): positions
+    whose n-gram also occurs in ANOTHER document are merged into
+    maximal covered spans per document, giving the exact token ranges
+    a substring-level deduper would cut.
+
+    Plan: positions via posexplode (grams hashed to longs before any
+    shuffle), cross-document gram table = one hash aggregate
+    (count-distinct-docs ≥ 2), semi-join back, then per-doc
+    gaps-and-islands: running max of span-end over preceding rows
+    marks island starts — one window pass over dup positions only.
+    All docs appear in the output (zero spans ⇒ coverage 0).
+    """
+    base = docs.select(
+        id_col, F.split(F.trim(F.col(text_col)), " +").alias("__ws")
+    )
+    gram_arr = F.when(
+        F.size("__ws") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__ws") - n),
+            lambda i: F.xxhash64(F.array_join(F.slice("__ws", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = base.select(
+        id_col, F.size("__ws").alias("n_tokens"), F.posexplode(gram_arr).alias("pos0", "g")
+    ).select(id_col, "n_tokens", (F.col("pos0") + 1).alias("pos"), "g")
+    cross_doc = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(cross_doc, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn(
+        "island_start",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("island_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(id_col, "island_id").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + (n - 1)).alias("end"),
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("covered_tokens"),
+    )
+    all_docs = base.select(id_col, F.size("__ws").alias("n_tokens"))
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .na.fill({"n_spans": 0, "covered_tokens": 0})
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_spans",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
+            ).alias("covered_frac"),
         )
     )
