@@ -12535,6 +12535,140 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _manifest_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    n_stop = " + ".join(
+        _occ_sql("' ' || text || ' '", f" {w} ") for w in STOPWORDS
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+  FROM documents
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+gbase AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), ' +') AS ws,
+         ({n_stop}) AS n_stop
+  FROM documents
+),
+gopher AS (
+  SELECT doc_id,
+         (len(ws) >= 50 AND len(ws) <= 100000
+          AND list_sum(list_transform(ws, w -> length(w)))
+              / CAST(nullif(len(ws), 0) AS DOUBLE) BETWEEN 3.0 AND 10.0
+          AND n_stop >= 2
+          AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+              / CAST(nullif(len(ws), 0) AS DOUBLE) >= 0.8) AS passes
+  FROM gbase
+),
+bench_sh AS (
+  SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT string_split_regex(trim(text), ' +') AS ws
+        FROM documents WHERE doc_id % 97 = 0),
+       UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cand_sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        FROM documents WHERE doc_id % 97 <> 0),
+       UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+overlap AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM cand_sh c JOIN bench_sh b USING (shingle) GROUP BY 1
+),
+mix AS (
+  SELECT source,
+         pow(CAST(count(*) AS DOUBLE), 0.7)
+             / sum(pow(CAST(count(*) AS DOUBLE), 0.7)) OVER () AS w
+  FROM documents GROUP BY source
+),
+decided AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark_holdout'
+              WHEN s.doc_id IS NULL THEN 'exact_dup'
+              WHEN coalesce(o.n_overlap, 0) > 0 THEN 'contaminated'
+              WHEN NOT g.passes THEN 'low_quality' END AS drop_reason
+  FROM documents d
+  LEFT JOIN surv s ON d.doc_id = s.doc_id
+  LEFT JOIN overlap o ON d.doc_id = o.doc_id
+  JOIN gopher g ON d.doc_id = g.doc_id
+)
+SELECT dd.doc_id, dd.source,
+       dd.drop_reason IS NULL AS keep,
+       dd.drop_reason,
+       ROUND(CASE WHEN dd.drop_reason IS NULL THEN m.w END, 6) AS mix_weight
+FROM decided dd JOIN mix m USING (source)
+"""
+
+
+@q("corpus_manifest", _manifest_oracle())
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document training-mix MANIFEST — the artifact a curation
+    pipeline actually ships to the trainer: every document's keep/drop
+    decision with its first-match reason (benchmark_holdout > exact_dup
+    > contaminated > low_quality) and, for kept docs, the
+    temperature-scaled source sampling weight. Every stage is the same
+    oracle-checked operator that stands alone elsewhere (fingerprint
+    dedup, Gopher gate, trigram decontamination, mixture weights);
+    the composition is one DAG keyed on doc_id with broadcast
+    benchmark/mixture sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        TX.fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("__surv"))
+    )
+    gopher = TX.gopher_rules(docs).select("doc_id", "passes_gopher")
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cands = docs.filter(F.col("doc_id") % 97 != 0)
+    contam = CX.benchmark_contamination(cands, bench, n=3).select(
+        "doc_id", "is_contaminated"
+    )
+    mix = CX.mixture_weights(docs, alpha=0.7).select(
+        "source", F.col("mix_weight").alias("__w")
+    )
+    decided = (
+        docs.select("doc_id", "source")
+        .join(surv, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(gopher, "doc_id")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("doc_id") % 97 == 0, "benchmark_holdout")
+            .when(F.col("__surv").isNull(), "exact_dup")
+            .when(
+                F.coalesce(F.col("is_contaminated"), F.lit(False)),
+                "contaminated",
+            )
+            .when(~F.col("passes_gopher"), "low_quality"),
+        )
+    )
+    return decided.join(F.broadcast(mix), "source").select(
+        "doc_id",
+        "source",
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
+        F.round(
+            F.when(F.col("drop_reason").isNull(), F.col("__w")), 6
+        ).alias("mix_weight"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
