@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "psi_price_drift",
     "heaps_law_fit",
     "embedding_contamination",
+    "dup_span_coverage",
+    "corpus_manifest",
 ]
 
 
