@@ -12669,6 +12669,385 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# GARCH(1,1) conditional-volatility filter — fixed-parameter recurrence,
+# the risk-engine companion to riskmetrics_vol (which is the β-only
+# special case). Exact fold ≡ DuckDB list_reduce, like ewm_12.
+# --------------------------------------------------------------------------
+@q(
+    "garch11_vol",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, bucket,
+         list(CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)) OVER (
+             PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+  FROM r WHERE r1 IS NOT NULL
+)
+SELECT symbol, bucket,
+       ROUND(sqrt(list_reduce(hist,
+           (acc, x) -> CAST(0.000001 AS DOUBLE)
+                       + CAST(0.1 AS DOUBLE) * x
+                       + CAST(0.85 AS DOUBLE) * acc)), 6) AS garch_vol_next
+FROM l
+"""
+    ),
+)
+def garch11_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    return IX.garch11_vol(bars, omega=1e-6, alpha=0.1, beta=0.85)
+
+
+# --------------------------------------------------------------------------
+# Hawkes self-exciting arrival intensity — order-flow clustering signal
+# at every trade; O(n) exponential-kernel recurrence per symbol.
+# --------------------------------------------------------------------------
+@q(
+    "hawkes_intensity",
+    oracle(
+        """
+l AS (
+  SELECT symbol, trade_id,
+         list({'g': CAST(0.0 AS DOUBLE), 't': epoch(time)}) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+  FROM trades
+)
+SELECT symbol, trade_id,
+       ROUND(CAST(0.1 AS DOUBLE) + list_reduce(hist,
+           (acc, x) -> {'g': (acc.g + CAST(0.3 AS DOUBLE))
+                             * exp(CAST(-0.05 AS DOUBLE) * (x.t - acc.t)),
+                        't': x.t}).g, 6) AS hawkes_intensity
+FROM l
+"""
+    ),
+)
+def hawkes_intensity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.hawkes_intensity(
+        _trades(spark, sf_dir), mu=0.1, alpha=0.3, beta=0.05
+    )
+
+
+# --------------------------------------------------------------------------
+# Schuster periodogram at candidate intraday periods — few-frequency
+# Goertzel over indexed minute-bar returns, one window + one hash agg.
+# --------------------------------------------------------------------------
+@q(
+    "periodogram_peaks",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+idx AS (
+  SELECT symbol, r1,
+         CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket) - 1 AS DOUBLE) AS n
+  FROM r WHERE r1 IS NOT NULL
+),
+agg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_returns,
+         sum(r1 * r1) AS e,
+         sum(r1 * cos(n * 6.283185307179586 / 5.0))  AS c5,
+         sum(r1 * sin(n * 6.283185307179586 / 5.0))  AS s5,
+         sum(r1 * cos(n * 6.283185307179586 / 15.0)) AS c15,
+         sum(r1 * sin(n * 6.283185307179586 / 15.0)) AS s15,
+         sum(r1 * cos(n * 6.283185307179586 / 60.0)) AS c60,
+         sum(r1 * sin(n * 6.283185307179586 / 60.0)) AS s60
+  FROM idx GROUP BY 1
+)
+SELECT symbol,
+       CAST(period_bars AS BIGINT) AS period_bars,
+       n_returns,
+       ROUND(CASE WHEN e > 0 THEN pw / e END, 6) AS power_frac
+FROM (
+  SELECT symbol, n_returns, e,
+         unnest([5, 15, 60]) AS period_bars,
+         unnest([c5 * c5 + s5 * s5,
+                 c15 * c15 + s15 * s15,
+                 c60 * c60 + s60 * s60]) AS pw
+  FROM agg
+)
+"""
+    ),
+)
+def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    return IX.periodogram(bars, periods=(5, 15, 60))
+
+
+# --------------------------------------------------------------------------
+# Cornish-Fisher 95% VaR — the parametric, moment-corrected companion
+# to the empirical var_es_95; raw power sums, population convention.
+# --------------------------------------------------------------------------
+@q(
+    "cornish_fisher_var",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS r1
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+agg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_returns,
+         sum(r1) AS s1,
+         sum(pow(r1, 2)) AS s2,
+         sum(pow(r1, 3)) AS s3,
+         sum(pow(r1, 4)) AS s4
+  FROM r WHERE r1 IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT symbol, n_returns,
+         s1 / CAST(n_returns AS DOUBLE) AS m1,
+         s2 / CAST(n_returns AS DOUBLE)
+           - (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) AS m2,
+         s3 / CAST(n_returns AS DOUBLE)
+           - 3.0 * (s1 / CAST(n_returns AS DOUBLE)) * (s2 / CAST(n_returns AS DOUBLE))
+           + 2.0 * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) AS m3,
+         s4 / CAST(n_returns AS DOUBLE)
+           - 4.0 * (s1 / CAST(n_returns AS DOUBLE)) * (s3 / CAST(n_returns AS DOUBLE))
+           + 6.0 * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) * (s2 / CAST(n_returns AS DOUBLE))
+           - 3.0 * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) * (s1 / CAST(n_returns AS DOUBLE)) AS m4
+  FROM agg
+),
+sk AS (
+  SELECT symbol, n_returns, m1, m2,
+         sqrt(m2) AS sd,
+         CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END AS skew,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS exkurt
+  FROM m
+),
+z AS (
+  SELECT symbol, n_returns, m1, sd, skew, exkurt,
+         (CAST(-1.6448536269514722 AS DOUBLE)
+          + ((CAST(-1.6448536269514722 AS DOUBLE) * CAST(-1.6448536269514722 AS DOUBLE)) - 1.0) * skew / 6.0
+          + ((CAST(-1.6448536269514722 AS DOUBLE) * CAST(-1.6448536269514722 AS DOUBLE) * CAST(-1.6448536269514722 AS DOUBLE))
+             - 3.0 * CAST(-1.6448536269514722 AS DOUBLE)) * exkurt / 24.0
+          - (2.0 * (CAST(-1.6448536269514722 AS DOUBLE) * CAST(-1.6448536269514722 AS DOUBLE) * CAST(-1.6448536269514722 AS DOUBLE))
+             - 5.0 * CAST(-1.6448536269514722 AS DOUBLE)) * skew * skew / 36.0) AS z_cf
+  FROM sk
+)
+SELECT symbol, n_returns,
+       ROUND(m1, 6) AS mean_ret,
+       ROUND(sd, 6) AS sd_ret,
+       ROUND(skew, 6) AS skew,
+       ROUND(exkurt, 6) AS excess_kurt,
+       ROUND(-(m1 + CAST(-1.6448536269514722 AS DOUBLE) * sd), 6) AS var95_normal,
+       ROUND(-(m1 + z_cf * sd), 6) AS var95_cf
+FROM z
+"""
+    ),
+)
+def cornish_fisher_var_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        indicators as IX,
+    )
+
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    return IX.cornish_fisher_var(bars)
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+WITH pred AS (
+  SELECT doc_id, lang_pred FROM ({_langid_oracle()})
+),
+j AS (
+  SELECT d.lang AS lang_actual, p.lang_pred
+  FROM documents d JOIN pred p USING (doc_id)
+),
+c AS (
+  SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+)
+SELECT lang_actual, lang_pred, n,
+       ROUND(n * 1.0 / sum(n) OVER (PARTITION BY lang_actual), 6) AS share_of_actual
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier-eval query the labeled
+# `lang` column exists for: per (actual, predicted) counts + share.
+# --------------------------------------------------------------------------
+@q("lang_confusion_matrix", _lang_confusion_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TX.language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select(
+        "doc_id", F.col("lang").alias("lang_actual")
+    ).join(pred, "doc_id")
+    counts = joined.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_actual = Window.partitionBy("lang_actual")
+    return counts.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n") * F.lit(1.0) / F.sum("n").over(w_actual), 6
+        ).alias("share_of_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Word-level entropy rate per source — unigram entropy and bigram
+# conditional entropy H(w2|w1) of each source's token stream; the
+# information-density profile used to spot low-entropy (templated/
+# repetitive) sources in a training mix.
+# --------------------------------------------------------------------------
+@q(
+    "word_entropy_rate",
+    """
+WITH words AS (
+  SELECT source, doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+uni AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT source, unnest(ws) AS w FROM words) GROUP BY 1, 2
+),
+uni2 AS (
+  SELECT source, w, c1, sum(c1) OVER (PARTITION BY source) AS n1 FROM uni
+),
+u AS (
+  SELECT source,
+         CAST(sum(c1) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         -sum((c1 * 1.0 / n1) * log2(c1 * 1.0 / n1)) AS h_uni
+  FROM uni2 GROUP BY 1
+),
+bi AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+    FROM words
+  ) GROUP BY 1, 2, 3
+),
+bi2 AS (
+  SELECT source, w1, w2, c12,
+         sum(c12) OVER (PARTITION BY source, w1) AS m,
+         sum(c12) OVER (PARTITION BY source) AS n2
+  FROM bi
+),
+b AS (
+  SELECT source, -sum((c12 * 1.0 / n2) * log2(c12 * 1.0 / m)) AS h_rate
+  FROM bi2 GROUP BY 1
+)
+SELECT u.source, n_tokens, n_types,
+       ROUND(h_uni, 6) AS h_unigram,
+       ROUND(h_rate, 6) AS h_bigram_rate,
+       ROUND(pow(2.0, h_rate), 6) AS perplexity
+FROM u JOIN b USING (source)
+""",
+)
+def word_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token entropy profile. One explode for unigrams, one
+    index-shift transform for bigrams (both linear); the conditional
+    entropy needs the (source, w1) marginal — a window over the already
+    hash-aggregated bigram table (|vocab²∩corpus| rows, far smaller
+    than the corpus), never over raw tokens. Final per-source join is
+    20 rows. Scale: everything keyed by (source[, w1]); no driver
+    collect, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    uni = (
+        words.select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    wsrc = Window.partitionBy("source")
+    uni2 = uni.withColumn("n1", F.sum("c1").over(wsrc))
+    p1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    u = uni2.groupBy("source").agg(
+        F.sum("c1").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (-F.sum(p1 * F.log2(p1))).alias("h_uni"),
+    )
+    bigrams = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("source", "bg.w1", "bg.w2")
+    )
+    bi = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    bi2 = bi.withColumn(
+        "m", F.sum("c12").over(Window.partitionBy("source", "w1"))
+    ).withColumn("n2", F.sum("c12").over(wsrc))
+    p12 = F.col("c12") * F.lit(1.0) / F.col("n2")
+    cond = F.col("c12") * F.lit(1.0) / F.col("m")
+    b = bi2.groupBy("source").agg((-F.sum(p12 * F.log2(cond))).alias("h_rate"))
+    return u.join(b, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round("h_uni", 6).alias("h_unigram"),
+        F.round("h_rate", 6).alias("h_bigram_rate"),
+        F.round(F.pow(F.lit(2.0), F.col("h_rate")), 6).alias("perplexity"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -554,3 +554,181 @@ def realized_moments(bars: DataFrame) -> DataFrame:
         F.round(rskew, 6).alias("realized_skew"),
         F.round(rkurt, 6).alias("realized_kurt"),
     )
+
+
+def garch11_vol(
+    bars: DataFrame,
+    omega: float = 1e-6,
+    alpha: float = 0.1,
+    beta: float = 0.85,
+) -> DataFrame:
+    """GARCH(1,1) conditional-volatility filter with fixed canonical
+    parameters (Bollerslev, J. Econometrics 1986) over per-symbol
+    minute-bar log returns: h ← ω + α·r² + β·h, seeded with the first
+    squared return. The emitted value at bar t is the NEXT-bar
+    volatility forecast √h_{t+1|t} — the value a risk engine would act
+    on after seeing bar t.
+
+    Parameter FITTING is an offline MLE (out of engine scope, like the
+    reference's model-training plane — spark/batch_feature_calculation.py
+    computes features, not fits); filtering with fixed params is the
+    per-bar production op. Same exact-recurrence contract as
+    `features.ewm`: the fold is bit-identical to a DuckDB list_reduce
+    with the same operand order (ω + α·x + β·acc).
+
+    Scale: sequential only within a symbol; symbols parallelize; input
+    is bars (≥60× smaller than trades), so per-group state is bounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        close = pdf["close"].to_numpy(dtype=float)
+        prev = np.roll(close, 1)
+        prev[0] = np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((close > 0) & (prev > 0), np.log(close / prev), np.nan)
+        keep = ~np.isnan(r)
+        pdf = pdf[keep].reset_index(drop=True)
+        acc = None
+        out = []
+        for x in r[keep]:
+            x2 = float(x) * float(x)
+            acc = x2 if acc is None else omega + alpha * x2 + beta * acc
+            out.append(acc)
+        pdf["garch_var_next"] = out
+        return pdf[["symbol", "bucket", "garch_var_next"]]
+
+    rows = (
+        bars.select("symbol", "bucket", "close")
+        .groupBy("symbol")
+        .applyInPandas(
+            compute, schema="symbol string, bucket timestamp, garch_var_next double"
+        )
+    )
+    return rows.select(
+        "symbol",
+        "bucket",
+        F.round(F.sqrt("garch_var_next"), 6).alias("garch_vol_next"),
+    )
+
+
+def periodogram(bars: DataFrame, periods: tuple[int, ...] = (5, 15, 60)) -> DataFrame:
+    """Schuster periodogram energy at fixed candidate periods (in bars)
+    per symbol: for period P, power = C² + S² with
+    C = Σ rₙ·cos(2πn/P), S = Σ rₙ·sin(2πn/P) over the index-ordered
+    return series — the intraday-cycle detector (is there a 15-minute
+    cycle in this symbol's flow?).
+
+    Reported as `power_frac` = (C²+S²) / Σr² — the fraction of total
+    return energy at that period, unitless and scale-free. All
+    JVM-side: one row_number window to index the series, one hash
+    aggregate computing every period's sums in a single pass (a
+    few-frequency Goertzel, not an FFT — no gather of the series
+    anywhere).
+    """
+    import math
+
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev_close > 0),
+        F.log(F.col("close") / prev_close),
+    )
+    base = (
+        bars.withColumn("ret", ret)
+        .filter(F.col("ret").isNotNull())
+        .withColumn("n", F.row_number().over(w) - F.lit(1))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        F.sum(F.col("ret") * F.col("ret")).alias("_e"),
+    ]
+    for p in periods:
+        ang = F.col("n").cast("double") * F.lit(2.0 * math.pi) / F.lit(float(p))
+        aggs.append(F.sum(F.col("ret") * F.cos(ang)).alias(f"_c{p}"))
+        aggs.append(F.sum(F.col("ret") * F.sin(ang)).alias(f"_s{p}"))
+    agg = base.groupBy("symbol").agg(*aggs)
+    stack_items = ", ".join(
+        f"{p}L, _c{p} * _c{p} + _s{p} * _s{p}" for p in periods
+    )
+    stacked = agg.select(
+        "symbol",
+        "n_returns",
+        "_e",
+        F.expr(
+            f"stack({len(periods)}, {stack_items}) AS (period_bars, _pw)"
+        ),
+    )
+    return stacked.select(
+        "symbol",
+        "period_bars",
+        "n_returns",
+        F.round(
+            F.when(F.col("_e") > 0, F.col("_pw") / F.col("_e")), 6
+        ).alias("power_frac"),
+    )
+
+
+_Z95 = 1.6448536269514722  # Φ⁻¹(0.95), hard-coded so both engines share it
+
+
+def cornish_fisher_var(bars: DataFrame) -> DataFrame:
+    """Parametric 95% VaR with the Cornish-Fisher expansion (Cornish &
+    Fisher 1938; the standard moment-corrected VaR in risk practice) —
+    the closed-form companion to the empirical `var_es_95` query:
+    adjusts the Gaussian quantile for the return distribution's skew
+    and excess kurtosis.
+
+    Central moments come from raw power sums (one hash aggregate, no
+    two-pass mean-centering): m2 = Σr²/n − μ², m3/m4 by the binomial
+    expansion; population (÷n) convention throughout, stated here so
+    the oracle matches. Lower-tail quantile uses z = −1.6448536…,
+    z_cf = z + (z²−1)s/6 + (z³−3z)κ/24 − (2z³−5z)s²/36,
+    VaR = −(μ + z_cf·σ). One aggregate + scalar projections; no UDF.
+    """
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev_close > 0),
+        F.log(F.col("close") / prev_close),
+    )
+    base = bars.withColumn("ret", ret).filter(F.col("ret").isNotNull())
+    agg = base.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        F.sum("ret").alias("_s1"),
+        F.sum(F.pow("ret", F.lit(2))).alias("_s2"),
+        F.sum(F.pow("ret", F.lit(3))).alias("_s3"),
+        F.sum(F.pow("ret", F.lit(4))).alias("_s4"),
+    )
+    n = F.col("n_returns").cast("double")
+    m1 = F.col("_s1") / n
+    m2 = F.col("_s2") / n - m1 * m1
+    m3 = F.col("_s3") / n - F.lit(3.0) * m1 * (F.col("_s2") / n) + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        F.col("_s4") / n
+        - F.lit(4.0) * m1 * (F.col("_s3") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("_s2") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    sd = F.sqrt(m2)
+    skew = F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+    exkurt = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    z = F.lit(-_Z95)
+    z_cf = (
+        z
+        + (z * z - F.lit(1.0)) * skew / F.lit(6.0)
+        + (z * z * z - F.lit(3.0) * z) * exkurt / F.lit(24.0)
+        - (F.lit(2.0) * z * z * z - F.lit(5.0) * z) * skew * skew / F.lit(36.0)
+    )
+    return agg.select(
+        "symbol",
+        "n_returns",
+        F.round(m1, 6).alias("mean_ret"),
+        F.round(sd, 6).alias("sd_ret"),
+        F.round(skew, 6).alias("skew"),
+        F.round(exkurt, 6).alias("excess_kurt"),
+        F.round(-(m1 + z * sd), 6).alias("var95_normal"),
+        F.round(-(m1 + z_cf * sd), 6).alias("var95_cf"),
+    )

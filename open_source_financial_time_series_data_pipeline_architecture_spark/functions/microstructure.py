@@ -428,3 +428,59 @@ def side_runs_test(trades: DataFrame) -> DataFrame:
         F.round(mu, 6).alias("expected_runs"),
         F.round(z, 6).alias("runs_z"),
     )
+
+
+def hawkes_intensity(
+    trades: DataFrame,
+    mu: float = 0.1,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Self-exciting (Hawkes) arrival intensity at each trade time with
+    an exponential kernel (Hawkes, Biometrika 1971; the standard model
+    for order-flow clustering): λ(tᵢ) = μ + gᵢ where the excitation
+    state folds as g₁ = 0, gᵢ = (gᵢ₋₁ + α)·e^{−β·(tᵢ − tᵢ₋₁)}.
+
+    Like the EWM/GARCH features this is an exact O(n) recurrence per
+    symbol (the naive definition is an O(n²) sum over all prior
+    trades); parameter fitting is offline MLE, filtering with fixed
+    (μ, α, β) is the per-event production op — the real-time "is flow
+    clustering right now" signal feeding the same alerting plane as the
+    CEP large-trade detector. Timestamps enter as fractional epoch
+    seconds (µs precision — matches DuckDB epoch()).
+
+    Scale: sequential within a symbol, symbols parallelize; state is
+    two doubles per group.
+    """
+    import math
+
+    import pandas as pd
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "trade_id"]).reset_index(drop=True)
+        g = 0.0
+        prev_t = None
+        out = []
+        for t in pdf["t"].to_numpy(dtype=float):
+            if prev_t is not None:
+                g = (g + alpha) * math.exp(-beta * (t - prev_t))
+            out.append(mu + g)
+            prev_t = t
+        pdf["hawkes_intensity"] = out
+        return pdf[["symbol", "trade_id", "hawkes_intensity"]]
+
+    rows = (
+        trades.select(
+            "symbol", "trade_id", F.col("time").cast("double").alias("t")
+        )
+        .groupBy("symbol")
+        .applyInPandas(
+            compute,
+            schema="symbol string, trade_id string, hawkes_intensity double",
+        )
+    )
+    return rows.select(
+        "symbol",
+        "trade_id",
+        F.round("hawkes_intensity", 6).alias("hawkes_intensity"),
+    )
