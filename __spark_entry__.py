@@ -13048,6 +13048,277 @@ def word_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Lee-Ready aggressor classification — quote rule with tick fallback,
+# scored against the labeled side; upgrade over tick_rule_sides.
+# --------------------------------------------------------------------------
+@q(
+    "lee_ready_sides",
+    oracle(
+        """
+s AS (
+  SELECT symbol, side, price, bid, ask, time, trade_id,
+         CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+              WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS tick
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+c AS (
+  SELECT symbol, side, price,
+         CASE WHEN bid IS NOT NULL AND ask IS NOT NULL
+              THEN (bid + ask) / 2.0 END AS mid,
+         last_value(tick IGNORE NULLS) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+  FROM s
+),
+i AS (
+  SELECT symbol, side,
+         CASE WHEN price > mid THEN 'buy'
+              WHEN price < mid THEN 'sell' END AS qside,
+         coalesce(
+             CASE WHEN price > mid THEN 'buy'
+                  WHEN price < mid THEN 'sell' END,
+             CASE WHEN carried > 0 THEN 'buy'
+                  WHEN carried < 0 THEN 'sell' END) AS inferred
+  FROM c
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(count(qside) AS BIGINT) AS n_quote_rule,
+       CAST(count(CASE WHEN qside IS NULL AND inferred IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_tick_rule,
+       CAST(count(CASE WHEN side IS NOT NULL AND inferred IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_comparable,
+       CAST(count(CASE WHEN side = inferred THEN 1 END) AS BIGINT) AS n_match,
+       ROUND(count(CASE WHEN side = inferred THEN 1 END)
+             / nullif(CAST(count(CASE WHEN side IS NOT NULL
+                                      AND inferred IS NOT NULL
+                                 THEN 1 END) AS DOUBLE), 0.0), 6) AS accuracy
+FROM i GROUP BY 1
+"""
+    ),
+)
+def lee_ready_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
+    )
+
+    return MS.lee_ready_classification(_trades(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Rolling 60-bar market beta — the time-varying companion to the
+# static market_beta regression; trailing-frame moments, count gate.
+# --------------------------------------------------------------------------
+@q(
+    "rolling_beta_60",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+mkt AS (
+  SELECT bucket, avg(ret) AS mkt_ret, count(*) AS n_syms
+  FROM rr GROUP BY 1
+),
+j AS (
+  SELECT rr.symbol, rr.bucket, rr.ret AS x_ret, mkt.mkt_ret AS y_ret
+  FROM rr JOIN mkt USING (bucket) WHERE mkt.n_syms >= 2
+),
+wstats AS (
+  SELECT symbol, bucket,
+         count(*) OVER f AS n_obs,
+         avg(x_ret * y_ret) OVER f AS exy,
+         avg(x_ret) OVER f AS ex,
+         avg(y_ret) OVER f AS ey,
+         avg(y_ret * y_ret) OVER f AS eyy
+  FROM j
+  WINDOW f AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket,
+       ROUND(CASE WHEN eyy - ey * ey > 0
+                  THEN (exy - ex * ey) / (eyy - ey * ey) END, 6) AS beta_60
+FROM wstats WHERE n_obs = 60
+"""
+    ),
+)
+def rolling_beta_60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol trailing-60-bar beta against the equal-weight market
+    return. The market series is a bucket-grain aggregate (tiny)
+    broadcast back onto per-symbol returns; the four rolling moments
+    share ONE trailing frame over one symbol-partitioned sort. Windows
+    with fewer than 60 aligned observations are gated out."""
+    bars = FX.ohlc(_trades(spark, sf_dir), 60).select("bucket", "symbol", "close")
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    rr = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    mkt = rr.groupBy("bucket").agg(
+        F.avg("ret").alias("mkt_ret"), F.count(F.lit(1)).alias("n_syms")
+    )
+    j = (
+        rr.join(F.broadcast(mkt.filter(F.col("n_syms") >= 2)), "bucket")
+        .select(
+            "symbol",
+            "bucket",
+            F.col("ret").alias("x_ret"),
+            F.col("mkt_ret").alias("y_ret"),
+        )
+    )
+    f = w.rowsBetween(-59, Window.currentRow)
+    x, y = F.col("x_ret"), F.col("y_ret")
+    stats = j.select(
+        "symbol",
+        "bucket",
+        F.count(F.lit(1)).over(f).alias("n_obs"),
+        F.avg(x * y).over(f).alias("exy"),
+        F.avg(x).over(f).alias("ex"),
+        F.avg(y).over(f).alias("ey"),
+        F.avg(y * y).over(f).alias("eyy"),
+    )
+    denom = F.col("eyy") - F.col("ey") * F.col("ey")
+    return stats.filter(F.col("n_obs") == 60).select(
+        "symbol",
+        "bucket",
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("exy") - F.col("ex") * F.col("ey")) / denom,
+            ),
+            6,
+        ).alias("beta_60"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square drift test on the event-type mix — categorical companion
+# to the numeric KS/PSI drift monitors: first half vs second half of
+# the feed, pooled-expected chi2 contributions per type.
+# --------------------------------------------------------------------------
+@q(
+    "chi2_event_mix_drift",
+    """
+WITH e AS (
+  SELECT event_type, epoch(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+split AS (
+  SELECT event_type, t,
+         (min(t) OVER () + max(t) OVER ()) / 2.0 AS t_mid
+  FROM e
+),
+c AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN t < t_mid THEN 1 END) AS BIGINT) AS o1,
+         CAST(count(CASE WHEN t >= t_mid THEN 1 END) AS BIGINT) AS o2
+  FROM split GROUP BY 1
+),
+tot AS (
+  SELECT event_type, o1, o2,
+         sum(o1) OVER () AS n1,
+         sum(o2) OVER () AS n2,
+         CAST(count(*) OVER () AS BIGINT) - 1 AS dof
+  FROM c
+),
+x AS (
+  SELECT event_type, o1, o2, dof,
+         (o1 + o2) * 1.0 / (n1 + n2) * n1 AS e1,
+         (o1 + o2) * 1.0 / (n1 + n2) * n2 AS e2
+  FROM tot
+),
+contrib AS (
+  SELECT event_type, o1, o2, dof,
+         (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2 AS chi2_part
+  FROM x
+)
+SELECT event_type, o1, o2, dof,
+       ROUND(chi2_part, 6) AS chi2_part,
+       ROUND(sum(chi2_part) OVER (), 6) AS chi2_total
+FROM contrib
+""",
+)
+def chi2_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity test: is the event-type mix of
+    the feed's second half drawn from the same distribution as the
+    first? The split point is the midpoint of the observed time range
+    (deterministic, data-derived). All heavy work is ONE conditional
+    hash aggregate over events; the expected counts and the total
+    statistic are windows over the |event types| aggregate rows
+    (single-partition on purpose — the frame is tiny by construction).
+    Emitted per type with the shared chi2_total and dof so the consumer
+    can look up the critical value."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("double").alias("t")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    # global time range as a 1-row aggregate broadcast back (NOT a
+    # single-partition window over raw events — that would funnel the
+    # whole table through one task at scale)
+    rng = ev.agg(
+        ((F.min("t") + F.max("t")) / F.lit(2.0)).alias("t_mid")
+    )
+    split = ev.crossJoin(F.broadcast(rng))
+    c = split.groupBy("event_type").agg(
+        F.count(F.when(F.col("t") < F.col("t_mid"), 1))
+        .cast("bigint")
+        .alias("o1"),
+        F.count(F.when(F.col("t") >= F.col("t_mid"), 1))
+        .cast("bigint")
+        .alias("o2"),
+    )
+    tot = c.select(
+        "event_type",
+        "o1",
+        "o2",
+        F.sum("o1").over(wall).alias("n1"),
+        F.sum("o2").over(wall).alias("n2"),
+        (F.count(F.lit(1)).over(wall).cast("bigint") - F.lit(1)).alias("dof"),
+    )
+    pooled = (F.col("o1") + F.col("o2")) * F.lit(1.0) / (
+        F.col("n1") + F.col("n2")
+    )
+    x = tot.select(
+        "event_type",
+        "o1",
+        "o2",
+        "dof",
+        (pooled * F.col("n1")).alias("e1"),
+        (pooled * F.col("n2")).alias("e2"),
+    )
+    part = (
+        (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("e1")
+        + (F.col("o2") - F.col("e2"))
+        * (F.col("o2") - F.col("e2"))
+        / F.col("e2")
+    )
+    contrib = x.select(
+        "event_type", "o1", "o2", "dof", part.alias("chi2_part")
+    )
+    return contrib.select(
+        "event_type",
+        "o1",
+        "o2",
+        "dof",
+        F.round("chi2_part", 6).alias("chi2_part"),
+        F.round(F.sum("chi2_part").over(wall), 6).alias("chi2_total"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -484,3 +484,63 @@ def hawkes_intensity(
         "trade_id",
         F.round("hawkes_intensity", 6).alias("hawkes_intensity"),
     )
+
+
+def lee_ready_classification(trades: DataFrame) -> DataFrame:
+    """Lee–Ready (J. Finance 1991) aggressor-side inference scored
+    against the labeled side column — the quote rule (trade above/below
+    the prevailing midquote) with tick-rule fallback for at-mid trades
+    and quoteless rows; the standard upgrade over the pure tick rule
+    (`tick_rule_classification`).
+
+    Midquote comparisons are exact doubles: both engines derive
+    bid/ask/price from the same canonical mapping, so price = mid
+    resolves identically (no epsilon — an epsilon would just move the
+    boundary, and parity holds either way).
+
+    One window pass (tick sign + carried last non-null) and one hash
+    aggregate per symbol; all built-in expressions.
+    """
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    wg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp = F.col("price") - F.lag("price").over(w)
+    tick = F.when(dp > 0, F.lit(1.0)).when(dp < 0, F.lit(-1.0))
+    mid = F.when(
+        F.col("bid").isNotNull() & F.col("ask").isNotNull(),
+        (F.col("bid") + F.col("ask")) / F.lit(2.0),
+    )
+    base = (
+        trades.withColumn("_tick", tick)
+        .withColumn("_carried", F.last("_tick", ignorenulls=True).over(wg))
+        .withColumn("_mid", mid)
+    )
+    quote_side = F.when(F.col("price") > F.col("_mid"), "buy").when(
+        F.col("price") < F.col("_mid"), "sell"
+    )
+    tick_side = F.when(F.col("_carried") > 0, "buy").when(
+        F.col("_carried") < 0, "sell"
+    )
+    classified = base.withColumn("_qside", quote_side).withColumn(
+        "inferred", F.coalesce(F.col("_qside"), tick_side)
+    )
+    comparable = F.col("side").isNotNull() & F.col("inferred").isNotNull()
+    return classified.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.count("_qside").cast("bigint").alias("n_quote_rule"),
+        F.count(
+            F.when(F.col("_qside").isNull() & F.col("inferred").isNotNull(), 1)
+        )
+        .cast("bigint")
+        .alias("n_tick_rule"),
+        F.count(F.when(comparable, 1)).cast("bigint").alias("n_comparable"),
+        F.count(F.when(F.col("side") == F.col("inferred"), 1))
+        .cast("bigint")
+        .alias("n_match"),
+        F.round(
+            F.count(F.when(F.col("side") == F.col("inferred"), 1))
+            / F.nullif(
+                F.count(F.when(comparable, 1)).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+    )
