@@ -13319,6 +13319,299 @@ def chi2_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Empirical lower-tail dependence per symbol pair — do crashes cluster
+# across symbols beyond what correlation says? The copula-flavored
+# companion to pairwise correlation/cointegration.
+# --------------------------------------------------------------------------
+@q(
+    "tail_dependence",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+q05 AS (
+  SELECT symbol, quantile_cont(ret, 0.05) AS q FROM rr GROUP BY 1
+),
+j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         a.ret AS ra, b.ret AS rb, qa.q AS qa, qb.q AS qb
+  FROM rr a
+  JOIN rr b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  JOIN q05 qa ON qa.symbol = a.symbol
+  JOIN q05 qb ON qb.symbol = b.symbol
+)
+SELECT sym_a, sym_b,
+       CAST(count(*) AS BIGINT) AS n_aligned,
+       CAST(count(CASE WHEN rb < qb THEN 1 END) AS BIGINT) AS n_b_tail,
+       CAST(count(CASE WHEN ra < qa AND rb < qb THEN 1 END) AS BIGINT) AS n_both_tail,
+       ROUND(count(CASE WHEN ra < qa AND rb < qb THEN 1 END)
+             / nullif(CAST(count(CASE WHEN rb < qb THEN 1 END) AS DOUBLE), 0.0),
+             6) AS lambda_lower
+FROM j GROUP BY 1, 2
+"""
+    ),
+)
+def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol 5% quantiles are a tiny aggregate broadcast onto the
+    minute-bucket pair alignment (the same self-equi-join shape as
+    pairwise_cointegration — never an unkeyed cross join); one
+    conditional hash aggregate per pair. Spark percentile ≡ DuckDB
+    quantile_cont (linear interpolation, pinned repo-wide)."""
+    bars = (
+        FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+        .select("symbol", "bucket", "close")
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    rr = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    q05 = rr.groupBy("symbol").agg(
+        F.percentile("ret", F.lit(0.05)).alias("q")
+    )
+    a = rr.select(
+        F.col("symbol").alias("sym_a"), "bucket", F.col("ret").alias("ra")
+    )
+    b = rr.select(
+        F.col("symbol").alias("sym_b"), "bucket", F.col("ret").alias("rb")
+    )
+    j = (
+        a.join(b, "bucket")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .join(
+            F.broadcast(q05.select(F.col("symbol").alias("sym_a"), F.col("q").alias("qa"))),
+            "sym_a",
+        )
+        .join(
+            F.broadcast(q05.select(F.col("symbol").alias("sym_b"), F.col("q").alias("qb"))),
+            "sym_b",
+        )
+    )
+    both = (F.col("ra") < F.col("qa")) & (F.col("rb") < F.col("qb"))
+    b_tail = F.col("rb") < F.col("qb")
+    return j.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_aligned"),
+        F.count(F.when(b_tail, 1)).cast("bigint").alias("n_b_tail"),
+        F.count(F.when(both, 1)).cast("bigint").alias("n_both_tail"),
+        F.round(
+            F.count(F.when(both, 1))
+            / F.nullif(F.count(F.when(b_tail, 1)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("lambda_lower"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverse-volatility risk parity with marginal risk contributions —
+# the covariance matrix lives as a (i, j, cov) relation and the
+# matrix-vector product Σw is a join+agg: distributed linear algebra
+# in relational form, no driver-side matrix.
+# --------------------------------------------------------------------------
+@q(
+    "risk_parity_contributions",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+vols AS (
+  SELECT symbol, stddev_samp(ret) AS sd FROM rr GROUP BY 1
+),
+wts AS (
+  SELECT symbol,
+         (1.0 / sd) / sum(1.0 / sd) OVER () AS w
+  FROM vols WHERE sd > 0
+),
+cov AS (
+  SELECT a.symbol AS sym_i, b.symbol AS sym_j,
+         avg(a.ret * b.ret) - avg(a.ret) * avg(b.ret) AS c
+  FROM rr a JOIN rr b ON a.bucket = b.bucket
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT cov.sym_i AS symbol, sum(cov.c * wj.w) AS sigma_w
+  FROM cov JOIN wts wj ON cov.sym_j = wj.symbol
+  GROUP BY 1
+),
+port AS (
+  SELECT m.symbol, wi.w, m.sigma_w,
+         sum(wi.w * m.sigma_w) OVER () AS port_var
+  FROM marg m JOIN wts wi ON m.symbol = wi.symbol
+)
+SELECT symbol,
+       ROUND(w, 6) AS weight,
+       ROUND(w * sigma_w / port_var, 6) AS risk_share,
+       ROUND(sqrt(port_var), 6) AS port_vol
+FROM port
+"""
+    ),
+)
+def risk_parity_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-vol weights, then risk decomposition w_i·(Σw)_i / wᵀΣw.
+    The covariance matrix is the pairwise bucket-aligned join (same
+    scale shape as pairwise_cointegration: |bars| shuffle, |symbols|²
+    aggregate rows); Σw and wᵀΣw are joins/windows over |symbols|-row
+    relations — never a driver-side matrix, so the same plan holds for
+    a 10k-asset universe."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    rr = bars.withColumn(
+        "ret",
+        F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
+    ).filter(F.col("ret").isNotNull())
+    vols = rr.groupBy("symbol").agg(F.stddev_samp("ret").alias("sd"))
+    wall = Window.partitionBy(F.lit(1))
+    wts = (
+        vols.filter(F.col("sd") > 0)
+        .select(
+            "symbol",
+            (
+                (F.lit(1.0) / F.col("sd"))
+                / F.sum(F.lit(1.0) / F.col("sd")).over(wall)
+            ).alias("w"),
+        )
+    )
+    a = rr.select(F.col("symbol").alias("sym_i"), "bucket", F.col("ret").alias("ri"))
+    b = rr.select(F.col("symbol").alias("sym_j"), "bucket", F.col("ret").alias("rj"))
+    cov = (
+        a.join(b, "bucket")
+        .groupBy("sym_i", "sym_j")
+        .agg(
+            (F.avg(F.col("ri") * F.col("rj")) - F.avg("ri") * F.avg("rj")).alias("c")
+        )
+    )
+    marg = (
+        cov.join(
+            F.broadcast(wts.select(F.col("symbol").alias("sym_j"), F.col("w").alias("wj"))),
+            "sym_j",
+        )
+        .groupBy("sym_i")
+        .agg(F.sum(F.col("c") * F.col("wj")).alias("sigma_w"))
+        .withColumnRenamed("sym_i", "symbol")
+    )
+    port = marg.join(F.broadcast(wts), "symbol").withColumn(
+        "port_var", F.sum(F.col("w") * F.col("sigma_w")).over(wall)
+    )
+    return port.select(
+        "symbol",
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") * F.col("sigma_w") / F.col("port_var"), 6).alias(
+            "risk_share"
+        ),
+        F.round(F.sqrt("port_var"), 6).alias("port_vol"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source copy matrix — which sources near-duplicate which: the
+# provenance rollup of the n-gram Jaccard dedup pairs.
+# --------------------------------------------------------------------------
+@q(
+    "cross_source_copy_matrix",
+    """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+         WHERE dfreq.df <= 20),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         common * 1.0 / (sa.n + sb.n - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(avg(jaccard), 6) AS avg_jaccard
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
+""",
+)
+def cross_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance rollup of near-dup pairs: per unordered source pair,
+    how many ≥0.5-Jaccard duplicate pairs cross them (least/greatest
+    normalization). The doc→source map is a broadcast; the pair table
+    is small relative to the corpus by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs,
+        n=3,
+        threshold=0.5,
+        max_doc_freq=20,
+        shingle_df=_doc_shingles(spark, sf_dir),
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "jaccard",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
