@@ -13612,6 +13612,142 @@ def cross_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Information-coefficient decay — how fast does a momentum signal's
+# predictive correlation with forward returns die off? The
+# alpha-research staple that decides a signal's tradeable horizon.
+# --------------------------------------------------------------------------
+@q(
+    "ic_decay",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+sig AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close, 5) OVER w > 0
+              THEN ln(close / lag(close, 5) OVER w) END AS signal,
+         CASE WHEN close > 0 AND lead(close, 1) OVER w > 0
+              THEN ln(lead(close, 1) OVER w / close) END AS fwd1,
+         CASE WHEN close > 0 AND lead(close, 5) OVER w > 0
+              THEN ln(lead(close, 5) OVER w / close) END AS fwd5,
+         CASE WHEN close > 0 AND lead(close, 15) OVER w > 0
+              THEN ln(lead(close, 15) OVER w / close) END AS fwd15
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+stacked AS (
+  SELECT symbol, 1 AS horizon_bars, signal, fwd1 AS fwd FROM sig
+  UNION ALL
+  SELECT symbol, 5, signal, fwd5 FROM sig
+  UNION ALL
+  SELECT symbol, 15, signal, fwd15 FROM sig
+)
+SELECT symbol, CAST(horizon_bars AS BIGINT) AS horizon_bars,
+       CAST(count(CASE WHEN signal IS NOT NULL AND fwd IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_obs,
+       ROUND(corr(signal, fwd), 6) AS ic
+FROM stacked GROUP BY 1, 2
+"""
+    ),
+)
+def ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal = trailing 5-bar log return; forward returns at 1/5/15
+    bars come from the SAME symbol-sorted window pass (lead is fine
+    here — fixed offsets, not a growing following frame); the three
+    horizons stack into one hash aggregate with Pearson corr (Spark
+    F.corr ≡ DuckDB corr, sample convention). One shuffle total."""
+    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+        "symbol", "bucket", "close"
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    c = F.col("close")
+
+    def logret(num, den):
+        return F.when((num > 0) & (den > 0), F.log(num / den))
+
+    sig = bars.select(
+        "symbol",
+        "bucket",
+        logret(c, F.lag("close", 5).over(w)).alias("signal"),
+        logret(F.lead("close", 1).over(w), c).alias("fwd1"),
+        logret(F.lead("close", 5).over(w), c).alias("fwd5"),
+        logret(F.lead("close", 15).over(w), c).alias("fwd15"),
+    )
+    stacked = sig.select(
+        "symbol",
+        F.expr(
+            "stack(3, 1L, signal, fwd1, 5L, signal, fwd5, 15L, signal, fwd15)"
+            " AS (horizon_bars, signal, fwd)"
+        ),
+    )
+    return stacked.groupBy("symbol", "horizon_bars").agg(
+        F.count(F.when(F.col("signal").isNotNull() & F.col("fwd").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_obs"),
+        F.round(F.corr("signal", "fwd"), 6).alias("ic"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention sweep — the queryable analog of the reference's S3
+# lifecycle tiering (src/cost/s3_lifecycle.py, scoped out of the
+# engine by SURVEY): which 1-day hypertable chunks are past the hot
+# window and what would archiving them drop.
+# --------------------------------------------------------------------------
+@q(
+    "retention_candidates",
+    oracle(
+        """
+chunks AS (
+  SELECT CAST(time AS DATE) AS chunk_date,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT symbol) AS BIGINT) AS n_symbols,
+         min(time) AS first_time,
+         max(time) AS last_time
+  FROM trades GROUP BY 1
+),
+horizon AS (SELECT max(chunk_date) AS d_max FROM chunks)
+SELECT chunk_date, n_rows, n_symbols, first_time, last_time,
+       CASE WHEN chunk_date <= d_max - 7 THEN 'archive' ELSE 'hot' END AS tier
+FROM chunks CROSS JOIN horizon
+"""
+    ),
+)
+def retention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 1-day chunk (the hypertable partition grain,
+    sources/tables.py write path): row/symbol counts and the
+    archive/hot tier decision at a 7-day hot window anchored to the
+    newest chunk. The horizon is a 1-row aggregate broadcast back.
+    At scale this is metadata-sized: one hash agg by date, and with
+    date-partitioned storage the scan prunes to footer reads."""
+    t = _trades(spark, sf_dir)
+    chunks = t.groupBy(F.to_date("time").alias("chunk_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("symbol").cast("bigint").alias("n_symbols"),
+        F.min("time").alias("first_time"),
+        F.max("time").alias("last_time"),
+    )
+    horizon = chunks.agg(F.max("chunk_date").alias("d_max"))
+    return chunks.crossJoin(F.broadcast(horizon)).select(
+        "chunk_date",
+        "n_rows",
+        "n_symbols",
+        "first_time",
+        "last_time",
+        F.when(
+            F.col("chunk_date") <= F.date_sub(F.col("d_max"), 7), "archive"
+        )
+        .otherwise("hot")
+        .alias("tier"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
