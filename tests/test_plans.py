@@ -630,3 +630,71 @@ def test_reconciliation_preaggregates_lineitem(spark):
     plan = PL.optimized_plan(df)
     join_at = plan.index("Join")
     assert "Aggregate" in plan[join_at:], plan
+
+
+def test_periodogram_single_window_single_agg(spark):
+    # all three frequencies ride ONE (symbol, bucket) sort and ONE hash
+    # aggregate — a few-frequency Goertzel, never a per-period re-scan
+    df = em.QUERIES["periodogram_peaks"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_cornish_fisher_single_agg(spark):
+    # power sums + scalar projections: bars shuffle, window, final agg
+    df = em.QUERIES["cornish_fisher_var"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_rolling_beta_market_broadcast(spark):
+    # the bucket-grain market table must broadcast back onto per-symbol
+    # returns; no sort-merge join of rows with rows
+    df = em.QUERIES["rolling_beta_60"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tail_dependence_equi_join_broadcast_quantiles(spark):
+    # pair alignment is an equi-join on bucket; the q05 tables broadcast
+    df = em.QUERIES["tail_dependence"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_risk_parity_no_driver_matrix(spark):
+    # Σw as join+agg: every join is an equi-join (bucket or symbol) —
+    # no nested loop except possibly a 1-row broadcast
+    df = em.QUERIES["risk_parity_contributions"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_word_entropy_windows_over_aggregates(spark):
+    # the entropy windows run over the hash-aggregated vocab tables,
+    # never over raw exploded tokens: every Window sits above an
+    # Aggregate in the optimized tree
+    df = em.QUERIES["word_entropy_rate"](spark, SF_SMOKE)
+    plan = PL.optimized_plan(df)
+    first_window = plan.index("Window")
+    assert "Aggregate" in plan[first_window:], plan
+
+
+def test_lee_ready_single_window_pass(spark):
+    # tick sign + carried last + quote rule share one symbol sort
+    df = em.QUERIES["lee_ready_sides"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_chi2_drift_no_single_partition_row_window(spark):
+    # the global split point is a 1-row aggregate broadcast back, NOT a
+    # single-partition window over raw events
+    df = em.QUERIES["chi2_event_mix_drift"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ic_decay_single_window_stack(spark):
+    # signal + three forward horizons from one window; stack is local
+    df = em.QUERIES["ic_decay"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
