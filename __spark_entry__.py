@@ -13748,6 +13748,20 @@ def retention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# zlib compression-ratio quality signal — rows-only by design (no SQL
+# engine can recompute DEFLATE); determinism + ordering pinned by
+# tests/test_text_ops.py.
+# --------------------------------------------------------------------------
+@q("compression_ratio_quality")  # zlib not DuckDB-expressible → rows-only check
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        corpus as CX,
+    )
+
+    return CX.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -350,3 +350,49 @@ def duplicate_span_coverage(
             ).alias("covered_frac"),
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the production corpus
+    filter (e.g. RefinedWeb/CCNet-style pipelines) that catches
+    machine-generated or highly repetitive text the token heuristics
+    miss: boilerplate compresses far below natural language.
+
+    `ratio = compressed_bytes / raw_bytes` (UTF-8), level 6. zlib is
+    DEFLATE — deterministic for a given (input, level) across
+    platforms, so values are stable for tests, but no SQL engine can
+    recompute it → rows-only driver check by design.
+
+    Arrow-batched mapInPandas (CPU-bound per batch, no shuffle at all —
+    a pure map over however the corpus is already partitioned).
+    """
+    import zlib
+
+    import pandas as pd
+
+    schema = f"{id_col} long, raw_bytes long, compressed_bytes long, compression_ratio double"
+
+    def batches(it):
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nraw = raw.map(len)
+            ncomp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": nraw,
+                    "compressed_bytes": ncomp,
+                }
+            )
+            out["compression_ratio"] = [
+                c / r if r > 0 else None
+                for c, r in zip(out["compressed_bytes"], out["raw_bytes"])
+            ]
+            yield out
+
+    rows = docs.select(id_col, text_col).mapInPandas(batches, schema=schema)
+    return rows.withColumn(
+        "compression_ratio", F.round("compression_ratio", 6)
+    )

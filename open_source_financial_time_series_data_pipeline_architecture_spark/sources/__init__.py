@@ -5,6 +5,7 @@ from .tables import (
     load_table,
     register_views,
     write_bucketed,
+    write_clustered,
     write_time_partitioned,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "load_table",
     "register_views",
     "upsert_parquet",
+    "write_clustered",
     "write_time_partitioned",
 ]

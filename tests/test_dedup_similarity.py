@@ -305,3 +305,33 @@ def test_scalar_quantize_range_and_zero_vector(spark):
     )
     zq = SIM.scalar_quantize(zdf).collect()[0]
     assert list(zq["qvec"]) == [0, 0, 0, 0] and zq["scale"] == 0.0
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import corpus as CX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the " * 200),                       # degenerate repetition
+            (2, "key agg row scan slow fast table value part hash merge"),
+            (3, ""),                                 # empty → NULL ratio
+            (4, None),                               # NULL text → NULL ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CX.compression_ratio(docs).collect()}
+    # repetitive text compresses far better than varied text
+    assert out[1]["compression_ratio"] < 0.1
+    assert out[2]["compression_ratio"] > 0.5
+    assert out[3]["compression_ratio"] is None and out[3]["raw_bytes"] == 0
+    assert out[4]["compression_ratio"] is None
+    # deterministic: exact zlib level-6 byte count, same as local python
+    expected = len(zlib.compress(("the " * 200).encode(), 6))
+    assert out[1]["compressed_bytes"] == expected
+    # corpus run: every non-empty doc in [0, ~1.1], none null
+    real = CX.compression_ratio(
+        load_table(spark, SF_SMOKE, "documents")
+    ).collect()
+    assert all(0 < r["compression_ratio"] <= 1.2 for r in real)

@@ -61,3 +61,41 @@ def test_pnl_simulation_and_canary_gate(spark):
         )
     ).collect()[0]
     assert not bad["promote"]
+
+
+def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.tables import (
+        write_clustered,
+    )
+
+    trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
+    target = str(tmp_path / "trades_clustered")
+    write_clustered(trades, target, cluster_cols=["symbol"], n_files=4)
+
+    stored = spark.read.parquet(target)
+    assert stored.count() == trades.count()
+
+    # footer stats: per-file symbol min/max ranges must be disjoint
+    # (range clustering) so a symbol predicate prunes to one file
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(f"{target}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "symbol"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint (boundary value may touch)
