@@ -13762,6 +13762,104 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CX.compression_ratio(load_table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Almgren-Chriss optimal execution schedule — closed-form trajectory
+# (Almgren & Chriss, J. Risk 2000) parameterized by MEASURED inputs:
+# per-symbol price-change vol and the Kyle-lambda temporary-impact
+# slope. The "derived analytics" composition: estimators → strategy.
+# --------------------------------------------------------------------------
+@q(
+    "almgren_chriss_schedule",
+    oracle(
+        """
+s AS (
+  SELECT symbol,
+         price - lag(price) OVER w AS dp,
+         CASE WHEN side = 'buy' THEN volume
+              WHEN side = 'sell' THEN -volume END AS sv
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+est AS (
+  SELECT symbol,
+         stddev_samp(dp) AS sigma,
+         regr_slope(dp, sv) AS eta
+  FROM s GROUP BY 1
+),
+k AS (
+  SELECT symbol, sigma, eta,
+         CASE WHEN eta > 0 AND sigma > 0
+              THEN sqrt(CAST(0.000001 AS DOUBLE) * sigma * sigma / eta) END AS kappa
+  FROM est
+),
+grid AS (
+  SELECT symbol, sigma, eta, kappa, CAST(j AS BIGINT) AS slice_j
+  FROM k, UNNEST(range(1, 11)) AS t(j)
+)
+SELECT symbol, slice_j,
+       ROUND(kappa, 6) AS kappa,
+       ROUND(CASE WHEN kappa IS NULL THEN 1000.0
+            ELSE 10000.0 * (
+                   (exp(kappa * (60.0 - (slice_j - 1) * 6.0)) - exp(-kappa * (60.0 - (slice_j - 1) * 6.0)))
+                 - (exp(kappa * (60.0 - slice_j * 6.0)) - exp(-kappa * (60.0 - slice_j * 6.0)))
+                 ) / (exp(kappa * 60.0) - exp(-kappa * 60.0))
+            END, 6) AS trade_shares
+FROM grid
+"""
+    ),
+)
+def almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-slice sell schedule for X=10,000 shares over T=60 minutes,
+    risk aversion φ=1e-6: n_j = X·[sinh(κ(T−t_{j−1})) − sinh(κ(T−t_j))]
+    / sinh(κT), κ = √(φσ²/η) with σ = per-bar price-change vol and
+    η = Kyle temporary-impact slope, both measured from the tape in ONE
+    window pass + ONE regression aggregate. Non-positive η (no
+    measurable impact) falls back to TWAP slices. The slice grid is an
+    explode over the |symbols|-row estimate table — the heavy input
+    never re-scans."""
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    s = t.select(
+        "symbol",
+        (F.col("price") - F.lag("price").over(w)).alias("dp"),
+        F.when(F.col("side") == "buy", F.col("volume"))
+        .when(F.col("side") == "sell", -F.col("volume"))
+        .alias("sv"),
+    )
+    est = s.groupBy("symbol").agg(
+        F.stddev_samp("dp").alias("sigma"),
+        F.regr_slope("dp", "sv").alias("eta"),
+    )
+    kappa = F.when(
+        (F.col("eta") > 0) & (F.col("sigma") > 0),
+        F.sqrt(F.lit(1e-6) * F.col("sigma") * F.col("sigma") / F.col("eta")),
+    )
+    grid = est.withColumn("kappa", kappa).select(
+        "symbol",
+        "kappa",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("slice_j"),
+    ).withColumn("slice_j", F.col("slice_j").cast("bigint"))
+
+    k = F.col("kappa")
+
+    def sinh_arg(t_expr):
+        return F.exp(k * t_expr) - F.exp(-k * t_expr)
+
+    t_prev = (F.lit(60.0) - (F.col("slice_j") - 1) * F.lit(6.0))
+    t_cur = (F.lit(60.0) - F.col("slice_j") * F.lit(6.0))
+    sched = F.when(k.isNull(), F.lit(1000.0)).otherwise(
+        F.lit(10000.0)
+        * (sinh_arg(t_prev) - sinh_arg(t_cur))
+        / (F.exp(k * F.lit(60.0)) - F.exp(-k * F.lit(60.0)))
+    )
+    return grid.select(
+        "symbol",
+        "slice_j",
+        F.round("kappa", 6).alias("kappa"),
+        F.round(sched, 6).alias("trade_shares"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
