@@ -96,6 +96,14 @@ BENCH_QUERIES = [
     "embedding_contamination",
     "dup_span_coverage",
     "corpus_manifest",
+    "garch11_vol",
+    "hawkes_intensity",
+    "rolling_beta_60",
+    "tail_dependence",
+    "risk_parity_contributions",
+    "word_entropy_rate",
+    "cross_source_copy_matrix",
+    "almgren_chriss_schedule",
 ]
 
 
