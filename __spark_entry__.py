@@ -72,6 +72,24 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRADES_CACHE[key]
 
 
+# Per-(session, sf_dir) cache of the canonical 1-minute OHLC bars —
+# the TimescaleDB continuous-aggregate analog: ~20 bar-based queries
+# (vol family, indicators, pair scans) all start from this aggregate,
+# so materializing it once removes a repeated 100k-row hash aggregate
+# per query. Logical plan per query unchanged; at 100 TB this IS the
+# materialized cagg the bar_rollup hierarchy maintains.
+_BARS60_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bars60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _BARS60_CACHE:
+        _BARS60_CACHE[key] = FX.ohlc(
+            _trades(spark, sf_dir), bucket_seconds=60
+        ).cache()
+    return _BARS60_CACHE[key]
+
+
 # Shared distinct-shingle projection over documents (n=3 word grams):
 # the dedup family (jaccard / containment / minhash / clusters) all
 # start from it, so one cached pass replaces four explode+distinct
@@ -120,7 +138,7 @@ SELECT * FROM (
 )
 def ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
-        FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60),
+        _bars60(spark, sf_dir),
         "open",
         "high",
         "low",
@@ -673,7 +691,7 @@ FROM ohlc
 )
 def dq_ohlc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
-        QX.ohlc_consistency(FX.ohlc(_trades(spark, sf_dir), 60)),
+        QX.ohlc_consistency(_bars60(spark, sf_dir)),
         "consistency_score",
     )
 
@@ -2409,7 +2427,7 @@ def ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, the shape feature stores and training-data exporters want.
     Spark plans unpivot as a single Expand over the aggregate — no
     shuffle beyond the OHLC groupBy itself."""
-    wide = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    wide = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "open", "high", "low", "close"
     )
     return wide.unpivot(
@@ -2810,7 +2828,7 @@ def ohlc_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes (operators/gapfill.py). The grid is generated per key with
     sequence()+explode — no driver loop — and the forward-fill window
     reuses the join's symbol partitioning."""
-    ohlc = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    ohlc = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     filled = OPS.gapfill_locf(
@@ -2838,7 +2856,7 @@ def price_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_interpolate_parity.py."""
     from pyspark.sql import Window
 
-    ohlc = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    ohlc = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     bounds = ohlc.groupBy("symbol").agg(
@@ -3466,7 +3484,7 @@ b1 AS (
 
 def _bars_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(
-        FX.ohlc(_trades(spark, sf_dir), 60),
+        _bars60(spark, sf_dir),
         "open", "high", "low", "close", "volume",
     )
 
@@ -4698,7 +4716,7 @@ def return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IND,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     return IND.return_autocorrelation(bars, lag=1)
@@ -5554,7 +5572,7 @@ def market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol — beta would be tautologically 1)."""
     from pyspark.sql import Window
 
-    bars = FX.ohlc(_trades(spark, sf_dir), 60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     w = Window.partitionBy("symbol").orderBy("bucket")
@@ -5925,20 +5943,21 @@ GROUP BY s.day
     ),
 )
 def volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two stacked hash aggregates (symbol-day, then day) with the tiny
-    day totals broadcast back; HHI = Σ share² per day."""
+    """One hash aggregate to symbol-day grain, then the day totals as a
+    WINDOW over that tiny aggregate (|days × symbols| rows) — not a
+    second aggregation joined back, which would re-compute the
+    symbol-day pass on the build side; HHI = Σ share² per day."""
     t = _trades(spark, sf_dir)
     s = t.groupBy(
         F.to_date("time").alias("day"), "symbol"
     ).agg(F.sum("volume").alias("vol"))
-    tot = s.groupBy("day").agg(F.sum("vol").alias("day_vol"))
-    share = F.col("vol") / F.col("day_vol")
+    share = F.col("vol") / F.sum("vol").over(Window.partitionBy("day"))
     return (
-        s.join(F.broadcast(tot), "day")
+        s.select("day", share.alias("share"))
         .groupBy("day")
         .agg(
-            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
-            F.round(F.max(share), 6).alias("top_share"),
+            F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
             F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
         )
     )
@@ -6167,7 +6186,7 @@ def range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate can be negative in finite samples, guarded to NULL
     identically on both sides (DuckDB sqrt(<0) raises). One bar
     aggregate + one hourly aggregate, both partial-agg friendly."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).filter(
+    bars = _bars60(spark, sf_dir).filter(
         (F.col("low") > 0) & (F.col("open") > 0) & (F.col("close") > 0)
     )
     ln2 = 0.6931471805599453
@@ -6232,7 +6251,7 @@ def stochastic_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLIF on both sides."""
     from pyspark.sql import Window
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    bars = _bars60(spark, sf_dir)
     w14 = (
         Window.partitionBy("symbol").orderBy("bucket").rowsBetween(-13, 0)
     )
@@ -6357,7 +6376,7 @@ def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row aggregate."""
     from pyspark.sql import Window
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     wl = Window.partitionBy("symbol").orderBy("bucket")
@@ -6638,7 +6657,7 @@ def var_es_95(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan)."""
     from pyspark.sql import Window
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     wl = Window.partitionBy("symbol").orderBy("bucket")
@@ -6752,7 +6771,7 @@ def intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale."""
     from pyspark.sql import Window
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     wl = Window.partitionBy("symbol").orderBy("bucket")
@@ -7223,7 +7242,7 @@ FROM lab
 def triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple-barrier training labels (AFML ch.3) over 1-minute close
     bars: first-touch of ±0.2% within a 10-bar horizon."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     return LB.triple_barrier(bars, horizon=10, up_pct=0.002, dn_pct=0.002)
@@ -7285,7 +7304,7 @@ FROM v
 def hurst_exponent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-of-aggregated-returns Hurst exponent per symbol — the
     quantitative regime diagnostic behind A9's regime_tag."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     return IND.hurst_exponent(bars, scales=_HURST_SCALES)
@@ -7899,7 +7918,7 @@ def tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ξ = mean ln(x_(i)/x_(k+1)), tail α = 1/ξ — fat-tail accounting the
     Gaussian-assuming volatility features (A4, VaR) need as a caveat.
     One window ranks the tail, the k+1-st value broadcasts back."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -8030,7 +8049,7 @@ def riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns — the same bit-exact fold contract as A3's ewm_12, via the
     generic keyed ``ewm_series`` recurrence (Arrow-batched
     applyInPandas, sequential only within a symbol)."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -8771,7 +8790,7 @@ def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     companions G6's Sharpe needs when returns are skewed. One bar
     aggregate + one window pass (lag and running max share the sort) +
     one aggregate."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -8850,7 +8869,7 @@ def var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 3.84 rejects the model) — the regulatory-style model-validation
     step downstream of var_es_95. Broadcast per-symbol VaR joined to
     the test window; two aggregates total."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -8945,7 +8964,7 @@ def pairwise_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe screen that feeds the pairs-trading book. Pair alignment
     is a minute-bucket self-equi-join (tiny after the bar aggregate);
     one regression aggregate per pair, grouped."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     ).filter(F.col("close") > 0)
     a = bars.select(
@@ -9104,7 +9123,7 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Five lag columns ride ONE per-symbol sort; lag-k autocorrelations
     via pairwise `corr` (documented convention — both sides identical),
     then a single closed-form aggregate."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -9302,7 +9321,7 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     The B× expansion is generated row-side (sequence + explode), the
     draw is an equi-join on (symbol, position) — bootstrap at 100 TB
     is exactly this shape, with B partial aggregates merged map-side."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -9743,7 +9762,7 @@ def volatility_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames), then a stack + hash aggregate — no per-horizon re-sort.
     At 100 TB the sort is the single shuffle; the stack is a local
     projection and the final agg is 3 rows per symbol."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -9818,7 +9837,7 @@ def ou_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverts (-1 < beta < 0, NULL otherwise). One window lag + one
     covariance aggregate — the regression never materializes a design
     matrix, so it is a pure partial-agg shape at any scale."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -9901,7 +9920,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UNBOUNDED PRECEDING -> CURRENT), which Spark evaluates
     incrementally in O(n); the mean/std lookup joins back on the
     5-row-per-symbol aggregate, which AQE broadcasts."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10200,7 +10219,7 @@ def acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a stack + corr hash aggregate — lags scale by adding columns,
     never passes. Complements ljung_box_q (which tests the lags
     jointly) with the per-lag profile."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10278,7 +10297,7 @@ def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. Negative finite-sample estimates are kept raw AND clipped at
     0 (the paper's convention), both averaged per symbol. One window
     lead + one aggregate; nothing beyond the per-symbol sort."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "high", "low"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10614,7 +10633,7 @@ def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bars-x-folds expansion is a broadcast join against the K-row
     bound table per symbol — K is a constant, so the pass stays linear
     in bars at any scale."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10694,7 +10713,7 @@ def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the O(n^2) unbounded-following trap. Weights like these are
     what keeps overlapping-label training sets from over-counting the
     same move."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10781,7 +10800,7 @@ def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins bars on (symbol, bucket) — the same bounded-fan-out
     shape as the interval join, never a range predicate. CAR is the
     running sum over the 11-row profile (driver-scale)."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10876,7 +10895,7 @@ def fracdiff_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fracdiff keeps long memory that integer differencing destroys while
     making the series stationary enough to train on — the AFML
     preprocessing step between raw prices and ML features."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -10946,7 +10965,7 @@ def seasonal_decompose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back), residual = what neither explains. seasonal_r2 is the
     variance share the minute-of-hour pattern captures — the intraday
     seasonality strength in one number per symbol."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     wx = (
@@ -11041,7 +11060,7 @@ def newey_west_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative-estimate corner is clamped at 0 identically on both
     sides. sigma_nw/sigma_naive is the serial-correlation inflation
     factor a VaR model must apply."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     ws = Window.partitionBy("symbol").orderBy("bucket")
@@ -11131,7 +11150,7 @@ def bipower_jump_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IND,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     return IND.bipower_jump_stats(bars)
@@ -11175,7 +11194,7 @@ def ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IND,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     return IND.ulcer_index(bars)
@@ -11234,7 +11253,7 @@ def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IND,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     return IND.permutation_entropy(bars)
@@ -11986,7 +12005,7 @@ def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IND,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "bucket", "symbol", "close"
     )
     return IND.realized_moments(bars)
@@ -12713,7 +12732,7 @@ def garch11_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IX,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    bars = _bars60(spark, sf_dir)
     return IX.garch11_vol(bars, omega=1e-6, alpha=0.1, beta=0.85)
 
 
@@ -12810,7 +12829,7 @@ def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IX,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    bars = _bars60(spark, sf_dir)
     return IX.periodogram(bars, periods=(5, 15, 60))
 
 
@@ -12892,7 +12911,7 @@ def cornish_fisher_var_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         indicators as IX,
     )
 
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+    bars = _bars60(spark, sf_dir)
     return IX.cornish_fisher_var(bars)
 
 
@@ -13162,7 +13181,7 @@ def rolling_beta_60(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto per-symbol returns; the four rolling moments
     share ONE trailing frame over one symbol-partitioned sort. Windows
     with fewer than 60 aligned observations are gated out."""
-    bars = FX.ohlc(_trades(spark, sf_dir), 60).select("bucket", "symbol", "close")
+    bars = _bars60(spark, sf_dir).select("bucket", "symbol", "close")
     w = Window.partitionBy("symbol").orderBy("bucket")
     prev = F.lag("close").over(w)
     rr = bars.withColumn(
@@ -13372,7 +13391,7 @@ def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional hash aggregate per pair. Spark percentile ≡ DuckDB
     quantile_cont (linear interpolation, pinned repo-wide)."""
     bars = (
-        FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60)
+        _bars60(spark, sf_dir)
         .select("symbol", "bucket", "close")
     )
     w = Window.partitionBy("symbol").orderBy("bucket")
@@ -13480,7 +13499,7 @@ def risk_parity_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate rows); Σw and wᵀΣw are joins/windows over |symbols|-row
     relations — never a driver-side matrix, so the same plan holds for
     a 10k-asset universe."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     w = Window.partitionBy("symbol").orderBy("bucket")
@@ -13662,7 +13681,7 @@ def ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     here — fixed offsets, not a growing following frame); the three
     horizons stack into one hash aggregate with Pearson corr (Spark
     F.corr ≡ DuckDB corr, sample convention). One shuffle total."""
-    bars = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=60).select(
+    bars = _bars60(spark, sf_dir).select(
         "symbol", "bucket", "close"
     )
     w = Window.partitionBy("symbol").orderBy("bucket")

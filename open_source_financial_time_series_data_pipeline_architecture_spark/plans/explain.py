@@ -42,13 +42,30 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges (shuffles) in the physical plan — the metric
-    to minimize; every one is a full network/disk round of the data."""
+    """Number of exchanges (shuffles) the plan EXECUTES — the metric to
+    minimize; every one is a full network/disk round of the data.
+
+    Exchanges nested inside an `InMemoryRelation` subtree are the
+    cached fragment's ORIGINAL plan, re-printed for provenance; a cache
+    hit replays none of them, so they don't count. (They still run
+    exactly once at materialization — that cost is the cache's, not
+    this query's.)"""
     plan = physical_plan(df)
-    return sum(
-        line.strip().lstrip("+-* ").startswith("Exchange")
-        for line in plan.splitlines()
-    )
+    count = 0
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-*")
+        indent = len(line) - len(body)
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if body.startswith("InMemoryRelation"):
+            skip_deeper_than = indent
+            continue
+        if body.startswith("Exchange"):
+            count += 1
+    return count
 
 
 def runtime_metrics(df: DataFrame) -> dict:

@@ -457,10 +457,14 @@ def test_rolling_active_users_no_range_join(spark):
     assert "Generate" in plan, plan  # the contribution explode
 
 
-def test_volume_concentration_broadcast_totals(spark):
+def test_volume_concentration_no_rejoin(spark):
+    # day totals are a window over the symbol-day aggregate — no second
+    # aggregation joined back (which would rebuild the aggregate on the
+    # build side): one scan, symbol-day exchange + day exchange only
     df = em.QUERIES["volume_concentration"](spark, SF_SMOKE)
-    PL.assert_broadcast_join(df, at_least=1)
-    assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert PL.shuffle_count(df) <= 2, plan
 
 
 def test_q6_all_predicates_pushed(spark):
