@@ -13879,6 +13879,245 @@ def almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Two-scale realized variance (Zhang, Mykland & Aït-Sahalia 2005) —
+# the noise-robust IV estimator: tick-frequency RV is biased UP by
+# microstructure noise; averaging K offset sparse subsamples and
+# bias-correcting recovers both the true IV and the noise variance.
+# --------------------------------------------------------------------------
+@q(
+    "tsrv_noise",
+    oracle(
+        """
+p AS (
+  SELECT symbol, time, trade_id, ln(price) AS lp,
+         row_number() OVER w - 1 AS rn
+  FROM trades WHERE price > 0
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+diffs AS (
+  SELECT symbol, rn,
+         lp - lag(lp) OVER wd AS dlp,
+         lp - lag(lp) OVER wg AS dlp_g,
+         lag(lp) OVER wg AS lag_g
+  FROM p
+  WINDOW wd AS (PARTITION BY symbol ORDER BY rn),
+         wg AS (PARTITION BY symbol, rn % 5 ORDER BY rn)
+),
+dense AS (
+  SELECT symbol,
+         sum(pow(dlp, 2)) AS rv_all,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM diffs GROUP BY symbol
+),
+sparse AS (
+  SELECT symbol, rn % 5 AS grid,
+         sum(pow(dlp_g, 2)) AS rv_g,
+         count(lag_g) AS n_g
+  FROM diffs GROUP BY symbol, rn % 5
+),
+savg AS (
+  SELECT symbol, avg(rv_g) AS rv_sparse, avg(n_g * 1.0) AS nbar
+  FROM sparse GROUP BY symbol
+)
+SELECT d.symbol,
+       d.n_ticks,
+       ROUND(d.rv_all, 6) AS rv_all,
+       ROUND(s.rv_sparse, 6) AS rv_sparse,
+       ROUND(s.rv_sparse - (s.nbar / (d.n_ticks - 1)) * d.rv_all, 6) AS tsrv,
+       ROUND(d.rv_all / (2.0 * (d.n_ticks - 1)), 6) AS noise_var
+FROM dense d JOIN savg s ON d.symbol = s.symbol
+"""
+    ),
+)
+def tsrv_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense RV at tick frequency; sparse RV averaged over the K=5
+    offset grids (rn % 5 — every grid sees every 5th tick); TSRV =
+    RV_sparse − (n̄/n)·RV_all; noise variance ≈ RV_all / 2n. Both
+    passes ride the SAME symbol-sorted projection (the grid pass
+    partitions by (symbol, grid) — a strict refinement, no extra wide
+    shuffle of raw rows needed at scale with partial aggregation); the
+    final join is |symbols| rows."""
+    t = _trades(spark, sf_dir).filter(F.col("price") > 0)
+    wsym = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    p = t.select(
+        "symbol",
+        F.log("price").alias("lp"),
+        (F.row_number().over(wsym) - 1).alias("rn"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("rn")
+    dense = (
+        p.withColumn("dlp", F.col("lp") - F.lag("lp").over(wd))
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.pow("dlp", F.lit(2))).alias("rv_all"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+    wg = Window.partitionBy("symbol", F.col("rn") % 5).orderBy("rn")
+    sparse = (
+        p.withColumn("lag_g", F.lag("lp").over(wg))
+        .withColumn("dlp_g", F.col("lp") - F.col("lag_g"))
+        .groupBy("symbol", (F.col("rn") % 5).alias("grid"))
+        .agg(
+            F.sum(F.pow("dlp_g", F.lit(2))).alias("rv_g"),
+            F.count("lag_g").alias("n_g"),
+        )
+    )
+    savg = sparse.groupBy("symbol").agg(
+        F.avg("rv_g").alias("rv_sparse"),
+        F.avg(F.col("n_g") * F.lit(1.0)).alias("nbar"),
+    )
+    d, s = dense, savg
+    return d.join(s, "symbol").select(
+        "symbol",
+        "n_ticks",
+        F.round("rv_all", 6).alias("rv_all"),
+        F.round("rv_sparse", 6).alias("rv_sparse"),
+        F.round(
+            F.col("rv_sparse")
+            - (F.col("nbar") / (F.col("n_ticks") - 1)) * F.col("rv_all"),
+            6,
+        ).alias("tsrv"),
+        F.round(
+            F.col("rv_all") / (F.lit(2.0) * (F.col("n_ticks") - 1)), 6
+        ).alias("noise_var"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve — what share of corpus tokens do the top-k
+# types cover (k = 100 / 1000 / 10000)? The tokenizer-budget planning
+# query: decides vocab size before training a tokenizer.
+# --------------------------------------------------------------------------
+@q(
+    "vocab_coverage_curve",
+    """
+WITH words AS (
+  SELECT string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM words) GROUP BY 1
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+         sum(c) OVER () AS total,
+         sum(c) OVER (ORDER BY c DESC, w ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM uni
+)
+SELECT k AS top_k,
+       ROUND(max(CASE WHEN rk <= k THEN cum END) * 1.0 / max(total), 6)
+           AS coverage,
+       CAST(max(CASE WHEN rk <= k THEN rk END) AS BIGINT) AS n_types_used
+FROM ranked CROSS JOIN (SELECT unnest([100, 1000, 10000]) AS k)
+GROUP BY k
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts hash-aggregate to the vocabulary (small relative to
+    the corpus), then ONE global ordered window over the aggregate
+    ranks types and accumulates coverage — the repo's standard
+    'windows over aggregates, never raw tokens' shape. The k-grid
+    cross join multiplies the |vocab|-row table by 3, then a 3-row
+    aggregate. Deterministic ordering: (count DESC, word ASC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wall = Window.partitionBy(F.lit(1))
+    word = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = uni.select(
+        "c",
+        F.row_number().over(word).alias("rk"),
+        F.sum("c").over(wall).alias("total"),
+        F.sum("c")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("top_k"))
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")))
+                * F.lit(1.0)
+                / F.max("total"),
+                6,
+            ).alias("coverage"),
+            F.max(F.when(F.col("rk") <= F.col("k"), F.col("rk")))
+            .cast("bigint")
+            .alias("n_types_used"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top user journeys — the first three event types per user as a path
+# string, counted across users: the funnel-design companion to
+# user_funnel / first_touch_attribution.
+# --------------------------------------------------------------------------
+@q(
+    "top_user_paths",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, ' > ' ORDER BY rk) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM ordered WHERE rk <= 3 GROUP BY user_id
+)
+SELECT path, path_len,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY 1, 2
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+""",
+)
+def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number caps each user at their first three events (ns→µs
+    timestamp + event_id tiebreak), the path string is an ordered
+    array_join over ≤3 collected elements, and the final count is a
+    hash aggregate + TakeOrdered(20). Path cardinality is bounded by
+    |event types|³ — tiny however big the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "event_type"))
+            ).getField("event_type"),
+            " > ",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
