@@ -14118,6 +14118,165 @@ def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Overnight gap statistics — close-to-next-open gaps per symbol from
+# daily bars: the risk input continuous-session vol estimators miss.
+# --------------------------------------------------------------------------
+@q(
+    "overnight_gap_stats",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         first(price ORDER BY time, trade_id) AS open,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+g AS (
+  SELECT symbol, d,
+         CASE WHEN open > 0 AND lag(close) OVER w > 0
+              THEN ln(open / lag(close) OVER w) END AS gap
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+)
+SELECT symbol,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       ROUND(avg(gap), 6) AS mean_gap,
+       ROUND(stddev_samp(gap), 6) AS sd_gap,
+       ROUND(max(abs(gap)), 6) AS max_abs_gap,
+       ROUND(avg(CASE WHEN gap > 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_up
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def overnight_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bars via ordered-first/last inside one hash aggregate
+    (min_by/max_by struct keys — no sort), one lag window over the
+    |symbol × days| aggregate, one stats aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy(
+        "symbol", F.to_date("time").alias("d")
+    ).agg(
+        F.min_by("price", tkey).alias("open"),
+        F.max_by("price", tkey).alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    g = daily.withColumn(
+        "gap",
+        F.when(
+            (F.col("open") > 0) & (prev_close > 0),
+            F.log(F.col("open") / prev_close),
+        ),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("symbol").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("mean_gap"),
+        F.round(F.stddev_samp("gap"), 6).alias("sd_gap"),
+        F.round(F.max(F.abs("gap")), 6).alias("max_abs_gap"),
+        F.round(
+            F.avg(F.when(F.col("gap") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_up"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional drawdown at risk (CDaR) — the q95 tail of the drawdown
+# distribution per symbol: the risk measure portfolio mandates cap.
+# --------------------------------------------------------------------------
+@q(
+    "cdar_drawdown_risk",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+dd AS (
+  SELECT symbol, bucket,
+         CASE WHEN max(close) OVER m > 0
+              THEN 1.0 - close / max(close) OVER m ELSE NULL END AS drawdown
+  FROM bars
+  WINDOW m AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+q AS (
+  SELECT symbol, quantile_cont(drawdown, 0.95) AS q95
+  FROM dd WHERE drawdown IS NOT NULL GROUP BY 1
+)
+SELECT dd.symbol,
+       CAST(count(dd.drawdown) AS BIGINT) AS n_obs,
+       ROUND(max(dd.drawdown), 6) AS max_drawdown,
+       ROUND(max(q.q95), 6) AS dar_95,
+       ROUND(avg(CASE WHEN dd.drawdown >= q.q95
+                      THEN dd.drawdown END), 6) AS cdar_95
+FROM dd JOIN q ON dd.symbol = q.symbol
+WHERE dd.drawdown IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def cdar_drawdown_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown series from one growing-frame window
+    (incremental max), then DaR (q95 of drawdowns) and CDaR (mean of
+    the exceedances). The quantile and the conditional mean share one
+    grouped aggregate via percentile + a self-broadcast of the |symbols|-
+    row quantile table."""
+    bars = _bars60(spark, sf_dir).select("symbol", "bucket", "close")
+    m = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("close").over(m)
+    dd = bars.withColumn(
+        "drawdown",
+        F.when(peak > 0, F.lit(1.0) - F.col("close") / peak),
+    ).filter(F.col("drawdown").isNotNull())
+    q = dd.groupBy("symbol").agg(
+        F.percentile("drawdown", F.lit(0.95)).alias("q95")
+    )
+    j = dd.join(F.broadcast(q), "symbol")
+    return j.groupBy("symbol").agg(
+        F.count("drawdown").cast("bigint").alias("n_obs"),
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.max("q95"), 6).alias("dar_95"),
+        F.round(
+            F.avg(
+                F.when(F.col("drawdown") >= F.col("q95"), F.col("drawdown"))
+            ),
+            6,
+        ).alias("cdar_95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration — |est − exact| error profile over the
+# verified candidate pairs: the approximation-quality audit that says
+# whether 64 hashes / 16 bands is enough BEFORE trusting LSH at scale.
+# Rows-only: xxhash64 signatures are not DuckDB-expressible.
+# --------------------------------------------------------------------------
+@q("minhash_calibration")  # xxhash64-based → rows-only check
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=16,
+        threshold=0.3,
+        shingle_df=_doc_shingles(spark, sf_dir),
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+        F.round(F.corr("est_jaccard", "jaccard"), 6).alias("est_exact_corr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

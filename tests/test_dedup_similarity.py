@@ -335,3 +335,14 @@ def test_compression_ratio_signal(spark):
         load_table(spark, SF_SMOKE, "documents")
     ).collect()
     assert all(0 < r["compression_ratio"] <= 1.2 for r in real)
+
+
+def test_minhash_calibration_bounds(spark):
+    import __spark_entry__ as em
+
+    row = em.QUERIES["minhash_calibration"](spark, SF_SMOKE).collect()[0]
+    # 64 hashes → RMSE ~ sqrt(J(1-J)/64) ≈ 0.06 at J=0.5; the mean
+    # absolute error over verified pairs must sit well inside that
+    assert row["n_pairs"] > 0
+    assert row["mean_abs_err"] < 0.08, row
+    assert row["max_abs_err"] < 0.25, row
