@@ -14277,6 +14277,112 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Trade-size clustering — the round-number preference stylized fact
+# (sizes cluster on multiples of 5/10): share at round sizes vs the
+# uniform-residue expectation, per symbol.
+# --------------------------------------------------------------------------
+@q(
+    "size_clustering",
+    oracle(
+        """
+s AS (
+  SELECT symbol,
+         CAST(volume AS BIGINT) AS v
+  FROM trades
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(avg(CASE WHEN v % 5 = 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_mult5,
+       ROUND(avg(CASE WHEN v % 10 = 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_mult10,
+       ROUND(avg(CASE WHEN v % 5 = 0 THEN 1.0 ELSE 0.0 END) - 0.2, 6) AS excess_mult5,
+       ROUND(avg(CASE WHEN v % 10 = 0 THEN 1.0 ELSE 0.0 END) - 0.1, 6) AS excess_mult10
+FROM s GROUP BY 1
+"""
+    ),
+)
+def size_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conditional hash aggregate; excess = observed share minus
+    the uniform-residue null (1/5, 1/10)."""
+    t = _trades(spark, sf_dir)
+    v = F.col("volume").cast("bigint")
+    m5 = F.avg(F.when(v % 5 == 0, 1.0).otherwise(0.0))
+    m10 = F.avg(F.when(v % 10 == 0, 1.0).otherwise(0.0))
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.round(m5, 6).alias("frac_mult5"),
+        F.round(m10, 6).alias("frac_mult10"),
+        F.round(m5 - F.lit(0.2), 6).alias("excess_mult5"),
+        F.round(m10 - F.lit(0.1), 6).alias("excess_mult10"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quote staleness — age of the prevailing quote at each trade (quotes
+# go missing every few prints in the canonical mapping): how stale is
+# the midquote the execution quality stats are measured against?
+# --------------------------------------------------------------------------
+@q(
+    "quote_staleness",
+    oracle(
+        """
+s AS (
+  SELECT symbol, time, trade_id,
+         CASE WHEN bid IS NOT NULL THEN epoch(time) END AS qt,
+         epoch(time) AS t
+  FROM trades
+),
+c AS (
+  SELECT symbol, t,
+         last_value(qt IGNORE NULLS) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_quote_t
+  FROM s
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(count(CASE WHEN last_quote_t IS NULL THEN 1 END) AS BIGINT)
+           AS n_unquoted,
+       ROUND(avg(t - last_quote_t), 6) AS mean_staleness_s,
+       ROUND(max(t - last_quote_t), 6) AS max_staleness_s,
+       ROUND(quantile_cont(t - last_quote_t, 0.95), 6) AS p95_staleness_s
+FROM c GROUP BY 1
+"""
+    ),
+)
+def quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carried last-quote timestamp via last(ignoreNulls) over ONE
+    growing frame, then staleness stats in one hash aggregate.
+    Timestamps as fractional epoch seconds (µs precision, matches
+    DuckDB epoch())."""
+    t = _trades(spark, sf_dir)
+    wg = (
+        Window.partitionBy("symbol")
+        .orderBy("time", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "symbol",
+        "time",
+        "trade_id",
+        F.when(
+            F.col("bid").isNotNull(), F.col("time").cast("double")
+        ).alias("qt"),
+        F.col("time").cast("double").alias("t"),
+    )
+    c = s.withColumn("last_quote_t", F.last("qt", ignorenulls=True).over(wg))
+    stale = F.col("t") - F.col("last_quote_t")
+    return c.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.count(F.when(F.col("last_quote_t").isNull(), 1))
+        .cast("bigint")
+        .alias("n_unquoted"),
+        F.round(F.avg(stale), 6).alias("mean_staleness_s"),
+        F.round(F.max(stale), 6).alias("max_staleness_s"),
+        F.round(F.percentile(stale, F.lit(0.95)), 6).alias("p95_staleness_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Quickstart: the five workflows a user of the reference pipeline runs
+daily, on this engine. Runs end-to-end on the bundled sf0.001 test data
+in ~30 s:
+
+    python examples/quickstart.py [sf_dir]
+
+1. batch features   — the 11-feature Smart-DB contract by name
+2. PIT serving      — leak-free as-of feature retrieval (Feast analog)
+3. online store     — warm sub-ms point lookups (Redis analog)
+4. data quality     — completeness / accuracy / freshness report
+5. corpus plane     — dedup + quality gate + training-mix manifest
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.session import get_spark
+from open_source_financial_time_series_data_pipeline_architecture_spark.api import Engine
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="quickstart", master="local[4]")
+    eng = Engine(spark, sf_dir)
+
+    # 1. batch features by name (reference: batch_feature_calculation.py)
+    print("== features ==", eng.feature_names())
+    eng.feature("ohlc_1m").show(3, truncate=False)
+    eng.feature("vwap_5m").show(3, truncate=False)
+
+    # 2. point-in-time snapshot — never reads past as_of
+    sym = eng.trades().select("symbol").first()["symbol"]
+    print(f"== pit snapshot ({sym}) ==")
+    eng.pit_snapshot(sym, as_of="2024-01-08T00:00:00").show(truncate=False)
+
+    # 3. online store: materialize once, then warm point lookups
+    store = eng.online_store()
+    print("== online lookup ==")
+    store.get([sym]).show(truncate=False)
+
+    # 4. data-quality report (reference: quality SLA plane)
+    print("== dq report ==")
+    eng.dq_report().show(truncate=False)
+
+    # 5. corpus plane: the training-data decision manifest
+    import __spark_entry__ as queries
+
+    print("== corpus manifest (keep/drop decisions) ==")
+    queries.queries()["corpus_manifest"](spark, sf_dir).groupBy(
+        "keep", "drop_reason"
+    ).count().show(truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

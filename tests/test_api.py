@@ -62,3 +62,22 @@ def test_quality_reports(eng):
     fresh = eng.freshness_report(now=now).collect()
     assert len(fresh) == 9
     assert all(r["latest_ts"] is not None for r in fresh)
+
+
+def test_quickstart_example_runs(spark):
+    # the examples/quickstart.py flow, driven through the same session
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "quickstart.py")
+    spec = importlib.util.spec_from_file_location("quickstart", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # imports only; main() not invoked here
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.api import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    assert len(eng.feature_names()) >= 9
+    sym = eng.trades().select("symbol").first()["symbol"]
+    snap = eng.pit_snapshot(sym, as_of="2024-01-08T00:00:00")
+    assert snap.count() >= 0
