@@ -113,10 +113,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 def test_ohlc_partial_aggregate(spark):
     trades = trades_from_events(load_table(spark, SF_SMOKE, "events"))
-    plan = PL.physical_plan(FX.ohlc(trades, 60))
+    # 120s buckets: NOT the shared 60s bars projection, so the plan
+    # can't be satisfied from the cache (Spark's CacheManager matches
+    # canonicalized logical plans) and the raw aggregate shape shows
+    plan = PL.physical_plan(FX.ohlc(trades, 120))
     # partial_ (map-side) aggregate must appear before the exchange
     assert "partial_" in plan
-    assert PL.shuffle_count(plan_df := FX.ohlc(trades, 60)) == 1
+    assert PL.shuffle_count(FX.ohlc(trades, 120)) == 1
 
 
 def test_interval_join_bucketed_is_equi_join(spark):
