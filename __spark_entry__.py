@@ -14383,6 +14383,249 @@ def quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Yang–Zhang volatility (2000) — the minimum-variance unbiased OHLC
+# estimator: overnight variance + k·open-to-close variance +
+# (1−k)·Rogers–Satchell term. Complements range_volatility (Parkinson /
+# Garman–Klass assume no drift and no overnight jump; YZ handles both).
+# --------------------------------------------------------------------------
+@q(
+    "yang_zhang_vol",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         first(price ORDER BY time, trade_id) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades
+  GROUP BY 1, 2
+  HAVING min(price) > 0
+),
+r AS (
+  SELECT symbol, d,
+         ln(open / lag(close) OVER w) AS o,
+         ln(close / open) AS c,
+         ln(high / close) * ln(high / open)
+           + ln(low / close) * ln(low / open) AS rs
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+est AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_days,
+         var_samp(o) AS vo,
+         var_samp(c) AS vc,
+         avg(rs) AS vrs
+  FROM r WHERE o IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT symbol, n_days,
+       ROUND(sqrt(vo), 6) AS overnight_vol,
+       ROUND(sqrt(vc), 6) AS open_close_vol,
+       ROUND(CASE WHEN vrs >= 0 THEN sqrt(vrs) END, 6) AS rs_vol,
+       ROUND(0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0)), 6) AS k,
+       ROUND(CASE WHEN vo + 0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0)) * vc
+                     + (1.0 - 0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0))) * vrs >= 0
+             THEN sqrt(vo + 0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0)) * vc
+                     + (1.0 - 0.34 / (1.34 + (n_days + 1.0) / (n_days - 1.0))) * vrs)
+             END, 6) AS yang_zhang_vol
+FROM est
+"""
+    ),
+)
+def yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yang–Zhang daily volatility per symbol.
+
+    One hash aggregate builds daily OHLC bars (min_by/max_by struct
+    keys — no sort), one lag window over the |symbol × days| aggregate
+    for the overnight return, one final variance aggregate. All three
+    stages are partial-agg friendly; nothing touches raw trades after
+    the first aggregate, so at 100 TB the window runs over ~|symbols|
+    × |days| rows. Positive-price day filter (ln guard, sf0.1 has
+    price=0 rows) and n≥2 filter (var_samp NULL / k-denominator zero)
+    applied identically on both sides; finite-sample-negative variance
+    combinations guarded to NULL like range_volatility's GK term.
+    Reference anchor: continuous-aggregate vol family,
+    sql/timescaledb_schema.sql:60-74."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = (
+        t.groupBy("symbol", F.to_date("time").alias("d"))
+        .agg(
+            F.min_by("price", tkey).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", tkey).alias("close"),
+        )
+        .filter(F.col("low") > 0)
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        F.log(F.col("open") / prev_close).alias("o"),
+        F.log(F.col("close") / F.col("open")).alias("c"),
+        (
+            F.log(F.col("high") / F.col("close"))
+            * F.log(F.col("high") / F.col("open"))
+            + F.log(F.col("low") / F.col("close"))
+            * F.log(F.col("low") / F.col("open"))
+        ).alias("rs"),
+    ).filter(F.col("o").isNotNull())
+    est = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.var_samp("o").alias("vo"),
+        F.var_samp("c").alias("vc"),
+        F.avg("rs").alias("vrs"),
+    ).filter(F.col("n_days") >= 2)
+    k = 0.34 / (
+        1.34 + (F.col("n_days") + F.lit(1.0)) / (F.col("n_days") - F.lit(1.0))
+    )
+    yz_var = F.col("vo") + k * F.col("vc") + (F.lit(1.0) - k) * F.col("vrs")
+    return est.select(
+        "symbol",
+        "n_days",
+        F.round(F.sqrt("vo"), 6).alias("overnight_vol"),
+        F.round(F.sqrt("vc"), 6).alias("open_close_vol"),
+        F.round(
+            F.when(F.col("vrs") >= 0, F.sqrt("vrs")), 6
+        ).alias("rs_vol"),
+        F.round(k, 6).alias("k"),
+        F.round(F.when(yz_var >= 0, F.sqrt(yz_var)), 6).alias(
+            "yang_zhang_vol"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue Gini coefficient per market segment — customer-revenue
+# inequality (Lorenz concentration): the "how top-heavy is this
+# segment" statistic revenue-ops dashboards report.
+# --------------------------------------------------------------------------
+@q(
+    "revenue_gini",
+    oracle(
+        """
+rev AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+         sum(o.o_totalprice) AS revenue
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, revenue,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY revenue, custkey) AS i,
+         count(*) OVER (PARTITION BY segment) AS n,
+         sum(revenue) OVER (PARTITION BY segment) AS total
+  FROM rev
+)
+SELECT segment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       ROUND(max(total), 6) AS total_revenue,
+       ROUND(2.0 * sum(i * revenue) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked GROUP BY 1
+"""
+    ),
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment via the
+    rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending-sorted
+    revenue.
+
+    Plan: one join-aggregate to |customers| rows, one window pass per
+    segment (rank + n + total in a single partition sort — Gini is
+    tie-order invariant, equal revenues contribute identically under
+    any permutation of their ranks, but (revenue, custkey) ordering is
+    pinned anyway for determinism), one |segments|-row final aggregate.
+    At 100 TB the window runs over the customer aggregate, never raw
+    orders; segments are few → AQE coalesces the tiny final exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    wseg = Window.partitionBy("segment")
+    wrank = wseg.orderBy("revenue", "custkey")
+    ranked = rev.select(
+        "segment",
+        "revenue",
+        F.row_number().over(wrank).alias("i"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+        F.sum("revenue").over(wseg).alias("total"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("total"), 6).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("revenue"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl–Hirschman activity concentration per event type — Σ share²
+# of per-user event counts, plus the effective participant count 1/HHI:
+# the market-surveillance "is this symbol's flow dominated by a few
+# accounts" statistic.
+# --------------------------------------------------------------------------
+@q(
+    "hhi_concentration",
+    oracle(
+        """
+per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, per_user.user_id, cnt,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM per_user
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(sum((cnt / total) * (cnt / total)), 6) AS hhi,
+       ROUND(1.0 / sum((cnt / total) * (cnt / total)), 6)
+           AS effective_users,
+       ROUND(max(cnt / total), 6) AS top_share
+FROM tot GROUP BY 1
+"""
+    ),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI of per-user activity share within each event type.
+
+    Two partial-agg-friendly hash aggregates ((event_type, user) →
+    event_type) plus one window for the per-type total — the window
+    partitions by the SAME key the final aggregate groups on, so the
+    sort-free window and the aggregate share one exchange. Never more
+    than |event_type × users| rows after the first aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    wt = Window.partitionBy("event_type")
+    tot = per_user.withColumn("total", F.sum("cnt").over(wt))
+    share = F.col("cnt") / F.col("total")
+    return tot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(1.0 / F.sum(share * share), 6).alias("effective_users"),
+        F.round(F.max(share), 6).alias("top_share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
