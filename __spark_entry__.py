@@ -36,6 +36,9 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.operator
 from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
     multimodal as MM,
 )
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    statespace as SS,
+)
 from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
     oracle,
     trades_from_events,
@@ -14623,6 +14626,133 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(share * share), 6).alias("hhi"),
         F.round(1.0 / F.sum(share * share), 6).alias("effective_users"),
         F.round(F.max(share), 6).alias("top_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Local-level Kalman filter — the adaptive-gain generalization of the
+# A3 EWM recurrence: gain starts high and converges to the Riccati
+# steady state. Oracle: DuckDB prefix-list fold with a STRUCT
+# accumulator {x, m, p, k} (the EWM fold carries one double; the
+# Kalman carries level + posterior variance), sentinel p<0 marks the
+# uninitialized first element, bit-identical double arithmetic.
+# --------------------------------------------------------------------------
+@q(
+    "kalman_level",
+    oracle(
+        """
+SELECT time, symbol, trade_id, price,
+       floor((CASE WHEN st.p < 0 THEN st.x ELSE st.m END) * 1000000.0)
+           / 1000000.0 AS kf_level,
+       floor((CASE WHEN st.p < 0 THEN 1.0 ELSE st.p END) * 1000000.0)
+           / 1000000.0 AS kf_var,
+       floor((CASE WHEN st.p < 0 THEN NULL ELSE st.k END) * 1000000.0)
+           / 1000000.0 AS kf_gain
+FROM (
+  SELECT time, symbol, trade_id, price,
+    -- NOTE field order: DuckDB's list_reduce materializes struct
+    -- fields sequentially into the accumulator, so k (which reads
+    -- acc.p) MUST precede p (which overwrites it) — with k last it
+    -- silently reads the POST-update variance (off-by-one gain).
+    list_reduce(
+      list(struct_pack(x := price, k := CAST(0.0 AS DOUBLE),
+                       m := CAST(0.0 AS DOUBLE), p := CAST(-1.0 AS DOUBLE)))
+        OVER (PARTITION BY symbol ORDER BY time, trade_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      (acc, e) -> struct_pack(
+        x := e.x,
+        k := (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01)
+                / (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01 + 1.0),
+        m := CASE WHEN acc.p < 0 THEN acc.x ELSE acc.m END
+             + ((CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01)
+                / (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01 + 1.0))
+               * (e.x - CASE WHEN acc.p < 0 THEN acc.x ELSE acc.m END),
+        p := (1.0 - (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01)
+                / (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01 + 1.0))
+             * (CASE WHEN acc.p < 0 THEN 1.0 ELSE acc.p END + 0.01)
+      )) AS st
+  FROM trades
+)
+"""
+    ),
+)
+def kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol local-level Kalman filter (q=0.01, r=1, p1=1).
+
+    One shuffle on symbol, Arrow-batched applyInPandas, explicit
+    double recurrence (pkg operators/statespace.py) — the same
+    deliberate-sequential budget as A3's EWM; everything else in the
+    plan is built-in expressions.
+
+    Precision: the gain/variance sequences are data-independent and
+    systematically land on the ROUND half-grid where Spark (half-up on
+    shortest repr) and DuckDB (nearest on scaled binary) disagree —
+    so this query floor-scales at 1e-6 on both sides (floor of the
+    bit-identical double is engine-independent; ROUND is not)."""
+    out = SS.kalman_local_level(_trades(spark, sf_dir))
+    for c in ("kf_level", "kf_var", "kf_gain"):
+        out = out.withColumn(
+            c, F.floor(F.col(c) * 1000000.0) / 1000000.0
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline) of parts — maximize size, minimize best
+# retail price: "the cheapest price you can get at each size that no
+# larger size undercuts". The classic skyline operator, expressed as
+# aggregate-then-window so the dominance pass runs over |sizes| rows,
+# never |parts|².
+# --------------------------------------------------------------------------
+@q(
+    "pareto_frontier_parts",
+    oracle(
+        """
+per_size AS (
+  SELECT p_size,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         min(p_retailprice) AS best_price
+  FROM part GROUP BY 1
+),
+dom AS (
+  SELECT p_size, n_parts, best_price,
+         min(best_price) OVER (ORDER BY p_size DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS larger_best
+  FROM per_size
+)
+SELECT p_size, n_parts, ROUND(best_price, 6) AS best_price
+FROM dom
+WHERE larger_best IS NULL OR larger_best > best_price
+"""
+    ),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline via sort-free aggregation + one tiny window.
+
+    One partial-agg-friendly hash aggregate collapses parts to
+    |distinct sizes| rows (~50); the strictly-larger-size running min
+    (ROWS … 1 PRECEDING over size DESC) then decides dominance in a
+    single ordered pass — the O(n log n) sweep-line skyline, with n
+    already reduced to the size cardinality. No self-join, no
+    BroadcastNestedLoopJoin at any scale."""
+    p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.min("p_retailprice").alias("best_price"),
+    )
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = per_size.withColumn("larger_best", F.min("best_price").over(w))
+    return dom.filter(
+        F.col("larger_best").isNull()
+        | (F.col("larger_best") > F.col("best_price"))
+    ).select(
+        "p_size",
+        "n_parts",
+        F.round("best_price", 6).alias("best_price"),
     )
 
 

@@ -1,0 +1,84 @@
+"""State-space filtering — local-level Kalman filter per key.
+
+The reference's feature plane stops at the EWM recurrence
+(sql/timescaledb_schema.sql:103-138); a local-level Kalman filter is
+its adaptive-gain generalization: the gain k_t starts high (trust the
+data while the level estimate is uncertain) and converges to the
+steady-state alpha the Riccati equation fixes, so early observations
+are absorbed faster than a fixed-alpha EWM while the asymptotic
+behavior is identical.
+
+Like the EWM (SURVEY §7 hard part 1), the recurrence cannot be
+expressed with Spark's built-in window frames — this is a deliberate
+``applyInPandas``: one shuffle on the key, Arrow-batched, sequential
+only *within* a key (keys parallelize, which is the same parallelism
+limit any engine has for a per-key recurrence). The arithmetic is an
+explicit double-precision loop, bit-identical to the DuckDB
+struct-fold oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def kalman_local_level(
+    trades: DataFrame,
+    q: float = 0.01,
+    r: float = 1.0,
+    p_init: float = 1.0,
+    key_col: str = "symbol",
+    value_col: str = "price",
+    order_cols: tuple[str, ...] = ("time", "trade_id"),
+) -> DataFrame:
+    """Filtered level / posterior variance / gain per row.
+
+    Local-level model: x_t = x_{t-1} + w (var q), y_t = x_t + v (var r).
+    Update: pp = p + q; k = pp/(pp+r); m += k·(y−m); p = (1−k)·pp.
+    Seeded with the first observation (m1 = y1, p1 = ``p_init``); the
+    first row has no gain (NULL).
+
+    The posterior variance sequence is data-independent, so the gain
+    deterministically converges to the Riccati fixed point
+    p* = (−q + sqrt(q² + 4qr))/2, k* = (p*+q)/(p*+q+r) — pinned by
+    tests/test_invariants.py.
+    """
+    cols = [*order_cols, key_col, value_col]
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
+        m = None
+        p = None
+        levels, variances, gains = [], [], []
+        for y in pdf[value_col].to_numpy():
+            y = float(y)
+            if m is None:
+                m, p = y, float(p_init)
+                gains.append(None)
+            else:
+                pp = p + q
+                k = pp / (pp + r)
+                m = m + k * (y - m)
+                p = (1.0 - k) * pp
+                gains.append(k)
+            levels.append(m)
+            variances.append(p)
+        pdf["kf_level"] = levels
+        pdf["kf_var"] = variances
+        pdf["kf_gain"] = gains
+        return pdf[cols + ["kf_level", "kf_var", "kf_gain"]]
+
+    out_schema = (
+        ", ".join(
+            f"{c} {t}"
+            for c, t in zip(
+                cols,
+                ["timestamp", "string", "string", "double"],
+            )
+        )
+        + ", kf_level double, kf_var double, kf_gain double"
+    )
+    return (
+        trades.select(*cols).groupBy(key_col).applyInPandas(compute, out_schema)
+    )

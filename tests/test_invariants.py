@@ -101,3 +101,34 @@ def test_large_trade_flag_rate(trades):
     # ~5% flagged by construction of the p95 threshold (volume is
     # integer-valued so ties can push the rate slightly under)
     assert per_symbol.filter((F.col("rate") > 0.08) | (F.col("rate") < 0.01)).count() == 0
+
+
+def test_kalman_gain_converges_to_riccati_fixed_point(spark):
+    import math
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.statespace import (
+        kalman_local_level,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (base + dt.timedelta(minutes=i), "TEST", 100.0 + (i % 7), f"K-{i:03d}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, symbol string, price double, trade_id string"
+    )
+    out = kalman_local_level(df, q=0.01, r=1.0, p_init=1.0).orderBy("time").collect()
+    # scalar Riccati fixed point: p* = (−q + sqrt(q² + 4qr))/2
+    q_, r_ = 0.01, 1.0
+    p_star = (-q_ + math.sqrt(q_ * q_ + 4 * q_ * r_)) / 2
+    k_star = (p_star + q_) / (p_star + q_ + r_)
+    assert out[0]["kf_gain"] is None
+    assert abs(out[0]["kf_var"] - 1.0) < 1e-12
+    assert abs(out[-1]["kf_gain"] - k_star) < 1e-9
+    assert abs(out[-1]["kf_var"] - p_star) < 1e-9
+    # gain decreases monotonically from the uncertain start
+    gains = [r["kf_gain"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    # filtered level stays inside the observed price envelope
+    assert all(100.0 <= r["kf_level"] <= 106.0 for r in out)
