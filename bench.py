@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "word_entropy_rate",
     "cross_source_copy_matrix",
     "almgren_chriss_schedule",
+    # session-7: state-space filtering, OHLC vol estimators
+    "kalman_level",
+    "yang_zhang_vol",
 ]
 
 
