@@ -14756,6 +14756,230 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Record-linkage candidate pairs — blocked entity resolution over
+# customers: equi-join on the blocking key (nation, segment), then
+# edit-distance verify inside blocks. The classic dedup/linkage shape:
+# blocking bounds the pair space (never an all-pairs nested loop),
+# levenshtein is a JVM built-in on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "entity_match_candidates",
+    oracle(
+        """
+c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       a.c_nationkey AS nationkey, a.c_mktsegment AS segment,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+       ROUND(1.0 - levenshtein(a.c_name, b.c_name)
+             / greatest(length(a.c_name), length(b.c_name)), 6) AS name_sim
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+    ),
+)
+def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage candidates with edit-distance verify.
+
+    Equi-join on the blocking key → shuffle partitions by
+    (nation, segment), pairs generated only within blocks (the n² is
+    bounded by the largest block, the standard linkage trade-off —
+    the same hot-key hazard the ngram path caps with a DF threshold;
+    at 100 TB add a block-size cap or a second blocking pass).
+    levenshtein evaluates inside whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("segment"),
+            lev.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - lev
+                / F.greatest(
+                    F.length("a.c_name"), F.length("b.c_name")
+                ),
+                6,
+            ).alias("name_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pastor–Stambaugh liquidity gamma (2003) — the return-reversal
+# regression: tomorrow's return on today's signed dollar volume; a
+# more negative slope = stronger price-pressure reversal = less
+# liquidity. Daily aggregation, slope as covariance ratio.
+# --------------------------------------------------------------------------
+@q(
+    "pastor_stambaugh_liquidity",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close,
+         sum(price * volume) AS dollar_vol
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret,
+         dollar_vol
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+x AS (
+  SELECT symbol,
+         sign(ret) * dollar_vol / 1000000.0 AS sv,
+         lead(ret) OVER (PARTITION BY symbol ORDER BY d) AS next_ret
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(covar_samp(sv, next_ret) / var_samp(sv), 6) AS ps_gamma,
+       ROUND(corr(sv, next_ret), 6) AS ps_corr
+FROM x WHERE next_ret IS NOT NULL AND sv IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 3
+"""
+    ),
+)
+def pastor_stambaugh_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bars in one hash aggregate, two lag/lead windows over the
+    |symbol × days| aggregate, slope = covar_samp/var_samp in one
+    final aggregate — nothing touches raw trades after the first agg.
+    Signed volume scaled to $M so the slope survives ROUND(,6)."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close"),
+        F.sum(F.col("price") * F.col("volume")).alias("dollar_vol"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev_close > 0),
+            F.log(F.col("close") / prev_close),
+        ).alias("ret"),
+        "dollar_vol",
+    )
+    x = (
+        r.filter(F.col("ret").isNotNull())
+        .select(
+            "symbol",
+            (
+                F.signum("ret") * F.col("dollar_vol") / 1000000.0
+            ).alias("sv"),
+            F.lead("ret").over(w).alias("next_ret"),
+        )
+        .filter(F.col("next_ret").isNotNull() & F.col("sv").isNotNull())
+    )
+    return x.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.covar_samp("sv", "next_ret") / F.var_samp("sv"), 6
+        ).alias("ps_gamma"),
+        F.round(F.corr("sv", "next_ret"), 6).alias("ps_corr"),
+    ).filter(F.col("n_days") >= 3)
+
+
+# --------------------------------------------------------------------------
+# Leverage effect + volatility clustering — the two canonical stylized
+# facts at minute resolution: corr(r_t, r²_{t+1}) (negative for
+# equities: down moves raise future variance) and corr(r²_t, r²_{t+1})
+# (volatility clusters).
+# --------------------------------------------------------------------------
+@q(
+    "leverage_effect",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+x AS (
+  SELECT symbol, ret,
+         lead(ret) OVER (PARTITION BY symbol ORDER BY bucket) AS next_ret
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(corr(ret, next_ret * next_ret), 6) AS leverage_corr,
+       ROUND(corr(ret * ret, next_ret * next_ret), 6) AS vol_cluster_corr
+FROM x WHERE next_ret IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-bar returns from the shared bars cache, one lead window
+    over the |symbol × minutes| aggregate, correlations in one final
+    aggregate."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev_close > 0),
+            F.log(F.col("close") / prev_close),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    x = r.select(
+        "symbol",
+        "ret",
+        F.lead("ret").over(w).alias("next_ret"),
+    ).filter(F.col("next_ret").isNotNull())
+    return x.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.corr("ret", F.col("next_ret") * F.col("next_ret")), 6
+        ).alias("leverage_corr"),
+        F.round(
+            F.corr(
+                F.col("ret") * F.col("ret"),
+                F.col("next_ret") * F.col("next_ret"),
+            ),
+            6,
+        ).alias("vol_cluster_corr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
