@@ -14980,6 +14980,161 @@ def leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LTTB-style chart downsampling (fixed-anchor variant) — one
+# visually-representative point per (symbol, 6h bucket): max triangle
+# area against neighboring buckets' average points. Complements M4
+# (which keeps 4 points/bucket); the sequential-anchor difference vs
+# Steinarsson 2013 is documented in operators/downsample.py.
+# --------------------------------------------------------------------------
+@q(
+    "lttb_downsample",
+    oracle(
+        """
+pts AS (
+  SELECT symbol, time, trade_id, price,
+         CAST(floor(epoch(time) / 21600) * 21600 AS BIGINT) AS b,
+         epoch(time) AS t
+  FROM trades
+),
+anch0 AS (
+  SELECT symbol, b, avg(t) AS at_, avg(price) AS ay FROM pts GROUP BY 1, 2
+),
+anch AS (
+  SELECT symbol, b,
+         lag(at_) OVER w AS tp, lag(ay) OVER w AS yp,
+         lead(at_) OVER w AS tn, lead(ay) OVER w AS yn
+  FROM anch0 WINDOW w AS (PARTITION BY symbol ORDER BY b)
+),
+j AS (
+  SELECT p.symbol, p.time, p.trade_id, p.price, p.b,
+         a.tp, a.tn,
+         0.5 * abs((a.tp - a.tn) * (p.price - a.yp)
+                   - (a.tp - p.t) * (a.yn - a.yp)) AS area
+  FROM pts p JOIN anch a ON p.symbol = a.symbol AND p.b = a.b
+),
+mid AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, b
+             ORDER BY area DESC, time, trade_id) AS rn
+  FROM j WHERE tp IS NOT NULL AND tn IS NOT NULL
+),
+fst AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, b
+             ORDER BY time, trade_id) AS rn
+  FROM j WHERE tp IS NULL
+),
+lst AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, b
+             ORDER BY time DESC, trade_id DESC) AS rn
+  FROM j WHERE tp IS NOT NULL AND tn IS NULL
+)
+SELECT to_timestamp(b)::TIMESTAMP AS bucket, symbol, time, trade_id,
+       ROUND(price, 6) AS price, 'area' AS rule FROM mid WHERE rn = 1
+UNION ALL
+SELECT to_timestamp(b)::TIMESTAMP, symbol, time, trade_id,
+       ROUND(price, 6), 'first' FROM fst WHERE rn = 1
+UNION ALL
+SELECT to_timestamp(b)::TIMESTAMP, symbol, time, trade_id,
+       ROUND(price, 6), 'last' FROM lst WHERE rn = 1
+"""
+    ),
+)
+def lttb_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/downsample.py lttb_downsample — anchor aggregate +
+    lag/lead windows + equi-join back to points + one row_number per
+    bucket. All partial-agg/window passes run over bucket aggregates
+    or bucket-partitioned points; no all-pairs anything."""
+    import open_source_financial_time_series_data_pipeline_architecture_spark.operators.downsample as DS
+
+    return DS.lttb_downsample(_trades(spark, sf_dir), bucket_seconds=21600)
+
+
+# --------------------------------------------------------------------------
+# Donchian + Keltner channels — the 20-bar breakout envelope (max
+# high / min low) and the SMA ± 2·ATR volatility envelope, per
+# (symbol, minute bar). Rounds out the TA family (bollinger, macd,
+# rsi, atr, stochastic, obv are already registered).
+# --------------------------------------------------------------------------
+@q(
+    "channel_indicators",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    max(price) AS high, min(price) AS low,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+tr AS (
+  SELECT symbol, bucket, high, low, close,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS true_range
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, bucket,
+       ROUND(max(high) OVER w20, 6) AS donchian_high,
+       ROUND(min(low) OVER w20, 6) AS donchian_low,
+       ROUND((max(high) OVER w20 + min(low) OVER w20) / 2.0, 6)
+           AS donchian_mid,
+       ROUND(avg(close) OVER w20, 6) AS keltner_mid,
+       ROUND(avg(close) OVER w20 + 2.0 * avg(true_range) OVER w20, 6)
+           AS keltner_upper,
+       ROUND(avg(close) OVER w20 - 2.0 * avg(true_range) OVER w20, 6)
+           AS keltner_lower
+FROM tr
+WINDOW w20 AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def channel_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two window layers over the shared 1m-bars cache: lag for the
+    true range, then one 20-bar trailing frame computing all six
+    envelope columns in a single window pass (same frame → one sort,
+    one physical Window operator)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w)
+    tr = bars.select(
+        "symbol",
+        "bucket",
+        "high",
+        "low",
+        "close",
+        F.when(
+            prev_close.isNull(), F.col("high") - F.col("low")
+        )
+        .otherwise(
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - prev_close),
+                F.abs(F.col("low") - prev_close),
+            )
+        )
+        .alias("true_range"),
+    )
+    w20 = w.rowsBetween(-19, 0)
+    dh = F.max("high").over(w20)
+    dl = F.min("low").over(w20)
+    km = F.avg("close").over(w20)
+    katr = F.avg("true_range").over(w20)
+    return tr.select(
+        "symbol",
+        "bucket",
+        F.round(dh, 6).alias("donchian_high"),
+        F.round(dl, 6).alias("donchian_low"),
+        F.round((dh + dl) / 2.0, 6).alias("donchian_mid"),
+        F.round(km, 6).alias("keltner_mid"),
+        F.round(km + 2.0 * katr, 6).alias("keltner_upper"),
+        F.round(km - 2.0 * katr, 6).alias("keltner_lower"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -21,7 +21,7 @@ pick the earliest (time, trade_id) point on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,3 +65,108 @@ def m4_downsample(
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket_seconds: int = 21600,
+    key: str = "symbol",
+    time_col: str = "time",
+    value_col: str = "price",
+    tiebreak: str = "trade_id",
+) -> DataFrame:
+    """LTTB-style downsampling, fixed-anchor variant: one point per
+    (key, bucket), chosen to maximize the triangle area against the
+    neighboring buckets' average points.
+
+    True LTTB (Steinarsson 2013) anchors the triangle on the
+    *previously selected* point — a sequential dependency that would
+    force a per-key recurrence. This variant anchors on the previous
+    bucket's AVERAGE point instead (both neighbors symmetric), which
+    removes the recurrence while keeping the visual property that
+    selected points track extremes relative to the local trend; the
+    difference from sequential LTTB is documented, not hidden.
+
+    Plan: one hash aggregate builds per-bucket anchor averages
+    (partial-agg friendly), lag/lead windows over the |key × buckets|
+    aggregate attach neighbor anchors, an equi-join maps each raw
+    point to its bucket's anchors, and one row_number window per
+    (key, bucket) picks the max-area point — (area DESC, time, tie)
+    ordering, deterministic. First/last buckets per key (no neighbor
+    anchor) keep their first/last point, matching LTTB's endpoint
+    rule. Empty buckets simply don't appear; their neighbors anchor
+    across the gap, the standard irregular-sampling behavior.
+    """
+    t = F.col(time_col).cast("double")
+    bexp = (F.floor(t / bucket_seconds) * bucket_seconds).cast("long")
+    pts = df.select(
+        F.col(key),
+        F.col(time_col),
+        F.col(tiebreak),
+        F.col(value_col),
+        bexp.alias("_b"),
+        t.alias("_t"),
+    )
+    anch = pts.groupBy(key, "_b").agg(
+        F.avg("_t").alias("_at"), F.avg(value_col).alias("_ay")
+    )
+    wk = Window.partitionBy(key).orderBy("_b")
+    anch = anch.select(
+        key,
+        "_b",
+        F.lag("_at").over(wk).alias("_tp"),
+        F.lag("_ay").over(wk).alias("_yp"),
+        F.lead("_at").over(wk).alias("_tn"),
+        F.lead("_ay").over(wk).alias("_yn"),
+    )
+    j = pts.join(anch, [key, "_b"])
+    area = 0.5 * F.abs(
+        (F.col("_tp") - F.col("_tn")) * (F.col(value_col) - F.col("_yp"))
+        - (F.col("_tp") - F.col("_t")) * (F.col("_yn") - F.col("_yp"))
+    )
+    j = j.withColumn("_area", area)
+    wb = Window.partitionBy(key, "_b")
+    mid = (
+        j.filter(F.col("_tp").isNotNull() & F.col("_tn").isNotNull())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                wb.orderBy(
+                    F.col("_area").desc(), F.col(time_col), F.col(tiebreak)
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("rule", F.lit("area"))
+    )
+    first = (
+        j.filter(F.col("_tp").isNull())
+        .withColumn(
+            "_rn",
+            F.row_number().over(wb.orderBy(F.col(time_col), F.col(tiebreak))),
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("rule", F.lit("first"))
+    )
+    last = (
+        j.filter(F.col("_tp").isNotNull() & F.col("_tn").isNull())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                wb.orderBy(F.col(time_col).desc(), F.col(tiebreak).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .withColumn("rule", F.lit("last"))
+    )
+    out_cols = [
+        F.timestamp_seconds(F.col("_b")).alias("bucket"),
+        F.col(key),
+        F.col(time_col),
+        F.col(tiebreak),
+        F.round(F.col(value_col), 6).alias(value_col),
+        F.col("rule"),
+    ]
+    return mid.select(*out_cols).unionByName(
+        first.select(*out_cols)
+    ).unionByName(last.select(*out_cols))
