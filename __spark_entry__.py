@@ -15135,6 +15135,206 @@ def channel_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals — distribution-free error bars
+# for the persistence forecast: calibrate the 90% absolute-residual
+# quantile on the first 70% of minute bars, then measure empirical
+# coverage on the held-out tail. The finite-sample-valid interval the
+# forecast_backtest_mae point metric lacks.
+# --------------------------------------------------------------------------
+@q(
+    "conformal_interval_coverage",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+e AS (
+  SELECT symbol, bucket,
+         abs(close - lag(close) OVER w) AS abs_err,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+split AS (
+  SELECT symbol, abs_err,
+         CASE WHEN rn <= CAST(floor(0.7 * n) AS BIGINT)
+              THEN 'cal' ELSE 'test' END AS part
+  FROM e WHERE abs_err IS NOT NULL
+),
+qhat AS (
+  SELECT symbol, quantile_cont(abs_err, 0.9) AS q90
+  FROM split WHERE part = 'cal' GROUP BY 1
+)
+SELECT s.symbol,
+       CAST(count(CASE WHEN s.part = 'cal' THEN 1 END) AS BIGINT) AS n_cal,
+       CAST(count(CASE WHEN s.part = 'test' THEN 1 END) AS BIGINT) AS n_test,
+       ROUND(max(q.q90), 6) AS q90_residual,
+       ROUND(avg(CASE WHEN s.part = 'test' THEN
+                 CASE WHEN s.abs_err <= q.q90 THEN 1.0 ELSE 0.0 END END), 6)
+           AS test_coverage
+FROM split s JOIN qhat q ON s.symbol = q.symbol
+GROUP BY 1
+"""
+    ),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window pass over the shared bars cache (residual + row rank
+    + per-symbol count share a partition sort), a |symbols|-row
+    calibration-quantile aggregate broadcast back onto the residual
+    stream, one final aggregate. The quantile table is tiny at any
+    scale — classic broadcast-dimension shape."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    e = bars.select(
+        "symbol",
+        F.abs(F.col("close") - F.lag("close").over(w)).alias("abs_err"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("symbol"))
+        .alias("n"),
+    ).filter(F.col("abs_err").isNotNull())
+    split = e.select(
+        "symbol",
+        "abs_err",
+        F.when(
+            F.col("rn") <= F.floor(0.7 * F.col("n")).cast("bigint"),
+            F.lit("cal"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("part"),
+    )
+    qhat = (
+        split.filter(F.col("part") == "cal")
+        .groupBy("symbol")
+        .agg(F.percentile("abs_err", F.lit(0.9)).alias("q90"))
+    )
+    joined = split.join(F.broadcast(qhat), "symbol")
+    return joined.groupBy("symbol").agg(
+        F.count(F.when(F.col("part") == "cal", 1))
+        .cast("bigint")
+        .alias("n_cal"),
+        F.count(F.when(F.col("part") == "test", 1))
+        .cast("bigint")
+        .alias("n_test"),
+        F.round(F.max("q90"), 6).alias("q90_residual"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("part") == "test",
+                    F.when(
+                        F.col("abs_err") <= F.col("q90"), 1.0
+                    ).otherwise(0.0),
+                )
+            ),
+            6,
+        ).alias("test_coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Complexity-invariant distance (CID, Batista 2011) between symbol
+# pairs — Euclidean distance on aligned minute closes, corrected by
+# the ratio of the series' complexities (root-sum-squared first
+# differences), so a jagged series isn't judged "close" to a smooth
+# one just because their levels overlap.
+# --------------------------------------------------------------------------
+@q(
+    "cid_similarity",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.bucket,
+         a.close AS ca, b.close AS cb
+  FROM bars a JOIN bars b
+    ON a.bucket = b.bucket AND a.symbol < b.symbol
+),
+d AS (
+  SELECT symbol_a, symbol_b, ca, cb,
+         ca - lag(ca) OVER w AS da,
+         cb - lag(cb) OVER w AS db
+  FROM pairs
+  WINDOW w AS (PARTITION BY symbol_a, symbol_b ORDER BY bucket)
+),
+agg AS (
+  SELECT symbol_a, symbol_b,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         sqrt(sum((ca - cb) * (ca - cb))) AS ed,
+         sqrt(sum(da * da)) AS ce_a,
+         sqrt(sum(db * db)) AS ce_b
+  FROM d GROUP BY 1, 2
+)
+SELECT symbol_a, symbol_b, n_matched,
+       ROUND(ed, 6) AS euclidean_dist,
+       ROUND(CASE WHEN least(ce_a, ce_b) > 0
+             THEN ed * greatest(ce_a, ce_b) / least(ce_a, ce_b) END, 6)
+           AS cid_dist
+FROM agg
+"""
+    ),
+)
+def cid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-aligned pair join over the shared bars cache (the
+    pairwise_cointegration shape — pair space bounded by the symbol
+    universe, join is an equi-join on bucket), one lag window per
+    pair, one distance aggregate. sum() skips NULL first-difference
+    rows on both engines identically."""
+    bars = _bars60(spark, sf_dir).select("symbol", "bucket", "close")
+    a = bars.alias("a")
+    b = bars.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.close").alias("ca"),
+        F.col("b.close").alias("cb"),
+    )
+    wp = Window.partitionBy("symbol_a", "symbol_b").orderBy("bucket")
+    d = pairs.select(
+        "symbol_a",
+        "symbol_b",
+        "ca",
+        "cb",
+        (F.col("ca") - F.lag("ca").over(wp)).alias("da"),
+        (F.col("cb") - F.lag("cb").over(wp)).alias("db"),
+    )
+    agg = d.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sqrt(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+        ).alias("ed"),
+        F.sqrt(F.sum(F.col("da") * F.col("da"))).alias("ce_a"),
+        F.sqrt(F.sum(F.col("db") * F.col("db"))).alias("ce_b"),
+    )
+    ce_min = F.least("ce_a", "ce_b")
+    ce_max = F.greatest("ce_a", "ce_b")
+    return agg.select(
+        "symbol_a",
+        "symbol_b",
+        "n_matched",
+        F.round("ed", 6).alias("euclidean_dist"),
+        F.round(
+            F.when(ce_min > 0, F.col("ed") * ce_max / ce_min), 6
+        ).alias("cid_dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
