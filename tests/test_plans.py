@@ -705,3 +705,46 @@ def test_ic_decay_single_window_stack(spark):
     # signal + three forward horizons from one window; stack is local
     df = em.QUERIES["ic_decay"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_kalman_single_shuffle(spark):
+    # one symbol shuffle for the applyInPandas recurrence, nothing else
+    df = em.QUERIES["kalman_level"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 1, PL.physical_plan(df)
+    PL.assert_no_cartesian(df)
+
+
+def test_pareto_frontier_no_join(spark):
+    # skyline via aggregate + running-min window: no self-join of parts
+    df = em.QUERIES["pareto_frontier_parts"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_entity_match_is_blocked_equi_join(spark):
+    # blocking key must make this a hash/sort-merge equi-join — an
+    # all-pairs BroadcastNestedLoopJoin would be the n² anti-pattern
+    df = em.QUERIES["entity_match_candidates"](spark, SF_SMOKE)
+    PL.assert_no_cartesian(df)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_channel_indicators_single_window_sort(spark):
+    # lag layer + 20-row frame share the (symbol, bucket) sort: the
+    # only exchanges are the bars aggregate and the window partition
+    df = em.QUERIES["channel_indicators"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_conformal_broadcasts_quantiles(spark):
+    # the |symbols|-row calibration-quantile table is broadcast back
+    df = em.QUERIES["conformal_interval_coverage"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
+
+
+def test_yang_zhang_windows_over_daily_aggregate(spark):
+    # raw trades are touched by exactly one aggregate; the lag window
+    # and variance agg run over |symbol×days| rows
+    df = em.QUERIES["yang_zhang_vol"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
