@@ -15335,6 +15335,306 @@ def cid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Avellaneda–Stoikov market-making quotes (2008) — closed-form
+# reservation-price offset and optimal spread per (symbol, inventory
+# level), parameterized by the measured minute-return variance. The
+# quoting-side complement to almgren_chriss_schedule's execution side.
+# --------------------------------------------------------------------------
+@q(
+    "avellaneda_stoikov_quotes",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+sig AS (
+  SELECT symbol, var_samp(ret) AS var_min
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+),
+grid AS (SELECT unnest(range(-5, 6)) AS inv)
+SELECT s.symbol, CAST(g.inv AS BIGINT) AS inventory,
+       ROUND(s.var_min * 1440.0, 6) AS var_daily,
+       ROUND(-g.inv * 0.1 * (s.var_min * 1440.0), 6) AS reservation_offset,
+       ROUND(0.1 * (s.var_min * 1440.0)
+             + (2.0 / 0.1) * ln(1.0 + 0.1 / 1.5), 6) AS optimal_spread,
+       ROUND(-g.inv * 0.1 * (s.var_min * 1440.0)
+             - (0.1 * (s.var_min * 1440.0)
+                + (2.0 / 0.1) * ln(1.0 + 0.1 / 1.5)) / 2.0, 6) AS bid_offset,
+       ROUND(-g.inv * 0.1 * (s.var_min * 1440.0)
+             + (0.1 * (s.var_min * 1440.0)
+                + (2.0 / 0.1) * ln(1.0 + 0.1 / 1.5)) / 2.0, 6) AS ask_offset
+FROM sig s CROSS JOIN grid g
+"""
+    ),
+)
+def avellaneda_stoikov_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """γ=0.1, arrival k=1.5, τ=1 day (variance scaled minute→daily).
+
+    One variance aggregate over bar returns → |symbols| rows; the
+    11-level inventory grid is a literal broadcast cross join (the
+    only acceptable cross join: one side is a constant grid). All
+    quote columns are closed-form expressions, fully codegen."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    sig = (
+        r.groupBy("symbol")
+        .agg(
+            F.var_samp("ret").alias("var_min"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    grid = sig.sparkSession.range(-5, 6).select(
+        F.col("id").cast("bigint").alias("inventory")
+    )
+    vd = F.col("var_min") * 1440.0
+    gamma, karr = 0.1, 1.5
+    spread = gamma * vd + (2.0 / gamma) * F.log(
+        F.lit(1.0 + gamma / karr)
+    )
+    res = -F.col("inventory") * gamma * vd
+    return sig.crossJoin(F.broadcast(grid)).select(
+        "symbol",
+        "inventory",
+        F.round(vd, 6).alias("var_daily"),
+        F.round(res, 6).alias("reservation_offset"),
+        F.round(spread, 6).alias("optimal_spread"),
+        F.round(res - spread / 2.0, 6).alias("bid_offset"),
+        F.round(res + spread / 2.0, 6).alias("ask_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week effect ANOVA — one-way F-test of minute returns across
+# ISO weekdays per symbol: the calendar-anomaly screen
+# (intraday_seasonality covers hour-of-day; this covers day-of-week
+# with a proper between/within variance decomposition).
+# --------------------------------------------------------------------------
+@q(
+    "dow_effect_anova",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, isodow(bucket) AS dow,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol, dow,
+         CAST(count(*) AS BIGINT) AS n_g,
+         avg(ret) AS mean_g,
+         var_samp(ret) AS var_g
+  FROM r WHERE ret IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT symbol, dow, n_g, mean_g, var_g,
+         sum(n_g) OVER (PARTITION BY symbol) AS n,
+         sum(n_g * mean_g) OVER (PARTITION BY symbol)
+           / sum(n_g) OVER (PARTITION BY symbol) AS grand_mean,
+         count(*) OVER (PARTITION BY symbol) AS k
+  FROM g
+)
+SELECT symbol,
+       CAST(max(k) AS BIGINT) AS k_groups,
+       CAST(max(n) AS BIGINT) AS n_obs,
+       ROUND((sum(n_g * (mean_g - grand_mean) * (mean_g - grand_mean))
+                / (max(k) - 1.0))
+             / (sum((n_g - 1.0) * var_g) / (max(n) - max(k))), 6) AS f_stat,
+       ROUND(sum(n_g * (mean_g - grand_mean) * (mean_g - grand_mean))
+             / (sum(n_g * (mean_g - grand_mean) * (mean_g - grand_mean))
+                + sum((n_g - 1.0) * var_g)), 6) AS eta_squared
+FROM c GROUP BY 1
+"""
+    ),
+)
+def dow_effect_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw bars hit one (symbol, dow) moment aggregate; grand mean and
+    group count come from windows over that ≤7-row-per-symbol
+    aggregate (partitioned on the same key as the final groupBy — one
+    exchange); F and η² combine in one final aggregate."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    iso_dow = ((F.dayofweek("bucket") + 5) % 7) + 1
+    r = bars.select(
+        "symbol",
+        iso_dow.alias("dow"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    g = r.groupBy("symbol", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.avg("ret").alias("mean_g"),
+        F.var_samp("ret").alias("var_g"),
+    )
+    ws = Window.partitionBy("symbol")
+    c = g.select(
+        "symbol",
+        "n_g",
+        "mean_g",
+        "var_g",
+        F.sum("n_g").over(ws).alias("n"),
+        (
+            F.sum(F.col("n_g") * F.col("mean_g")).over(ws)
+            / F.sum("n_g").over(ws)
+        ).alias("grand_mean"),
+        F.count(F.lit(1)).over(ws).alias("k"),
+    )
+    dm = F.col("mean_g") - F.col("grand_mean")
+    ssb = F.sum(F.col("n_g") * dm * dm)
+    ssw = F.sum((F.col("n_g") - 1.0) * F.col("var_g"))
+    return c.groupBy("symbol").agg(
+        F.max("k").cast("bigint").alias("k_groups"),
+        F.max("n").cast("bigint").alias("n_obs"),
+        F.round(
+            (ssb / (F.max("k") - 1.0))
+            / (ssw / (F.max("n") - F.max("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS) —
+# per-document selected k-gram hashes via sliding-window minimum:
+# guarantees any shared substring of length ≥ w+k−1 shares a
+# fingerprint, at expected density 2/(w+1). Leftmost-minimum tie rule
+# (struct-min on (hash, pos)) on both engines; standard winnowing
+# takes the rightmost — documented deviation, same guarantee.
+# --------------------------------------------------------------------------
+@q(
+    "winnowing_fingerprints",
+    oracle(
+        """
+docs AS (
+  SELECT doc_id, lower(text) AS t, length(text) AS len
+  FROM documents WHERE length(text) >= 8
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len - 8 + 2)) AS pos,
+         len
+  FROM docs
+),
+hashed AS (
+  SELECT g.doc_id, g.pos, md5(substr(d.t, CAST(g.pos AS INT), 8)) AS h
+  FROM grams g JOIN docs d ON g.doc_id = d.doc_id
+),
+sel AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS wn,
+         min(struct_pack(h := h, pos := pos)) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+  FROM hashed
+),
+fp AS (
+  SELECT DISTINCT doc_id, n_kgrams, m.pos AS fp_pos, m.h AS fp_hash
+  FROM sel WHERE wn >= 10
+)
+SELECT doc_id,
+       CAST(max(n_kgrams) AS BIGINT) AS n_kgrams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       ROUND(count(*) * 1.0 / max(n_kgrams), 6) AS density
+FROM fp GROUP BY 1
+"""
+    ),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 char-grams, window w=10.
+
+    Position explode via sequence() (no driver loop), md5 per gram
+    (JVM built-in), ONE sliding struct-min window per doc (bounded
+    9-PRECEDING trailing frame — O(n·w), never a growing following
+    frame), distinct on the selected (pos, hash), one count
+    aggregate. At 100 TB the k-gram explode is the dominant row
+    expansion (×|chars|) — winnowing exists precisely to reduce that
+    stream to ~2/(w+1) density before any cross-doc comparison."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.lower(F.col("text")).alias("t"),
+            F.length("text").alias("len"),
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.col("len") - 8 + 1)
+        ).alias("pos"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.md5(F.substring(F.col("t"), F.col("pos"), F.lit(8))).alias("h"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    sel = hashed.select(
+        "doc_id",
+        F.row_number().over(wd).alias("wn"),
+        F.min(F.struct(F.col("h"), F.col("pos")))
+        .over(wd.rowsBetween(-9, 0))
+        .alias("m"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n_kgrams"),
+    )
+    fp = (
+        sel.filter(F.col("wn") >= 10)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.col("m.pos").alias("fp_pos"),
+            F.col("m.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.max("n_kgrams").cast("bigint").alias("n_kgrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.max("n_kgrams"), 6
+        ).alias("density"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
