@@ -15635,6 +15635,306 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Parent-order reconstruction — surveillance-style order-splitting
+# detection: consecutive same-(symbol, side) trades with inter-trade
+# gap < 60 s are grouped into one inferred parent order
+# (gaps-and-islands), then sized. Only multi-child parents surface.
+# --------------------------------------------------------------------------
+@q(
+    "parent_order_reconstruction",
+    oracle(
+        """
+s AS (
+  SELECT symbol, side, time, trade_id, price, volume,
+         epoch(time) AS t,
+         CASE WHEN epoch(time) - epoch(lag(time) OVER w) < 60
+              THEN 0 ELSE 1 END AS new_parent
+  FROM trades WHERE side IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol, side ORDER BY time, trade_id)
+),
+g AS (
+  SELECT symbol, side, time, price, volume, t,
+         sum(new_parent) OVER (PARTITION BY symbol, side
+                               ORDER BY time, trade_id) AS parent_id
+  FROM s
+),
+p AS (
+  SELECT symbol, side, parent_id,
+         CAST(count(*) AS BIGINT) AS n_child,
+         ROUND(sum(volume), 6) AS total_volume,
+         ROUND(max(t) - min(t), 6) AS duration_s,
+         ROUND(sum(price * volume) / sum(volume), 6) AS parent_vwap
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT symbol, side, CAST(parent_id AS BIGINT) AS parent_id,
+       n_child, total_volume, duration_s, parent_vwap
+FROM p WHERE n_child >= 2
+"""
+    ),
+)
+def parent_order_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on one (symbol, side) sort: lag marks parent
+    breaks, running sum assigns parent ids, one hash aggregate sizes
+    each parent. Same one-shuffle plan family as user_sessionization;
+    60 s child gap, first trade of a key always starts a parent
+    (NULL lag ⇒ new_parent=1 on both sides)."""
+    t = _trades(spark, sf_dir).filter(F.col("side").isNotNull())
+    wk = Window.partitionBy("symbol", "side").orderBy("time", "trade_id")
+    ts = F.col("time").cast("double")
+    s = t.select(
+        "symbol",
+        "side",
+        "time",
+        "trade_id",
+        "price",
+        "volume",
+        ts.alias("t"),
+        F.when(
+            ts - F.lag(ts).over(wk) < 60, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("new_parent"),
+    )
+    g = s.withColumn(
+        "parent_id",
+        F.sum("new_parent").over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    p = g.groupBy("symbol", "side", "parent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        F.round(F.sum("volume"), 6).alias("total_volume"),
+        F.round(F.max("t") - F.min("t"), 6).alias("duration_s"),
+        F.round(
+            F.sum(F.col("price") * F.col("volume")) / F.sum("volume"), 6
+        ).alias("parent_vwap"),
+    )
+    return p.filter(F.col("n_child") >= 2).select(
+        "symbol",
+        "side",
+        F.col("parent_id").cast("bigint").alias("parent_id"),
+        "n_child",
+        "total_volume",
+        "duration_s",
+        "parent_vwap",
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation per symbol pair — the Gaussian-copula /
+# robust complement to symbol_minute_correlation's Pearson: rank the
+# aligned minute returns per (pair, side) and correlate the ranks.
+# Average-rank (fractional) ties so the statistic is exact.
+# --------------------------------------------------------------------------
+@q(
+    "spearman_rank_corr",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pairs AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.bucket,
+         a.ret AS ra, b.ret AS rb
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+),
+ranked AS (
+  SELECT symbol_a, symbol_b,
+         avg(rank_a * 1.0) OVER (PARTITION BY symbol_a, symbol_b, ra) AS fr_a,
+         avg(rank_b * 1.0) OVER (PARTITION BY symbol_a, symbol_b, rb) AS fr_b
+  FROM (
+    SELECT symbol_a, symbol_b, ra, rb,
+           row_number() OVER (PARTITION BY symbol_a, symbol_b
+                              ORDER BY ra, bucket) AS rank_a,
+           row_number() OVER (PARTITION BY symbol_a, symbol_b
+                              ORDER BY rb, bucket) AS rank_b
+    FROM pairs
+  )
+)
+SELECT symbol_a, symbol_b,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       ROUND(corr(fr_a, fr_b), 6) AS spearman_rho
+FROM ranked GROUP BY 1, 2
+"""
+    ),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-aligned pair join over bar returns, fractional ranks via
+    row_number + average-over-equal-values windows (tie-exact on both
+    engines), Pearson corr of the ranks = Spearman ρ. All rank
+    windows partition by the pair key — the sorts run over the
+    already-joined |pairs × buckets| relation, never raw trades."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.ret").alias("ra"),
+        F.col("b.ret").alias("rb"),
+    )
+    wp = Window.partitionBy("symbol_a", "symbol_b")
+    ranked = pairs.select(
+        "symbol_a",
+        "symbol_b",
+        "ra",
+        "rb",
+        F.row_number()
+        .over(wp.orderBy("ra", "bucket"))
+        .alias("rank_a"),
+        F.row_number()
+        .over(wp.orderBy("rb", "bucket"))
+        .alias("rank_b"),
+    )
+    fr = ranked.select(
+        "symbol_a",
+        "symbol_b",
+        F.avg(F.col("rank_a") * 1.0)
+        .over(Window.partitionBy("symbol_a", "symbol_b", "ra"))
+        .alias("fr_a"),
+        F.avg(F.col("rank_b") * 1.0)
+        .over(Window.partitionBy("symbol_a", "symbol_b", "rb"))
+        .alias("fr_b"),
+    )
+    return fr.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(F.corr("fr_a", "fr_b"), 6).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between return signs per symbol pair — the
+# nonlinear-dependence screen Pearson/Spearman miss: MI of the 2×2
+# up/down joint distribution, in nats.
+# --------------------------------------------------------------------------
+@q(
+    "return_sign_mutual_info",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pairs AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         CASE WHEN a.ret > 0 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN b.ret > 0 THEN 1 ELSE 0 END AS sb
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+),
+joint AS (
+  SELECT symbol_a, symbol_b, sa, sb,
+         count(*) * 1.0 AS n_xy,
+         sum(count(*)) OVER (PARTITION BY symbol_a, symbol_b) * 1.0 AS n,
+         sum(count(*)) OVER (PARTITION BY symbol_a, symbol_b, sa) * 1.0 AS n_x,
+         sum(count(*)) OVER (PARTITION BY symbol_a, symbol_b, sb) * 1.0 AS n_y
+  FROM pairs GROUP BY 1, 2, 3, 4
+)
+SELECT symbol_a, symbol_b,
+       CAST(max(n) AS BIGINT) AS n_matched,
+       ROUND(sum((n_xy / n) * ln(n_xy * n / (n_x * n_y))), 6) AS mi_nats
+FROM joint GROUP BY 1, 2
+"""
+    ),
+)
+def return_sign_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pair join on bar buckets, one hash aggregate to the ≤4-row
+    joint distribution per pair, marginals via windows over that
+    aggregate (same-key partitions — shared exchange), MI in one
+    final aggregate. Zero cells simply don't appear (count>0 ⇒ no
+    log-of-zero on either engine)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.when(F.col("a.ret") > 0, 1).otherwise(0).alias("sa"),
+        F.when(F.col("b.ret") > 0, 1).otherwise(0).alias("sb"),
+    )
+    joint = pairs.groupBy("symbol_a", "symbol_b", "sa", "sb").agg(
+        (F.count(F.lit(1)) * 1.0).alias("n_xy")
+    )
+    wp = Window.partitionBy("symbol_a", "symbol_b")
+    joint = joint.select(
+        "symbol_a",
+        "symbol_b",
+        "n_xy",
+        F.sum("n_xy").over(wp).alias("n"),
+        F.sum("n_xy")
+        .over(Window.partitionBy("symbol_a", "symbol_b", "sa"))
+        .alias("n_x"),
+        F.sum("n_xy")
+        .over(Window.partitionBy("symbol_a", "symbol_b", "sb"))
+        .alias("n_y"),
+    )
+    return joint.groupBy("symbol_a", "symbol_b").agg(
+        F.max("n").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(
+                (F.col("n_xy") / F.col("n"))
+                * F.log(
+                    F.col("n_xy") * F.col("n")
+                    / (F.col("n_x") * F.col("n_y"))
+                )
+            ),
+            6,
+        ).alias("mi_nats"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
