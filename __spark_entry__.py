@@ -15935,6 +15935,187 @@ def return_sign_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Two-component Gaussian mixture EM on minute returns — 3 fixed EM
+# iterations per symbol with deterministic quantile init: the
+# regime-mixture estimator (calm/volatile decomposition) as a purely
+# declarative DAG. Each iteration = one broadcast param join + one
+# moment aggregate; the oracle replays the identical 3 iterations as
+# a CTE chain. 1/√(2π) cancels inside the responsibilities and is
+# kept only in the log-likelihood (same literal both sides).
+# --------------------------------------------------------------------------
+_GMM_SQL = """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS x
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+xs AS (SELECT symbol, x FROM r WHERE x IS NOT NULL),
+p0 AS (
+  SELECT symbol,
+         quantile_cont(x, 0.25) AS mu1, quantile_cont(x, 0.75) AS mu2,
+         stddev_samp(x) AS s1, stddev_samp(x) AS s2,
+         0.5 AS pi2
+  FROM xs GROUP BY 1 HAVING count(*) >= 10 AND stddev_samp(x) > 0
+),
+e1 AS (
+  SELECT xs.symbol, xs.x, p.mu1, p.mu2, p.s1, p.s2, p.pi2,
+         (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))
+         / ((1.0 - p.pi2) / p.s1 * exp(-(xs.x - p.mu1) * (xs.x - p.mu1) / (2.0 * p.s1 * p.s1))
+            + (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))) AS g2
+  FROM xs JOIN p0 p ON xs.symbol = p.symbol
+),
+p1 AS (
+  SELECT symbol,
+         sum((1.0 - g2) * x) / sum(1.0 - g2) AS mu1,
+         sum(g2 * x) / sum(g2) AS mu2,
+         sqrt(sum((1.0 - g2) * x * x) / sum(1.0 - g2)
+              - (sum((1.0 - g2) * x) / sum(1.0 - g2)) * (sum((1.0 - g2) * x) / sum(1.0 - g2))) AS s1,
+         sqrt(sum(g2 * x * x) / sum(g2)
+              - (sum(g2 * x) / sum(g2)) * (sum(g2 * x) / sum(g2))) AS s2,
+         avg(g2) AS pi2
+  FROM e1 GROUP BY 1
+),
+e2 AS (
+  SELECT xs.symbol, xs.x, p.mu1, p.mu2, p.s1, p.s2, p.pi2,
+         (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))
+         / ((1.0 - p.pi2) / p.s1 * exp(-(xs.x - p.mu1) * (xs.x - p.mu1) / (2.0 * p.s1 * p.s1))
+            + (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))) AS g2
+  FROM xs JOIN p1 p ON xs.symbol = p.symbol
+),
+p2 AS (
+  SELECT symbol,
+         sum((1.0 - g2) * x) / sum(1.0 - g2) AS mu1,
+         sum(g2 * x) / sum(g2) AS mu2,
+         sqrt(sum((1.0 - g2) * x * x) / sum(1.0 - g2)
+              - (sum((1.0 - g2) * x) / sum(1.0 - g2)) * (sum((1.0 - g2) * x) / sum(1.0 - g2))) AS s1,
+         sqrt(sum(g2 * x * x) / sum(g2)
+              - (sum(g2 * x) / sum(g2)) * (sum(g2 * x) / sum(g2))) AS s2,
+         avg(g2) AS pi2
+  FROM e2 GROUP BY 1
+),
+e3 AS (
+  SELECT xs.symbol, xs.x, p.mu1, p.mu2, p.s1, p.s2, p.pi2,
+         (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))
+         / ((1.0 - p.pi2) / p.s1 * exp(-(xs.x - p.mu1) * (xs.x - p.mu1) / (2.0 * p.s1 * p.s1))
+            + (p.pi2 / p.s2) * exp(-(xs.x - p.mu2) * (xs.x - p.mu2) / (2.0 * p.s2 * p.s2))) AS g2
+  FROM xs JOIN p2 p ON xs.symbol = p.symbol
+),
+p3 AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         sum((1.0 - g2) * x) / sum(1.0 - g2) AS mu1,
+         sum(g2 * x) / sum(g2) AS mu2,
+         sqrt(sum((1.0 - g2) * x * x) / sum(1.0 - g2)
+              - (sum((1.0 - g2) * x) / sum(1.0 - g2)) * (sum((1.0 - g2) * x) / sum(1.0 - g2))) AS s1,
+         sqrt(sum(g2 * x * x) / sum(g2)
+              - (sum(g2 * x) / sum(g2)) * (sum(g2 * x) / sum(g2))) AS s2,
+         avg(g2) AS pi2
+  FROM e3 GROUP BY 1
+)
+SELECT symbol, n_obs,
+       ROUND(pi2, 6) AS pi_volatile,
+       ROUND(mu1, 6) AS mu_calm, ROUND(mu2, 6) AS mu_volatile,
+       ROUND(s1, 6) AS sigma_calm, ROUND(s2, 6) AS sigma_volatile
+FROM p3
+"""
+
+
+@q("gaussian_mixture_em", oracle(_GMM_SQL))
+def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 EM iterations, built as a Python loop over DataFrame
+    transforms — each iteration joins the broadcast |symbols|-row
+    parameter table onto the cached return stream and reduces to new
+    parameters in ONE moment aggregate (σ via E[x²]−μ² so mean and
+    variance come from the same pass). No collect between iterations:
+    the driver only assembles the plan; at 100 TB each iteration is
+    one scan of the (cached) returns + a broadcast join, the textbook
+    distributed-EM shape. Deterministic init: μ = (q25, q75),
+    σ = sample std, π = 0.5."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    xs = (
+        bars.select(
+            "symbol",
+            F.when(
+                (F.col("close") > 0) & (prev > 0),
+                F.log(F.col("close") / prev),
+            ).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    params = (
+        xs.groupBy("symbol")
+        .agg(
+            F.percentile("x", F.lit(0.25)).alias("mu1"),
+            F.percentile("x", F.lit(0.75)).alias("mu2"),
+            F.stddev_samp("x").alias("s1"),
+            F.stddev_samp("x").alias("s2"),
+            F.lit(0.5).alias("pi2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter((F.col("_n") >= 10) & (F.col("s1") > 0))
+        .drop("_n")
+    )
+
+    def em_step(params: DataFrame, final: bool) -> DataFrame:
+        j = xs.join(F.broadcast(params), "symbol")
+        pdf2 = (F.col("pi2") / F.col("s2")) * F.exp(
+            -(F.col("x") - F.col("mu2"))
+            * (F.col("x") - F.col("mu2"))
+            / (2.0 * F.col("s2") * F.col("s2"))
+        )
+        pdf1 = ((1.0 - F.col("pi2")) / F.col("s1")) * F.exp(
+            -(F.col("x") - F.col("mu1"))
+            * (F.col("x") - F.col("mu1"))
+            / (2.0 * F.col("s1") * F.col("s1"))
+        )
+        e = j.select(
+            "symbol", "x", (pdf2 / (pdf1 + pdf2)).alias("g2")
+        )
+        g2, g1 = F.col("g2"), 1.0 - F.col("g2")
+        x = F.col("x")
+        mu1 = F.sum(g1 * x) / F.sum(g1)
+        mu2 = F.sum(g2 * x) / F.sum(g2)
+        aggs = [
+            (F.sum(g1 * x) / F.sum(g1)).alias("mu1"),
+            (F.sum(g2 * x) / F.sum(g2)).alias("mu2"),
+            F.sqrt(
+                F.sum(g1 * x * x) / F.sum(g1) - mu1 * mu1
+            ).alias("s1"),
+            F.sqrt(
+                F.sum(g2 * x * x) / F.sum(g2) - mu2 * mu2
+            ).alias("s2"),
+            F.avg(g2).alias("pi2"),
+        ]
+        if final:
+            aggs.insert(0, F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        return e.groupBy("symbol").agg(*aggs)
+
+    params = em_step(params, final=False)
+    params = em_step(params, final=False)
+    params = em_step(params, final=True)
+    return params.select(
+        "symbol",
+        "n_obs",
+        F.round("pi2", 6).alias("pi_volatile"),
+        F.round("mu1", 6).alias("mu_calm"),
+        F.round("mu2", 6).alias("mu_volatile"),
+        F.round("s1", 6).alias("sigma_calm"),
+        F.round("s2", 6).alias("sigma_volatile"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

@@ -748,3 +748,11 @@ def test_yang_zhang_windows_over_daily_aggregate(spark):
     # and variance agg run over |symbol×days| rows
     df = em.QUERIES["yang_zhang_vol"](spark, SF_SMOKE)
     assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
+
+
+def test_gmm_em_broadcast_params_each_iteration(spark):
+    # every EM iteration joins the |symbols|-row param table broadcast;
+    # no iteration may fall back to a shuffle or nested-loop join
+    df = em.QUERIES["gaussian_mixture_em"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=3)
+    PL.assert_no_cartesian(df)
