@@ -16116,6 +16116,36 @@ def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming Kalman level — the state-space filter run as a REAL
+# availableNow streaming job (file source → applyInPandasWithState →
+# memory sink); state (level, variance) carries across micro-batches,
+# so the drained sink equals the batch operator row-for-row and the
+# SAME struct-fold oracle grades it.
+# --------------------------------------------------------------------------
+@q(
+    "streaming_kalman_level",
+    ORACLES["kalman_level"],
+)
+def streaming_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical double arithmetic to kalman_level; cross-batch state
+    carry pinned separately in tests/test_streaming.py. Same 1e-6
+    floor-scale convention (the gain sequence sits on the ROUND
+    half-grid)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming import (
+        bridge,
+        cep,
+    )
+
+    s = trades_from_events(bridge.load_events_stream(spark, sf_dir))
+    out = bridge.run_available_now(
+        cep.streaming_kalman(s), output_mode="append"
+    )
+    for c in ("kf_level", "kf_var", "kf_gain"):
+        out = out.withColumn(c, F.floor(F.col(c) * 1000000.0) / 1000000.0)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

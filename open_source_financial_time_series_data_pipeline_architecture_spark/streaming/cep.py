@@ -385,3 +385,79 @@ def gap_monitor(trades: DataFrame, threshold_sec: float = 1800.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KALMAN_SCHEMA = (
+    "time timestamp, symbol string, trade_id string, price double,"
+    " kf_level double, kf_var double, kf_gain double"
+)
+_KALMAN_STATE_SCHEMA = "m double, p double"
+
+
+def _kalman_fn(q_var: float, r_var: float, p_init: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            m, p = state.get
+            m, p = float(m), float(p)
+        else:
+            m, p = None, None
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
+        for r in rows.itertuples():
+            y = float(r.price)
+            if m is None:
+                m, p, k = y, float(p_init), None
+            else:
+                pp = p + q_var
+                k = pp / (pp + r_var)
+                m = m + k * (y - m)
+                p = (1.0 - k) * pp
+            out.append(
+                {
+                    "time": r.time,
+                    "symbol": key[0],
+                    "trade_id": r.trade_id,
+                    "price": y,
+                    "kf_level": m,
+                    "kf_var": p,
+                    "kf_gain": k,
+                }
+            )
+        state.update((m, p))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "time", "symbol", "trade_id", "price",
+                "kf_level", "kf_var", "kf_gain",
+            ],
+        )
+
+    return fn
+
+
+def streaming_kalman(
+    trades: DataFrame,
+    q: float = 0.01,
+    r: float = 1.0,
+    p_init: float = 1.0,
+) -> DataFrame:
+    """W5-class state-space streaming: the local-level Kalman filter
+    (operators/statespace.py) as an exact continuation across
+    micro-batch boundaries. State per symbol is (level, posterior
+    variance) — two doubles; identical double arithmetic to the batch
+    operator, so streaming output == batch output row by row (pinned
+    in tests/test_streaming.py). The adaptive gain is what the
+    fixed-alpha spread_ema_monitor cannot express."""
+    return trades.select("time", "symbol", "price", "trade_id").groupBy(
+        "symbol"
+    ).applyInPandasWithState(
+        _kalman_fn(q, r, p_init),
+        outputStructType=KALMAN_SCHEMA,
+        stateStructType=_KALMAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

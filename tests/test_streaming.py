@@ -715,3 +715,88 @@ def test_gap_monitor_state_crosses_batches(spark, tmp_path):
     got = spark.sql("SELECT * FROM gap_out").collect()
     assert len(got) == 1
     assert abs(got[0]["gap_seconds"] - 2400.0) < 1e-6
+
+
+def test_streaming_kalman_matches_batch(spark, tmp_path):
+    """Streaming Kalman == batch kalman_local_level row by row, with
+    the input split across micro-batches so (level, variance) state
+    carries over the boundary mid-recurrence."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.statespace import (
+        kalman_local_level,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.schema import (
+        TRADES_SCHEMA,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+        streaming_kalman,
+    )
+
+    src = tmp_path / "kf_src"
+    src.mkdir()
+    rows = []
+    for sym_i, sym in enumerate(["AAPL", "MSFT"]):
+        for i in range(50):
+            t = BASE + dt.timedelta(minutes=i)
+            rows.append(
+                {
+                    "time": int(t.timestamp() * 1000),
+                    "symbol": sym,
+                    "price": f"{100 + sym_i * 50 + ((i * 13) % 19) - 9}.50",
+                    "volume": "10.00",
+                    "trade_id": f"KF-{sym}-{i:04d}",
+                    "side": None, "bid": None, "ask": None, "source": "t",
+                }
+            )
+    rows.sort(key=lambda r: r["time"])
+    import os as _os
+    import time as _t
+
+    _write_jsonl(src / "a.jsonl", rows[:37])
+    _write_jsonl(src / "b.jsonl", rows[37:])
+    now = _t.time()
+    _os.utime(src / "a.jsonl", (now - 60, now - 60))
+    _os.utime(src / "b.jsonl", (now, now))
+
+    raw = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    )
+    good, _ = STR.parse_trades_with_dlq(raw)
+    q = (
+        streaming_kalman(good)
+        .writeStream.format("memory")
+        .queryName("skalman")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "kf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["trade_id"]: (r["kf_level"], r["kf_var"], r["kf_gain"])
+        for r in spark.sql("SELECT * FROM skalman").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [
+            (
+                dt.datetime.fromtimestamp(r["time"] / 1000),
+                r["symbol"],
+                float(r["price"]),
+                float(r["volume"]),
+                r["trade_id"],
+                None, None, None, "t",
+            )
+            for r in rows
+        ],
+        TRADES_SCHEMA,
+    )
+    exp = {
+        r["trade_id"]: (r["kf_level"], r["kf_var"], r["kf_gain"])
+        for r in kalman_local_level(batch_df).collect()
+    }
+    assert len(got) == len(rows)
+    for tid, (lv, var, gain) in got.items():
+        elv, evar, egain = exp[tid]
+        assert lv == elv, tid          # identical double arithmetic
+        assert var == evar, tid
+        assert gain == egain or (gain is None and egain is None), tid
