@@ -16146,6 +16146,324 @@ def streaming_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# Cross-sectional rank/z features — per minute bucket, each symbol's
+# return ranked and standardized against the contemporaneous cross
+# section: the input representation cross-sectional ML models (rank
+# momentum, long-short baskets) train on.
+# --------------------------------------------------------------------------
+@q(
+    "cross_sectional_rank_features",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+cs AS (
+  SELECT bucket, symbol, ret,
+         row_number() OVER (PARTITION BY bucket ORDER BY ret, symbol) AS rk,
+         count(*) OVER (PARTITION BY bucket) AS n,
+         avg(ret) OVER (PARTITION BY bucket) AS mu,
+         stddev_samp(ret) OVER (PARTITION BY bucket) AS sd
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT bucket, symbol,
+       ROUND(ret, 6) AS ret,
+       CAST(n AS BIGINT) AS n_cross,
+       ROUND((rk - 1.0) / (n - 1.0), 6) AS cs_pct,
+       ROUND(CASE WHEN sd > 0 THEN (ret - mu) / sd END, 6) AS cs_z
+FROM cs WHERE n >= 2
+"""
+    ),
+)
+def cross_sectional_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bucket-partitioned window pass computes rank, count, mean
+    and std together (same partition key → one exchange + one sort);
+    buckets with a single symbol are dropped (rank/z undefined).
+    (ret, symbol) rank ordering is deterministic on both engines."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    wb = Window.partitionBy("bucket")
+    cs = r.select(
+        "bucket",
+        "symbol",
+        "ret",
+        F.row_number().over(wb.orderBy("ret", "symbol")).alias("rk"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+        F.avg("ret").over(wb).alias("mu"),
+        F.stddev_samp("ret").over(wb).alias("sd"),
+    ).filter(F.col("n") >= 2)
+    return cs.select(
+        "bucket",
+        "symbol",
+        F.round("ret", 6).alias("ret"),
+        F.col("n").cast("bigint").alias("n_cross"),
+        F.round((F.col("rk") - 1.0) / (F.col("n") - 1.0), 6).alias(
+            "cs_pct"
+        ),
+        F.round(
+            F.when(
+                F.col("sd") > 0,
+                (F.col("ret") - F.col("mu")) / F.col("sd"),
+            ),
+            6,
+        ).alias("cs_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Price-impact response function (propagator) — R(τ) = E[s_t · (ln
+# p_{t+τ} − ln p_t)] per symbol at τ ∈ {1, 5, 15} bars, s_t the bar
+# return sign: how much of a signed move persists τ bars later
+# (Bouchaud's propagator diagnostic; complements ic_decay's
+# signal-IC framing with the order-flow sign convention).
+# --------------------------------------------------------------------------
+@q(
+    "impact_response_function",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+lp AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 THEN ln(close) END AS logp
+  FROM bars
+),
+s AS (
+  SELECT symbol, bucket, logp,
+         sign(logp - lag(logp) OVER w) AS sgn,
+         lead(logp, 1) OVER w AS lp1,
+         lead(logp, 5) OVER w AS lp5,
+         lead(logp, 15) OVER w AS lp15
+  FROM lp WHERE logp IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol,
+       CAST(count(CASE WHEN sgn IS NOT NULL AND lp1 IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_obs,
+       ROUND(avg(CASE WHEN sgn IS NOT NULL THEN sgn * (lp1 - logp) END), 6)
+           AS response_1,
+       ROUND(avg(CASE WHEN sgn IS NOT NULL THEN sgn * (lp5 - logp) END), 6)
+           AS response_5,
+       ROUND(avg(CASE WHEN sgn IS NOT NULL THEN sgn * (lp15 - logp) END), 6)
+           AS response_15
+FROM s GROUP BY 1
+"""
+    ),
+)
+def impact_response_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign + three forward log-prices from ONE symbol-sorted window
+    (fixed-offset lead, never a following frame), then one conditional
+    aggregate — the ic_decay plan family."""
+    bars = _bars60(spark, sf_dir)
+    lp = bars.select(
+        "symbol",
+        "bucket",
+        F.when(F.col("close") > 0, F.log("close")).alias("logp"),
+    ).filter(F.col("logp").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    s = lp.select(
+        "symbol",
+        "logp",
+        F.signum(F.col("logp") - F.lag("logp").over(w)).alias("sgn"),
+        F.lead("logp", 1).over(w).alias("lp1"),
+        F.lead("logp", 5).over(w).alias("lp5"),
+        F.lead("logp", 15).over(w).alias("lp15"),
+    )
+    sgn_ok = F.col("sgn").isNotNull()
+    return s.groupBy("symbol").agg(
+        F.count(F.when(sgn_ok & F.col("lp1").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_obs"),
+        F.round(
+            F.avg(
+                F.when(sgn_ok, F.col("sgn") * (F.col("lp1") - F.col("logp")))
+            ),
+            6,
+        ).alias("response_1"),
+        F.round(
+            F.avg(
+                F.when(sgn_ok, F.col("sgn") * (F.col("lp5") - F.col("logp")))
+            ),
+            6,
+        ).alias("response_5"),
+        F.round(
+            F.avg(
+                F.when(sgn_ok, F.col("sgn") * (F.col("lp15") - F.col("logp")))
+            ),
+            6,
+        ).alias("response_15"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-sectional return dispersion per day — the "how differently are
+# symbols moving" regime indicator (high dispersion = stock-picker's
+# market, low = macro-driven).
+# --------------------------------------------------------------------------
+@q(
+    "cross_sectional_dispersion",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+disp AS (
+  SELECT bucket, stddev_samp(ret) AS sd, CAST(count(*) AS BIGINT) AS n
+  FROM r WHERE ret IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CAST(bucket AS DATE) AS d,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       ROUND(avg(sd), 6) AS mean_dispersion,
+       ROUND(quantile_cont(sd, 0.95), 6) AS p95_dispersion,
+       ROUND(max(sd), 6) AS max_dispersion
+FROM disp GROUP BY 1
+"""
+    ),
+)
+def cross_sectional_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket cross-sectional std in one hash aggregate over bar
+    returns, then a per-day distribution aggregate — both
+    partial-agg friendly, nothing at trade grain after the bars
+    cache."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    disp = (
+        r.groupBy("bucket")
+        .agg(
+            F.stddev_samp("ret").alias("sd"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return disp.groupBy(F.to_date("bucket").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.avg("sd"), 6).alias("mean_dispersion"),
+        F.round(F.percentile("sd", F.lit(0.95)), 6).alias(
+            "p95_dispersion"
+        ),
+        F.round(F.max("sd"), 6).alias("max_dispersion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup of an incoming batch against the existing corpus —
+# the nightly-ingest shape: fingerprint the incoming partition, anti-
+# join against the historical fingerprint set, report what survives.
+# Split is deterministic (doc_id parity plays the role of
+# yesterday/today partitions).
+# --------------------------------------------------------------------------
+@q(
+    "incremental_dedup_new_docs",
+    oracle(
+        """
+fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+incoming AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+flagged AS (
+  SELECT i.source, i.fingerprint,
+         CASE WHEN e.fingerprint IS NOT NULL THEN 1 ELSE 0 END AS hits_existing
+  FROM incoming i LEFT JOIN existing e ON i.fingerprint = e.fingerprint
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(hits_existing) AS BIGINT) AS n_dup_vs_existing,
+       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT)
+           AS n_dup_within_batch,
+       CAST(count(DISTINCT CASE WHEN hits_existing = 0 THEN fingerprint END)
+            AS BIGINT) AS n_unique_new
+FROM flagged GROUP BY 1
+"""
+    ),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint once (TX.fingerprint's md5-of-normalized-text),
+    distinct the historical side, LEFT join on the 32-byte key, one
+    summary aggregate per source. At 100 TB the historical fingerprint
+    set is the only state the nightly job carries — exactly the
+    anti-join idempotency shape of the S12/J4 sink path, applied to
+    corpus ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    fp = docs.select(
+        "doc_id", "source", F.md5(norm).alias("fingerprint")
+    )
+    existing = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    flagged = incoming.join(existing, "fingerprint", "left").select(
+        "source",
+        "fingerprint",
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hits_existing"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+        F.sum("hits_existing").cast("bigint").alias("n_dup_vs_existing"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fingerprint")))
+        .cast("bigint")
+        .alias("n_dup_within_batch"),
+        F.count_distinct(
+            F.when(F.col("hits_existing") == 0, F.col("fingerprint"))
+        )
+        .cast("bigint")
+        .alias("n_unique_new"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
