@@ -16464,6 +16464,167 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Intraday volume-curve fit — quadratic OLS of minute volume on
+# normalized time-of-day, solved in closed form from moment sums
+# (Cramer's rule on the 3×3 normal equations): multi-parameter
+# regression as ONE aggregate, no iterative solver, no driver matrix.
+# The U-shape coefficient (a > 0) is the classic intraday liquidity
+# pattern test.
+# --------------------------------------------------------------------------
+@q(
+    "intraday_volume_curve_fit",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+),
+xy AS (
+  SELECT symbol,
+         (CAST(epoch(bucket) AS BIGINT) % 86400) / 86400.0 AS x,
+         vol AS y
+  FROM bars
+),
+m AS (
+  SELECT symbol,
+         count(*) * 1.0 AS s0, sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4,
+         sum(y) AS t0, sum(x * y) AS t1, sum(x * x * y) AS t2
+  FROM xy GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT symbol,
+       CAST(s0 AS BIGINT) AS n_bars,
+       ROUND((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+              + s2 * (t1 * s3 - s2 * t2))
+             / nullif(s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+                      + s2 * (s1 * s3 - s2 * s2), 0), 6) AS c_intercept,
+       ROUND((s0 * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+              + s2 * (s1 * t2 - t1 * s2))
+             / nullif(s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+                      + s2 * (s1 * s3 - s2 * s2), 0), 6) AS c_linear,
+       ROUND((s0 * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+              + t0 * (s1 * s3 - s2 * s2))
+             / nullif(s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+                      + s2 * (s1 * s3 - s2 * s2), 0), 6) AS c_quadratic
+FROM m
+"""
+    ),
+)
+def intraday_volume_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All eight moment sums in one partial-agg-friendly hash
+    aggregate over the bars cache; the 3×3 normal-equation solve is a
+    closed-form Cramer expression per |symbols| row. x normalized to
+    [0,1] day fraction so the moment matrix stays well-conditioned in
+    doubles."""
+    bars = _bars60(spark, sf_dir)
+    x = (
+        (F.col("bucket").cast("long") % 86400) / 86400.0
+    ).alias("x")
+    xy = bars.select("symbol", x, F.col("volume").alias("y"))
+    xc, yc = F.col("x"), F.col("y")
+    m = xy.groupBy("symbol").agg(
+        (F.count(F.lit(1)) * 1.0).alias("s0"),
+        F.sum(xc).alias("s1"),
+        F.sum(xc * xc).alias("s2"),
+        F.sum(xc * xc * xc).alias("s3"),
+        F.sum(xc * xc * xc * xc).alias("s4"),
+        F.sum(yc).alias("t0"),
+        F.sum(xc * yc).alias("t1"),
+        F.sum(xc * xc * yc).alias("t2"),
+    ).filter(F.col("s0") >= 10)
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = F.nullif(
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2),
+        F.lit(0),
+    )
+    c0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - s3 * t2)
+        + s2 * (t1 * s3 - s2 * t2)
+    ) / det
+    c1 = (
+        s0 * (t1 * s4 - s3 * t2)
+        - t0 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * t2 - t1 * s2)
+    ) / det
+    c2 = (
+        s0 * (s2 * t2 - t1 * s3)
+        - s1 * (s1 * t2 - t1 * s2)
+        + t0 * (s1 * s3 - s2 * s2)
+    ) / det
+    return m.select(
+        "symbol",
+        s0.cast("bigint").alias("n_bars"),
+        F.round(c0, 6).alias("c_intercept"),
+        F.round(c1, 6).alias("c_linear"),
+        F.round(c2, 6).alias("c_quadratic"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quote-intensity ratio per (symbol, hour) — quoted-row vs trade-row
+# intensity and quote-coverage share: the quote-stuffing /
+# thin-quoting surveillance screen next to quote_staleness.
+# --------------------------------------------------------------------------
+@q(
+    "quote_intensity_ratio",
+    oracle(
+        """
+h AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS hour,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(bid) AS BIGINT) AS n_quoted
+  FROM trades GROUP BY 1, 2
+)
+SELECT symbol, hour, n_rows, n_quoted,
+       ROUND(n_quoted * 1.0 / n_rows, 6) AS quote_share,
+       ROUND(CASE WHEN n_rows - n_quoted > 0
+             THEN n_quoted * 1.0 / (n_rows - n_quoted) END, 6)
+           AS quote_to_trade_ratio
+FROM h
+"""
+    ),
+)
+def quote_intensity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conditional hash aggregate — count(bid) counts only quoted
+    rows on both engines (NULL-skipping count)."""
+    t = _trades(spark, sf_dir)
+    h = t.groupBy(
+        "symbol",
+        F.timestamp_seconds(
+            (F.floor(F.col("time").cast("double") / 3600) * 3600).cast(
+                "long"
+            )
+        ).alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("bid").cast("bigint").alias("n_quoted"),
+    )
+    unquoted = F.col("n_rows") - F.col("n_quoted")
+    return h.select(
+        "symbol",
+        "hour",
+        "n_rows",
+        "n_quoted",
+        F.round(F.col("n_quoted") * 1.0 / F.col("n_rows"), 6).alias(
+            "quote_share"
+        ),
+        F.round(
+            F.when(unquoted > 0, F.col("n_quoted") * 1.0 / unquoted),
+            6,
+        ).alias("quote_to_trade_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
