@@ -16625,6 +16625,143 @@ def quote_intensity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue per customer by (first-order
+# cohort month, account age in months): the lifetime-value complement
+# to cohort_retention's activity rates.
+# --------------------------------------------------------------------------
+@q(
+    "cohort_ltv_curve",
+    oracle(
+        """
+first_order AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+),
+sized AS (
+  SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_order GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m AS age_m,
+         sum(o.o_totalprice) AS revenue
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT r.cohort_m, r.age_m, s.cohort_size,
+         sum(r.revenue) OVER (PARTITION BY r.cohort_m ORDER BY r.age_m) AS cum_rev
+  FROM rev r JOIN sized s ON r.cohort_m = s.cohort_m
+)
+SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+       CAST(age_m AS BIGINT) AS age_m,
+       cohort_size,
+       ROUND(cum_rev, 6) AS cum_revenue,
+       ROUND(cum_rev / cohort_size, 6) AS ltv_per_customer
+FROM cum
+"""
+    ),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order cohort via one aggregate, monthly revenue per
+    (cohort, age) via a join-aggregate, cumulative LTV via one
+    growing-frame window over the |cohorts × ages| aggregate (months,
+    not customers). Month arithmetic as year·12+month integers —
+    engine-identical, no months_between float semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    om = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(om).alias("cohort_m")
+    )
+    sized = first_order.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_m", (om - F.col("cohort_m")).alias("age_m")
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.join(F.broadcast(sized), "cohort_m").select(
+        "cohort_m",
+        "age_m",
+        "cohort_size",
+        F.sum("revenue").over(wc).alias("cum_rev"),
+    )
+    return cum.select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        F.col("age_m").cast("bigint").alias("age_m"),
+        "cohort_size",
+        F.round("cum_rev", 6).alias("cum_revenue"),
+        F.round(F.col("cum_rev") / F.col("cohort_size"), 6).alias(
+            "ltv_per_customer"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-fulfillment lead time — order date → line-item ship date
+# distribution per order priority: the supply-chain SLA complement to
+# late_shipment_orders' breach counts.
+# --------------------------------------------------------------------------
+@q(
+    "order_fulfillment_lead_time",
+    oracle(
+        """
+lt AS (
+  -- CAST, not "* 1.0": BIGINT * DECIMAL(2,1) is DECIMAL in DuckDB and
+  -- quantile_cont would interpolate at decimal scale (1752.5 ≠ 1752.6)
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+             AS lead_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(avg(lead_days), 6) AS mean_lead_days,
+       ROUND(quantile_cont(lead_days, 0.5), 6) AS p50_lead_days,
+       ROUND(quantile_cont(lead_days, 0.95), 6) AS p95_lead_days,
+       ROUND(avg(CASE WHEN lead_days > 60 THEN 1.0 ELSE 0.0 END), 6)
+           AS share_over_60d
+FROM lt GROUP BY 1
+"""
+    ),
+)
+def order_fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact-fact equi-join on the order key (co-partitioned
+    shuffle; at 100 TB this is the bucketed-join candidate the
+    sources.write_bucketed path serves), one distribution aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) * 1.0
+        ).alias("lead_days"),
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.avg("lead_days"), 6).alias("mean_lead_days"),
+        F.round(F.percentile("lead_days", F.lit(0.5)), 6).alias(
+            "p50_lead_days"
+        ),
+        F.round(F.percentile("lead_days", F.lit(0.95)), 6).alias(
+            "p95_lead_days"
+        ),
+        F.round(
+            F.avg(F.when(F.col("lead_days") > 60, 1.0).otherwise(0.0)), 6
+        ).alias("share_over_60d"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
