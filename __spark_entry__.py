@@ -16762,6 +16762,189 @@ def order_fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Time-decay multi-touch attribution — every touch event preceding a
+# purchase within 7 days earns exp(−Δt/1d) weight, normalized per
+# conversion so each purchase distributes exactly 1.0 credit across
+# its touches; credit rolls up per touch type. The marketing-science
+# generalization of first_touch_attribution's winner-take-all rule.
+# --------------------------------------------------------------------------
+@q(
+    "time_decay_attribution",
+    oracle(
+        """
+e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch(CAST(ts AS TIMESTAMP)) AS t, event_id
+  FROM events
+),
+pairs AS (
+  SELECT c.event_id AS conv_id, p.event_type AS touch_type,
+         exp(-(c.t - p.t) / 86400.0) AS w
+  FROM e c JOIN e p
+    ON p.user_id = c.user_id
+   AND p.t < c.t AND c.t - p.t <= 604800.0
+  WHERE c.event_type = 'purchase' AND p.event_type <> 'purchase'
+),
+norm AS (
+  SELECT conv_id, touch_type,
+         w / sum(w) OVER (PARTITION BY conv_id) AS credit
+  FROM pairs
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+       ROUND(sum(credit), 6) AS total_credit,
+       ROUND(avg(credit), 6) AS mean_credit
+FROM norm GROUP BY 1
+"""
+    ),
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-partitioned self-join (equi-key user_id; the pair space is
+    bounded per user — the sessionization-adjacent scale shape, with
+    the 7-day range predicate pruning pairs in the join filter), one
+    per-conversion normalization window, one credit rollup."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("double").alias("t"),
+    )
+    c = e.filter(F.col("event_type") == "purchase").alias("c")
+    p = e.filter(F.col("event_type") != "purchase").alias("p")
+    pairs = c.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.t") < F.col("c.t"))
+        & (F.col("c.t") - F.col("p.t") <= 604800.0),
+    ).select(
+        F.col("c.event_id").alias("conv_id"),
+        F.col("p.event_type").alias("touch_type"),
+        F.exp(-(F.col("c.t") - F.col("p.t")) / 86400.0).alias("w"),
+    )
+    norm = pairs.select(
+        "conv_id",
+        "touch_type",
+        (
+            F.col("w")
+            / F.sum("w").over(Window.partitionBy("conv_id"))
+        ).alias("credit"),
+    )
+    return norm.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.count_distinct("conv_id")
+        .cast("bigint")
+        .alias("n_conversions_touched"),
+        F.round(F.sum("credit"), 6).alias("total_credit"),
+        F.round(F.avg("credit"), 6).alias("mean_credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary-segmentation changepoint — the optimal single split of each
+# symbol's minute-close series: argmax over split points of the
+# between-segment variance reduction n_l·n_r/n·(μ_l−μ_r)², computed
+# from prefix sums in ONE window pass. The offline complement to
+# cusum_changepoints' sequential monitor.
+# --------------------------------------------------------------------------
+@q(
+    "binary_segmentation_split",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+pre AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER w AS i,
+         sum(close) OVER (PARTITION BY symbol ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         sum(close) OVER (PARTITION BY symbol) AS total,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+gain AS (
+  SELECT symbol, bucket, i, n,
+         (i * 1.0) * (n - i) / n
+           * (cs / i - (total - cs) / (n - i))
+           * (cs / i - (total - cs) / (n - i)) AS g,
+         cs / i AS mean_left,
+         (total - cs) / (n - i) AS mean_right
+  FROM pre WHERE i < n
+),
+best AS (
+  SELECT symbol, bucket, i, n, g, mean_left, mean_right,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY g DESC, bucket) AS rk
+  FROM gain
+)
+SELECT symbol, bucket AS split_bucket,
+       CAST(i AS BIGINT) AS split_index,
+       CAST(n AS BIGINT) AS n_bars,
+       ROUND(g, 6) AS gain,
+       ROUND(mean_left, 6) AS mean_left,
+       ROUND(mean_right, 6) AS mean_right
+FROM best WHERE rk = 1
+"""
+    ),
+)
+def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix sums + totals share one symbol-sorted window pass
+    (growing frame is incremental O(n)); gain is closed-form per row;
+    argmax via one row_number with (gain DESC, bucket) determinism.
+    Recursing to k changepoints = reapplying per segment — each level
+    is this same one-pass plan."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    ws = Window.partitionBy("symbol")
+    pre = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.row_number().over(w).alias("i"),
+        F.sum("close")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cs"),
+        F.sum("close").over(ws).alias("total"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    ml = F.col("cs") / i
+    mr = (F.col("total") - F.col("cs")) / (n - i)
+    gain = pre.filter(i < n).select(
+        "symbol",
+        "bucket",
+        "i",
+        "n",
+        ((i * 1.0) * (n - i) / n * (ml - mr) * (ml - mr)).alias("g"),
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+    )
+    best = gain.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("symbol").orderBy(
+                F.col("g").desc(), "bucket"
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "symbol",
+        F.col("bucket").alias("split_bucket"),
+        F.col("i").cast("bigint").alias("split_index"),
+        F.col("n").cast("bigint").alias("n_bars"),
+        F.round("g", 6).alias("gain"),
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
