@@ -16945,6 +16945,330 @@ def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Generalized Pareto tail fit (peaks-over-threshold, method of
+# moments) — shape ξ and scale β of loss excesses over the 95th
+# percentile: ξ = ½(1 − e²/v), β = ½e(1 + e²/v) from the excess mean
+# and variance. The EVT distribution-fit complement to
+# tail_index_hill's order-statistics slope.
+# --------------------------------------------------------------------------
+@q(
+    "gpd_tail_fit",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN -ln(close / lag(close) OVER w) END AS loss
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+thr AS (
+  SELECT symbol, quantile_cont(loss, 0.95) AS u
+  FROM r WHERE loss IS NOT NULL GROUP BY 1
+),
+exc AS (
+  SELECT r.symbol, r.loss - t.u AS y
+  FROM r JOIN thr t ON r.symbol = t.symbol
+  WHERE r.loss > t.u
+),
+mo AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n_exceedances,
+         avg(y) AS e, var_samp(y) AS v
+  FROM exc GROUP BY 1 HAVING count(*) >= 5 AND var_samp(y) > 0
+)
+SELECT symbol, n_exceedances,
+       ROUND(0.5 * (1.0 - e * e / v), 6) AS xi_shape,
+       ROUND(0.5 * e * (1.0 + e * e / v), 6) AS beta_scale,
+       ROUND(e, 6) AS mean_excess
+FROM mo
+"""
+    ),
+)
+def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol q95 threshold broadcast back onto the loss stream
+    (the large_trade_flags p95 shape), one moment aggregate over
+    exceedances, closed-form MoM estimators per |symbols| row."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            -F.log(F.col("close") / prev),
+        ).alias("loss"),
+    ).filter(F.col("loss").isNotNull())
+    thr = r.groupBy("symbol").agg(
+        F.percentile("loss", F.lit(0.95)).alias("u")
+    )
+    exc = (
+        r.join(F.broadcast(thr), "symbol")
+        .filter(F.col("loss") > F.col("u"))
+        .select("symbol", (F.col("loss") - F.col("u")).alias("y"))
+    )
+    mo = (
+        exc.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exceedances"),
+            F.avg("y").alias("e"),
+            F.var_samp("y").alias("v"),
+        )
+        .filter((F.col("n_exceedances") >= 5) & (F.col("v") > 0))
+    )
+    e, v = F.col("e"), F.col("v")
+    return mo.select(
+        "symbol",
+        "n_exceedances",
+        F.round(0.5 * (1.0 - e * e / v), 6).alias("xi_shape"),
+        F.round(0.5 * e * (1.0 + e * e / v), 6).alias("beta_scale"),
+        F.round(e, 6).alias("mean_excess"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Expected-shortfall backtest (Acerbi–Székely Z₂, 2014) — does
+# realized tail loss exceed the model ES? Z = Σ loss_t·1{viol} /
+# (n·p·ES) − 1 over a rolling-free split: ES calibrated on the first
+# 70% of bars, tested on the rest. Complements var_backtest_kupiec's
+# violation-count test with a magnitude-sensitive one.
+# --------------------------------------------------------------------------
+@q(
+    "es_backtest_acerbi",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN -ln(close / lag(close) OVER w) END AS loss,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+split AS (
+  SELECT symbol, loss,
+         CASE WHEN rn <= CAST(floor(0.7 * n) AS BIGINT)
+              THEN 'cal' ELSE 'test' END AS part
+  FROM r WHERE loss IS NOT NULL
+),
+modelv AS (
+  SELECT symbol, quantile_cont(loss, 0.95) AS var95
+  FROM split WHERE part = 'cal' GROUP BY 1
+),
+model AS (
+  SELECT s.symbol, max(m.var95) AS var95,
+         avg(CASE WHEN s.loss >= m.var95 THEN s.loss END) AS es95
+  FROM split s JOIN modelv m ON s.symbol = m.symbol
+  WHERE s.part = 'cal' GROUP BY 1
+),
+t AS (
+  SELECT s.symbol, s.loss, m.var95, m.es95
+  FROM split s JOIN model m ON s.symbol = m.symbol
+  WHERE s.part = 'test'
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(CASE WHEN loss > var95 THEN 1 END) AS BIGINT)
+           AS n_violations,
+       ROUND(max(es95), 6) AS model_es95,
+       ROUND(CASE WHEN max(es95) > 0 THEN
+             sum(CASE WHEN loss > var95 THEN loss ELSE 0.0 END)
+             / (count(*) * 0.05 * max(es95)) - 1.0 END, 6) AS z2_stat
+FROM t GROUP BY 1
+"""
+    ),
+)
+def es_backtest_acerbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window pass (loss + rank + count share the sort), a
+    |symbols|-row calibration table (VaR + tail mean in one grouped
+    agg) broadcast onto the held-out stream, one test aggregate —
+    the conformal_interval_coverage plan family applied to risk
+    governance."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            -F.log(F.col("close") / prev),
+        ).alias("loss"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("symbol")).alias("n"),
+    ).filter(F.col("loss").isNotNull())
+    split = r.select(
+        "symbol",
+        "loss",
+        F.when(
+            F.col("rn") <= F.floor(0.7 * F.col("n")).cast("bigint"),
+            F.lit("cal"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("part"),
+    )
+    cal = split.filter(F.col("part") == "cal")
+    var95 = cal.groupBy("symbol").agg(
+        F.percentile("loss", F.lit(0.95)).alias("var95")
+    )
+    model = (
+        cal.join(F.broadcast(var95), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("var95").alias("var95"),
+            F.avg(
+                F.when(F.col("loss") >= F.col("var95"), F.col("loss"))
+            ).alias("es95"),
+        )
+    )
+    t = split.filter(F.col("part") == "test").join(
+        F.broadcast(model), "symbol"
+    )
+    viol = F.col("loss") > F.col("var95")
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.count(F.when(viol, 1)).cast("bigint").alias("n_violations"),
+        F.round(F.max("es95"), 6).alias("model_es95"),
+        F.round(
+            F.when(
+                F.max("es95") > 0,
+                F.sum(F.when(viol, F.col("loss")).otherwise(0.0))
+                / (F.count(F.lit(1)) * 0.05 * F.max("es95"))
+                - 1.0,
+            ),
+            6,
+        ).alias("z2_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine document pairs — sparse-vector similarity as a
+# relational sparse dot product: join postings on shared terms, sum
+# weight products, normalize by broadcast norms. The lexical
+# complement to dedup_embedding_cosine (dense) and
+# dedup_ngram_jaccard (sets).
+# --------------------------------------------------------------------------
+@q(
+    "tfidf_cosine_pairs",
+    oracle(
+        """
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+),
+w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) * 1.0 AS tf FROM w GROUP BY 1, 2),
+ndocs AS (SELECT count(DISTINCT doc_id) * 1.0 AS n FROM w),
+df AS (SELECT word, count(DISTINCT doc_id) * 1.0 AS df FROM w GROUP BY 1),
+tw AS (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * ln((SELECT n FROM ndocs) / df.df) AS wgt
+  FROM tf JOIN df ON tf.word = df.word
+  WHERE df.df < (SELECT n FROM ndocs)
+),
+nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nn FROM tw GROUP BY 1),
+dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wgt * b.wgt) AS dp
+  FROM tw a JOIN tw b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT d.doc_a, d.doc_b,
+         ROUND(d.dp / (na.nn * nb.nn), 6) AS cosine
+  FROM dot d
+  JOIN nrm na ON d.doc_a = na.doc_id
+  JOIN nrm nb ON d.doc_b = nb.doc_id
+) WHERE cosine >= 0.35
+"""
+    ),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-list self-join on the term key (the sparse-dot shape:
+    pair work proportional to Σ_term df², not |docs|²), IDF excludes
+    corpus-universal terms (df = N carries zero weight and would
+    explode the join — the same hot-key cap as the ngram DF filter),
+    norms joined back from a |docs|-row aggregate. 0.35 cosine floor
+    keeps the output the near-dup candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " +")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(
+        (F.count(F.lit(1)) * 1.0).alias("tf")
+    )
+    ndocs = words.agg(
+        (F.count_distinct("doc_id") * 1.0).alias("n")
+    )
+    df = words.groupBy("word").agg(
+        (F.count_distinct("doc_id") * 1.0).alias("df")
+    )
+    tw = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias(
+                "wgt"
+            ),
+        )
+    )
+    nrm = tw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nn")
+    )
+    a = tw.alias("a")
+    b = tw.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).alias("dp"))
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    out = (
+        dot.join(
+            F.broadcast(na), F.col("doc_a") == F.col("na.doc_id")
+        )
+        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dp") / (F.col("na.nn") * F.col("nb.nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    # filter on the ROUNDED value (both sides): an unrounded threshold
+    # compare would flip rows whose cosine differs by summation-order
+    # ulps across engines
+    return out.filter(F.col("cosine") >= 0.35)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
