@@ -17269,6 +17269,210 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cosine") >= 0.35)
 
 
+# --------------------------------------------------------------------------
+# Shrunk correlation matrix — sample pairwise correlations shrunk
+# toward the identity target with a cross-sectional intensity
+# λ = 1/(1 + mean|ρ|·√n̄): the Ledoit–Wolf-style conditioning step a
+# covariance consumer (risk parity, portfolio VaR) runs before
+# inverting. Closed-form λ from the pair aggregate itself.
+# --------------------------------------------------------------------------
+@q(
+    "shrunk_correlation_matrix",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+pairs AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         corr(a.ret, b.ret) AS rho,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+  GROUP BY 1, 2
+),
+lam AS (
+  SELECT 1.0 / (1.0 + avg(abs(rho)) * sqrt(avg(n_matched * 1.0))) AS l
+  FROM pairs
+)
+SELECT p.symbol_a, p.symbol_b, p.n_matched,
+       ROUND(p.rho, 6) AS rho_sample,
+       ROUND(l.l, 6) AS shrink_lambda,
+       ROUND((1.0 - l.l) * p.rho, 6) AS rho_shrunk
+FROM pairs p CROSS JOIN lam l
+"""
+    ),
+)
+def shrunk_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair join over the bars cache → |symbols|² correlation rows;
+    the shrinkage intensity is a 1-row aggregate over that relation,
+    broadcast back (no driver matrix, no collect)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.alias("a")
+    b = r.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        .agg(
+            F.corr(F.col("a.ret"), F.col("b.ret")).alias("rho"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        )
+    )
+    lam = pairs.agg(
+        (
+            1.0
+            / (
+                1.0
+                + F.avg(F.abs("rho"))
+                * F.sqrt(F.avg(F.col("n_matched") * 1.0))
+            )
+        ).alias("l")
+    )
+    return pairs.crossJoin(F.broadcast(lam)).select(
+        "symbol_a",
+        "symbol_b",
+        "n_matched",
+        F.round("rho", 6).alias("rho_sample"),
+        F.round("l", 6).alias("shrink_lambda"),
+        F.round((1.0 - F.col("l")) * F.col("rho"), 6).alias(
+            "rho_shrunk"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parametric (variance–covariance) portfolio VaR — equal-weight
+# portfolio variance assembled from the pairwise covariance RELATION
+# (Σw over (i,j) rows, never a driver-side matrix), z·σ at 95/99%.
+# The model-based complement to var_es_95's historical quantiles.
+# --------------------------------------------------------------------------
+@q(
+    "parametric_portfolio_var",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+nsym AS (SELECT count(DISTINCT symbol) * 1.0 AS k FROM r WHERE ret IS NOT NULL),
+vars_ AS (
+  SELECT symbol, var_samp(ret) AS v
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+),
+covs AS (
+  SELECT a.symbol AS sa, b.symbol AS sb, covar_samp(a.ret, b.ret) AS c
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+  GROUP BY 1, 2
+),
+port AS (
+  SELECT ((SELECT sum(v) FROM vars_)
+          + 2.0 * (SELECT coalesce(sum(c), 0.0) FROM covs))
+         / ((SELECT k FROM nsym) * (SELECT k FROM nsym)) AS pvar,
+         (SELECT CAST(k AS BIGINT) FROM nsym) AS n_symbols
+)
+SELECT n_symbols,
+       ROUND(sqrt(pvar), 6) AS portfolio_vol,
+       ROUND(1.6448536269514722 * sqrt(pvar), 6) AS var_95,
+       ROUND(2.3263478740408408 * sqrt(pvar), 6) AS var_99
+FROM port
+"""
+    ),
+)
+def parametric_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance and covariance relations aggregate to TWO 1-row
+    frames combined by a broadcast cross join — σ_p² = (Σv + 2Σc)/k²
+    for equal weights. Normal quantiles as shared literals."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    nsym = r.agg(
+        (F.count_distinct("symbol") * 1.0).alias("k")
+    )
+    vars_ = r.groupBy("symbol").agg(F.var_samp("ret").alias("v"))
+    sumv = vars_.agg(F.sum("v").alias("sv"))
+    a = r.alias("a")
+    b = r.alias("b")
+    covs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("sa"),
+            F.col("b.symbol").alias("sb"),
+        )
+        .agg(F.covar_samp(F.col("a.ret"), F.col("b.ret")).alias("c"))
+    )
+    sumc = covs.agg(
+        F.coalesce(F.sum("c"), F.lit(0.0)).alias("sc")
+    )
+    port = (
+        sumv.crossJoin(F.broadcast(sumc))
+        .crossJoin(F.broadcast(nsym))
+        .select(
+            (
+                (F.col("sv") + 2.0 * F.col("sc"))
+                / (F.col("k") * F.col("k"))
+            ).alias("pvar"),
+            F.col("k").cast("bigint").alias("n_symbols"),
+        )
+    )
+    return port.select(
+        "n_symbols",
+        F.round(F.sqrt("pvar"), 6).alias("portfolio_vol"),
+        F.round(1.6448536269514722 * F.sqrt("pvar"), 6).alias("var_95"),
+        F.round(2.3263478740408408 * F.sqrt("pvar"), 6).alias("var_99"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
