@@ -17156,34 +17156,43 @@ def es_backtest_acerbi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TF-IDF cosine document pairs — sparse-vector similarity as a
-# relational sparse dot product: join postings on shared terms, sum
-# weight products, normalize by broadcast norms. The lexical
-# complement to dedup_embedding_cosine (dense) and
-# dedup_ngram_jaccard (sets).
+# IDF-weighted shingle cosine document pairs — sparse-vector
+# similarity as a relational sparse dot product over DISTINCT 5-word
+# shingles (binary TF): join postings on shared shingles, sum IDF²
+# products, normalize by norms. The lexical complement to
+# dedup_embedding_cosine (dense) and dedup_ngram_jaccard (sets).
+# Terms are 5-grams, NOT unigrams: this corpus's ~50-word vocabulary
+# makes every unigram a hot key (measured 180 s at sf0.1 — Σdf²
+# blowup); 5-grams are sparse at every SF, and a df ≤ 50 universe
+# cap bounds the worst case like the ngram DF cap.
 # --------------------------------------------------------------------------
 @q(
     "tfidf_cosine_pairs",
     oracle(
         """
 words AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS word
-  FROM documents
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
 ),
-w AS (SELECT doc_id, word FROM words WHERE word <> ''),
-tf AS (SELECT doc_id, word, count(*) * 1.0 AS tf FROM w GROUP BY 1, 2),
-ndocs AS (SELECT count(DISTINCT doc_id) * 1.0 AS n FROM w),
-df AS (SELECT word, count(DISTINCT doc_id) * 1.0 AS df FROM w GROUP BY 1),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+),
+ndocs AS (SELECT count(DISTINCT doc_id) * 1.0 AS n FROM sh),
+dfreq AS (SELECT shingle, count(*) * 1.0 AS df FROM sh GROUP BY 1),
 tw AS (
-  SELECT tf.doc_id, tf.word,
-         tf.tf * ln((SELECT n FROM ndocs) / df.df) AS wgt
-  FROM tf JOIN df ON tf.word = df.word
-  WHERE df.df < (SELECT n FROM ndocs)
+  SELECT sh.doc_id, sh.shingle,
+         ln((SELECT n FROM ndocs) / dfreq.df) AS wgt, dfreq.df
+  FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+  WHERE dfreq.df <= 50 AND dfreq.df < (SELECT n FROM ndocs)
 ),
 nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nn FROM tw GROUP BY 1),
 dot AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wgt * b.wgt) AS dp
-  FROM tw a JOIN tw b ON a.word = b.word AND a.doc_id < b.doc_id
+  FROM tw a JOIN tw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, cosine FROM (
@@ -17192,54 +17201,47 @@ SELECT doc_a, doc_b, cosine FROM (
   FROM dot d
   JOIN nrm na ON d.doc_a = na.doc_id
   JOIN nrm nb ON d.doc_b = nb.doc_id
-) WHERE cosine >= 0.35
+) WHERE cosine >= 0.2
 """
     ),
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Postings-list self-join on the term key (the sparse-dot shape:
-    pair work proportional to Σ_term df², not |docs|²), IDF excludes
-    corpus-universal terms (df = N carries zero weight and would
-    explode the join — the same hot-key cap as the ngram DF filter),
-    norms joined back from a |docs|-row aggregate. 0.35 cosine floor
-    keeps the output the near-dup candidate set."""
+    """Postings-list self-join on the shingle key (the sparse-dot
+    shape: pair work ∝ Σ_term df², bounded by the df ≤ 50 universe
+    cap — Jaccard-family hot-key recipe), df ≥ 2 pre-filter on the
+    join input (df-1 shingles cannot contribute to any dot product —
+    pure pruning, exact result), norms from the full capped universe.
+    Rounded 0.2 cosine floor keeps the output the near-dup candidate
+    set and is ulp-stable."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), " +")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    tf = words.groupBy("doc_id", "word").agg(
-        (F.count(F.lit(1)) * 1.0).alias("tf")
-    )
-    ndocs = words.agg(
+    sh = TX.shingles(docs, n=5)
+    ndocs = sh.agg(
         (F.count_distinct("doc_id") * 1.0).alias("n")
     )
-    df = words.groupBy("word").agg(
-        (F.count_distinct("doc_id") * 1.0).alias("df")
+    dfreq = sh.groupBy("shingle").agg(
+        (F.count(F.lit(1)) * 1.0).alias("df")
     )
     tw = (
-        tf.join(F.broadcast(df), "word")
+        sh.join(dfreq, "shingle")
         .crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") < F.col("n"))
+        .filter((F.col("df") <= 50) & (F.col("df") < F.col("n")))
         .select(
             "doc_id",
-            "word",
-            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias(
-                "wgt"
-            ),
+            "shingle",
+            F.log(F.col("n") / F.col("df")).alias("wgt"),
+            "df",
         )
     )
     nrm = tw.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nn")
     )
-    a = tw.alias("a")
-    b = tw.alias("b")
+    shared = tw.filter(F.col("df") >= 2)
+    a = shared.alias("a")
+    b = shared.alias("b")
     dot = (
         a.join(
             b,
-            (F.col("a.word") == F.col("b.word"))
+            (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -17266,7 +17268,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter on the ROUNDED value (both sides): an unrounded threshold
     # compare would flip rows whose cosine differs by summation-order
     # ulps across engines
-    return out.filter(F.col("cosine") >= 0.35)
+    return out.filter(F.col("cosine") >= 0.2)
 
 
 # --------------------------------------------------------------------------

@@ -104,9 +104,16 @@ BENCH_QUERIES = [
     "word_entropy_rate",
     "cross_source_copy_matrix",
     "almgren_chriss_schedule",
-    # session-7: state-space filtering, OHLC vol estimators
+    # session-7: state-space filtering, OHLC vol estimators, iterative
+    # EM, winnowing, sparse similarity, streaming state-space
     "kalman_level",
     "yang_zhang_vol",
+    "gaussian_mixture_em",
+    "winnowing_fingerprints",
+    "tfidf_cosine_pairs",
+    "streaming_kalman_level",
+    "time_decay_attribution",
+    "spearman_rank_corr",
 ]
 
 
