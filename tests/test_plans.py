@@ -756,3 +756,44 @@ def test_gmm_em_broadcast_params_each_iteration(spark):
     df = em.QUERIES["gaussian_mixture_em"](spark, SF_SMOKE)
     PL.assert_broadcast_join(df, at_least=3)
     PL.assert_no_cartesian(df)
+
+
+def test_tfidf_cosine_no_nested_loop(spark):
+    # sparse dot must stay an equi-join on the shingle key; the only
+    # nested-loop joins allowed are the deliberate 1-row ndocs scalar
+    # crosses (recognizable by their df<n condition)
+    df = em.QUERIES["tfidf_cosine_pairs"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "(df" in line, line
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin [shingle" in plan, plan
+
+
+def test_binary_segmentation_single_window_pass(spark):
+    # prefix sums + totals + rank share the symbol sort; argmax adds one
+    df = em.QUERIES["binary_segmentation_split"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_time_decay_attribution_user_equi_join(spark):
+    # conversion-touch pairing is an equi-join on user_id, range
+    # predicates ride as join filters — not a nested loop
+    df = em.QUERIES["time_decay_attribution"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_parametric_var_broadcast_scalars(spark):
+    # the three 1-row aggregates combine via broadcast cross joins —
+    # cheap by construction; nothing else may go nested-loop
+    df = em.QUERIES["parametric_portfolio_var"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_incremental_dedup_fingerprint_equi_join(spark):
+    df = em.QUERIES["incremental_dedup_new_docs"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
