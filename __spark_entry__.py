@@ -17475,6 +17475,166 @@ def parametric_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# DTW distance per symbol pair — banded dynamic time warping over
+# daily normalized closes. Rows-only by design: the DP recurrence is
+# not SQL-expressible at reasonable cost; invariants (dtw ≤ L1,
+# dtw(x,x)=0, band monotonicity) are pinned in tests/test_invariants.py.
+# --------------------------------------------------------------------------
+@q("dtw_distance_pairs")
+def dtw_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily closes normalized per symbol (z-scores, so DTW compares
+    shape not level), bucket-aligned pair join, then the
+    operators/statespace.py banded-DP applyInPandas — one shuffle on
+    the pair key; n = |days| per pair, so per-group work is tiny at
+    any scale."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    ws = Window.partitionBy("symbol")
+    z = daily.select(
+        "symbol",
+        "d",
+        (
+            (F.col("close") - F.avg("close").over(ws))
+            / F.stddev_samp("close").over(ws)
+        ).alias("zc"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.d").alias("d"),
+        F.col("a.zc").alias("va"),
+        F.col("b.zc").alias("vb"),
+    )
+    out = SS.dtw_pair_distances(pairs, band=5)
+    return out.select(
+        "symbol_a",
+        "symbol_b",
+        "n_points",
+        F.round("dtw_dist", 6).alias("dtw_dist"),
+        F.round("euclidean_l1", 6).alias("euclidean_l1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Diversification ratio — DR = Σwσ_i / σ_p for the equal-weight
+# portfolio, effective bets = DR²: how many independent risk sources
+# the book actually holds. Assembled from the same variance/covariance
+# relations as parametric_portfolio_var.
+# --------------------------------------------------------------------------
+@q(
+    "diversification_ratio",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+nsym AS (SELECT count(DISTINCT symbol) * 1.0 AS k FROM r WHERE ret IS NOT NULL),
+vols AS (
+  SELECT symbol, stddev_samp(ret) AS s, var_samp(ret) AS v
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+),
+covs AS (
+  SELECT a.symbol AS sa, b.symbol AS sb, covar_samp(a.ret, b.ret) AS c
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+  GROUP BY 1, 2
+),
+port AS (
+  SELECT (SELECT sum(s) FROM vols) / (SELECT k FROM nsym) AS wavg_vol,
+         sqrt(((SELECT sum(v) FROM vols)
+               + 2.0 * (SELECT coalesce(sum(c), 0.0) FROM covs))
+              / ((SELECT k FROM nsym) * (SELECT k FROM nsym))) AS pvol,
+         (SELECT CAST(k AS BIGINT) FROM nsym) AS n_symbols
+)
+SELECT n_symbols,
+       ROUND(wavg_vol, 6) AS weighted_avg_vol,
+       ROUND(pvol, 6) AS portfolio_vol,
+       ROUND(wavg_vol / pvol, 6) AS diversification_ratio,
+       ROUND((wavg_vol / pvol) * (wavg_vol / pvol), 6) AS effective_bets
+FROM port
+"""
+    ),
+)
+def diversification_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three 1-row aggregates (Σσ, Σv, Σc) combined via broadcast
+    crosses — the parametric_portfolio_var plan family; DR and
+    effective bets are closed-form."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    nsym = r.agg((F.count_distinct("symbol") * 1.0).alias("k"))
+    vols = r.groupBy("symbol").agg(
+        F.stddev_samp("ret").alias("s"), F.var_samp("ret").alias("v")
+    )
+    sums = vols.agg(
+        F.sum("s").alias("ss"), F.sum("v").alias("sv")
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    covs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("sa"),
+            F.col("b.symbol").alias("sb"),
+        )
+        .agg(F.covar_samp(F.col("a.ret"), F.col("b.ret")).alias("c"))
+    )
+    sumc = covs.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("sc"))
+    port = (
+        sums.crossJoin(F.broadcast(sumc))
+        .crossJoin(F.broadcast(nsym))
+        .select(
+            (F.col("ss") / F.col("k")).alias("wavg_vol"),
+            F.sqrt(
+                (F.col("sv") + 2.0 * F.col("sc"))
+                / (F.col("k") * F.col("k"))
+            ).alias("pvol"),
+            F.col("k").cast("bigint").alias("n_symbols"),
+        )
+    )
+    dr = F.col("wavg_vol") / F.col("pvol")
+    return port.select(
+        "n_symbols",
+        F.round("wavg_vol", 6).alias("weighted_avg_vol"),
+        F.round("pvol", 6).alias("portfolio_vol"),
+        F.round(dr, 6).alias("diversification_ratio"),
+        F.round(dr * dr, 6).alias("effective_bets"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")

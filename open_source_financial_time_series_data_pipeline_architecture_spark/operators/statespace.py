@@ -82,3 +82,63 @@ def kalman_local_level(
     return (
         trades.select(*cols).groupBy(key_col).applyInPandas(compute, out_schema)
     )
+
+
+def dtw_pair_distances(
+    aligned_pairs: DataFrame,
+    band: int = 5,
+    key_cols: tuple[str, str] = ("symbol_a", "symbol_b"),
+    order_col: str = "d",
+    value_cols: tuple[str, str] = ("va", "vb"),
+) -> DataFrame:
+    """Dynamic-time-warping distance per key pair over pre-aligned
+    series rows, with a Sakoe–Chiba band.
+
+    DTW's DP table is inherently sequential per pair — the one shape
+    (like the EWM/Kalman recurrences) that justifies applyInPandas:
+    one shuffle on the pair key, Arrow-batched, O(n·band) numpy DP
+    inside. Pairs parallelize; n is bounded by the series grain
+    (days here), so the per-group work is small at any corpus scale.
+
+    Euclidean distance on the aligned rows is returned alongside —
+    DTW ≤ Euclidean always (the band includes the identity
+    alignment); pinned in tests/test_invariants.py.
+    """
+    import numpy as np
+
+    ka, kb = key_cols
+    va, vb = value_cols
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[va].to_numpy(dtype=float)
+        y = pdf[vb].to_numpy(dtype=float)
+        n = len(x)
+        inf = float("inf")
+        prev = np.full(n + 1, inf)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = np.full(n + 1, inf)
+            lo = max(1, i - band)
+            hi = min(n, i + band)
+            for j in range(lo, hi + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        dtw = float(prev[n])
+        eucl = float(np.abs(x - y).sum())
+        return pd.DataFrame(
+            {
+                ka: [pdf[ka].iloc[0]],
+                kb: [pdf[kb].iloc[0]],
+                "n_points": [n],
+                "dtw_dist": [dtw],
+                "euclidean_l1": [eucl],
+            }
+        )
+
+    out_schema = (
+        f"{ka} string, {kb} string, n_points long,"
+        " dtw_dist double, euclidean_l1 double"
+    )
+    return aligned_pairs.groupBy(ka, kb).applyInPandas(compute, out_schema)

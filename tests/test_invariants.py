@@ -132,3 +132,37 @@ def test_kalman_gain_converges_to_riccati_fixed_point(spark):
     assert all(a >= b for a, b in zip(gains, gains[1:]))
     # filtered level stays inside the observed price envelope
     assert all(100.0 <= r["kf_level"] <= 106.0 for r in out)
+
+
+def test_dtw_invariants(spark):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.statespace import (
+        dtw_pair_distances,
+    )
+
+    base = dt.date(2024, 6, 1)
+    rows = []
+    for i in range(30):
+        va = float((i * 7) % 11)
+        rows.append(("A", "B", base + dt.timedelta(days=i), va, va))  # identical
+        rows.append(
+            ("A", "C", base + dt.timedelta(days=i), va, float((i * 5) % 9))
+        )
+    df = spark.createDataFrame(
+        rows, "symbol_a string, symbol_b string, d date, va double, vb double"
+    )
+    out = {
+        (r["symbol_a"], r["symbol_b"]): r
+        for r in dtw_pair_distances(df, band=5).collect()
+    }
+    # identical series → zero distance
+    assert out[("A", "B")]["dtw_dist"] == 0.0
+    # dtw <= L1 euclidean (band includes the identity alignment)
+    for r in out.values():
+        assert r["dtw_dist"] <= r["euclidean_l1"] + 1e-12
+    # widening the band can only reduce (or keep) the distance
+    wide = {
+        (r["symbol_a"], r["symbol_b"]): r["dtw_dist"]
+        for r in dtw_pair_distances(df, band=15).collect()
+    }
+    for k, r in out.items():
+        assert wide[k] <= r["dtw_dist"] + 1e-12
