@@ -2842,7 +2842,55 @@ def ohlc_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("price_interpolate")  # tolerance-gated rows-only: see docstring
+@q(
+    "price_interpolate",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+bounds AS (
+  SELECT symbol, CAST(epoch(min(bucket)) AS BIGINT) AS mn,
+         CAST(epoch(max(bucket)) AS BIGINT) AS mx
+  FROM bars GROUP BY 1
+),
+grid AS (
+  SELECT symbol, to_timestamp(t.ts)::TIMESTAMP AS bucket
+  FROM bounds, UNNEST(range(mn, mx + 60, 60)) AS t(ts)
+),
+j AS (
+  SELECT g.symbol, g.bucket, b.close FROM grid g
+  LEFT JOIN bars b ON g.symbol = b.symbol AND g.bucket = b.bucket
+),
+f AS (
+  SELECT symbol, bucket, close,
+         last_value(close IGNORE NULLS) OVER wp AS pv,
+         epoch(last_value(CASE WHEN close IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER wp) AS pt,
+         last_value(close IGNORE NULLS) OVER wn AS nv,
+         epoch(last_value(CASE WHEN close IS NOT NULL THEN bucket END
+                          IGNORE NULLS) OVER wn) AS nt
+  FROM j
+  WINDOW wp AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bucket,
+       floor((CASE WHEN close IS NOT NULL THEN close
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (epoch(bucket) - pt) / (nt - pt)
+              END) * 1000000.0) / 1000000.0 AS close_interp,
+       close IS NULL AS is_gap
+FROM f
+"""
+    ),
+)
 def price_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimescaleDB `interpolate()` parity (the companion to locf):
     linear interpolation of the close series across empty minutes,
@@ -2850,13 +2898,14 @@ def price_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same symbol partition (trailing last ignorenulls ASC + the same
     frame DESC for the leading neighbor) — one shuffle total.
 
-    Rows-only for the driver gate, by documented necessity: dyadic
-    interpolation weights land values EXACTLY on the 0.5e-6 rounding
-    grid, where Spark's round() (half-up on the shortest decimal repr)
-    and DuckDB's round() (nearest on the scaled binary value) disagree
-    — ~6 rows in 215k differ in the 6th decimal. Value parity at
-    atol 1.1e-6 against the DuckDB recomputation is pinned in
-    tests/test_interpolate_parity.py."""
+    Hash-checkable via the 1e-6 floor-scale convention (kalman_level
+    precedent): dyadic interpolation weights land EXACTLY on the
+    0.5e-6 ROUND grid where the engines' round() disagree, but the
+    interpolation doubles themselves are bit-identical (same closed
+    formula over identical inputs, no reordered summation), so
+    floor(x·1e6) matches exactly. The tolerance test in
+    tests/test_interpolate_parity.py stays as the independent
+    recomputation check."""
     from pyspark.sql import Window
 
     ohlc = _bars60(spark, sf_dir).select(
@@ -2911,7 +2960,7 @@ def price_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "symbol",
         "bucket",
-        F.round(interp, 6).alias("close_interp"),
+        (F.floor(interp * 1000000.0) / 1000000.0).alias("close_interp"),
         F.col("close").isNull().alias("is_gap"),
     )
 

@@ -1,13 +1,13 @@
-"""price_interpolate vs a DuckDB recomputation at atol 1.1e-6.
+"""price_interpolate vs an INDEPENDENT DuckDB recomputation — exact.
 
-This query is rows-only in the driver gate because exact ROUND(,6)
-parity is impossible by engine design: linear interpolation with dyadic
-weights produces values exactly on the 0.5e-6 grid, where Spark rounds
-the shortest decimal representation half-up while DuckDB rounds the
-scaled binary double — the two legitimately disagree in the last digit
-on a handful of rows. Everything else about the query (row set, gap
-flags, all values to within one unit in the 6th decimal) is pinned
-here.
+The query floor-scales at 1e-6 (kalman_level convention) instead of
+ROUND precisely because dyadic interpolation weights land on the
+0.5e-6 grid where the engines' round() legitimately disagree; the
+interpolation doubles themselves are bit-identical (closed formula
+over identical inputs), so floor(x·1e6) matches exactly. This test
+recomputes the grid with a DIFFERENT window formulation (true
+following frame instead of the DESC-ordered growing frame) and
+asserts bit-exact equality.
 """
 
 from __future__ import annotations
@@ -54,19 +54,19 @@ f AS (
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT symbol, bucket,
-       ROUND(CASE
+       floor((CASE
          WHEN close IS NOT NULL THEN close
          WHEN pv IS NULL THEN nv
          WHEN nv IS NULL THEN pv
          ELSE pv + (nv - pv) * (epoch(bucket) - pt) / (nt - pt)
-       END, 6) AS close_interp,
+       END) * 1000000.0) / 1000000.0 AS close_interp,
        close IS NULL AS is_gap
 FROM f
 """
 )
 
 
-def test_price_interpolate_matches_duckdb_within_half_ulp_of_round(spark):
+def test_price_interpolate_matches_duckdb_exactly(spark):
     con = duckdb_con(SF_CORRECT)
     got = (
         em.queries()["price_interpolate"](spark, SF_CORRECT)
@@ -83,7 +83,5 @@ def test_price_interpolate_matches_duckdb_within_half_ulp_of_round(spark):
     assert (got["bucket"] == exp["bucket"]).all()
     assert (got["is_gap"] == exp["is_gap"]).all()
     diff = (got["close_interp"] - exp["close_interp"]).abs()
-    assert diff.max() <= 1.1e-6, diff.max()
-    # the disagreement is rare (half-grid collisions only — ~0.02% of
-    # rows at sf0.01), not systemic
-    assert (diff > 1e-12).sum() < 100, int((diff > 1e-12).sum())
+    # bit-exact: floored bit-identical doubles cannot differ
+    assert (diff == 0).all(), diff.max()
