@@ -17684,6 +17684,85 @@ def diversification_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# k-anonymity audit (V-plane, driver-visible) — equivalence-class
+# sizes over the quasi-identifier tuple at two generalization levels:
+# raw account balance vs decile-bucketed. The release-gate check a
+# privacy office runs before sharing "anonymized" extracts; shows the
+# generalization lifting min-class-size k.
+# --------------------------------------------------------------------------
+@q(
+    "k_anonymity_check",
+    oracle(
+        """
+g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+  FROM customer
+),
+raw_classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS sz
+  FROM g GROUP BY 1, 2, 3
+),
+coarse_classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM g GROUP BY 1, 2
+)
+SELECT 'nation+segment+bal_bucket' AS qi_level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS k_min,
+       CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+           AS classes_under_k5,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+FROM raw_classes
+UNION ALL
+SELECT 'nation+segment',
+       CAST(count(*) AS BIGINT),
+       CAST(min(sz) AS BIGINT),
+       CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT),
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+FROM coarse_classes
+"""
+    ),
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash aggregates over the quasi-identifier projections and a
+    2-row union — metadata-sized output at any scale; the
+    equivalence-class aggregate is partial-agg friendly. Complements
+    the governance plane's RLS views / masking (tests-only) with a
+    driver-hashable release gate."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+
+    def classes(df: DataFrame, cols: list[str], label: str) -> DataFrame:
+        cl = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("sz"))
+        return cl.agg(
+            F.lit(label).alias("qi_level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("sz").cast("bigint").alias("k_min"),
+            F.count(F.when(F.col("sz") < 5, 1))
+            .cast("bigint")
+            .alias("classes_under_k5"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+
+    return classes(
+        g, ["c_nationkey", "c_mktsegment", "bal_bucket"],
+        "nation+segment+bal_bucket",
+    ).unionByName(
+        classes(g, ["c_nationkey", "c_mktsegment"], "nation+segment")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
