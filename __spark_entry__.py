@@ -17763,6 +17763,119 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Portfolio turnover of the daily winner–loser book — Σ|w_t − w_{t−1}|/2
+# per rebalance day: the trading-cost driver momentum_portfolio's
+# gross return ignores. Weights ±1/2 on the top-2/bottom-2 by
+# previous-day return, 0 elsewhere.
+# --------------------------------------------------------------------------
+@q(
+    "portfolio_turnover",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+sig AS (
+  SELECT symbol, d,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY d) AS prev_ret
+  FROM r
+),
+ranked AS (
+  SELECT symbol, d,
+         row_number() OVER (PARTITION BY d ORDER BY prev_ret DESC, symbol) AS rk,
+         count(*) OVER (PARTITION BY d) AS n
+  FROM sig WHERE prev_ret IS NOT NULL
+),
+w AS (
+  SELECT symbol, d,
+         CASE WHEN rk <= 2 THEN 0.5
+              WHEN rk > n - 2 THEN -0.5 ELSE 0.0 END AS wt
+  FROM ranked WHERE n >= 4
+),
+dw AS (
+  SELECT symbol, d, wt,
+         coalesce(lag(wt) OVER (PARTITION BY symbol ORDER BY d), 0.0) AS pwt
+  FROM w
+),
+tw AS (
+  SELECT d, sum(abs(wt - pwt)) / 2.0 AS turnover FROM dw GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rebalances,
+       ROUND(avg(turnover), 6) AS mean_turnover,
+       ROUND(max(turnover), 6) AS max_turnover,
+       ROUND(min(turnover), 6) AS min_turnover
+FROM tw
+"""
+    ),
+)
+def portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily weights from two rank windows (momentum_portfolio's
+    pipeline), previous-day weight via one lag window per symbol,
+    half-sum of absolute changes per day, distribution aggregate.
+    All windows run over the |symbol × days| aggregate."""
+    tr = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = tr.groupBy(
+        "symbol", F.col("time").cast("date").alias("d")
+    ).agg(F.max_by("price", tkey).alias("close"))
+    ws = Window.partitionBy("symbol").orderBy("d")
+    prev = F.lag("close").over(ws)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    )
+    sig = r.select(
+        "symbol", "d", F.lag("ret").over(ws).alias("prev_ret")
+    ).filter(F.col("prev_ret").isNotNull())
+    wd = Window.partitionBy("d")
+    ranked = sig.select(
+        "symbol",
+        "d",
+        F.row_number()
+        .over(wd.orderBy(F.col("prev_ret").desc(), "symbol"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    ).filter(F.col("n") >= 4)
+    wts = ranked.select(
+        "symbol",
+        "d",
+        F.when(F.col("rk") <= 2, 0.5)
+        .when(F.col("rk") > F.col("n") - 2, -0.5)
+        .otherwise(0.0)
+        .alias("wt"),
+    )
+    prev_wt = F.lag("wt").over(ws)
+    dturn = (
+        wts.withColumn("pwt", F.coalesce(prev_wt, F.lit(0.0)))
+        .groupBy("d")
+        .agg(
+            (F.sum(F.abs(F.col("wt") - F.col("pwt"))) / 2.0).alias(
+                "turnover"
+            )
+        )
+    )
+    return dturn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rebalances"),
+        F.round(F.avg("turnover"), 6).alias("mean_turnover"),
+        F.round(F.max("turnover"), 6).alias("max_turnover"),
+        F.round(F.min("turnover"), 6).alias("min_turnover"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
