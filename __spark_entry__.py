@@ -17876,6 +17876,275 @@ def portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Seasonal-naive volume forecast — ŷ(t) = volume same hour one week
+# ago (lag 168 on the hourly series), scored with MAPE and sMAPE per
+# symbol: the capacity-planning forecast ops teams actually run, and
+# the volume-side complement to forecast_backtest_mae's price MAE.
+# --------------------------------------------------------------------------
+@q(
+    "volume_forecast_seasonal_naive",
+    oracle(
+        """
+h AS (
+  SELECT symbol,
+         to_timestamp(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS hour,
+         sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+),
+f AS (
+  SELECT symbol, hour, vol,
+         lag(vol, 168) OVER (PARTITION BY symbol ORDER BY hour) AS fc
+  FROM h
+)
+SELECT symbol,
+       CAST(count(fc) AS BIGINT) AS n_scored,
+       ROUND(avg(CASE WHEN vol > 0 THEN abs(vol - fc) / vol END), 6)
+           AS mape,
+       ROUND(avg(CASE WHEN vol + fc > 0
+                 THEN 2.0 * abs(vol - fc) / (vol + fc) END), 6) AS smape,
+       ROUND(avg(abs(vol - fc)), 6) AS mae
+FROM f WHERE fc IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def volume_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hourly hash aggregate, one fixed-offset lag window over
+    |symbol × hours| rows (the hourly grid is dense enough at every SF
+    that lag-168 is the same-hour-last-week row), one scoring
+    aggregate. NOTE: lag-by-rows ≡ lag-by-time only on a gap-free
+    grid; a production variant joins on hour − INTERVAL 7 DAY — same
+    shape, one equi-join instead of the lag."""
+    t = _trades(spark, sf_dir)
+    h = t.groupBy(
+        "symbol",
+        F.timestamp_seconds(
+            (F.floor(F.col("time").cast("double") / 3600) * 3600).cast(
+                "long"
+            )
+        ).alias("hour"),
+    ).agg(F.sum("volume").alias("vol"))
+    w = Window.partitionBy("symbol").orderBy("hour")
+    f = h.select(
+        "symbol",
+        "vol",
+        F.lag("vol", 168).over(w).alias("fc"),
+    ).filter(F.col("fc").isNotNull())
+    return f.groupBy("symbol").agg(
+        F.count("fc").cast("bigint").alias("n_scored"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("vol") > 0,
+                    F.abs(F.col("vol") - F.col("fc")) / F.col("vol"),
+                )
+            ),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("vol") + F.col("fc") > 0,
+                    2.0
+                    * F.abs(F.col("vol") - F.col("fc"))
+                    / (F.col("vol") + F.col("fc")),
+                )
+            ),
+            6,
+        ).alias("smape"),
+        F.round(F.avg(F.abs(F.col("vol") - F.col("fc"))), 6).alias(
+            "mae"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Transition-matrix drift — χ² of each user-event transition's count
+# in the second half of the window vs the first-half rate: does the
+# SEQUENCE structure drift, not just the marginal mix
+# (chi2_event_mix_drift covers the marginals).
+# --------------------------------------------------------------------------
+@q(
+    "transition_drift_chi2",
+    oracle(
+        """
+e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+mid AS (
+  SELECT to_timestamp(CAST(floor((epoch(min(ts)) + epoch(max(ts))) / 2.0)
+                           AS BIGINT))::TIMESTAMP AS m
+  FROM e
+),
+tr AS (
+  SELECT e.user_id, e.event_type AS src,
+         lead(e.event_type) OVER (PARTITION BY e.user_id ORDER BY e.ts) AS dst,
+         CASE WHEN e.ts < (SELECT m FROM mid) THEN 'h1' ELSE 'h2' END AS half
+  FROM e
+),
+cnt AS (
+  SELECT src, dst, half, count(*) * 1.0 AS c
+  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT src, dst,
+         coalesce(max(CASE WHEN half = 'h1' THEN c END), 0.0) AS c1,
+         coalesce(max(CASE WHEN half = 'h2' THEN c END), 0.0) AS c2
+  FROM cnt GROUP BY 1, 2
+),
+tot AS (SELECT sum(c1) AS t1, sum(c2) AS t2 FROM p)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       ROUND(sum(CASE WHEN p.c1 > 0 THEN
+             (p.c2 - p.c1 * t.t2 / t.t1)
+             * (p.c2 - p.c1 * t.t2 / t.t1) / (p.c1 * t.t2 / t.t1)
+             END), 6) AS chi2_stat,
+       CAST(count(CASE WHEN p.c1 = 0 AND p.c2 > 0 THEN 1 END) AS BIGINT)
+           AS novel_transitions
+FROM p CROSS JOIN tot t
+"""
+    ),
+)
+def transition_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitions from one per-user lead window; the split point is a
+    1-row aggregate broadcast (never a single-partition window over
+    raw events — the chi2_event_mix_drift rule); per-cell halves via
+    one pivot-style aggregate; χ² combines against expected counts
+    scaled by the half totals."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mid = e.agg(
+        F.timestamp_seconds(
+            F.floor(
+                (
+                    F.min("ts").cast("double")
+                    + F.max("ts").cast("double")
+                )
+                / 2.0
+            ).cast("long")
+        ).alias("m")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    tr = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wu).alias("dst"),
+            F.when(F.col("ts") < F.col("m"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    cnt = tr.groupBy("src", "dst", "half").agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    p = cnt.groupBy("src", "dst").agg(
+        F.coalesce(
+            F.max(F.when(F.col("half") == "h1", F.col("c"))), F.lit(0.0)
+        ).alias("c1"),
+        F.coalesce(
+            F.max(F.when(F.col("half") == "h2", F.col("c"))), F.lit(0.0)
+        ).alias("c2"),
+    )
+    tot = p.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    exp_c2 = F.col("c1") * F.col("t2") / F.col("t1")
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c1") > 0,
+                        (F.col("c2") - exp_c2)
+                        * (F.col("c2") - exp_c2)
+                        / exp_c2,
+                    )
+                ),
+                6,
+            ).alias("chi2_stat"),
+            F.count(
+                F.when((F.col("c1") == 0) & (F.col("c2") > 0), 1)
+            )
+            .cast("bigint")
+            .alias("novel_transitions"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Readability scores per source — Flesch reading ease from word,
+# "sentence" (period-delimited, min 1) and vowel-group syllable
+# counts, all regexp built-ins: the classical text-quality screen
+# next to the Gopher rules.
+# --------------------------------------------------------------------------
+@q(
+    "readability_scores",
+    oracle(
+        """
+d AS (
+  SELECT source,
+         length(regexp_replace(trim(text), ' +', ' ', 'g'))
+           - length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'),
+                                   ' ', '', 'g')) + 1 AS n_words,
+         greatest(len(regexp_extract_all(text, '\\.')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(n_words * 1.0 / n_sentences), 6) AS mean_words_per_sentence,
+       ROUND(avg(n_syllables * 1.0 / n_words), 6) AS mean_syllables_per_word,
+       ROUND(avg(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words)), 6) AS flesch_ease
+FROM d GROUP BY 1
+"""
+    ),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure string built-ins (length/regexp), one hash aggregate per
+    source — fully codegen, no UDF, trivially partial-agg."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    squeezed = F.regexp_replace(F.trim(F.col("text")), " +", " ")
+    n_words = (
+        F.length(squeezed)
+        - F.length(F.regexp_replace(squeezed, " ", ""))
+        + 1
+    )
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("\\."), 0)),
+        F.lit(1),
+    )
+    n_syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[aeiouy]+"), 0
+            )
+        ),
+        F.lit(1),
+    )
+    d = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words") * 1.0 / F.col("n_sentences")
+    spw = F.col("n_syllables") * 1.0 / F.col("n_words")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(wps), 6).alias("mean_words_per_sentence"),
+        F.round(F.avg(spw), 6).alias("mean_syllables_per_word"),
+        F.round(
+            F.avg(206.835 - 1.015 * wps - 84.6 * spw), 6
+        ).alias("flesch_ease"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
