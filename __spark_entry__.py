@@ -18145,6 +18145,160 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Peak session concurrency — sweep-line over session intervals:
+# +1 at session start, −1 at session end, running sum ordered by
+# event time = live-session count; daily peak is the capacity number
+# load planning needs. Sessions are the same 30-min-gap islands as
+# user_sessionization.
+# --------------------------------------------------------------------------
+@q(
+    "peak_concurrency",
+    oracle(
+        """
+e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM s
+),
+iv AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM g GROUP BY 1, 2
+),
+pts AS (
+  SELECT s_start AS t, 1 AS delta, 0 AS tie FROM iv
+  UNION ALL
+  SELECT s_end, -1, 1 FROM iv
+),
+sweep AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, tie, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT CAST(t AS DATE) AS d,
+       CAST(max(live) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) AS BIGINT) AS n_boundary_events
+FROM sweep GROUP BY 1
+"""
+    ),
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via the one-sort islands pipeline, interval endpoints
+    exploded to ±1 boundary events, ONE global ordered running sum
+    (the sweep line — at 100 TB this becomes a per-day or per-shard
+    sweep plus a prefix-offset pass; at driver-gate scale a single
+    ordered partition is exact and the tie rule (t, end-before-start
+    resolved as start-first via tie flag) is deterministic), daily
+    peak aggregate. A zero-length session contributes +1 then −1 at
+    the same instant with start ordered first — live count never
+    dips negative."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    ts_d = F.col("ts").cast("double")
+    prev = F.lag(ts_d).over(wu)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull() | ((ts_d - prev) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = g.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    starts = iv.select(
+        F.col("s_start").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("tie"),
+    )
+    ends = iv.select(
+        F.col("s_end").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("tie"),
+    )
+    pts = starts.unionByName(ends)
+    sweep = pts.withColumn(
+        "live",
+        F.sum("delta").over(
+            Window.orderBy("t", "tie", "delta").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sweep.groupBy(F.to_date("t").alias("d")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UCB1 arm scores — mean conversion value + sqrt(2·ln N / n) per
+# event-type "arm": the exploration bonus an adaptive allocator would
+# use next round. Closed-form from one aggregate; the decision-theory
+# step after ab_test_conversion's hypothesis test.
+# --------------------------------------------------------------------------
+@q(
+    "ucb_arm_scores",
+    oracle(
+        """
+arms AS (
+  SELECT event_type AS arm,
+         count(*) * 1.0 AS n_pulls,
+         avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS mean_reward
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_pulls) AS n FROM arms)
+SELECT a.arm,
+       CAST(a.n_pulls AS BIGINT) AS n_pulls,
+       ROUND(a.mean_reward, 6) AS mean_reward,
+       ROUND(sqrt(2.0 * ln(t.n) / a.n_pulls), 6) AS exploration_bonus,
+       ROUND(a.mean_reward + sqrt(2.0 * ln(t.n) / a.n_pulls), 6)
+           AS ucb1_score
+FROM arms a CROSS JOIN tot t
+"""
+    ),
+)
+def ucb_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate to |arms| rows + a broadcast 1-row total;
+    reward = value>100 indicator (the high-value-event proxy)."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("n_pulls"),
+        F.avg(
+            F.when(F.col("value") > 100, 1.0).otherwise(0.0)
+        ).alias("mean_reward"),
+    )
+    tot = arms.agg(F.sum("n_pulls").alias("n"))
+    bonus = F.sqrt(2.0 * F.log(F.col("n")) / F.col("n_pulls"))
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n_pulls").cast("bigint").alias("n_pulls"),
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round(bonus, 6).alias("exploration_bonus"),
+        F.round(F.col("mean_reward") + bonus, 6).alias("ucb1_score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
