@@ -18299,6 +18299,118 @@ def ucb_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Lo (2002) autocorrelation-adjusted Sharpe — time-aggregated Sharpe
+# scaled by q/√(q + 2Σ(q−k)ρ_k) instead of the iid √q: serially
+# correlated returns make the naive √q scaling overstate (positive ρ)
+# or understate (negative ρ) the q-period ratio. ρ at lags 1–5 from
+# one window pass; q = 10 bars (truncated tail documented).
+# --------------------------------------------------------------------------
+@q(
+    "sharpe_lo_adjusted",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, ret,
+         lag(ret, 1) OVER w AS r1, lag(ret, 2) OVER w AS r2,
+         lag(ret, 3) OVER w AS r3, lag(ret, 4) OVER w AS r4,
+         lag(ret, 5) OVER w AS r5
+  FROM r WHERE ret IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+m AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         avg(ret) / nullif(stddev_samp(ret), 0) AS sr,
+         corr(ret, r1) AS p1, corr(ret, r2) AS p2, corr(ret, r3) AS p3,
+         corr(ret, r4) AS p4, corr(ret, r5) AS p5
+  FROM l GROUP BY 1 HAVING count(*) >= 20
+)
+SELECT symbol, n_obs,
+       ROUND(sr, 6) AS sharpe_1bar,
+       ROUND(p1, 6) AS rho_1,
+       ROUND(sr * sqrt(10.0), 6) AS sharpe_q10_iid,
+       ROUND(CASE WHEN 10.0 + 2.0 * (9.0 * p1 + 8.0 * p2 + 7.0 * p3
+                                     + 6.0 * p4 + 5.0 * p5) > 0
+             THEN sr * 10.0 / sqrt(10.0 + 2.0 * (9.0 * p1 + 8.0 * p2
+                  + 7.0 * p3 + 6.0 * p4 + 5.0 * p5)) END, 6)
+           AS sharpe_q10_lo
+FROM m
+"""
+    ),
+)
+def sharpe_lo_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fixed-offset lags share ONE symbol-sorted window pass;
+    Sharpe and the five autocorrelations come from one moment
+    aggregate; the Lo scale factor is closed-form per |symbols| row
+    (non-positive adjusted variance guarded to NULL both sides)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    l = r.select(
+        "symbol",
+        "ret",
+        *[F.lag("ret", k).over(w).alias(f"r{k}") for k in range(1, 6)],
+    )
+    m = (
+        l.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            (
+                F.avg("ret")
+                / F.nullif(F.stddev_samp("ret"), F.lit(0.0))
+            ).alias("sr"),
+            *[
+                F.corr("ret", f"r{k}").alias(f"p{k}")
+                for k in range(1, 6)
+            ],
+        )
+        .filter(F.col("n_obs") >= 20)
+    )
+    wsum = (
+        9.0 * F.col("p1")
+        + 8.0 * F.col("p2")
+        + 7.0 * F.col("p3")
+        + 6.0 * F.col("p4")
+        + 5.0 * F.col("p5")
+    )
+    denom = 10.0 + 2.0 * wsum
+    return m.select(
+        "symbol",
+        "n_obs",
+        F.round("sr", 6).alias("sharpe_1bar"),
+        F.round("p1", 6).alias("rho_1"),
+        F.round(F.col("sr") * F.sqrt(F.lit(10.0)), 6).alias(
+            "sharpe_q10_iid"
+        ),
+        F.round(
+            F.when(denom > 0, F.col("sr") * 10.0 / F.sqrt(denom)), 6
+        ).alias("sharpe_q10_lo"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
