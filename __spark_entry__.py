@@ -18411,6 +18411,102 @@ def sharpe_lo_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Bar-rollup reconciliation — the continuous-aggregate integrity
+# check: 5-minute bars computed DIRECTLY from trades must equal
+# 5-minute bars rolled up from the 1-minute cagg, column for column.
+# Emits per-symbol bucket counts and mismatch counts (0 when the
+# rollup hierarchy is sound) — the query a TimescaleDB operator runs
+# after a cagg refresh window.
+# --------------------------------------------------------------------------
+@q(
+    "bar_rollup_reconciliation",
+    oracle(
+        """
+direct AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    first(price ORDER BY time, trade_id) AS open,
+    max(price) AS high, min(price) AS low,
+    last(price ORDER BY time, trade_id) AS close,
+    sum(volume) AS volume
+  FROM trades GROUP BY 1, 2
+),
+m1 AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    first(price ORDER BY time, trade_id) AS open,
+    max(price) AS high, min(price) AS low,
+    last(price ORDER BY time, trade_id) AS close,
+    sum(volume) AS volume
+  FROM trades GROUP BY 1, 2
+),
+rolled AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(bucket) / 300) * 300 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    first(open ORDER BY bucket) AS open,
+    max(high) AS high, min(low) AS low,
+    last(close ORDER BY bucket) AS close,
+    sum(volume) AS volume
+  FROM m1 GROUP BY 1, 2
+)
+SELECT d.symbol,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(CASE WHEN d.open <> r.open OR d.high <> r.high
+                      OR d.low <> r.low OR d.close <> r.close THEN 1 END)
+            AS BIGINT) AS n_price_mismatch,
+       CAST(count(CASE WHEN abs(d.volume - r.volume) > 1e-9 THEN 1 END)
+            AS BIGINT) AS n_volume_mismatch
+FROM direct d JOIN rolled r
+  ON d.symbol = r.symbol AND d.bucket = r.bucket
+GROUP BY 1
+"""
+    ),
+)
+def bar_rollup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct 5m bars vs FX.bar_rollup(1m bars → 5m) joined on
+    (symbol, bucket), mismatch counts in one aggregate. Both pipelines
+    share the cached trades scan; the rollup path reads the 1m-bars
+    cache (the cagg), so this audits exactly what production would
+    audit. Expected: 0 mismatches (ordered first/last keyed by
+    (time, trade_id) at 1m grain roll up losslessly)."""
+    direct = FX.ohlc(_trades(spark, sf_dir), bucket_seconds=300)
+    rolled = FX.bar_rollup(_bars60(spark, sf_dir), to_seconds=300)
+    d = direct.alias("d")
+    r = rolled.alias("r")
+    mism_price = (
+        (F.col("d.open") != F.col("r.open"))
+        | (F.col("d.high") != F.col("r.high"))
+        | (F.col("d.low") != F.col("r.low"))
+        | (F.col("d.close") != F.col("r.close"))
+    )
+    return (
+        d.join(
+            r,
+            (F.col("d.symbol") == F.col("r.symbol"))
+            & (F.col("d.bucket") == F.col("r.bucket")),
+        )
+        .groupBy(F.col("d.symbol").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.count(F.when(mism_price, 1))
+            .cast("bigint")
+            .alias("n_price_mismatch"),
+            F.count(
+                F.when(
+                    F.abs(F.col("d.volume") - F.col("r.volume")) > 1e-9,
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_volume_mismatch"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
