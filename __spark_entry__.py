@@ -18507,6 +18507,131 @@ def bar_rollup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Supplier reliability scorecard — per-supplier delivery performance:
+# volume, revenue, lead-time distribution and late share, joined with
+# the supplier dimension. The vendor-management rollup
+# order_fulfillment_lead_time gives per-priority, this gives
+# per-counterparty.
+# --------------------------------------------------------------------------
+@q(
+    "supplier_scorecard",
+    oracle(
+        """
+lt AS (
+  SELECT l.l_suppkey,
+         l.l_extendedprice * (1 - l.l_discount) AS net_price,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+             AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name AS supplier, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(sum(lt.net_price), 6) AS net_revenue,
+       ROUND(avg(lt.lead_days), 6) AS mean_lead_days,
+       ROUND(quantile_cont(lt.lead_days, 0.9), 6) AS p90_lead_days,
+       ROUND(avg(CASE WHEN lt.lead_days > 90 THEN 1.0 ELSE 0.0 END), 6)
+           AS late_share_90d
+FROM lt
+JOIN supplier s ON lt.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+    ),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join on the order key, then broadcast supplier
+    and nation dimensions (classic star shape), one distribution
+    aggregate per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("net_price"),
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            * F.lit(1.0)
+        ).alias("lead_days"),
+    )
+    j = lt.join(
+        F.broadcast(s), lt.l_suppkey == s.s_suppkey
+    ).join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return j.groupBy(
+        F.col("s_name").alias("supplier"),
+        F.col("n_name").alias("nation"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("net_price"), 6).alias("net_revenue"),
+        F.round(F.avg("lead_days"), 6).alias("mean_lead_days"),
+        F.round(F.percentile("lead_days", F.lit(0.9)), 6).alias(
+            "p90_lead_days"
+        ),
+        F.round(
+            F.avg(F.when(F.col("lead_days") > 90, 1.0).otherwise(0.0)),
+            6,
+        ).alias("late_share_90d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Discount elasticity — slope of line-item quantity on discount per
+# part type (cov/var regression): does discounting actually move
+# volume, by product family? The pricing-analytics regression over
+# the star schema.
+# --------------------------------------------------------------------------
+@q(
+    "discount_elasticity",
+    oracle(
+        """
+x AS (
+  SELECT p.p_type AS part_type,
+         l.l_discount AS disc,
+         CAST(l.l_quantity AS DOUBLE) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT part_type,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(avg(qty), 6) AS mean_qty,
+       ROUND(CASE WHEN var_samp(disc) > 0
+             THEN covar_samp(disc, qty) / var_samp(disc) END, 6)
+           AS qty_per_unit_discount,
+       ROUND(corr(disc, qty), 6) AS corr_disc_qty
+FROM x GROUP BY 1 HAVING count(*) >= 30
+"""
+    ),
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part dimension broadcast onto lineitem, slope = covar/var in
+    one moment aggregate per part type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_type").alias("part_type"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return (
+        x.groupBy("part_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("qty"), 6).alias("mean_qty"),
+            F.round(
+                F.when(
+                    F.var_samp("disc") > 0,
+                    F.covar_samp("disc", "qty") / F.var_samp("disc"),
+                ),
+                6,
+            ).alias("qty_per_unit_discount"),
+            F.round(F.corr("disc", "qty"), 6).alias("corr_disc_qty"),
+        )
+        .filter(F.col("n_lines") >= 30)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
