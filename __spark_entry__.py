@@ -18632,6 +18632,93 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Simplified silhouette per label — centroid-based silhouette
+# (Rousseeuw's medoid pairs replaced by label centroids, the standard
+# large-scale simplification): a = distance to own centroid, b = min
+# distance to any other centroid, s = (b−a)/max(a,b), averaged per
+# label. The cluster-quality audit for the labeled embedding space.
+# --------------------------------------------------------------------------
+@q(
+    "silhouette_by_label",
+    oracle(
+        """
+comp AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, pos, avg(val) AS c_val
+  FROM comp GROUP BY 1, 2
+),
+d AS (
+  SELECT comp.vec_id, comp.label, cent.c_label,
+         sqrt(sum((comp.val - cent.c_val) * (comp.val - cent.c_val))) AS dist
+  FROM comp JOIN cent ON comp.pos = cent.pos
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN c_label = label THEN dist END) AS a,
+         min(CASE WHEN c_label <> label THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       ROUND(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette,
+       ROUND(min((b - a) / greatest(a, b)), 6) AS min_silhouette,
+       ROUND(avg(a), 6) AS mean_intra_dist
+FROM ab GROUP BY 1
+"""
+    ),
+)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode the vectors once, centroid per (label, pos) in one
+    hash aggregate, vector-to-centroid distances via a broadcast join
+    on pos (|labels × dims| rows broadcast), a/b per vector from one
+    conditional aggregate, label rollup. All relational — no numpy,
+    no driver matrix; at 100 TB the centroid table stays
+    |labels × dims| and everything else is partial-agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    cent = comp.groupBy(
+        F.col("label").alias("c_label"), "pos"
+    ).agg(F.avg("val").alias("c_val"))
+    d = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("val") - F.col("c_val"))
+                    * (F.col("val") - F.col("c_val"))
+                )
+            ).alias("dist")
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("c_label") != F.col("label"), F.col("dist"))
+        ).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return ab.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg(sil), 6).alias("mean_silhouette"),
+        F.round(F.min(sil), 6).alias("min_silhouette"),
+        F.round(F.avg("a"), 6).alias("mean_intra_dist"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
