@@ -18719,6 +18719,168 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Histogram bin selection — Freedman–Diaconis, Scott and Sturges
+# rules per symbol from one moment/quantile aggregate: the binning
+# decision price_histogram hard-codes (10 bins), made principled.
+# --------------------------------------------------------------------------
+@q(
+    "histogram_bin_selection",
+    oracle(
+        """
+m AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         max(price) - min(price) AS rng,
+         stddev_samp(price) AS sd,
+         quantile_cont(price, 0.75) - quantile_cont(price, 0.25) AS iqr
+  FROM trades GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT symbol, n,
+       ROUND(rng, 6) AS price_range,
+       ROUND(2.0 * iqr / pow(n, 1.0 / 3.0), 6) AS fd_width,
+       CAST(CASE WHEN iqr > 0
+            THEN ceil(rng / (2.0 * iqr / pow(n, 1.0 / 3.0))) END AS BIGINT)
+           AS fd_bins,
+       ROUND(3.49 * sd / pow(n, 1.0 / 3.0), 6) AS scott_width,
+       CAST(ceil(ln(n) / ln(2.0) + 1.0) AS BIGINT) AS sturges_bins
+FROM m
+"""
+    ),
+)
+def histogram_bin_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate per symbol; all three rules are closed-form
+    expressions over (n, range, sd, IQR)."""
+    t = _trades(spark, sf_dir)
+    m = (
+        t.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.max("price") - F.min("price")).alias("rng"),
+            F.stddev_samp("price").alias("sd"),
+            (
+                F.percentile("price", F.lit(0.75))
+                - F.percentile("price", F.lit(0.25))
+            ).alias("iqr"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    fd_w = 2.0 * F.col("iqr") / F.pow(F.col("n"), 1.0 / 3.0)
+    return m.select(
+        "symbol",
+        "n",
+        F.round("rng", 6).alias("price_range"),
+        F.round(fd_w, 6).alias("fd_width"),
+        F.when(F.col("iqr") > 0, F.ceil(F.col("rng") / fd_w))
+        .cast("bigint")
+        .alias("fd_bins"),
+        F.round(
+            3.49 * F.col("sd") / F.pow(F.col("n"), 1.0 / 3.0), 6
+        ).alias("scott_width"),
+        F.ceil(F.log(F.col("n")) / F.log(F.lit(2.0)) + 1.0)
+        .cast("bigint")
+        .alias("sturges_bins"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-asset minimum-variance weights — w* = (σ_b² − σ_ab)/(σ_a² +
+# σ_b² − 2σ_ab) per symbol pair, with the resulting portfolio vol and
+# the diversification benefit vs the better single asset. Closed-form
+# Markowitz on the covariance relation.
+# --------------------------------------------------------------------------
+@q(
+    "min_variance_pairs",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+p AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         var_samp(a.ret) AS va, var_samp(b.ret) AS vb,
+         covar_samp(a.ret, b.ret) AS cab
+  FROM r a JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) >= 10
+)
+SELECT symbol_a, symbol_b, n_matched,
+       ROUND(CASE WHEN va + vb - 2 * cab > 0
+             THEN (vb - cab) / (va + vb - 2 * cab) END, 6) AS w_a_minvar,
+       ROUND(CASE WHEN va + vb - 2 * cab > 0
+             AND va * vb - cab * cab >= 0
+             THEN sqrt((va * vb - cab * cab) / (va + vb - 2 * cab)) END, 6)
+           AS minvar_vol,
+       ROUND(sqrt(least(va, vb)), 6) AS best_single_vol
+FROM p
+"""
+    ),
+)
+def min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-joined moment aggregate (the pairwise_cointegration
+    shape), closed-form min-variance weight and vol per |pairs| row;
+    degenerate denominators guarded to NULL identically both sides.
+    minvar variance = (v_a·v_b − c²)/(v_a + v_b − 2c)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.alias("a")
+    b = r.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.var_samp(F.col("a.ret")).alias("va"),
+            F.var_samp(F.col("b.ret")).alias("vb"),
+            F.covar_samp(F.col("a.ret"), F.col("b.ret")).alias("cab"),
+        )
+        .filter(F.col("n_matched") >= 10)
+    )
+    va, vb, cab = F.col("va"), F.col("vb"), F.col("cab")
+    denom = va + vb - 2 * cab
+    det = va * vb - cab * cab
+    return p.select(
+        "symbol_a",
+        "symbol_b",
+        "n_matched",
+        F.round(
+            F.when(denom > 0, (vb - cab) / denom), 6
+        ).alias("w_a_minvar"),
+        F.round(
+            F.when((denom > 0) & (det >= 0), F.sqrt(det / denom)), 6
+        ).alias("minvar_vol"),
+        F.round(F.sqrt(F.least(va, vb)), 6).alias("best_single_vol"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
