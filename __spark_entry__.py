@@ -18881,6 +18881,121 @@ def min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Liquidation horizon — days to unwind a $1M notional at 10%
+# participation of ADV (average daily dollar volume): the liquidity
+# risk-ops number next to VaR. Closed-form from one daily aggregate.
+# --------------------------------------------------------------------------
+@q(
+    "liquidation_horizon",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d, sum(price * volume) AS dollar_vol
+  FROM trades GROUP BY 1, 2
+),
+adv AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_days,
+         avg(dollar_vol) AS adv
+  FROM daily GROUP BY 1
+)
+SELECT symbol, n_days,
+       ROUND(adv, 6) AS adv_dollars,
+       ROUND(CASE WHEN adv > 0 THEN 1000000.0 / (0.1 * adv) END, 6)
+           AS days_to_liquidate_1m,
+       ROUND(CASE WHEN adv > 0
+             THEN least(1000000.0 / (0.1 * adv), 30.0) END, 6)
+           AS capped_horizon_30d
+FROM adv
+"""
+    ),
+)
+def liquidation_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-agg-friendly hash aggregates; horizon is
+    closed-form per |symbols| row."""
+    t = _trades(spark, sf_dir)
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.sum(F.col("price") * F.col("volume")).alias("dollar_vol")
+    )
+    adv = daily.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg("dollar_vol").alias("adv"),
+    )
+    horizon = F.when(
+        F.col("adv") > 0, 1000000.0 / (0.1 * F.col("adv"))
+    )
+    return adv.select(
+        "symbol",
+        "n_days",
+        F.round("adv", 6).alias("adv_dollars"),
+        F.round(horizon, 6).alias("days_to_liquidate_1m"),
+        F.round(F.least(horizon, F.lit(30.0)), 6).alias(
+            "capped_horizon_30d"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# NR7 narrow-range signals — days whose high-low range is the
+# narrowest of the trailing 7, plus the next-day range expansion
+# ratio (the contraction→expansion pattern breakout screens use).
+# --------------------------------------------------------------------------
+@q(
+    "nr7_range_signals",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         max(price) - min(price) AS rng
+  FROM trades GROUP BY 1, 2
+),
+s AS (
+  SELECT symbol, d, rng,
+         min(rng) OVER (PARTITION BY symbol ORDER BY d
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prior_min,
+         row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn,
+         lead(rng) OVER (PARTITION BY symbol ORDER BY d) AS next_rng
+  FROM daily
+)
+SELECT symbol, d, ROUND(rng, 6) AS day_range,
+       CASE WHEN rng < prior_min THEN TRUE ELSE FALSE END AS is_nr7,
+       ROUND(CASE WHEN rng > 0 THEN next_rng / rng END, 6)
+           AS next_expansion_ratio
+FROM s WHERE rn >= 7
+"""
+    ),
+)
+def nr7_range_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ranges in one hash aggregate; trailing-min, rank and
+    next-day lead share ONE symbol-sorted window pass."""
+    t = _trades(spark, sf_dir)
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        (F.max("price") - F.min("price")).alias("rng")
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    s = daily.select(
+        "symbol",
+        "d",
+        "rng",
+        F.min("rng").over(w.rowsBetween(-6, -1)).alias("prior_min"),
+        F.row_number().over(w).alias("rn"),
+        F.lead("rng").over(w).alias("next_rng"),
+    ).filter(F.col("rn") >= 7)
+    return s.select(
+        "symbol",
+        "d",
+        F.round("rng", 6).alias("day_range"),
+        F.when(F.col("rng") < F.col("prior_min"), True)
+        .otherwise(False)
+        .alias("is_nr7"),
+        F.round(
+            F.when(F.col("rng") > 0, F.col("next_rng") / F.col("rng")),
+            6,
+        ).alias("next_expansion_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
