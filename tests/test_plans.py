@@ -797,3 +797,36 @@ def test_incremental_dedup_fingerprint_equi_join(spark):
     df = em.QUERIES["incremental_dedup_new_docs"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    # the |labels × dims| centroid table must broadcast onto components
+    df = em.QUERIES["silhouette_by_label"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=1)
+    PL.assert_no_cartesian(df)
+
+
+def test_peak_concurrency_sweep_over_intervals(spark):
+    # the global running sum operates on ±1 boundary rows (2 per
+    # session), never raw events; plan has no join at all
+    df = em.QUERIES["peak_concurrency"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_supplier_scorecard_broadcasts_dims(spark):
+    df = em.QUERIES["supplier_scorecard"](spark, SF_SMOKE)
+    PL.assert_broadcast_join(df, at_least=2)
+
+
+def test_nr7_single_window_pass(spark):
+    # trailing min + rank + lead share one symbol sort after the agg
+    df = em.QUERIES["nr7_range_signals"](spark, SF_SMOKE)
+    assert PL.shuffle_count(df) <= 2, PL.physical_plan(df)
+
+
+def test_bar_rollup_reconciliation_no_extra_scan(spark):
+    # both bar pipelines must come off the cached trades relation —
+    # at most the two aggregates + join exchanges, no trade re-scan
+    df = em.QUERIES["bar_rollup_reconciliation"](spark, SF_SMOKE)
+    PL.assert_no_cartesian(df)
