@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "streaming_kalman_level",
     "time_decay_attribution",
     "spearman_rank_corr",
+    "price_interpolate",
+    "silhouette_by_label",
+    "peak_concurrency",
+    "supplier_scorecard",
 ]
 
 
