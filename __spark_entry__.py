@@ -18996,6 +18996,198 @@ def nr7_range_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Fama–MacBeth cross-sectional regression — daily cross-sectional
+# slope of returns on the PREVIOUS day's log dollar volume (the
+# liquidity characteristic), then the time-series mean and t-stat of
+# the daily slopes: the two-pass asset-pricing methodology, fully
+# relational.
+# --------------------------------------------------------------------------
+@q(
+    "fama_macbeth_liquidity",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close,
+         sum(price * volume) AS dollar_vol
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret,
+         CASE WHEN lag(dollar_vol) OVER w > 0
+              THEN ln(lag(dollar_vol) OVER w) END AS x
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+slopes AS (
+  SELECT d,
+         CAST(count(*) AS BIGINT) AS n_cross,
+         CASE WHEN var_samp(x) > 0
+              THEN covar_samp(x, ret) / var_samp(x) END AS gamma
+  FROM r WHERE ret IS NOT NULL AND x IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 4
+)
+SELECT CAST(count(gamma) AS BIGINT) AS n_days,
+       ROUND(avg(gamma), 6) AS mean_gamma,
+       ROUND(stddev_samp(gamma), 6) AS sd_gamma,
+       ROUND(avg(gamma) / (stddev_samp(gamma) / sqrt(count(gamma))), 6)
+           AS fm_t_stat
+FROM slopes WHERE gamma IS NOT NULL
+"""
+    ),
+)
+def fama_macbeth_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1: per-day cross-sectional slope (cov/var over symbols in
+    one hash aggregate per day). Pass 2: time-series t-stat over the
+    |days|-row slope relation. Both passes are aggregates over
+    already-reduced relations — the classic two-pass estimator with
+    zero driver-side math."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close"),
+        F.sum(F.col("price") * F.col("volume")).alias("dollar_vol"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    prev_dv = F.lag("dollar_vol").over(w)
+    r = daily.select(
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev_close > 0),
+            F.log(F.col("close") / prev_close),
+        ).alias("ret"),
+        F.when(prev_dv > 0, F.log(prev_dv)).alias("x"),
+    ).filter(F.col("ret").isNotNull() & F.col("x").isNotNull())
+    slopes = (
+        r.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cross"),
+            F.when(
+                F.var_samp("x") > 0,
+                F.covar_samp("x", "ret") / F.var_samp("x"),
+            ).alias("gamma"),
+        )
+        .filter(F.col("n_cross") >= 4)
+        .filter(F.col("gamma").isNotNull())
+    )
+    return slopes.agg(
+        F.count("gamma").cast("bigint").alias("n_days"),
+        F.round(F.avg("gamma"), 6).alias("mean_gamma"),
+        F.round(F.stddev_samp("gamma"), 6).alias("sd_gamma"),
+        F.round(
+            F.avg("gamma")
+            / (F.stddev_samp("gamma") / F.sqrt(F.count("gamma"))),
+            6,
+        ).alias("fm_t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Idiosyncratic volatility — market-model decomposition σ²_idio =
+# σ²_total − β²·σ²_mkt per symbol, with the market as the equal-weight
+# bucket-mean return: how much risk diversification can actually
+# remove. Closed-form from one joint moment aggregate.
+# --------------------------------------------------------------------------
+@q(
+    "idiosyncratic_vol",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+mkt AS (
+  SELECT bucket, avg(ret) AS m, CAST(count(*) AS BIGINT) AS k
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+),
+j AS (
+  SELECT r.symbol, r.ret, mkt.m
+  FROM r JOIN mkt ON r.bucket = mkt.bucket
+  WHERE r.ret IS NOT NULL
+),
+mo AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         var_samp(ret) AS vt, var_samp(m) AS vm,
+         covar_samp(ret, m) AS c
+  FROM j GROUP BY 1 HAVING count(*) >= 10 AND var_samp(m) > 0
+)
+SELECT symbol, n_obs,
+       ROUND(c / vm, 6) AS beta,
+       ROUND(sqrt(vt), 6) AS total_vol,
+       ROUND(CASE WHEN vt - c * c / vm >= 0
+             THEN sqrt(vt - c * c / vm) END, 6) AS idio_vol,
+       ROUND(CASE WHEN vt > 0 THEN (c * c / vm) / vt END, 6) AS r_squared
+FROM mo
+"""
+    ),
+)
+def idiosyncratic_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market series is a bucket-grain aggregate joined back (the
+    rolling_beta broadcast shape); β, total/idio vol and R² all come
+    from ONE joint moment aggregate per symbol — σ²_idio =
+    σ²_t − β²σ²_m with β = c/σ²_m, finite-sample-negative guarded to
+    NULL both sides."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = (
+        r.groupBy("bucket")
+        .agg(
+            F.avg("ret").alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    j = r.join(F.broadcast(mkt), "bucket").select("symbol", "ret", "m")
+    mo = (
+        j.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.var_samp("ret").alias("vt"),
+            F.var_samp("m").alias("vm"),
+            F.covar_samp("ret", "m").alias("c"),
+        )
+        .filter((F.col("n_obs") >= 10) & (F.col("vm") > 0))
+    )
+    vt, vm, c = F.col("vt"), F.col("vm"), F.col("c")
+    idio_var = vt - c * c / vm
+    return mo.select(
+        "symbol",
+        "n_obs",
+        F.round(c / vm, 6).alias("beta"),
+        F.round(F.sqrt(vt), 6).alias("total_vol"),
+        F.round(
+            F.when(idio_var >= 0, F.sqrt(idio_var)), 6
+        ).alias("idio_vol"),
+        F.round(
+            F.when(vt > 0, (c * c / vm) / vt), 6
+        ).alias("r_squared"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
