@@ -19188,6 +19188,84 @@ def idiosyncratic_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Split label-balance audit — χ² of each split's label distribution
+# against the corpus marginals, over the SAME deterministic md5
+# train/val/test assignment dataset_splits uses: catches a skewed
+# holdout before anyone trains on it.
+# --------------------------------------------------------------------------
+@q(
+    "split_label_balance",
+    oracle(
+        """
+assigned AS (
+  SELECT vec_id, label,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < 'cccccccc'
+              THEN 'train'
+              WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < 'e6666666'
+              THEN 'val' ELSE 'test' END AS split
+  FROM embeddings
+),
+cell AS (
+  SELECT split, label, count(*) * 1.0 AS c FROM assigned GROUP BY 1, 2
+),
+marg AS (
+  SELECT split, label, c,
+         sum(c) OVER (PARTITION BY split) AS n_split,
+         sum(c) OVER (PARTITION BY label) AS n_label,
+         sum(c) OVER () AS n
+  FROM cell
+)
+SELECT split,
+       CAST(max(n_split) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_labels_present,
+       ROUND(sum((c - n_split * n_label / n) * (c - n_split * n_label / n)
+                 / (n_split * n_label / n)), 6) AS chi2_vs_marginal,
+       ROUND(max(c) / max(n_split), 6) AS max_label_share
+FROM marg GROUP BY 1
+"""
+    ),
+)
+def split_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cell aggregate over (split, label); marginals via windows
+    over that ≤|splits × labels| relation; χ² per split in the final
+    aggregate. Same md5 assignment convention as dataset_splits, so
+    the audit grades the split users actually get."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8)
+    assigned = emb.select(
+        "label",
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cell = assigned.groupBy("split", "label").agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    marg = cell.select(
+        "split",
+        "label",
+        "c",
+        F.sum("c").over(Window.partitionBy("split")).alias("n_split"),
+        F.sum("c").over(Window.partitionBy("label")).alias("n_label"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("n_split") * F.col("n_label") / F.col("n")
+    return marg.groupBy("split").agg(
+        F.max("n_split").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels_present"),
+        F.round(
+            F.sum((F.col("c") - exp) * (F.col("c") - exp) / exp), 6
+        ).alias("chi2_vs_marginal"),
+        F.round(F.max("c") / F.max("n_split"), 6).alias(
+            "max_label_share"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
