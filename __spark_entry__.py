@@ -19266,6 +19266,162 @@ def split_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Weighted price contribution by hour — WPC_h = Σ_d (r_{d,h}/r_d) ·
+# (|r_d|/Σ|r_d|): which hours actually move the daily price
+# (price-discovery timing). Days with |daily return| < 1e-6 are
+# excluded (contribution ratio undefined), identically both sides.
+# --------------------------------------------------------------------------
+@q(
+    "price_discovery_wpc",
+    oracle(
+        """
+hourly AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         CAST(extract(hour FROM time) AS BIGINT) AS h,
+         first(price ORDER BY time, trade_id) AS open,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2, 3
+),
+hr AS (
+  SELECT symbol, d, h,
+         CASE WHEN open > 0 AND close > 0 THEN ln(close / open) END AS rh
+  FROM hourly
+),
+dr AS (
+  SELECT symbol, d, sum(rh) AS rd FROM hr WHERE rh IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT symbol, sum(abs(rd)) AS sabs FROM dr
+  WHERE abs(rd) >= 0.000001 GROUP BY 1
+),
+c AS (
+  SELECT hr.symbol, hr.h,
+         (hr.rh / dr.rd) * (abs(dr.rd) / tot.sabs) AS contrib
+  FROM hr
+  JOIN dr ON hr.symbol = dr.symbol AND hr.d = dr.d
+  JOIN tot ON hr.symbol = tot.symbol
+  WHERE hr.rh IS NOT NULL AND abs(dr.rd) >= 0.000001
+)
+SELECT symbol, h AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(sum(contrib), 6) AS wpc
+FROM c GROUP BY 1, 2
+"""
+    ),
+)
+def price_discovery_wpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour bars in one hash aggregate, daily returns as the sum of
+    hourly log returns (telescopes exactly — same decomposition both
+    sides), per-symbol |r_d| total broadcast back, contribution
+    aggregate per (symbol, hour). WPC sums to 1 across hours by
+    construction."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    hourly = t.groupBy(
+        "symbol",
+        F.to_date("time").alias("d"),
+        F.hour("time").cast("bigint").alias("h"),
+    ).agg(
+        F.min_by("price", tkey).alias("open"),
+        F.max_by("price", tkey).alias("close"),
+    )
+    hr = hourly.select(
+        "symbol",
+        "d",
+        "h",
+        F.when(
+            (F.col("open") > 0) & (F.col("close") > 0),
+            F.log(F.col("close") / F.col("open")),
+        ).alias("rh"),
+    ).filter(F.col("rh").isNotNull())
+    dr = hr.groupBy("symbol", "d").agg(F.sum("rh").alias("rd"))
+    dr_ok = dr.filter(F.abs("rd") >= 0.000001)
+    tot = dr_ok.groupBy("symbol").agg(
+        F.sum(F.abs("rd")).alias("sabs")
+    )
+    c = (
+        hr.join(dr_ok, ["symbol", "d"])
+        .join(F.broadcast(tot), "symbol")
+        .select(
+            "symbol",
+            "h",
+            (
+                (F.col("rh") / F.col("rd"))
+                * (F.abs("rd") / F.col("sabs"))
+            ).alias("contrib"),
+        )
+    )
+    return c.groupBy("symbol", F.col("h").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.sum("contrib"), 6).alias("wpc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Volume participation curve — average cumulative share of the day's
+# volume completed by each hour, per symbol: the empirical curve a
+# VWAP scheduler slices against.
+# --------------------------------------------------------------------------
+@q(
+    "volume_participation_curve",
+    oracle(
+        """
+hv AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         CAST(extract(hour FROM time) AS BIGINT) AS h,
+         sum(volume) AS vol
+  FROM trades GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT symbol, d, h,
+         sum(vol) OVER (PARTITION BY symbol, d ORDER BY h) AS cum_vol,
+         sum(vol) OVER (PARTITION BY symbol, d) AS day_vol
+  FROM hv
+)
+SELECT symbol, h AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(avg(cum_vol / day_vol), 6) AS mean_cum_share,
+       ROUND(quantile_cont(CAST(cum_vol / day_vol AS DOUBLE), 0.1), 6)
+           AS p10_cum_share,
+       ROUND(quantile_cont(CAST(cum_vol / day_vol AS DOUBLE), 0.9), 6)
+           AS p90_cum_share
+FROM cum WHERE day_vol > 0 GROUP BY 1, 2
+"""
+    ),
+)
+def volume_participation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (symbol, day, hour) aggregate, cumulative + total in one
+    window pass per (symbol, day), distribution per (symbol, hour).
+    At 100 TB the windows run over ≤24 rows per (symbol, day)."""
+    t = _trades(spark, sf_dir)
+    hv = t.groupBy(
+        "symbol",
+        F.to_date("time").alias("d"),
+        F.hour("time").cast("bigint").alias("h"),
+    ).agg(F.sum("volume").alias("vol"))
+    wsd = Window.partitionBy("symbol", "d")
+    cum = hv.select(
+        "symbol",
+        "h",
+        F.sum("vol")
+        .over(wsd.orderBy("h").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_vol"),
+        F.sum("vol").over(wsd).alias("day_vol"),
+    ).filter(F.col("day_vol") > 0)
+    share = (F.col("cum_vol") / F.col("day_vol")).cast("double")
+    return cum.groupBy("symbol", F.col("h").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(share), 6).alias("mean_cum_share"),
+        F.round(F.percentile(share, F.lit(0.1)), 6).alias(
+            "p10_cum_share"
+        ),
+        F.round(F.percentile(share, F.lit(0.9)), 6).alias(
+            "p90_cum_share"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
