@@ -19422,6 +19422,117 @@ def volume_participation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Quality-gate pass rates per (lang, source) — the Gopher rule suite
+# rolled up to the corpus-segment level: which slices of the corpus
+# would the hard filter actually keep, and which single rule kills
+# them. Reuses the exact per-doc flag logic (Spark: TX.gopher_rules;
+# oracle: the same generated rule SQL as a subquery).
+# --------------------------------------------------------------------------
+def _gopher_rollup_oracle() -> str:
+    inner = _gopher_oracle().strip()
+    return f"""
+WITH flags AS (
+{inner}
+),
+j AS (
+  SELECT d.lang, d.source, f.*
+  FROM flags f JOIN documents d ON f.doc_id = d.doc_id
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(CASE WHEN ok_word_count THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_ok_word_count,
+       ROUND(avg(CASE WHEN ok_mean_word_len THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_ok_mean_word_len,
+       ROUND(avg(CASE WHEN ok_stopwords THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_ok_stopwords,
+       ROUND(avg(CASE WHEN ok_alpha_words THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_ok_alpha_words,
+       ROUND(avg(CASE WHEN passes_gopher THEN 1.0 ELSE 0.0 END), 6)
+           AS rate_passes_all
+FROM j GROUP BY 1, 2
+"""
+
+
+@q("quality_gate_pass_rates", _gopher_rollup_oracle())
+def quality_gate_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc flags from the shared rule implementation, joined back
+    to the (lang, source) dimensions, one rate aggregate per segment."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = TX.gopher_rules(docs)
+    j = flags.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+
+    def rate(col: str):
+        return F.round(
+            F.avg(F.when(F.col(col), 1.0).otherwise(0.0)), 6
+        ).alias(f"rate_{col}" if col != "passes_gopher" else "rate_passes_all")
+
+    return j.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        rate("ok_word_count"),
+        rate("ok_mean_word_len"),
+        rate("ok_stopwords"),
+        rate("ok_alpha_words"),
+        rate("passes_gopher"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relative-spread profile by hour of day — when is the market
+# expensive to cross: mean/median relative quoted spread per
+# (symbol, hour), quoted rows only.
+# --------------------------------------------------------------------------
+@q(
+    "spread_profile_by_hour",
+    oracle(
+        """
+s AS (
+  SELECT symbol, CAST(extract(hour FROM time) AS BIGINT) AS h,
+         (ask - bid) / ((ask + bid) / 2.0) AS rel_spread
+  FROM trades
+  WHERE bid IS NOT NULL AND ask IS NOT NULL AND bid + ask > 0
+    AND ask >= bid
+)
+SELECT symbol, h AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_quotes,
+       ROUND(avg(rel_spread), 6) AS mean_rel_spread,
+       ROUND(quantile_cont(CAST(rel_spread AS DOUBLE), 0.5), 6)
+           AS median_rel_spread,
+       ROUND(max(rel_spread), 6) AS max_rel_spread
+FROM s GROUP BY 1, 2
+"""
+    ),
+)
+def spread_profile_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One filtered projection + one distribution aggregate."""
+    t = _trades(spark, sf_dir)
+    s = t.filter(
+        F.col("bid").isNotNull()
+        & F.col("ask").isNotNull()
+        & (F.col("bid") + F.col("ask") > 0)
+        & (F.col("ask") >= F.col("bid"))
+    ).select(
+        "symbol",
+        F.hour("time").cast("bigint").alias("h"),
+        (
+            (F.col("ask") - F.col("bid"))
+            / ((F.col("ask") + F.col("bid")) / 2.0)
+        ).alias("rel_spread"),
+    )
+    return s.groupBy("symbol", F.col("h").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quotes"),
+        F.round(F.avg("rel_spread"), 6).alias("mean_rel_spread"),
+        F.round(
+            F.percentile(F.col("rel_spread").cast("double"), F.lit(0.5)),
+            6,
+        ).alias("median_rel_spread"),
+        F.round(F.max("rel_spread"), 6).alias("max_rel_spread"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
