@@ -19533,6 +19533,162 @@ def spread_profile_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Completeness calendar — per (symbol, day): observed vs expected
+# 1-minute bars between the day's first and last trade, the
+# missing-minute share that feeds a data-ops heatmap. The calendar
+# view of G9 dq_completeness's global rate.
+# --------------------------------------------------------------------------
+@q(
+    "completeness_calendar",
+    oracle(
+        """
+b AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         CAST(floor(epoch(time) / 60) AS BIGINT) AS minute
+  FROM trades
+),
+cal AS (
+  SELECT symbol, d,
+         CAST(count(DISTINCT minute) AS BIGINT) AS observed_minutes,
+         max(minute) - min(minute) + 1 AS expected_minutes
+  FROM b GROUP BY 1, 2
+)
+SELECT symbol, d, observed_minutes,
+       CAST(expected_minutes AS BIGINT) AS expected_minutes,
+       CAST(expected_minutes - observed_minutes AS BIGINT)
+           AS missing_minutes,
+       ROUND(observed_minutes * 1.0 / expected_minutes, 6)
+           AS completeness
+FROM cal
+"""
+    ),
+)
+def completeness_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct-count aggregate per (symbol, day) — the
+    count_distinct is over minute ids already bucketed, so partial
+    aggregation applies after the local distinct."""
+    t = _trades(spark, sf_dir)
+    b = t.select(
+        "symbol",
+        F.to_date("time").alias("d"),
+        F.floor(F.col("time").cast("double") / 60)
+        .cast("bigint")
+        .alias("minute"),
+    )
+    cal = b.groupBy("symbol", "d").agg(
+        F.count_distinct("minute").cast("bigint").alias(
+            "observed_minutes"
+        ),
+        (F.max("minute") - F.min("minute") + 1).alias(
+            "expected_minutes"
+        ),
+    )
+    return cal.select(
+        "symbol",
+        "d",
+        "observed_minutes",
+        F.col("expected_minutes").cast("bigint").alias(
+            "expected_minutes"
+        ),
+        (F.col("expected_minutes") - F.col("observed_minutes"))
+        .cast("bigint")
+        .alias("missing_minutes"),
+        F.round(
+            F.col("observed_minutes") * 1.0 / F.col("expected_minutes"),
+            6,
+        ).alias("completeness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anomaly-day ranking — composite z-score across three per-(symbol,
+# day) signals (realized vol, dollar volume, max trade size), ranked;
+# top 20. The "which days should a human look at" triage view
+# composing the monitoring plane's individual detectors.
+# --------------------------------------------------------------------------
+@q(
+    "anomaly_day_ranking",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         stddev_samp(price) AS vol_px,
+         sum(price * volume) AS dollar_vol,
+         max(volume) AS max_size
+  FROM trades GROUP BY 1, 2
+),
+z AS (
+  SELECT symbol, d,
+         (vol_px - avg(vol_px) OVER s) / nullif(stddev_samp(vol_px) OVER s, 0) AS z_vol,
+         (dollar_vol - avg(dollar_vol) OVER s)
+             / nullif(stddev_samp(dollar_vol) OVER s, 0) AS z_dv,
+         (max_size - avg(max_size) OVER s)
+             / nullif(stddev_samp(max_size) OVER s, 0) AS z_sz
+  FROM daily
+  WINDOW s AS (PARTITION BY symbol)
+),
+sc AS (
+  SELECT symbol, d,
+         abs(coalesce(z_vol, 0.0)) + abs(coalesce(z_dv, 0.0))
+             + abs(coalesce(z_sz, 0.0)) AS score,
+         z_vol, z_dv, z_sz
+  FROM z
+)
+SELECT symbol, d,
+       ROUND(score, 6) AS anomaly_score,
+       ROUND(z_vol, 6) AS z_price_vol,
+       ROUND(z_dv, 6) AS z_dollar_volume,
+       ROUND(z_sz, 6) AS z_max_size
+FROM sc ORDER BY score DESC, symbol, d LIMIT 20
+"""
+    ),
+)
+def anomaly_day_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One daily aggregate; per-symbol standardization via windows
+    over the |symbol × days| relation; top-20 via
+    TakeOrderedAndProject with (score, symbol, d) determinism —
+    no global sort."""
+    t = _trades(spark, sf_dir)
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.stddev_samp("price").alias("vol_px"),
+        F.sum(F.col("price") * F.col("volume")).alias("dollar_vol"),
+        F.max("volume").alias("max_size"),
+    )
+    ws = Window.partitionBy("symbol")
+
+    def z(col: str):
+        return (F.col(col) - F.avg(col).over(ws)) / F.nullif(
+            F.stddev_samp(col).over(ws), F.lit(0.0)
+        )
+
+    zdf = daily.select(
+        "symbol",
+        "d",
+        z("vol_px").alias("z_vol"),
+        z("dollar_vol").alias("z_dv"),
+        z("max_size").alias("z_sz"),
+    )
+    score = (
+        F.abs(F.coalesce(F.col("z_vol"), F.lit(0.0)))
+        + F.abs(F.coalesce(F.col("z_dv"), F.lit(0.0)))
+        + F.abs(F.coalesce(F.col("z_sz"), F.lit(0.0)))
+    )
+    sc = zdf.withColumn("score", score)
+    return (
+        sc.orderBy(F.col("score").desc(), "symbol", "d")
+        .limit(20)
+        .select(
+            "symbol",
+            "d",
+            F.round("score", 6).alias("anomaly_score"),
+            F.round("z_vol", 6).alias("z_price_vol"),
+            F.round("z_dv", 6).alias("z_dollar_volume"),
+            F.round("z_sz", 6).alias("z_max_size"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
