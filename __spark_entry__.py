@@ -19689,6 +19689,125 @@ def anomaly_day_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Hourly volume envelope — p10/median/p90 of each (symbol,
+# hour-of-day)'s volume across days: the empirical band an ops
+# monitor alarms against (volume_profile_dow_hour gives the mean
+# profile; this gives the spread).
+# --------------------------------------------------------------------------
+@q(
+    "hourly_volume_envelope",
+    oracle(
+        """
+hv AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         CAST(extract(hour FROM time) AS BIGINT) AS h,
+         CAST(sum(volume) AS DOUBLE) AS vol
+  FROM trades GROUP BY 1, 2, 3
+)
+SELECT symbol, h AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(quantile_cont(vol, 0.1), 6) AS p10_volume,
+       ROUND(quantile_cont(vol, 0.5), 6) AS median_volume,
+       ROUND(quantile_cont(vol, 0.9), 6) AS p90_volume,
+       ROUND(avg(vol), 6) AS mean_volume
+FROM hv GROUP BY 1, 2
+"""
+    ),
+)
+def hourly_volume_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash aggregates — (symbol, day, hour) then the cross-day
+    quantile envelope per (symbol, hour)."""
+    t = _trades(spark, sf_dir)
+    hv = t.groupBy(
+        "symbol",
+        F.to_date("time").alias("d"),
+        F.hour("time").cast("bigint").alias("h"),
+    ).agg(F.sum("volume").cast("double").alias("vol"))
+    return hv.groupBy("symbol", F.col("h").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.percentile("vol", F.lit(0.1)), 6).alias("p10_volume"),
+        F.round(F.percentile("vol", F.lit(0.5)), 6).alias(
+            "median_volume"
+        ),
+        F.round(F.percentile("vol", F.lit(0.9)), 6).alias("p90_volume"),
+        F.round(F.avg("vol"), 6).alias("mean_volume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Absolute-return autocorrelation — ACF of |r| at lags 1/5/10/20:
+# volatility long memory (slow-decaying positive ACF), the stylized
+# fact acf_multilag's signed-return ACF cannot show (signed returns
+# are near white).
+# --------------------------------------------------------------------------
+@q(
+    "abs_return_acf",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN abs(ln(close / lag(close) OVER w)) END AS a
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, a,
+         lag(a, 1) OVER w AS a1, lag(a, 5) OVER w AS a5,
+         lag(a, 10) OVER w AS a10, lag(a, 20) OVER w AS a20
+  FROM r WHERE a IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(corr(a, a1), 6) AS acf_abs_1,
+       ROUND(corr(a, a5), 6) AS acf_abs_5,
+       ROUND(corr(a, a10), 6) AS acf_abs_10,
+       ROUND(corr(a, a20), 6) AS acf_abs_20
+FROM l GROUP BY 1
+"""
+    ),
+)
+def abs_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four fixed lags share ONE symbol-sorted window pass; four corr
+    aggregates in one final agg — the acf_multilag plan applied to
+    the volatility proxy."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.abs(F.log(F.col("close") / prev)),
+        ).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    l = r.select(
+        "symbol",
+        "a",
+        *[
+            F.lag("a", k).over(w).alias(f"a{k}")
+            for k in (1, 5, 10, 20)
+        ],
+    )
+    return l.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        *[
+            F.round(F.corr("a", f"a{k}"), 6).alias(f"acf_abs_{k}")
+            for k in (1, 5, 10, 20)
+        ],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
