@@ -19808,6 +19808,75 @@ def abs_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Overnight/intraday return decomposition — the close-to-open vs
+# open-to-close split of each day's return, their means and the
+# cross-correlation (the "overnight drift / intraday reversal"
+# anomaly screen). Complements overnight_gap_stats (gap distribution
+# only) with the joint structure.
+# --------------------------------------------------------------------------
+@q(
+    "overnight_intraday_decomposition",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         first(price ORDER BY time, trade_id) AS open,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN open > 0 AND lag(close) OVER w > 0
+              THEN ln(open / lag(close) OVER w) END AS r_on,
+         CASE WHEN close > 0 AND open > 0
+              THEN ln(close / open) END AS r_id
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(avg(r_on), 6) AS mean_overnight,
+       ROUND(avg(r_id), 6) AS mean_intraday,
+       ROUND(stddev_samp(r_on), 6) AS sd_overnight,
+       ROUND(stddev_samp(r_id), 6) AS sd_intraday,
+       ROUND(corr(r_on, r_id), 6) AS corr_on_id
+FROM r WHERE r_on IS NOT NULL AND r_id IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def overnight_intraday_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bars in one min_by/max_by hash aggregate, one lag window
+    over |symbol × days|, joint moment aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.min_by("price", tkey).alias("open"),
+        F.max_by("price", tkey).alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        F.when(
+            (F.col("open") > 0) & (prev_close > 0),
+            F.log(F.col("open") / prev_close),
+        ).alias("r_on"),
+        F.when(
+            (F.col("close") > 0) & (F.col("open") > 0),
+            F.log(F.col("close") / F.col("open")),
+        ).alias("r_id"),
+    ).filter(F.col("r_on").isNotNull() & F.col("r_id").isNotNull())
+    return r.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("r_on"), 6).alias("mean_overnight"),
+        F.round(F.avg("r_id"), 6).alias("mean_intraday"),
+        F.round(F.stddev_samp("r_on"), 6).alias("sd_overnight"),
+        F.round(F.stddev_samp("r_id"), 6).alias("sd_intraday"),
+        F.round(F.corr("r_on", "r_id"), 6).alias("corr_on_id"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
