@@ -10,6 +10,7 @@ in ~30 s:
 3. online store     — warm sub-ms point lookups (Redis analog)
 4. data quality     — completeness / accuracy / freshness report
 5. corpus plane     — dedup + quality gate + training-mix manifest
+6. risk morning     — Kalman level, VaR/ES backtest, anomaly triage
 """
 
 from __future__ import annotations
@@ -54,6 +55,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     queries.queries()["corpus_manifest"](spark, sf_dir).groupBy(
         "keep", "drop_reason"
     ).count().show(truncate=False)
+
+    # 6. risk morning report: adaptive-gain price level, ES backtest,
+    # and the composite anomaly triage list
+    print("== kalman level (last rows) ==")
+    queries.queries()["kalman_level"](spark, sf_dir).orderBy(
+        "symbol", "time"
+    ).limit(3).show(truncate=False)
+    print("== ES backtest ==")
+    queries.queries()["es_backtest_acerbi"](spark, sf_dir).show(truncate=False)
+    print("== anomaly triage (top days) ==")
+    queries.queries()["anomaly_day_ranking"](spark, sf_dir).show(
+        5, truncate=False
+    )
 
     spark.stop()
 
