@@ -19877,6 +19877,298 @@ def overnight_intraday_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --------------------------------------------------------------------------
+# Chow structural-break test — does the market-model regression
+# (r_i on r_mkt) change between the first and second half of the
+# sample? F = ((SSR_p − SSR_1 − SSR_2)/2) / ((SSR_1 + SSR_2)/(n − 4)),
+# every SSR assembled from per-half moment aggregates (SSR = Syy −
+# Sxy²/Sxx over centered moments) — no row-level residuals.
+# --------------------------------------------------------------------------
+@q(
+    "chow_break_test",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+mkt AS (
+  SELECT bucket, avg(ret) AS m
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+),
+j AS (
+  SELECT r.symbol, r.bucket, r.ret, mkt.m,
+         row_number() OVER (PARTITION BY r.symbol ORDER BY r.bucket) AS rn,
+         count(*) OVER (PARTITION BY r.symbol) AS n
+  FROM r JOIN mkt ON r.bucket = mkt.bucket
+  WHERE r.ret IS NOT NULL
+),
+halves AS (
+  SELECT symbol,
+         CASE WHEN rn <= n / 2 THEN 1 ELSE 2 END AS half, ret, m
+  FROM j
+),
+mo AS (
+  SELECT symbol, half,
+         count(*) * 1.0 AS n,
+         var_samp(m) * (count(*) - 1) AS sxx,
+         covar_samp(m, ret) * (count(*) - 1) AS sxy,
+         var_samp(ret) * (count(*) - 1) AS syy
+  FROM halves GROUP BY 1, 2
+),
+pool AS (
+  SELECT symbol,
+         count(*) * 1.0 AS n,
+         var_samp(m) * (count(*) - 1) AS sxx,
+         covar_samp(m, ret) * (count(*) - 1) AS sxy,
+         var_samp(ret) * (count(*) - 1) AS syy
+  FROM halves GROUP BY 1
+),
+ssr AS (
+  SELECT m1.symbol,
+         p.n AS n_total,
+         p.syy - p.sxy * p.sxy / p.sxx AS ssr_p,
+         m1.syy - m1.sxy * m1.sxy / m1.sxx AS ssr_1,
+         m2.syy - m2.sxy * m2.sxy / m2.sxx AS ssr_2
+  FROM mo m1
+  JOIN mo m2 ON m1.symbol = m2.symbol AND m1.half = 1 AND m2.half = 2
+  JOIN pool p ON m1.symbol = p.symbol
+  WHERE m1.sxx > 0 AND m2.sxx > 0 AND p.sxx > 0 AND p.n > 4
+)
+SELECT symbol,
+       CAST(n_total AS BIGINT) AS n_obs,
+       ROUND(ssr_p, 6) AS ssr_pooled,
+       ROUND(ssr_1 + ssr_2, 6) AS ssr_split,
+       ROUND(CASE WHEN ssr_1 + ssr_2 > 0
+             THEN ((ssr_p - ssr_1 - ssr_2) / 2.0)
+                  / ((ssr_1 + ssr_2) / (n_total - 4.0)) END, 6)
+           AS chow_f
+FROM ssr
+"""
+    ),
+)
+def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market = bucket-mean return joined back; per-half and pooled
+    centered moments in two aggregates over the joined relation; the
+    F-statistic is closed-form per symbol. SSR from moments (Syy −
+    Sxy²/Sxx) avoids materializing residuals entirely."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = (
+        r.groupBy("bucket")
+        .agg(
+            F.avg("ret").alias("m"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") >= 2)
+        .drop("k")
+    )
+    j = r.join(F.broadcast(mkt), "bucket").select(
+        "symbol",
+        "bucket",
+        "ret",
+        "m",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("symbol"))
+        .alias("n"),
+    )
+    halves = j.select(
+        "symbol",
+        F.when(
+            F.col("rn") <= (F.col("n") / 2).cast("long"), 1
+        )
+        .otherwise(2)
+        .alias("half"),
+        "ret",
+        "m",
+    )
+
+    def moments(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            (F.var_samp("m") * (F.count(F.lit(1)) - 1)).alias("sxx"),
+            (
+                F.covar_samp("m", "ret") * (F.count(F.lit(1)) - 1)
+            ).alias("sxy"),
+            (F.var_samp("ret") * (F.count(F.lit(1)) - 1)).alias("syy"),
+        )
+
+    mo = moments(halves, ["symbol", "half"])
+    pool = moments(halves, ["symbol"])
+    m1 = mo.filter(F.col("half") == 1).alias("m1")
+    m2 = mo.filter(F.col("half") == 2).alias("m2")
+    p = pool.alias("p")
+    ssr = (
+        m1.join(m2, F.col("m1.symbol") == F.col("m2.symbol"))
+        .join(p, F.col("m1.symbol") == F.col("p.symbol"))
+        .filter(
+            (F.col("m1.sxx") > 0)
+            & (F.col("m2.sxx") > 0)
+            & (F.col("p.sxx") > 0)
+            & (F.col("p.n") > 4)
+        )
+        .select(
+            F.col("m1.symbol").alias("symbol"),
+            F.col("p.n").alias("n_total"),
+            (
+                F.col("p.syy")
+                - F.col("p.sxy") * F.col("p.sxy") / F.col("p.sxx")
+            ).alias("ssr_p"),
+            (
+                F.col("m1.syy")
+                - F.col("m1.sxy") * F.col("m1.sxy") / F.col("m1.sxx")
+            ).alias("ssr_1"),
+            (
+                F.col("m2.syy")
+                - F.col("m2.sxy") * F.col("m2.sxy") / F.col("m2.sxx")
+            ).alias("ssr_2"),
+        )
+    )
+    split = F.col("ssr_1") + F.col("ssr_2")
+    return ssr.select(
+        "symbol",
+        F.col("n_total").cast("bigint").alias("n_obs"),
+        F.round("ssr_p", 6).alias("ssr_pooled"),
+        F.round(split, 6).alias("ssr_split"),
+        F.round(
+            F.when(
+                split > 0,
+                ((F.col("ssr_p") - split) / 2.0)
+                / (split / (F.col("n_total") - 4.0)),
+            ),
+            6,
+        ).alias("chow_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lee–Mykland jump flags — per-bar jump statistic |r_t| / √(local
+# bipower variance over the trailing 30 bars); bars above the 4σ-ish
+# threshold are flagged, counts per symbol. Point-in-time jump
+# DETECTION next to bipower_jump_stats' daily decomposition.
+# --------------------------------------------------------------------------
+@q(
+    "lee_mykland_jumps",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+k AS (
+  SELECT symbol, bucket, ret,
+         abs(ret) * abs(lag(ret) OVER w) AS kern
+  FROM (SELECT symbol, bucket, ret FROM r WHERE ret IS NOT NULL)
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+bv AS (
+  SELECT symbol, bucket, ret,
+         avg(kern) OVER (PARTITION BY symbol ORDER BY bucket
+                         ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+             * 1.5707963267948966 AS local_bv,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM k
+),
+stat AS (
+  SELECT symbol, bucket, ret,
+         CASE WHEN local_bv > 0 THEN abs(ret) / sqrt(local_bv) END AS lm
+  FROM bv WHERE rn > 31
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(count(CASE WHEN lm > 4.0 THEN 1 END) AS BIGINT) AS n_jumps,
+       ROUND(avg(CASE WHEN lm > 4.0 THEN 1.0 ELSE 0.0 END), 6)
+           AS jump_rate,
+       ROUND(max(lm), 6) AS max_stat,
+       ROUND(quantile_cont(lm, 0.99), 6) AS p99_stat
+FROM stat WHERE lm IS NOT NULL GROUP BY 1
+"""
+    ),
+)
+def lee_mykland_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|r|·|r_{−1}| bipower kernel in a trailing 30-bar frame (lag +
+    sliding avg + rank share one symbol sort), π/2 small-sample
+    scaling, threshold 4.0; warm-up rows excluded identically both
+    sides; distribution aggregate per symbol."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    k = r.select(
+        "symbol",
+        "bucket",
+        "ret",
+        (F.abs(F.col("ret")) * F.abs(F.lag("ret").over(w))).alias(
+            "kern"
+        ),
+    )
+    bv = k.select(
+        "symbol",
+        "bucket",
+        "ret",
+        (
+            F.avg("kern").over(w.rowsBetween(-30, -1))
+            * 1.5707963267948966
+        ).alias("local_bv"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 31)
+    lm = F.when(
+        F.col("local_bv") > 0,
+        F.abs(F.col("ret")) / F.sqrt(F.col("local_bv")),
+    )
+    stat = bv.select("symbol", lm.alias("lm")).filter(
+        F.col("lm").isNotNull()
+    )
+    return stat.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.count(F.when(F.col("lm") > 4.0, 1))
+        .cast("bigint")
+        .alias("n_jumps"),
+        F.round(
+            F.avg(F.when(F.col("lm") > 4.0, 1.0).otherwise(0.0)), 6
+        ).alias("jump_rate"),
+        F.round(F.max("lm"), 6).alias("max_stat"),
+        F.round(F.percentile("lm", F.lit(0.99)), 6).alias("p99_stat"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
