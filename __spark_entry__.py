@@ -20169,6 +20169,101 @@ def lee_mykland_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Inter-session gaps — time between a user's consecutive sessions
+# (same 30-min islands as user_sessionization): the return-frequency
+# distribution behind retention curves, plus the 24h-return share.
+# --------------------------------------------------------------------------
+@q(
+    "intersession_gaps",
+    oracle(
+        """
+e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM s
+),
+iv AS (
+  SELECT user_id, sid, min(epoch(ts)) AS s_start, max(epoch(ts)) AS s_end
+  FROM g GROUP BY 1, 2
+),
+gap AS (
+  SELECT user_id,
+         (s_start - lag(s_end) OVER (PARTITION BY user_id ORDER BY sid))
+             / 3600.0 AS gap_h
+  FROM iv
+)
+SELECT CAST(count(gap_h) AS BIGINT) AS n_gaps,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_returning_users,
+       ROUND(avg(gap_h), 6) AS mean_gap_h,
+       ROUND(quantile_cont(gap_h, 0.5), 6) AS median_gap_h,
+       ROUND(quantile_cont(gap_h, 0.9), 6) AS p90_gap_h,
+       ROUND(avg(CASE WHEN gap_h <= 24.0 THEN 1.0 ELSE 0.0 END), 6)
+           AS share_within_24h
+FROM gap WHERE gap_h IS NOT NULL
+"""
+    ),
+)
+def intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via the one-sort islands pipeline, previous session's
+    end via one lag over the |user × sessions| aggregate, one
+    distribution aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    ts_d = F.col("ts").cast("double")
+    prev = F.lag(ts_d).over(wu)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | ((ts_d - prev) > 1800), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = g.groupBy("user_id", "sid").agg(
+        F.min(ts_d).alias("s_start"), F.max(ts_d).alias("s_end")
+    )
+    ws = Window.partitionBy("user_id").orderBy("sid")
+    gap = iv.select(
+        "user_id",
+        (
+            (F.col("s_start") - F.lag("s_end").over(ws)) / 3600.0
+        ).alias("gap_h"),
+    ).filter(F.col("gap_h").isNotNull())
+    return gap.agg(
+        F.count("gap_h").cast("bigint").alias("n_gaps"),
+        F.count_distinct("user_id")
+        .cast("bigint")
+        .alias("n_returning_users"),
+        F.round(F.avg("gap_h"), 6).alias("mean_gap_h"),
+        F.round(F.percentile("gap_h", F.lit(0.5)), 6).alias(
+            "median_gap_h"
+        ),
+        F.round(F.percentile("gap_h", F.lit(0.9)), 6).alias(
+            "p90_gap_h"
+        ),
+        F.round(
+            F.avg(F.when(F.col("gap_h") <= 24.0, 1.0).otherwise(0.0)),
+            6,
+        ).alias("share_within_24h"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
