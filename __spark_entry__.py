@@ -20264,6 +20264,147 @@ def intersession_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Arrival periodicity — trade counts by minute-of-hour with a χ²
+# against uniform: detects sub-hour batching artifacts (on-the-minute
+# schedulers, cron-aligned feeds) that hour-level profiles miss.
+# --------------------------------------------------------------------------
+@q(
+    "arrival_periodicity",
+    oracle(
+        """
+c AS (
+  SELECT symbol,
+         CAST(extract(minute FROM time) AS BIGINT) AS moh,
+         count(*) * 1.0 AS n
+  FROM trades GROUP BY 1, 2
+),
+t AS (
+  SELECT symbol, moh, n,
+         sum(n) OVER (PARTITION BY symbol) AS total,
+         count(*) OVER (PARTITION BY symbol) AS k
+  FROM c
+)
+SELECT symbol,
+       CAST(max(total) AS BIGINT) AS n_trades,
+       CAST(max(k) AS BIGINT) AS n_minutes_hit,
+       ROUND(sum((n - total / k) * (n - total / k) / (total / k)), 6)
+           AS chi2_uniform,
+       ROUND(max(n) / max(total), 6) AS max_minute_share
+FROM t GROUP BY 1
+"""
+    ),
+)
+def arrival_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (symbol, minute-of-hour) count aggregate (≤60 rows per
+    symbol), totals via same-key windows, χ² in the final aggregate.
+    Expected count is total/k over minutes actually hit — identical
+    definition both sides."""
+    t = _trades(spark, sf_dir)
+    c = t.groupBy(
+        "symbol", F.minute("time").cast("bigint").alias("moh")
+    ).agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    ws = Window.partitionBy("symbol")
+    tt = c.select(
+        "symbol",
+        "n",
+        F.sum("n").over(ws).alias("total"),
+        F.count(F.lit(1)).over(ws).alias("k"),
+    )
+    exp = F.col("total") / F.col("k")
+    return tt.groupBy("symbol").agg(
+        F.max("total").cast("bigint").alias("n_trades"),
+        F.max("k").cast("bigint").alias("n_minutes_hit"),
+        F.round(
+            F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp), 6
+        ).alias("chi2_uniform"),
+        F.round(F.max("n") / F.max("total"), 6).alias(
+            "max_minute_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zero-return discreteness — share of minute bars with an exactly
+# zero close-to-close return and the longest zero-run (gaps-and-
+# islands): the Lesmond/FHT "frequency of zero returns" illiquidity
+# proxy, free of any spread data.
+# --------------------------------------------------------------------------
+@q(
+    "zero_return_share",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN lag(close) OVER w IS NOT NULL
+              THEN CASE WHEN close = lag(close) OVER w THEN 1 ELSE 0 END
+         END AS is_zero
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+z AS (SELECT symbol, bucket, is_zero FROM r WHERE is_zero IS NOT NULL),
+isl AS (
+  SELECT symbol, bucket, is_zero,
+         sum(CASE WHEN is_zero = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY symbol ORDER BY bucket) AS grp
+  FROM z
+),
+runs AS (
+  SELECT symbol, grp, sum(is_zero) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT z.symbol,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       ROUND(avg(z.is_zero * 1.0), 6) AS zero_share,
+       CAST((SELECT max(run_len) FROM runs WHERE runs.symbol = z.symbol)
+            AS BIGINT) AS longest_zero_run
+FROM z GROUP BY 1
+"""
+    ),
+)
+def zero_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero flags from one lag window, runs via gaps-and-islands
+    (running count of non-zero rows partitions the zero stretches),
+    share + longest run joined per symbol."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    z = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            prev.isNotNull(),
+            F.when(F.col("close") == prev, 1).otherwise(0),
+        ).alias("is_zero"),
+    ).filter(F.col("is_zero").isNotNull())
+    isl = z.withColumn(
+        "grp",
+        F.sum(F.when(F.col("is_zero") == 0, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = isl.groupBy("symbol", "grp").agg(
+        F.sum("is_zero").alias("run_len")
+    )
+    longest = runs.groupBy("symbol").agg(
+        F.max("run_len").cast("bigint").alias("longest_zero_run")
+    )
+    share = z.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.round(F.avg(F.col("is_zero") * 1.0), 6).alias("zero_share"),
+    )
+    return share.join(F.broadcast(longest), "symbol").select(
+        "symbol", "n_bars", "zero_share", "longest_zero_run"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
