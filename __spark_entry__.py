@@ -20405,6 +20405,229 @@ def zero_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Kendall's τ on daily returns per symbol pair — the
+# concordant/discordant rank statistic (τ-a): the third dependence
+# measure next to Pearson (symbol_minute_correlation) and Spearman
+# (spearman_rank_corr). Day-grain so the O(n²) pair comparison is
+# bounded (n = |days|) — documented as the deliberate trade.
+# --------------------------------------------------------------------------
+@q(
+    "kendall_tau_daily",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+al AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.d,
+         a.ret AS ra, b.ret AS rb
+  FROM r a JOIN r b ON a.d = b.d AND a.symbol < b.symbol
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+),
+cmp AS (
+  SELECT x.symbol_a, x.symbol_b,
+         sign(x.ra - y.ra) * sign(x.rb - y.rb) AS s
+  FROM al x JOIN al y
+    ON x.symbol_a = y.symbol_a AND x.symbol_b = y.symbol_b
+   AND x.d < y.d
+)
+SELECT symbol_a, symbol_b,
+       CAST(count(*) AS BIGINT) AS n_day_pairs,
+       ROUND(sum(s) * 1.0 / count(*), 6) AS kendall_tau
+FROM cmp GROUP BY 1, 2
+"""
+    ),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned daily return pairs, then a within-pair day×day
+    comparison join — O(|days|²) per pair by design (30 days → 435
+    comparisons; at longer histories switch to the
+    inversion-counting formulation). Ties contribute 0 via the sign
+    product (τ-a)."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.alias("a")
+    b = r.alias("b")
+    al = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.d").alias("d"),
+        F.col("a.ret").alias("ra"),
+        F.col("b.ret").alias("rb"),
+    )
+    x = al.alias("x")
+    y = al.alias("y")
+    cmp = x.join(
+        y,
+        (F.col("x.symbol_a") == F.col("y.symbol_a"))
+        & (F.col("x.symbol_b") == F.col("y.symbol_b"))
+        & (F.col("x.d") < F.col("y.d")),
+    ).select(
+        F.col("x.symbol_a").alias("symbol_a"),
+        F.col("x.symbol_b").alias("symbol_b"),
+        (
+            F.signum(F.col("x.ra") - F.col("y.ra"))
+            * F.signum(F.col("x.rb") - F.col("y.rb"))
+        ).alias("s"),
+    )
+    return cmp.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_day_pairs"),
+        F.round(F.sum("s") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "kendall_tau"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Momentum net of transaction costs — the winner–loser book's daily
+# gross return minus 10 bps × turnover: does the signal survive
+# trading costs (the question portfolio_turnover and
+# momentum_portfolio each answer half of).
+# --------------------------------------------------------------------------
+@q(
+    "momentum_net_performance",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+sig AS (
+  SELECT symbol, d, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY d) AS prev_ret
+  FROM r
+),
+ranked AS (
+  SELECT symbol, d, ret,
+         row_number() OVER (PARTITION BY d ORDER BY prev_ret DESC, symbol) AS rk,
+         count(*) OVER (PARTITION BY d) AS n
+  FROM sig WHERE prev_ret IS NOT NULL AND ret IS NOT NULL
+),
+w AS (
+  SELECT symbol, d, ret,
+         CASE WHEN rk <= 2 THEN 0.5
+              WHEN rk > n - 2 THEN -0.5 ELSE 0.0 END AS wt
+  FROM ranked WHERE n >= 4
+),
+dw AS (
+  SELECT symbol, d, ret, wt,
+         coalesce(lag(wt) OVER (PARTITION BY symbol ORDER BY d), 0.0) AS pwt
+  FROM w
+),
+pd AS (
+  SELECT d,
+         sum(wt * ret) AS gross,
+         sum(abs(wt - pwt)) / 2.0 AS turnover
+  FROM dw GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(avg(gross), 6) AS mean_gross,
+       ROUND(avg(gross - 0.001 * turnover), 6) AS mean_net,
+       ROUND(sum(gross), 6) AS total_gross,
+       ROUND(sum(0.001 * turnover), 6) AS total_cost,
+       ROUND(sum(gross - 0.001 * turnover), 6) AS total_net
+FROM pd
+"""
+    ),
+)
+def momentum_net_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The momentum weights pipeline with TODAY's realized return kept
+    alongside: gross = Σw·r and turnover = Σ|Δw|/2 from the same
+    per-day aggregate; 10 bps linear cost; summary aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    ws = Window.partitionBy("symbol").orderBy("d")
+    prev = F.lag("close").over(ws)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    )
+    sig = r.select(
+        "symbol", "d", "ret", F.lag("ret").over(ws).alias("prev_ret")
+    ).filter(F.col("prev_ret").isNotNull() & F.col("ret").isNotNull())
+    wd = Window.partitionBy("d")
+    ranked = sig.select(
+        "symbol",
+        "d",
+        "ret",
+        F.row_number()
+        .over(wd.orderBy(F.col("prev_ret").desc(), "symbol"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    ).filter(F.col("n") >= 4)
+    wts = ranked.select(
+        "symbol",
+        "d",
+        "ret",
+        F.when(F.col("rk") <= 2, 0.5)
+        .when(F.col("rk") > F.col("n") - 2, -0.5)
+        .otherwise(0.0)
+        .alias("wt"),
+    )
+    dw = wts.withColumn(
+        "pwt", F.coalesce(F.lag("wt").over(ws), F.lit(0.0))
+    )
+    pd_ = dw.groupBy("d").agg(
+        F.sum(F.col("wt") * F.col("ret")).alias("gross"),
+        (F.sum(F.abs(F.col("wt") - F.col("pwt"))) / 2.0).alias(
+            "turnover"
+        ),
+    )
+    net = F.col("gross") - 0.001 * F.col("turnover")
+    return pd_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("gross"), 6).alias("mean_gross"),
+        F.round(F.avg(net), 6).alias("mean_net"),
+        F.round(F.sum("gross"), 6).alias("total_gross"),
+        F.round(F.sum(0.001 * F.col("turnover")), 6).alias(
+            "total_cost"
+        ),
+        F.round(F.sum(net), 6).alias("total_net"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
