@@ -20628,6 +20628,59 @@ def momentum_net_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pareto 80/20 share — what fraction of each event type's total value
+# comes from its top-20% users (by per-user value): the quantile-cut
+# concentration view next to hhi_concentration (Σ share²) and
+# revenue_gini (full Lorenz integral).
+# --------------------------------------------------------------------------
+@q(
+    "pareto_8020_share",
+    oracle(
+        """
+pu AS (
+  SELECT event_type, user_id, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+thr AS (
+  SELECT event_type, quantile_cont(CAST(v AS DOUBLE), 0.8) AS p80
+  FROM pu GROUP BY 1
+)
+SELECT pu.event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(CASE WHEN pu.v > t.p80 THEN 1 END) AS BIGINT)
+           AS n_top_users,
+       ROUND(sum(CASE WHEN pu.v > t.p80 THEN pu.v ELSE 0.0 END)
+             / sum(pu.v), 6) AS top_quintile_share
+FROM pu JOIN thr t ON pu.event_type = t.event_type
+GROUP BY 1
+"""
+    ),
+)
+def pareto_8020_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals in one hash aggregate, per-type p80 threshold
+    broadcast back, conditional share aggregate — the
+    large_trade_flags broadcast-threshold shape on the events plane."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("v")
+    )
+    thr = pu.groupBy("event_type").agg(
+        F.percentile(F.col("v").cast("double"), F.lit(0.8)).alias("p80")
+    )
+    j = pu.join(F.broadcast(thr), "event_type")
+    top = F.col("v") > F.col("p80")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(top, 1)).cast("bigint").alias("n_top_users"),
+        F.round(
+            F.sum(F.when(top, F.col("v")).otherwise(0.0))
+            / F.sum("v"),
+            6,
+        ).alias("top_quintile_share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
