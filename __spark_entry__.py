@@ -20681,6 +20681,132 @@ def pareto_8020_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Square-root impact-law fit — log-log regression of per-trade
+# absolute price change on trade size: the exponent γ in
+# |Δp| ∝ size^γ, with γ ≈ 0.5 the empirical square-root law
+# (impact_by_size_decile shows the curve; this fits the exponent).
+# --------------------------------------------------------------------------
+@q(
+    "sqrt_law_fit",
+    oracle(
+        """
+s AS (
+  SELECT symbol,
+         ln(volume) AS lx,
+         ln(abs(price - lag(price) OVER w)) AS ly
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+  QUALIFY lag(price) OVER w IS NOT NULL
+      AND abs(price - lag(price) OVER w) > 0 AND volume > 0
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN var_samp(lx) > 0
+             THEN covar_samp(lx, ly) / var_samp(lx) END, 6)
+           AS impact_exponent,
+       ROUND(corr(lx, ly), 6) AS loglog_corr,
+       ROUND(avg(ly) - (covar_samp(lx, ly) / var_samp(lx)) * avg(lx), 6)
+           AS log_intercept
+FROM s GROUP BY 1 HAVING count(*) >= 30 AND var_samp(lx) > 0
+"""
+    ),
+)
+def sqrt_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window for the per-trade price change, slope =
+    covar/var on the log-log pairs in one moment aggregate; zero
+    moves and zero sizes excluded identically both sides (ln
+    guard)."""
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    dp = F.abs(F.col("price") - F.lag("price").over(w))
+    s = (
+        t.select(
+            "symbol",
+            F.col("volume").alias("vol"),
+            dp.alias("dp"),
+        )
+        .filter(
+            F.col("dp").isNotNull()
+            & (F.col("dp") > 0)
+            & (F.col("vol") > 0)
+        )
+        .select(
+            "symbol",
+            F.log("vol").alias("lx"),
+            F.log("dp").alias("ly"),
+        )
+    )
+    slope = F.covar_samp("lx", "ly") / F.var_samp("lx")
+    return (
+        s.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.when(F.var_samp("lx") > 0, slope), 6
+            ).alias("impact_exponent"),
+            F.round(F.corr("lx", "ly"), 6).alias("loglog_corr"),
+            F.round(
+                F.avg("ly") - slope * F.avg("lx"), 6
+            ).alias("log_intercept"),
+            F.var_samp("lx").alias("_vx"),
+        )
+        .filter((F.col("n_obs") >= 30) & (F.col("_vx") > 0))
+        .drop("_vx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-normal doc-length fit per source — μ/σ of ln(n_chars) plus the
+# empirical-vs-theoretical median check (theoretical median = e^μ):
+# the distribution-fit view of corpus length stats.
+# --------------------------------------------------------------------------
+@q(
+    "doclen_lognormal_fit",
+    oracle(
+        """
+s AS (
+  SELECT source, ln(CAST(n_chars AS DOUBLE)) AS l,
+         CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents WHERE n_chars > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(l), 6) AS mu_log,
+       ROUND(stddev_samp(l), 6) AS sigma_log,
+       ROUND(exp(avg(l)), 6) AS theoretical_median,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS empirical_median,
+       ROUND(quantile_cont(n_chars, 0.5) / exp(avg(l)), 6)
+           AS median_ratio
+FROM s GROUP BY 1
+"""
+    ),
+)
+def doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One moment/quantile aggregate per source; the median ratio ≈ 1
+    is the quick log-normality check."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    s = docs.select(
+        "source",
+        F.log(F.col("n_chars").cast("double")).alias("l"),
+        F.col("n_chars").cast("double").alias("nc"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("l"), 6).alias("mu_log"),
+        F.round(F.stddev_samp("l"), 6).alias("sigma_log"),
+        F.round(F.exp(F.avg("l")), 6).alias("theoretical_median"),
+        F.round(F.percentile("nc", F.lit(0.5)), 6).alias(
+            "empirical_median"
+        ),
+        F.round(
+            F.percentile("nc", F.lit(0.5)) / F.exp(F.avg("l")), 6
+        ).alias("median_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
