@@ -20807,6 +20807,232 @@ def doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Volatility-managed returns (Moreira–Muir 2017) — scale each day's
+# return by c/σ²_prev (previous day's realized variance from minute
+# bars), leverage capped at 2×: does de-risking after volatile days
+# raise the Sharpe? Raw-vs-managed comparison per symbol.
+# --------------------------------------------------------------------------
+@q(
+    "vol_managed_returns",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+mr AS (
+  SELECT symbol, bucket, CAST(bucket AS DATE) AS d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+dv AS (
+  SELECT symbol, d, sum(ret * ret) AS rv, sum(ret) AS dret
+  FROM mr WHERE ret IS NOT NULL GROUP BY 1, 2
+),
+sc AS (
+  SELECT symbol, d, dret,
+         lag(rv) OVER (PARTITION BY symbol ORDER BY d) AS rv_prev
+  FROM dv
+),
+tgt AS (
+  SELECT symbol, avg(rv_prev) AS c FROM sc WHERE rv_prev > 0 GROUP BY 1
+),
+m AS (
+  SELECT sc.symbol, sc.dret,
+         least(t.c / sc.rv_prev, 2.0) * sc.dret AS managed
+  FROM sc JOIN tgt t ON sc.symbol = t.symbol
+  WHERE sc.rv_prev > 0
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(avg(dret) / nullif(stddev_samp(dret), 0), 6) AS sharpe_raw,
+       ROUND(avg(managed) / nullif(stddev_samp(managed), 0), 6)
+           AS sharpe_managed
+FROM m GROUP BY 1
+"""
+    ),
+)
+def vol_managed_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized variance from minute returns (one agg), lag for
+    the previous-day scale, per-symbol variance target c = mean rv
+    (broadcast), leverage capped at 2; Sharpe comparison in one
+    aggregate."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    mr = bars.select(
+        "symbol",
+        F.to_date("bucket").alias("d"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    dv = mr.groupBy("symbol", "d").agg(
+        F.sum(F.col("ret") * F.col("ret")).alias("rv"),
+        F.sum("ret").alias("dret"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("d")
+    sc = dv.select(
+        "symbol",
+        "d",
+        "dret",
+        F.lag("rv").over(wd).alias("rv_prev"),
+    ).filter(F.col("rv_prev") > 0)
+    tgt = sc.groupBy("symbol").agg(F.avg("rv_prev").alias("c"))
+    m = sc.join(F.broadcast(tgt), "symbol").select(
+        "symbol",
+        "dret",
+        (
+            F.least(F.col("c") / F.col("rv_prev"), F.lit(2.0))
+            * F.col("dret")
+        ).alias("managed"),
+    )
+    return m.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.avg("dret") / F.nullif(F.stddev_samp("dret"), F.lit(0.0)),
+            6,
+        ).alias("sharpe_raw"),
+        F.round(
+            F.avg("managed")
+            / F.nullif(F.stddev_samp("managed"), F.lit(0.0)),
+            6,
+        ).alias("sharpe_managed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-jump counts — minutes where BOTH symbols of a pair exceed the
+# Lee–Mykland threshold simultaneously: systemic vs idiosyncratic
+# jump decomposition (a co-jump is market-wide news; a lone jump is
+# symbol-specific).
+# --------------------------------------------------------------------------
+@q(
+    "cojump_counts",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+k AS (
+  SELECT symbol, bucket, ret,
+         abs(ret) * abs(lag(ret) OVER w) AS kern
+  FROM (SELECT symbol, bucket, ret FROM r WHERE ret IS NOT NULL)
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+bv AS (
+  SELECT symbol, bucket, ret,
+         avg(kern) OVER (PARTITION BY symbol ORDER BY bucket
+                         ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+             * 1.5707963267948966 AS local_bv,
+         row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS rn
+  FROM k
+),
+flags AS (
+  SELECT symbol, bucket,
+         CASE WHEN local_bv > 0 AND abs(ret) / sqrt(local_bv) > 4.0
+              THEN 1 ELSE 0 END AS is_jump
+  FROM bv WHERE rn > 31
+)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       CAST(count(*) AS BIGINT) AS n_common_bars,
+       CAST(sum(a.is_jump) AS BIGINT) AS jumps_a,
+       CAST(sum(b.is_jump) AS BIGINT) AS jumps_b,
+       CAST(sum(a.is_jump * b.is_jump) AS BIGINT) AS cojumps
+FROM flags a JOIN flags b
+  ON a.bucket = b.bucket AND a.symbol < b.symbol
+GROUP BY 1, 2
+"""
+    ),
+)
+def cojump_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Lee–Mykland flags (same kernel/threshold as
+    lee_mykland_jumps), bucket-aligned pair join, joint counts in one
+    aggregate."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    k = r.select(
+        "symbol",
+        "bucket",
+        "ret",
+        (F.abs(F.col("ret")) * F.abs(F.lag("ret").over(w))).alias(
+            "kern"
+        ),
+    )
+    bv = k.select(
+        "symbol",
+        "bucket",
+        "ret",
+        (
+            F.avg("kern").over(w.rowsBetween(-30, -1))
+            * 1.5707963267948966
+        ).alias("local_bv"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 31)
+    flags = bv.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("local_bv") > 0)
+            & (
+                F.abs(F.col("ret")) / F.sqrt(F.col("local_bv"))
+                > 4.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_jump"),
+    )
+    a = flags.alias("a")
+    b = flags.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common_bars"),
+            F.sum("a.is_jump").cast("bigint").alias("jumps_a"),
+            F.sum("b.is_jump").cast("bigint").alias("jumps_b"),
+            F.sum(F.col("a.is_jump") * F.col("b.is_jump"))
+            .cast("bigint")
+            .alias("cojumps"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
