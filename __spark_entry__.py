@@ -21033,6 +21033,138 @@ def cojump_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Single-source parts — parts whose entire line-item history flows
+# through one supplier, with the revenue exposed to that single
+# source: the supply-chain concentration risk register.
+# --------------------------------------------------------------------------
+@q(
+    "single_source_parts",
+    oracle(
+        """
+ps AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         sum(l_extendedprice * (1 - l_discount)) AS net_revenue
+  FROM lineitem GROUP BY 1
+),
+risk AS (
+  SELECT p.p_type AS part_type,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(count(CASE WHEN ps.n_suppliers = 1 THEN 1 END) AS BIGINT)
+             AS n_single_source,
+         ROUND(sum(CASE WHEN ps.n_suppliers = 1 THEN ps.net_revenue
+                        ELSE 0.0 END), 6) AS revenue_at_risk,
+         ROUND(sum(ps.net_revenue), 6) AS total_revenue
+  FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT part_type, n_parts, n_single_source, revenue_at_risk,
+       total_revenue,
+       ROUND(revenue_at_risk / total_revenue, 6) AS risk_share
+FROM risk WHERE total_revenue > 0
+"""
+    ),
+)
+def single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part supplier cardinality in one distinct-count aggregate,
+    broadcast part dimension, risk rollup per part type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ps = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey")
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("net_revenue"),
+    )
+    single = F.col("n_suppliers") == 1
+    risk = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.count(F.when(single, 1))
+            .cast("bigint")
+            .alias("n_single_source"),
+            F.round(
+                F.sum(
+                    F.when(single, F.col("net_revenue")).otherwise(0.0)
+                ),
+                6,
+            ).alias("revenue_at_risk"),
+            F.round(F.sum("net_revenue"), 6).alias("total_revenue"),
+        )
+    )
+    return risk.filter(F.col("total_revenue") > 0).select(
+        "part_type",
+        "n_parts",
+        "n_single_source",
+        "revenue_at_risk",
+        "total_revenue",
+        F.round(
+            F.col("revenue_at_risk") / F.col("total_revenue"), 6
+        ).alias("risk_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order basket stats — lines and distinct parts per order, rolled up
+# to the basket-size distribution per order priority: the basket
+# profile behind market_basket_lift's co-purchase signals.
+# --------------------------------------------------------------------------
+@q(
+    "order_basket_stats",
+    oracle(
+        """
+b AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         CAST(count(*) AS DOUBLE) AS n_lines,
+         CAST(count(DISTINCT l.l_partkey) AS DOUBLE) AS n_parts
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(avg(n_lines), 6) AS mean_lines,
+       ROUND(quantile_cont(n_lines, 0.5), 6) AS median_lines,
+       ROUND(max(n_lines), 6) AS max_lines,
+       ROUND(avg(n_parts), 6) AS mean_distinct_parts
+FROM b GROUP BY 1
+"""
+    ),
+)
+def order_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderkey equi-join, per-order basket aggregate, distribution
+    per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderpriority").alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_lines"),
+            F.count_distinct("l_partkey")
+            .cast("double")
+            .alias("n_parts"),
+        )
+    )
+    return b.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.avg("n_lines"), 6).alias("mean_lines"),
+        F.round(F.percentile("n_lines", F.lit(0.5)), 6).alias(
+            "median_lines"
+        ),
+        F.round(F.max("n_lines"), 6).alias("max_lines"),
+        F.round(F.avg("n_parts"), 6).alias("mean_distinct_parts"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
