@@ -21165,6 +21165,124 @@ def order_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Customer reorder intervals — days between consecutive orders per
+# customer, distribution per market segment: the purchase-cadence
+# input to replenishment and churn models.
+# --------------------------------------------------------------------------
+@q(
+    "reorder_intervals",
+    oracle(
+        """
+o AS (
+  SELECT o_custkey, o_orderdate,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+),
+g AS (
+  SELECT c.c_mktsegment AS segment, CAST(o.gap_days AS DOUBLE) AS gap_days
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.gap_days IS NOT NULL
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       ROUND(avg(gap_days), 6) AS mean_gap_days,
+       ROUND(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+       ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
+FROM g GROUP BY 1
+"""
+    ),
+)
+def reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window per customer ((date, orderkey) tie order),
+    broadcast customer dimension, distribution per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        )
+        .cast("double")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    g = gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "gap_days"
+    )
+    return g.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.round(F.avg("gap_days"), 6).alias("mean_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias(
+            "median_gap_days"
+        ),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 6).alias(
+            "p90_gap_days"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Average-order-value trend — monthly AOV plus the linear time trend
+# (cov/var slope on the month index): is basket value growing?
+# --------------------------------------------------------------------------
+@q(
+    "aov_trend",
+    oracle(
+        """
+m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) * 1.0 AS mi,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS month_id,
+         avg(o_totalprice) AS aov,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT CASE WHEN var_samp(mi) > 0
+              THEN covar_samp(mi, aov) / var_samp(mi) END AS slope
+  FROM m
+)
+SELECT m.month_id, m.n_orders,
+       ROUND(m.aov, 6) AS aov,
+       ROUND(t.slope, 6) AS monthly_trend
+FROM m CROSS JOIN tr t
+"""
+    ),
+)
+def aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly AOV aggregate; the trend slope is a 1-row aggregate
+    over it, broadcast back onto every month row."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")) * 1.0
+    m = o.groupBy(
+        mi.alias("mi"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("month_id"),
+    ).agg(
+        F.avg("o_totalprice").alias("aov"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    tr = m.agg(
+        F.when(
+            F.var_samp("mi") > 0,
+            F.covar_samp("mi", "aov") / F.var_samp("mi"),
+        ).alias("slope")
+    )
+    return m.crossJoin(F.broadcast(tr)).select(
+        "month_id",
+        "n_orders",
+        F.round("aov", 6).alias("aov"),
+        F.round("slope", 6).alias("monthly_trend"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
