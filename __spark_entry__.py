@@ -21283,6 +21283,105 @@ def aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Held-out perplexity — CCNet-style LM filtering without leakage: a
+# unigram LM with add-1 smoothing is fit on the md5 'train' split
+# ONLY, then scores the held-out docs; per-source perplexity is the
+# quality signal. (unigram_logprob_score fits on the whole corpus —
+# this is the leakage-free evaluation variant.)
+# --------------------------------------------------------------------------
+@q(
+    "heldout_perplexity",
+    oracle(
+        """
+w AS (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS in_train,
+         unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+  FROM documents
+),
+ww AS (SELECT * FROM w WHERE word <> ''),
+vocab AS (
+  SELECT word, count(*) * 1.0 AS c
+  FROM ww WHERE in_train GROUP BY 1
+),
+tot AS (
+  SELECT sum(c) AS n, count(*) * 1.0 AS v FROM vocab
+),
+scored AS (
+  SELECT ww.doc_id, ww.source,
+         ln((coalesce(vocab.c, 0.0) + 1.0) / (t.n + t.v + 1.0)) AS lp
+  FROM ww LEFT JOIN vocab ON ww.word = vocab.word
+  CROSS JOIN tot t
+  WHERE NOT ww.in_train
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         avg(lp) AS mean_lp
+  FROM scored GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_heldout_docs,
+       ROUND(avg(exp(-mean_lp)), 6) AS mean_perplexity,
+       ROUND(quantile_cont(exp(-mean_lp), 0.5), 6) AS median_perplexity,
+       ROUND(max(exp(-mean_lp)), 6) AS max_perplexity
+FROM per_doc GROUP BY 1
+"""
+    ),
+)
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary counts from the train split only (one hash agg),
+    broadcast LM table LEFT-joined onto held-out tokens (unseen words
+    get the add-1 floor), per-doc mean log-prob → perplexity, source
+    rollup. At 100 TB the LM table is the |vocab|-row broadcast; the
+    held-out scan streams once."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = docs.select(
+        "doc_id",
+        "source",
+        (h < "cccccccc").alias("in_train"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " +")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = (
+        w.filter(F.col("in_train"))
+        .groupBy("word")
+        .agg((F.count(F.lit(1)) * 1.0).alias("c"))
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("n"), (F.count(F.lit(1)) * 1.0).alias("v")
+    )
+    scored = (
+        w.filter(~F.col("in_train"))
+        .join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0.0)) + 1.0)
+                / (F.col("n") + F.col("v") + 1.0)
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.avg("lp").alias("mean_lp"),
+    )
+    ppl = F.exp(-F.col("mean_lp"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_heldout_docs"),
+        F.round(F.avg(ppl), 6).alias("mean_perplexity"),
+        F.round(F.percentile(ppl, F.lit(0.5)), 6).alias(
+            "median_perplexity"
+        ),
+        F.round(F.max(ppl), 6).alias("max_perplexity"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
