@@ -21382,6 +21382,165 @@ def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Second-order conversion — the onboarding milestone: share of
+# customers who ever place a second order, and the days-to-second-
+# order distribution, per segment.
+# --------------------------------------------------------------------------
+@q(
+    "second_order_conversion",
+    oracle(
+        """
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey,
+         max(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         max(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN f.d2 IS NOT NULL THEN 1.0 ELSE 0.0 END AS converted,
+         CASE WHEN f.d2 IS NOT NULL
+              THEN CAST(date_diff('day', f.d1, f.d2) AS DOUBLE) END AS days_to_2nd
+  FROM firsts f JOIN customer c ON f.o_custkey = c.c_custkey
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(avg(converted), 6) AS second_order_rate,
+       ROUND(avg(days_to_2nd), 6) AS mean_days_to_2nd,
+       ROUND(quantile_cont(days_to_2nd, 0.5), 6) AS median_days_to_2nd
+FROM j GROUP BY 1
+"""
+    ),
+)
+def second_order_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First two order dates per customer from one rank window +
+    pivot aggregate, broadcast segment dimension, milestone rates."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    r = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    firsts = r.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("rn") == 1, F.col("o_orderdate"))
+        ).alias("d1"),
+        F.max(
+            F.when(F.col("rn") == 2, F.col("o_orderdate"))
+        ).alias("d2"),
+    )
+    j = firsts.join(
+        F.broadcast(c), firsts.o_custkey == c.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("d2").isNotNull(), 1.0)
+        .otherwise(0.0)
+        .alias("converted"),
+        F.when(
+            F.col("d2").isNotNull(),
+            F.datediff(F.col("d2"), F.col("d1")).cast("double"),
+        ).alias("days_to_2nd"),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.avg("converted"), 6).alias("second_order_rate"),
+        F.round(F.avg("days_to_2nd"), 6).alias("mean_days_to_2nd"),
+        F.round(F.percentile("days_to_2nd", F.lit(0.5)), 6).alias(
+            "median_days_to_2nd"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tick-size inference — the modal nonzero |Δprice| (rounded to the
+# cent grid) per symbol and its share of all moves: recovering the
+# effective price quantum from data, the sanity check before any
+# spread math.
+# --------------------------------------------------------------------------
+@q(
+    "tick_size_inference",
+    oracle(
+        """
+d AS (
+  SELECT symbol,
+         round(abs(price - lag(price) OVER w), 2) AS dp
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+  QUALIFY lag(price) OVER w IS NOT NULL
+      AND round(abs(price - lag(price) OVER w), 2) > 0
+),
+c AS (
+  SELECT symbol, dp, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+m AS (
+  SELECT symbol, dp, n,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY n DESC, dp) AS rk,
+         sum(n) OVER (PARTITION BY symbol) AS total
+  FROM c
+)
+SELECT symbol,
+       ROUND(dp, 6) AS modal_tick,
+       n AS n_at_mode,
+       CAST(total AS BIGINT) AS n_moves,
+       ROUND(n * 1.0 / total, 6) AS mode_share
+FROM m WHERE rk = 1
+"""
+    ),
+)
+def tick_size_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window, one (symbol, Δp) count aggregate, modal pick
+    via row_number with (count DESC, Δp) determinism.
+
+    NOTE: this query's semantic uses round-to-cent as a GRID SNAP
+    (both sides round the same raw doubles before grouping), not as
+    an output format — the half-grid caveat doesn't apply because
+    both engines group on their own rounding of bit-identical
+    inputs... except exactly-at-half values, which the synthetic
+    2-decimal price data doesn't produce (pinned by the oracle
+    match)."""
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    dp = F.round(F.abs(F.col("price") - F.lag("price").over(w)), 2)
+    d = t.select("symbol", dp.alias("dp")).filter(
+        F.col("dp").isNotNull() & (F.col("dp") > 0)
+    )
+    c = d.groupBy("symbol", "dp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ws = Window.partitionBy("symbol")
+    m = c.select(
+        "symbol",
+        "dp",
+        "n",
+        F.row_number()
+        .over(ws.orderBy(F.col("n").desc(), "dp"))
+        .alias("rk"),
+        F.sum("n").over(ws).alias("total"),
+    ).filter(F.col("rk") == 1)
+    return m.select(
+        "symbol",
+        F.round("dp", 6).alias("modal_tick"),
+        F.col("n").alias("n_at_mode"),
+        F.col("total").cast("bigint").alias("n_moves"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias(
+            "mode_share"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
