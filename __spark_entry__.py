@@ -21541,6 +21541,132 @@ def tick_size_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Stress-conditional correlation — pairwise minute-return correlation
+# on high-stress buckets (cross-sectional dispersion above its q80)
+# vs calm buckets: the "correlations rise in stress" diagnostic that
+# an unconditional correlation matrix hides.
+# --------------------------------------------------------------------------
+@q(
+    "stress_correlation",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+disp AS (
+  SELECT bucket, stddev_samp(ret) AS sd
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+),
+thr AS (SELECT quantile_cont(sd, 0.8) AS q80 FROM disp),
+lab AS (
+  SELECT d.bucket, d.sd > t.q80 AS stressed
+  FROM disp d CROSS JOIN thr t
+),
+p AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, l.stressed,
+         a.ret AS ra, b.ret AS rb
+  FROM r a
+  JOIN r b ON a.bucket = b.bucket AND a.symbol < b.symbol
+  JOIN lab l ON a.bucket = l.bucket
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+),
+c AS (
+  SELECT symbol_a, symbol_b, stressed,
+         CAST(count(*) AS BIGINT) AS n, corr(ra, rb) AS rho
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT s.symbol_a, s.symbol_b,
+       s.n AS n_stressed, ROUND(s.rho, 6) AS rho_stressed,
+       q.n AS n_calm, ROUND(q.rho, 6) AS rho_calm,
+       ROUND(s.rho - q.rho, 6) AS stress_uplift
+FROM c s JOIN c q
+  ON s.symbol_a = q.symbol_a AND s.symbol_b = q.symbol_b
+ AND s.stressed AND NOT q.stressed
+"""
+    ),
+)
+def stress_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level stress labels from the dispersion aggregate
+    (broadcast q80 threshold), pair join with the label attached,
+    one (pair, regime) corr aggregate, stressed-vs-calm self-join on
+    the tiny |pairs|-row result."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    disp = (
+        r.groupBy("bucket")
+        .agg(
+            F.stddev_samp("ret").alias("sd"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") >= 2)
+        .drop("k")
+    )
+    thr = disp.agg(F.percentile("sd", F.lit(0.8)).alias("q80"))
+    lab = disp.crossJoin(F.broadcast(thr)).select(
+        F.col("bucket").alias("lbucket"),
+        (F.col("sd") > F.col("q80")).alias("stressed"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .join(F.broadcast(lab), F.col("a.bucket") == F.col("lbucket"))
+        .select(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+            "stressed",
+            F.col("a.ret").alias("ra"),
+            F.col("b.ret").alias("rb"),
+        )
+    )
+    c = p.groupBy("symbol_a", "symbol_b", "stressed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.corr("ra", "rb").alias("rho"),
+    )
+    s = c.filter(F.col("stressed")).alias("s")
+    q = c.filter(~F.col("stressed")).alias("q")
+    return s.join(
+        q,
+        (F.col("s.symbol_a") == F.col("q.symbol_a"))
+        & (F.col("s.symbol_b") == F.col("q.symbol_b")),
+    ).select(
+        F.col("s.symbol_a").alias("symbol_a"),
+        F.col("s.symbol_b").alias("symbol_b"),
+        F.col("s.n").alias("n_stressed"),
+        F.round(F.col("s.rho"), 6).alias("rho_stressed"),
+        F.col("q.n").alias("n_calm"),
+        F.round(F.col("q.rho"), 6).alias("rho_calm"),
+        F.round(F.col("s.rho") - F.col("q.rho"), 6).alias(
+            "stress_uplift"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
