@@ -21667,6 +21667,120 @@ def stress_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Global outage windows — gaps ≥ 5 minutes in ALL-symbol trading
+# activity (per-symbol gaps are normal; a global silent window is an
+# infrastructure outage). Islands over the distinct active-minute
+# grid.
+# --------------------------------------------------------------------------
+@q(
+    "global_outage_windows",
+    oracle(
+        """
+mins AS (
+  SELECT DISTINCT CAST(floor(epoch(time) / 60) AS BIGINT) AS minute
+  FROM trades
+),
+g AS (
+  SELECT minute,
+         minute - lag(minute) OVER (ORDER BY minute) AS gap_min
+  FROM mins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_outages,
+       CAST(coalesce(max(gap_min - 1), 0) AS BIGINT) AS longest_outage_min,
+       ROUND(coalesce(avg(CAST(gap_min - 1 AS DOUBLE)), 0.0), 6)
+           AS mean_outage_min,
+       CAST(coalesce(sum(gap_min - 1), 0) AS BIGINT) AS total_silent_min
+FROM g WHERE gap_min >= 6
+"""
+    ),
+)
+def global_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active minutes (one aggregate over minute ids), one
+    ordered lag over that tiny grid, outage stats where the silent
+    stretch is ≥ 5 minutes (gap between active minutes ≥ 6). The
+    global sort runs over ≤ |minutes-in-history| rows."""
+    t = _trades(spark, sf_dir)
+    mins = (
+        t.select(
+            F.floor(F.col("time").cast("double") / 60)
+            .cast("bigint")
+            .alias("minute")
+        )
+        .distinct()
+    )
+    g = mins.select(
+        "minute",
+        (
+            F.col("minute") - F.lag("minute").over(Window.orderBy("minute"))
+        ).alias("gap_min"),
+    ).filter(F.col("gap_min") >= 6)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_outages"),
+        F.coalesce(F.max(F.col("gap_min") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("longest_outage_min"),
+        F.round(
+            F.coalesce(
+                F.avg((F.col("gap_min") - 1).cast("double")), F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_outage_min"),
+        F.coalesce(F.sum(F.col("gap_min") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("total_silent_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality by length decile — does the heuristic quality score just
+# proxy length? Mean quality per n_chars decile; a flat profile
+# means the score carries information beyond length.
+# --------------------------------------------------------------------------
+def _quality_by_decile_oracle() -> str:
+    inner = _quality_oracle().strip()
+    return f"""
+WITH q AS (
+{inner}
+),
+dec AS (
+  SELECT quality, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM q
+)
+SELECT CAST(decile AS BIGINT) AS length_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       ROUND(avg(quality), 6) AS mean_quality
+FROM dec GROUP BY 1
+"""
+
+
+@q("quality_by_length_decile", _quality_by_decile_oracle())
+def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc scores (rounded first, both sides), ntile(10) over
+    (n_chars, doc_id) — deterministic decile cut — one aggregate."""
+    df = TX.quality_score(load_table(spark, sf_dir, "documents"))
+    q = df.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("quality", 6).alias("quality"),
+    )
+    dec = q.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")),
+    )
+    return dec.groupBy(
+        F.col("decile").cast("bigint").alias("length_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
