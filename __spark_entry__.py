@@ -21781,6 +21781,77 @@ def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Revenue-mix entropy by month — Shannon entropy of the revenue share
+# across market segments, per month: falling entropy = revenue
+# concentrating into fewer segments (the strategic-diversification
+# time series).
+# --------------------------------------------------------------------------
+@q(
+    "revenue_mix_entropy",
+    oracle(
+        """
+m AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+             AS month_id,
+         c.c_mktsegment AS segment,
+         sum(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT month_id, segment, rev,
+         rev / sum(rev) OVER (PARTITION BY month_id) AS share,
+         count(*) OVER (PARTITION BY month_id) AS k
+  FROM m
+)
+SELECT month_id,
+       CAST(max(k) AS BIGINT) AS n_segments,
+       ROUND(sum(rev), 6) AS total_revenue,
+       ROUND(-sum(share * ln(share)) + 0.0, 6) AS mix_entropy,
+       ROUND(CASE WHEN max(k) > 1
+             THEN (-sum(share * ln(share)) + 0.0) / ln(max(k) * 1.0)
+             END, 6) AS normalized_entropy
+FROM s GROUP BY 1
+"""
+    ),
+)
+def revenue_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, segment) revenue aggregate, shares via a same-key
+    window, entropy per month in the final aggregate (share > 0
+    always — only realized segments appear)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wm = Window.partitionBy("month_id")
+    s = m.select(
+        "month_id",
+        "rev",
+        (F.col("rev") / F.sum("rev").over(wm)).alias("share"),
+        F.count(F.lit(1)).over(wm).alias("k"),
+    )
+    # + 0.0 normalizes the -0.0 a single-segment month produces
+    # (entropy = -1·ln(1)); k=1 also zeroes the normalizer → NULL
+    ent = -F.sum(F.col("share") * F.log("share")) + 0.0
+    return s.groupBy("month_id").agg(
+        F.max("k").cast("bigint").alias("n_segments"),
+        F.round(F.sum("rev"), 6).alias("total_revenue"),
+        F.round(ent, 6).alias("mix_entropy"),
+        F.round(
+            F.when(F.max("k") > 1, ent / F.log(F.max("k") * 1.0)), 6
+        ).alias("normalized_entropy"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
