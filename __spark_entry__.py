@@ -21852,6 +21852,86 @@ def revenue_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Vol-of-vol — dispersion and AR(1) persistence of the daily realized
+# volatility series per symbol: the inputs a volatility-targeting
+# overlay (vol_managed_returns) implicitly assumes stable.
+# --------------------------------------------------------------------------
+@q(
+    "vol_of_vol",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+mr AS (
+  SELECT symbol, CAST(bucket AS DATE) AS d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+dv AS (
+  SELECT symbol, d, sqrt(sum(ret * ret)) AS rv
+  FROM mr WHERE ret IS NOT NULL GROUP BY 1, 2
+),
+l AS (
+  SELECT symbol, rv,
+         lag(rv) OVER (PARTITION BY symbol ORDER BY d) AS rv_prev
+  FROM dv
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       ROUND(avg(rv), 6) AS mean_rv,
+       ROUND(stddev_samp(rv), 6) AS vol_of_vol,
+       ROUND(stddev_samp(rv) / nullif(avg(rv), 0), 6) AS vov_ratio,
+       ROUND(corr(rv, rv_prev), 6) AS rv_ar1
+FROM l GROUP BY 1 HAVING count(*) >= 5
+"""
+    ),
+)
+def vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily RV in one aggregate over bar returns, one lag window
+    over |symbol × days|, moments + AR(1) in one final aggregate."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    mr = bars.select(
+        "symbol",
+        F.to_date("bucket").alias("d"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    dv = mr.groupBy("symbol", "d").agg(
+        F.sqrt(F.sum(F.col("ret") * F.col("ret"))).alias("rv")
+    )
+    wd = Window.partitionBy("symbol").orderBy("d")
+    l = dv.select(
+        "symbol", "rv", F.lag("rv").over(wd).alias("rv_prev")
+    )
+    return (
+        l.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("rv"), 6).alias("mean_rv"),
+            F.round(F.stddev_samp("rv"), 6).alias("vol_of_vol"),
+            F.round(
+                F.stddev_samp("rv")
+                / F.nullif(F.avg("rv"), F.lit(0.0)),
+                6,
+            ).alias("vov_ratio"),
+            F.round(F.corr("rv", "rv_prev"), 6).alias("rv_ar1"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
