@@ -21932,6 +21932,88 @@ def vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Trade-through rate — trades printing OUTSIDE the carried [bid, ask]
+# band (last quote forward-filled, the quote_staleness carry): the
+# execution-quality breach screen, with mean overshoot in band units.
+# --------------------------------------------------------------------------
+@q(
+    "trade_through_rate",
+    oracle(
+        """
+s AS (
+  SELECT symbol, time, trade_id, price,
+         last_value(bid IGNORE NULLS) OVER w AS cb,
+         last_value(ask IGNORE NULLS) OVER w AS ca
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+q AS (
+  SELECT symbol, price, cb, ca,
+         CASE WHEN price < cb OR price > ca THEN 1.0 ELSE 0.0 END AS through,
+         CASE WHEN price < cb THEN cb - price
+              WHEN price > ca THEN price - ca ELSE 0.0 END AS overshoot
+  FROM s WHERE cb IS NOT NULL AND ca IS NOT NULL AND ca >= cb
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_quoted_trades,
+       ROUND(avg(through), 6) AS through_rate,
+       ROUND(avg(CASE WHEN through = 1.0 THEN overshoot END), 6)
+           AS mean_overshoot,
+       ROUND(max(overshoot), 6) AS max_overshoot
+FROM q GROUP BY 1
+"""
+    ),
+)
+def trade_through_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carried bid/ask via two last(ignorenulls) in ONE growing-frame
+    window pass, breach flags and overshoot as projections, one
+    aggregate. Inverted carried bands (ask < bid from unsynchronized
+    carries) excluded identically both sides."""
+    t = _trades(spark, sf_dir)
+    wg = (
+        Window.partitionBy("symbol")
+        .orderBy("time", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = t.select(
+        "symbol",
+        "price",
+        F.last("bid", ignorenulls=True).over(wg).alias("cb"),
+        F.last("ask", ignorenulls=True).over(wg).alias("ca"),
+    ).filter(
+        F.col("cb").isNotNull()
+        & F.col("ca").isNotNull()
+        & (F.col("ca") >= F.col("cb"))
+    )
+    through = F.when(
+        (F.col("price") < F.col("cb")) | (F.col("price") > F.col("ca")),
+        1.0,
+    ).otherwise(0.0)
+    overshoot = (
+        F.when(F.col("price") < F.col("cb"), F.col("cb") - F.col("price"))
+        .when(F.col("price") > F.col("ca"), F.col("price") - F.col("ca"))
+        .otherwise(0.0)
+    )
+    q = s.select(
+        "symbol",
+        through.alias("through"),
+        overshoot.alias("overshoot"),
+    )
+    return q.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quoted_trades"),
+        F.round(F.avg("through"), 6).alias("through_rate"),
+        F.round(
+            F.avg(
+                F.when(F.col("through") == 1.0, F.col("overshoot"))
+            ),
+            6,
+        ).alias("mean_overshoot"),
+        F.round(F.max("overshoot"), 6).alias("max_overshoot"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
