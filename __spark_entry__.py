@@ -22014,6 +22014,105 @@ def trade_through_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# First-session predictiveness — does a user's FIRST session predict
+# their subsequent activity? Corr(first-session events, later
+# events) plus the top-vs-bottom-half lift: the cold-start signal
+# product teams size onboarding investments with.
+# --------------------------------------------------------------------------
+@q(
+    "first_session_predictiveness",
+    oracle(
+        """
+e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM s
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN sid = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS first_events,
+         CAST(sum(CASE WHEN sid > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS later_events
+  FROM g GROUP BY 1
+),
+med AS (
+  SELECT quantile_cont(first_events, 0.5) AS m FROM per_user
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(corr(p.first_events, p.later_events), 6)
+           AS corr_first_later,
+       ROUND(avg(CASE WHEN p.first_events > t.m
+                 THEN p.later_events END), 6) AS later_top_half,
+       ROUND(avg(CASE WHEN p.first_events <= t.m
+                 THEN p.later_events END), 6) AS later_bottom_half,
+       ROUND(avg(CASE WHEN p.first_events > t.m THEN p.later_events END)
+             / nullif(avg(CASE WHEN p.first_events <= t.m
+                           THEN p.later_events END), 0), 6) AS lift
+FROM per_user p CROSS JOIN med t
+"""
+    ),
+)
+def first_session_predictiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions via the islands pipeline, per-user first-vs-later
+    event counts in one aggregate, broadcast median split, corr +
+    lift in the final aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    ts_d = F.col("ts").cast("double")
+    prev = F.lag(ts_d).over(wu)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | ((ts_d - prev) > 1800), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_user = g.groupBy("user_id").agg(
+        F.sum(F.when(F.col("sid") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("first_events"),
+        F.sum(F.when(F.col("sid") > 1, 1).otherwise(0))
+        .cast("double")
+        .alias("later_events"),
+    )
+    med = per_user.agg(
+        F.percentile("first_events", F.lit(0.5)).alias("m")
+    )
+    j = per_user.crossJoin(F.broadcast(med))
+    top = F.col("first_events") > F.col("m")
+    later_top = F.avg(F.when(top, F.col("later_events")))
+    later_bot = F.avg(F.when(~top, F.col("later_events")))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.corr("first_events", "later_events"), 6
+        ).alias("corr_first_later"),
+        F.round(later_top, 6).alias("later_top_half"),
+        F.round(later_bot, 6).alias("later_bottom_half"),
+        F.round(
+            later_top / F.nullif(later_bot, F.lit(0.0)), 6
+        ).alias("lift"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
