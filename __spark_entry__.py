@@ -22113,6 +22113,198 @@ def first_session_predictiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Value-segment migration — users quartiled by event value in each
+# half of the window; the h1→h2 transition matrix (who upgraded,
+# who churned down): the lifecycle-migration view behind
+# rfm_segmentation's static labels.
+# --------------------------------------------------------------------------
+@q(
+    "value_segment_migration",
+    oracle(
+        """
+e AS (
+  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+mid AS (
+  SELECT to_timestamp(CAST(floor((epoch(min(ts)) + epoch(max(ts))) / 2.0)
+                           AS BIGINT))::TIMESTAMP AS m
+  FROM e
+),
+pu AS (
+  SELECT user_id,
+         CASE WHEN ts < (SELECT m FROM mid) THEN 'h1' ELSE 'h2' END AS half,
+         sum(value) AS v
+  FROM e GROUP BY 1, 2
+),
+q AS (
+  SELECT user_id, half,
+         ntile(4) OVER (PARTITION BY half ORDER BY v, user_id) AS quartile
+  FROM pu
+),
+j AS (
+  SELECT a.user_id, a.quartile AS q1, b.quartile AS q2
+  FROM q a JOIN q b
+    ON a.user_id = b.user_id AND a.half = 'h1' AND b.half = 'h2'
+)
+SELECT CAST(q1 AS BIGINT) AS from_quartile,
+       CAST(q2 AS BIGINT) AS to_quartile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+"""
+    ),
+)
+def value_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast 1-row midpoint, per-(user, half) value aggregate,
+    ntile(4) per half with (value, user_id) determinism, self-join on
+    user for the 4×4 transition counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mid = e.agg(
+        F.timestamp_seconds(
+            F.floor(
+                (F.min("ts").cast("double") + F.max("ts").cast("double"))
+                / 2.0
+            ).cast("long")
+        ).alias("m")
+    )
+    pu = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            F.when(F.col("ts") < F.col("m"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    q = pu.select(
+        "user_id",
+        "half",
+        F.ntile(4)
+        .over(Window.partitionBy("half").orderBy("v", "user_id"))
+        .alias("quartile"),
+    )
+    a = q.filter(F.col("half") == "h1").alias("a")
+    b = q.filter(F.col("half") == "h2").alias("b")
+    j = a.join(b, F.col("a.user_id") == F.col("b.user_id")).select(
+        F.col("a.quartile").alias("q1"),
+        F.col("b.quartile").alias("q2"),
+    )
+    return j.groupBy(
+        F.col("q1").cast("bigint").alias("from_quartile"),
+        F.col("q2").cast("bigint").alias("to_quartile"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Yule–Walker PACF — partial autocorrelations at lags 1–3 from the
+# ACF in closed form (φ11 = ρ1; φ22 = (ρ2 − ρ1²)/(1 − ρ1²); φ33 via
+# the 3×3 Yule–Walker Cramer solve): the AR-order identification
+# numbers acf_multilag's raw ACF can't give.
+# --------------------------------------------------------------------------
+@q(
+    "pacf_yule_walker",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+l AS (
+  SELECT symbol, ret,
+         lag(ret, 1) OVER w AS r1, lag(ret, 2) OVER w AS r2,
+         lag(ret, 3) OVER w AS r3
+  FROM r WHERE ret IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+a AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         corr(ret, r1) AS p1, corr(ret, r2) AS p2, corr(ret, r3) AS p3
+  FROM l GROUP BY 1 HAVING count(*) >= 30
+),
+ld AS (
+  SELECT symbol, n_obs, p1, p2, p3,
+         (p2 - p1 * p1) / nullif(1.0 - p1 * p1, 0.0) AS phi22
+  FROM a
+),
+ld2 AS (
+  SELECT symbol, n_obs, p1, p2, p3, phi22,
+         p1 * (1.0 - phi22) AS phi21
+  FROM ld
+)
+SELECT symbol, n_obs,
+       ROUND(p1, 6) AS pacf_1,
+       ROUND(phi22, 6) AS pacf_2,
+       ROUND((p3 - phi21 * p2 - phi22 * p1)
+             / nullif(1.0 - phi21 * p1 - phi22 * p2, 0.0), 6) AS pacf_3
+FROM ld2
+"""
+    ),
+)
+def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levinson–Durbin recursion in closed form: φ11 = ρ1;
+    φ22 = (ρ2 − ρ1²)/(1 − ρ1²); φ21 = ρ1(1 − φ22);
+    φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2). One window pass
+    for the three lags, one corr aggregate, scalar algebra per
+    |symbols| row; degenerate denominators → NULL both sides."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    l = r.select(
+        "symbol",
+        "ret",
+        *[F.lag("ret", k).over(w).alias(f"r{k}") for k in (1, 2, 3)],
+    )
+    a = (
+        l.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            *[
+                F.corr("ret", f"r{k}").alias(f"p{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+        .filter(F.col("n_obs") >= 30)
+    )
+    p1, p2, p3 = F.col("p1"), F.col("p2"), F.col("p3")
+    phi22 = (p2 - p1 * p1) / F.nullif(1.0 - p1 * p1, F.lit(0.0))
+    ld = a.withColumn("phi22", phi22).withColumn(
+        "phi21", p1 * (1.0 - F.col("phi22"))
+    )
+    phi21c, phi22c = F.col("phi21"), F.col("phi22")
+    pacf3 = (p3 - phi21c * p2 - phi22c * p1) / F.nullif(
+        1.0 - phi21c * p1 - phi22c * p2, F.lit(0.0)
+    )
+    return ld.select(
+        "symbol",
+        "n_obs",
+        F.round(p1, 6).alias("pacf_1"),
+        F.round("phi22", 6).alias("pacf_2"),
+        F.round(pacf3, 6).alias("pacf_3"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
