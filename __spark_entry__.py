@@ -22305,6 +22305,94 @@ def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Up/down capture ratios — each symbol's average daily return on
+# market-up vs market-down days, relative to the market's own
+# averages: the classic fund-analytics asymmetry profile (capture
+# >1 up and <1 down is the free lunch everyone claims).
+# --------------------------------------------------------------------------
+@q(
+    "capture_ratios",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+mkt AS (
+  SELECT d, avg(ret) AS m
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+),
+j AS (
+  SELECT r.symbol, r.ret, mkt.m, mkt.m > 0 AS up
+  FROM r JOIN mkt ON r.d = mkt.d WHERE r.ret IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(CASE WHEN up THEN 1 END) AS BIGINT) AS n_up_days,
+       CAST(count(CASE WHEN NOT up THEN 1 END) AS BIGINT) AS n_down_days,
+       ROUND(avg(CASE WHEN up THEN ret END)
+             / nullif(avg(CASE WHEN up THEN m END), 0), 6)
+           AS up_capture,
+       ROUND(avg(CASE WHEN NOT up THEN ret END)
+             / nullif(avg(CASE WHEN NOT up THEN m END), 0), 6)
+           AS down_capture
+FROM j GROUP BY 1
+"""
+    ),
+)
+def capture_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily returns + equal-weight market from one join of the
+    day-grain aggregates; both capture ratios from one conditional
+    aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = (
+        r.groupBy("d")
+        .agg(F.avg("ret").alias("m"), F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= 2)
+        .drop("k")
+    )
+    j = r.join(F.broadcast(mkt), "d").select(
+        "symbol", "ret", "m", (F.col("m") > 0).alias("up")
+    )
+    up = F.col("up")
+    return j.groupBy("symbol").agg(
+        F.count(F.when(up, 1)).cast("bigint").alias("n_up_days"),
+        F.count(F.when(~up, 1)).cast("bigint").alias("n_down_days"),
+        F.round(
+            F.avg(F.when(up, F.col("ret")))
+            / F.nullif(F.avg(F.when(up, F.col("m"))), F.lit(0.0)),
+            6,
+        ).alias("up_capture"),
+        F.round(
+            F.avg(F.when(~up, F.col("ret")))
+            / F.nullif(F.avg(F.when(~up, F.col("m"))), F.lit(0.0)),
+            6,
+        ).alias("down_capture"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
