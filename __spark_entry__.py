@@ -22393,6 +22393,92 @@ def capture_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Symbol tear sheet — the one-row-per-symbol daily report: annualized
+# return/vol, Sharpe, max drawdown, hit rate, worst day. Every number
+# from ONE daily aggregate + one window pass (running peak shares the
+# sort with the lag) — the composition a PM actually opens first.
+# --------------------------------------------------------------------------
+@q(
+    "symbol_tearsheet",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d, close,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret,
+         CASE WHEN max(close) OVER m > 0
+              THEN 1.0 - close / max(close) OVER m END AS drawdown
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d),
+         m AS (PARTITION BY symbol ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol,
+       CAST(count(ret) AS BIGINT) AS n_days,
+       ROUND(avg(ret) * 252.0, 6) AS ann_return,
+       ROUND(stddev_samp(ret) * sqrt(252.0), 6) AS ann_vol,
+       ROUND((avg(ret) * 252.0)
+             / nullif(stddev_samp(ret) * sqrt(252.0), 0), 6)
+           AS ann_sharpe,
+       ROUND(max(drawdown), 6) AS max_drawdown,
+       ROUND(avg(CASE WHEN ret > 0 THEN 1.0
+                      WHEN ret IS NOT NULL THEN 0.0 END), 6) AS hit_rate,
+       ROUND(min(ret), 6) AS worst_day
+FROM r GROUP BY 1
+"""
+    ),
+)
+def symbol_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One daily bar aggregate; lag (returns) and the incremental
+    running-peak (drawdown) share one symbol sort; all seven report
+    columns from one final aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    wm = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("close").over(w)
+    peak = F.max("close").over(wm)
+    r = daily.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+        F.when(peak > 0, 1.0 - F.col("close") / peak).alias(
+            "drawdown"
+        ),
+    )
+    ann_ret = F.avg("ret") * 252.0
+    ann_vol = F.stddev_samp("ret") * F.sqrt(F.lit(252.0))
+    return r.groupBy("symbol").agg(
+        F.count("ret").cast("bigint").alias("n_days"),
+        F.round(ann_ret, 6).alias("ann_return"),
+        F.round(ann_vol, 6).alias("ann_vol"),
+        F.round(
+            ann_ret / F.nullif(ann_vol, F.lit(0.0)), 6
+        ).alias("ann_sharpe"),
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.round(
+            F.avg(
+                F.when(F.col("ret") > 0, 1.0).when(
+                    F.col("ret").isNotNull(), 0.0
+                )
+            ),
+            6,
+        ).alias("hit_rate"),
+        F.round(F.min("ret"), 6).alias("worst_day"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
