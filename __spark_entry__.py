@@ -22479,6 +22479,111 @@ def symbol_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus tear sheet — the one-row corpus health report: doc count,
+# exact-duplicate rate, Gopher pass rate, mean quality, language
+# diversity entropy, token volume. The corpus-plane sibling of
+# symbol_tearsheet, composing the shared per-doc rule logic.
+# --------------------------------------------------------------------------
+def _corpus_tearsheet_oracle() -> str:
+    quality_inner = _quality_oracle().strip()
+    gopher_inner = _gopher_oracle().strip()
+    return f"""
+WITH q AS (
+{quality_inner}
+),
+g AS (
+{gopher_inner}
+),
+fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS f
+  FROM documents
+),
+lang_mix AS (
+  SELECT lang, count(*) * 1.0 AS c, sum(count(*)) OVER () * 1.0 AS n
+  FROM documents GROUP BY 1
+),
+lang_ent AS (
+  SELECT -sum((c / n) * ln(c / n)) + 0.0 AS ent FROM lang_mix
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(DISTINCT fp.f) AS BIGINT) AS n_exact_dups,
+       ROUND((count(*) - count(DISTINCT fp.f)) * 1.0 / count(*), 6)
+           AS dup_rate,
+       ROUND(avg(q.quality), 6) AS mean_quality,
+       ROUND(avg(CASE WHEN g.passes_gopher THEN 1.0 ELSE 0.0 END), 6)
+           AS gopher_pass_rate,
+       CAST(sum(g.n_words) AS BIGINT) AS total_words,
+       ROUND((SELECT ent FROM lang_ent), 6) AS lang_entropy
+FROM fp
+JOIN q ON fp.doc_id = q.doc_id
+JOIN g ON fp.doc_id = g.doc_id
+"""
+
+
+@q("corpus_tearsheet", _corpus_tearsheet_oracle())
+def corpus_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint/quality/gopher tables (all from the shared
+    rule implementations) joined on doc_id, language entropy as a
+    broadcast 1-row aggregate, single-row report."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("f"))
+    q_ = TX.quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    g_ = TX.gopher_rules(docs).select(
+        "doc_id", "n_words", "passes_gopher"
+    )
+    lang_mix = docs.groupBy("lang").agg(
+        (F.count(F.lit(1)) * 1.0).alias("c")
+    )
+    lang_tot = lang_mix.agg(F.sum("c").alias("n"))
+    lang_ent = (
+        lang_mix.crossJoin(F.broadcast(lang_tot))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log(F.col("c") / F.col("n"))
+                )
+                + 0.0
+            ).alias("ent")
+        )
+    )
+    j = fp.join(q_, "doc_id").join(g_, "doc_id")
+    rep = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("f"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct("f"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(
+            F.avg(
+                F.when(F.col("passes_gopher"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("gopher_pass_rate"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+    return rep.crossJoin(F.broadcast(lang_ent)).select(
+        "n_docs",
+        "n_exact_dups",
+        "dup_rate",
+        "mean_quality",
+        "gopher_pass_rate",
+        "total_words",
+        F.round("ent", 6).alias("lang_entropy"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
