@@ -22584,6 +22584,108 @@ def corpus_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pipeline health tear sheet — the ops one-rower: data span, trade
+# volume, symbol coverage, global outage minutes, minute-grid
+# completeness, quote coverage. Completes the tear-sheet trilogy
+# (market: symbol_tearsheet, corpus: corpus_tearsheet, ops: this).
+# --------------------------------------------------------------------------
+@q(
+    "pipeline_health_tearsheet",
+    oracle(
+        """
+base AS (
+  SELECT symbol, time, bid,
+         CAST(floor(epoch(time) / 60) AS BIGINT) AS minute
+  FROM trades
+),
+span AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(count(DISTINCT symbol) AS BIGINT) AS n_symbols,
+         CAST(count(bid) AS BIGINT) AS n_quoted,
+         min(time) AS t0, max(time) AS t1,
+         CAST(count(DISTINCT minute) AS BIGINT) AS active_minutes,
+         CAST(max(minute) - min(minute) + 1 AS BIGINT) AS span_minutes
+  FROM base
+),
+mins AS (SELECT DISTINCT minute FROM base),
+gaps AS (
+  SELECT minute - lag(minute) OVER (ORDER BY minute) AS gap_min
+  FROM mins
+),
+outage AS (
+  SELECT CAST(coalesce(sum(gap_min - 1), 0) AS BIGINT) AS silent_min
+  FROM gaps WHERE gap_min >= 6
+)
+SELECT s.n_trades, s.n_symbols,
+       ROUND(s.n_quoted * 1.0 / s.n_trades, 6) AS quote_coverage,
+       ROUND((epoch(s.t1) - epoch(s.t0)) / 86400.0, 6) AS span_days,
+       ROUND(s.active_minutes * 1.0 / s.span_minutes, 6)
+           AS minute_completeness,
+       o.silent_min AS outage_minutes
+FROM span s CROSS JOIN outage o
+"""
+    ),
+)
+def pipeline_health_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One global aggregate for span/coverage, the distinct-minute
+    outage sweep (global_outage_windows machinery), broadcast cross
+    of two 1-row frames."""
+    t = _trades(spark, sf_dir)
+    base = t.select(
+        "symbol",
+        "time",
+        "bid",
+        F.floor(F.col("time").cast("double") / 60)
+        .cast("bigint")
+        .alias("minute"),
+    )
+    span = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.count_distinct("symbol").cast("bigint").alias("n_symbols"),
+        F.count("bid").cast("bigint").alias("n_quoted"),
+        F.min("time").alias("t0"),
+        F.max("time").alias("t1"),
+        F.count_distinct("minute")
+        .cast("bigint")
+        .alias("active_minutes"),
+        (F.max("minute") - F.min("minute") + 1)
+        .cast("bigint")
+        .alias("span_minutes"),
+    )
+    mins = base.select("minute").distinct()
+    gaps = mins.select(
+        (
+            F.col("minute")
+            - F.lag("minute").over(Window.orderBy("minute"))
+        ).alias("gap_min")
+    ).filter(F.col("gap_min") >= 6)
+    outage = gaps.agg(
+        F.coalesce(F.sum(F.col("gap_min") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("silent_min")
+    )
+    return span.crossJoin(F.broadcast(outage)).select(
+        "n_trades",
+        "n_symbols",
+        F.round(
+            F.col("n_quoted") * 1.0 / F.col("n_trades"), 6
+        ).alias("quote_coverage"),
+        F.round(
+            (
+                F.col("t1").cast("double")
+                - F.col("t0").cast("double")
+            )
+            / 86400.0,
+            6,
+        ).alias("span_days"),
+        F.round(
+            F.col("active_minutes") * 1.0 / F.col("span_minutes"), 6
+        ).alias("minute_completeness"),
+        F.col("silent_min").alias("outage_minutes"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
