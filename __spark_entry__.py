@@ -22686,6 +22686,138 @@ def pipeline_health_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# First principal factor via power iteration — 3 iterations of
+# v ← Σv over the covariance RELATION (i, j, c): matrix-free
+# distributed PCA on returns, the GMM-EM recipe applied to an
+# eigenproblem. Loadings sign-normalized on the lexicographically
+# first symbol; explained share = Rayleigh quotient / trace.
+# --------------------------------------------------------------------------
+@q(
+    "pca_factor_loadings",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rr AS (SELECT symbol, bucket, ret FROM r WHERE ret IS NOT NULL),
+m AS (
+  SELECT a.symbol AS i, b.symbol AS j, covar_samp(a.ret, b.ret) AS c
+  FROM rr a JOIN rr b ON a.bucket = b.bucket
+  GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT i) * 1.0 AS k FROM m),
+v0 AS (SELECT DISTINCT i AS s, 1.0 / sqrt((SELECT k FROM k)) AS v FROM m),
+u1 AS (SELECT m.i AS s, sum(m.c * v0.v) AS u FROM m JOIN v0 ON m.j = v0.s GROUP BY 1),
+n1 AS (SELECT sqrt(sum(u * u)) AS n FROM u1),
+v1 AS (SELECT s, u / (SELECT n FROM n1) AS v FROM u1),
+u2 AS (SELECT m.i AS s, sum(m.c * v1.v) AS u FROM m JOIN v1 ON m.j = v1.s GROUP BY 1),
+n2 AS (SELECT sqrt(sum(u * u)) AS n FROM u2),
+v2 AS (SELECT s, u / (SELECT n FROM n2) AS v FROM u2),
+u3 AS (SELECT m.i AS s, sum(m.c * v2.v) AS u FROM m JOIN v2 ON m.j = v2.s GROUP BY 1),
+n3 AS (SELECT sqrt(sum(u * u)) AS n FROM u3),
+v3 AS (SELECT s, u / (SELECT n FROM n3) AS v FROM u3),
+sgn AS (
+  SELECT CASE WHEN min_by(v, s) < 0 THEN -1.0 ELSE 1.0 END AS sg FROM v3
+),
+tr AS (SELECT sum(c) AS trace FROM m WHERE i = j)
+SELECT v3.s AS symbol,
+       ROUND(v3.v * (SELECT sg FROM sgn) + 0.0, 6) AS loading,
+       ROUND((SELECT n FROM n3), 6) AS eigenvalue,
+       ROUND((SELECT n FROM n3) / (SELECT trace FROM tr), 6)
+           AS explained_share
+FROM v3
+"""
+    ),
+)
+def pca_factor_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (i, j, cov) relation (diagonal included) from one
+    bucket-aligned self-join aggregate; each power iteration is one
+    broadcast join + one sum aggregate (no driver matrix, no
+    collect); λ estimated by the final iterate's norm. Deterministic
+    sign: flip so the lexicographically-first symbol loads positive.
+    At production scale persist the cov relation before iterating
+    (here Catalyst re-derives it per iteration off the cached bars —
+    |symbols|²-cheap)."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    rr = bars.select(
+        "symbol",
+        "bucket",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = rr.alias("a")
+    b = rr.alias("b")
+    m = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .groupBy(
+            F.col("a.symbol").alias("i"), F.col("b.symbol").alias("j")
+        )
+        .agg(F.covar_samp(F.col("a.ret"), F.col("b.ret")).alias("c"))
+    )
+    kdf = m.agg((F.count_distinct("i") * 1.0).alias("k"))
+    v = (
+        m.select(F.col("i").alias("s"))
+        .distinct()
+        .crossJoin(F.broadcast(kdf))
+        .select("s", (1.0 / F.sqrt(F.col("k"))).alias("v"))
+    )
+    for _ in range(3):
+        u = (
+            m.join(
+                F.broadcast(v), m.j == v.s
+            )
+            .groupBy(F.col("i").alias("s2"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+            .withColumnRenamed("s2", "s")
+        )
+        n = u.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("n")
+        )
+        v = u.crossJoin(F.broadcast(n)).select(
+            "s", (F.col("u") / F.col("n")).alias("v")
+        )
+    n3 = n  # 1-row frame: the 3rd iterate's norm = λ estimate
+    sgn = v.agg(
+        F.when(F.min_by("v", "s") < 0, -1.0)
+        .otherwise(1.0)
+        .alias("sg")
+    )
+    tr = m.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("trace")
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("s").alias("symbol"),
+            F.round(F.col("v") * F.col("sg") + 0.0, 6).alias(
+                "loading"
+            ),
+            F.round(F.col("n"), 6).alias("eigenvalue"),
+            F.round(F.col("n") / F.col("trace"), 6).alias(
+                "explained_share"
+            ),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
