@@ -22818,6 +22818,77 @@ def pca_factor_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Volume-clock bars — the volume-threshold sibling of dollar_bars
+# (AFML ch. 2 information-driven sampling family: tick/volume/dollar
+# clocks): a new bar each time cumulative traded volume crosses a
+# multiple of 500 units.
+# --------------------------------------------------------------------------
+@q(
+    "volume_bars",
+    oracle(
+        """
+pv AS (
+  SELECT symbol, time, trade_id, price, volume,
+         sum(volume) OVER (
+             PARTITION BY symbol ORDER BY time, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM trades
+),
+b AS (
+  SELECT *, CAST(floor((running - volume) / 500.0) AS BIGINT) AS bar_id
+  FROM pv
+)
+SELECT symbol, bar_id,
+       count(*) AS n_trades,
+       min(time) AS bar_start,
+       max(time) AS bar_end,
+       ROUND(first(price ORDER BY time, trade_id), 6) AS open,
+       ROUND(max(price), 6) AS high,
+       ROUND(min(price), 6) AS low,
+       ROUND(last(price ORDER BY time, trade_id), 6) AS close,
+       ROUND(sum(volume), 6) AS bar_volume
+FROM b GROUP BY 1, 2
+"""
+    ),
+)
+def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cum-sum floor bucketing as dollar_bars, clocked on raw
+    volume: one growing-frame running sum (incremental), one bar
+    aggregate with ordered first/last."""
+    t = _trades(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = t.select(
+        "symbol",
+        "time",
+        "trade_id",
+        "price",
+        "volume",
+        F.sum("volume").over(w).alias("running"),
+    )
+    b = pv.withColumn(
+        "bar_id",
+        F.floor((F.col("running") - F.col("volume")) / 500.0).cast(
+            "bigint"
+        ),
+    )
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    return b.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.min("time").alias("bar_start"),
+        F.max("time").alias("bar_end"),
+        F.round(F.min_by("price", tkey), 6).alias("open"),
+        F.round(F.max("price"), 6).alias("high"),
+        F.round(F.min("price"), 6).alias("low"),
+        F.round(F.max_by("price", tkey), 6).alias("close"),
+        F.round(F.sum("volume"), 6).alias("bar_volume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
