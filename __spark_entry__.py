@@ -22889,6 +22889,113 @@ def volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Jarque–Bera normality test — JB = n/6·(S² + K²/4) from the sample
+# skewness and excess kurtosis of minute returns: the classical
+# reject-normality headline realized_moments' raw moments feed.
+# --------------------------------------------------------------------------
+@q(
+    "jarque_bera_test",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+mo AS (
+  SELECT symbol,
+         count(*) * 1.0 AS n,
+         avg(ret) AS m1,
+         avg(ret * ret) AS m2r,
+         avg(ret * ret * ret) AS m3r,
+         avg(ret * ret * ret * ret) AS m4r
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING count(*) >= 30
+),
+c AS (
+  SELECT symbol, n,
+         m2r - m1 * m1 AS v,
+         m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1 AS mu3,
+         m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r
+             - 3.0 * m1 * m1 * m1 * m1 AS mu4
+  FROM mo
+)
+SELECT symbol,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(mu3 / pow(v, 1.5), 6) AS skewness,
+       ROUND(mu4 / (v * v) - 3.0, 6) AS excess_kurtosis,
+       ROUND((n / 6.0) * (pow(mu3 / pow(v, 1.5), 2)
+             + pow(mu4 / (v * v) - 3.0, 2) / 4.0), 6) AS jb_stat,
+       (n / 6.0) * (pow(mu3 / pow(v, 1.5), 2)
+             + pow(mu4 / (v * v) - 3.0, 2) / 4.0) > 5.99 AS reject_5pct
+FROM c WHERE v > 0
+"""
+    ),
+)
+def jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw moments in one aggregate, central moments by the binomial
+    expansion (population convention, matching the oracle exactly),
+    JB and the χ²₂ 5% decision closed-form per symbol."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    x = F.col("ret")
+    mo = (
+        r.groupBy("symbol")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            F.avg(x).alias("m1"),
+            F.avg(x * x).alias("m2r"),
+            F.avg(x * x * x).alias("m3r"),
+            F.avg(x * x * x * x).alias("m4r"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    m1, m2r = F.col("m1"), F.col("m2r")
+    m3r, m4r = F.col("m3r"), F.col("m4r")
+    c = mo.select(
+        "symbol",
+        "n",
+        (m2r - m1 * m1).alias("v"),
+        (m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1).alias("mu3"),
+        (
+            m4r
+            - 4.0 * m1 * m3r
+            + 6.0 * m1 * m1 * m2r
+            - 3.0 * m1 * m1 * m1 * m1
+        ).alias("mu4"),
+    ).filter(F.col("v") > 0)
+    skew = F.col("mu3") / F.pow(F.col("v"), 1.5)
+    exk = F.col("mu4") / (F.col("v") * F.col("v")) - 3.0
+    jb = (F.col("n") / 6.0) * (
+        F.pow(skew, 2) + F.pow(exk, 2) / 4.0
+    )
+    return c.select(
+        "symbol",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        (jb > 5.99).alias("reject_5pct"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
