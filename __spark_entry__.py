@@ -22996,6 +22996,94 @@ def jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Day-of-week volatility profile — per-weekday return volatility and
+# the max/min variance ratio: the VARIANCE seasonality screen next to
+# dow_effect_anova's mean test (calendar risk limits are set off
+# exactly this table).
+# --------------------------------------------------------------------------
+@q(
+    "dow_volatility_profile",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, isodow(bucket) AS dow,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+g AS (
+  SELECT symbol, CAST(dow AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         var_samp(ret) AS v
+  FROM r WHERE ret IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 10
+),
+x AS (
+  SELECT symbol, dow, n_obs, v,
+         max(v) OVER (PARTITION BY symbol) AS vmax,
+         min(v) OVER (PARTITION BY symbol) AS vmin
+  FROM g
+)
+SELECT symbol, dow, n_obs,
+       ROUND(sqrt(v), 6) AS dow_vol,
+       ROUND(CASE WHEN vmin > 0 THEN vmax / vmin END, 6)
+           AS variance_ratio_max_min
+FROM x
+"""
+    ),
+)
+def dow_volatility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (symbol, dow) variance aggregate; the max/min ratio via
+    same-key windows over the ≤7-row relation."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    iso_dow = ((F.dayofweek("bucket") + 5) % 7) + 1
+    r = bars.select(
+        "symbol",
+        iso_dow.cast("bigint").alias("dow"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    g = (
+        r.groupBy("symbol", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.var_samp("ret").alias("v"),
+        )
+        .filter(F.col("n_obs") >= 10)
+    )
+    ws = Window.partitionBy("symbol")
+    x = g.select(
+        "symbol",
+        "dow",
+        "n_obs",
+        "v",
+        F.max("v").over(ws).alias("vmax"),
+        F.min("v").over(ws).alias("vmin"),
+    )
+    return x.select(
+        "symbol",
+        "dow",
+        "n_obs",
+        F.round(F.sqrt("v"), 6).alias("dow_vol"),
+        F.round(
+            F.when(F.col("vmin") > 0, F.col("vmax") / F.col("vmin")),
+            6,
+        ).alias("variance_ratio_max_min"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
