@@ -23084,6 +23084,92 @@ def dow_volatility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Volume-conditioned momentum — mean next-bar return by (return sign
+# × volume tercile): does volume confirm price ("up moves on heavy
+# volume continue")? The 6-cell conditional table per symbol.
+# --------------------------------------------------------------------------
+@q(
+    "volume_conditioned_momentum",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close,
+    sum(volume) AS vol
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket, vol,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+                   AND lead(close) OVER w > 0
+              THEN ln(lead(close) OVER w / close) END AS next_ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+t AS (
+  SELECT symbol, ret, next_ret,
+         ntile(3) OVER (PARTITION BY symbol ORDER BY vol, bucket)
+             AS vol_tercile
+  FROM r WHERE ret IS NOT NULL AND next_ret IS NOT NULL
+)
+SELECT symbol,
+       CASE WHEN ret > 0 THEN 'up' ELSE 'down' END AS move,
+       CAST(vol_tercile AS BIGINT) AS vol_tercile,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(avg(next_ret), 6) AS mean_next_ret,
+       ROUND(avg(CASE WHEN next_ret > 0 THEN 1.0 ELSE 0.0 END), 6)
+           AS continuation_rate
+FROM t GROUP BY 1, 2, 3
+"""
+    ),
+)
+def volume_conditioned_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return + next return from one window pass (lag + lead share
+    the sort), deterministic volume terciles per symbol, one 6-cell
+    conditional aggregate. NOTE next_ret uses lead(close) so the
+    lookahead is label-side only — the conditioning variables are
+    fully past-measurable."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    valid = (F.col("close") > 0) & (prev > 0)
+    r = bars.select(
+        "symbol",
+        "bucket",
+        F.col("volume").alias("vol"),
+        F.when(valid, F.log(F.col("close") / prev)).alias("ret"),
+        F.when(
+            valid & (F.lead("close").over(w) > 0),
+            F.log(F.lead("close").over(w) / F.col("close")),
+        ).alias("next_ret"),
+    ).filter(F.col("ret").isNotNull() & F.col("next_ret").isNotNull())
+    t = r.select(
+        "symbol",
+        "ret",
+        "next_ret",
+        F.ntile(3)
+        .over(w.orderBy("vol", "bucket"))
+        .alias("vol_tercile"),
+    )
+    return t.groupBy(
+        "symbol",
+        F.when(F.col("ret") > 0, "up").otherwise("down").alias("move"),
+        F.col("vol_tercile").cast("bigint").alias("vol_tercile"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.avg("next_ret"), 6).alias("mean_next_ret"),
+        F.round(
+            F.avg(F.when(F.col("next_ret") > 0, 1.0).otherwise(0.0)),
+            6,
+        ).alias("continuation_rate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
