@@ -23170,6 +23170,94 @@ def volume_conditioned_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Mann–Whitney U — nonparametric weekend-vs-weekday test on daily
+# dollar volume per symbol: rank-sum U with the normal approximation
+# z = (U − n₁n₂/2)/√(n₁n₂(n+1)/12), fractional average ranks for
+# ties. The distribution-free complement to the t-test family.
+# --------------------------------------------------------------------------
+@q(
+    "mann_whitney_volume",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         isodow(CAST(time AS DATE)) >= 6 AS weekend,
+         sum(price * volume) AS dv
+  FROM trades GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT symbol, weekend, dv,
+         avg(rn * 1.0) OVER (PARTITION BY symbol, dv) AS fr
+  FROM (
+    SELECT symbol, weekend, dv,
+           row_number() OVER (PARTITION BY symbol ORDER BY dv, d) AS rn
+    FROM daily
+  )
+),
+u AS (
+  SELECT symbol,
+         sum(CASE WHEN weekend THEN fr END) AS r1,
+         count(CASE WHEN weekend THEN 1 END) * 1.0 AS n1,
+         count(CASE WHEN NOT weekend THEN 1 END) * 1.0 AS n2
+  FROM rk GROUP BY 1 HAVING count(CASE WHEN weekend THEN 1 END) >= 2
+     AND count(CASE WHEN NOT weekend THEN 1 END) >= 2
+)
+SELECT symbol,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       ROUND(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u_stat,
+       ROUND((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 6) AS z_approx
+FROM u
+"""
+    ),
+)
+def mann_whitney_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional ranks via the row_number + equal-value-average
+    windows (tie-exact, the spearman_rank_corr machinery), rank-sum
+    U and the z approximation in one aggregate per symbol."""
+    t = _trades(spark, sf_dir)
+    iso_dow = ((F.dayofweek(F.to_date("time")) + 5) % 7) + 1
+    daily = t.groupBy(
+        "symbol",
+        F.to_date("time").alias("d"),
+        (iso_dow >= 6).alias("weekend"),
+    ).agg(F.sum(F.col("price") * F.col("volume")).alias("dv"))
+    ws = Window.partitionBy("symbol")
+    rn = F.row_number().over(ws.orderBy("dv", "d"))
+    rk = daily.withColumn("rn", rn).select(
+        "symbol",
+        "weekend",
+        "dv",
+        F.avg(F.col("rn") * 1.0)
+        .over(Window.partitionBy("symbol", "dv"))
+        .alias("fr"),
+    )
+    u = (
+        rk.groupBy("symbol")
+        .agg(
+            F.sum(F.when(F.col("weekend"), F.col("fr"))).alias("r1"),
+            (F.count(F.when(F.col("weekend"), 1)) * 1.0).alias("n1"),
+            (F.count(F.when(~F.col("weekend"), 1)) * 1.0).alias("n2"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    ustat = r1 - n1 * (n1 + 1.0) / 2.0
+    return u.select(
+        "symbol",
+        n1.cast("bigint").alias("n_weekend"),
+        n2.cast("bigint").alias("n_weekday"),
+        F.round(ustat, 6).alias("u_stat"),
+        F.round(
+            (ustat - n1 * n2 / 2.0)
+            / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0),
+            6,
+        ).alias("z_approx"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
