@@ -23258,6 +23258,101 @@ def mann_whitney_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Kruskal–Wallis H — the k-group rank test across all 7 weekdays on
+# minute returns per symbol: H = 12/(n(n+1))·Σ R_j²/n_j − 3(n+1),
+# fractional ranks. The nonparametric sibling of dow_effect_anova's
+# F-test (no normality assumption).
+# --------------------------------------------------------------------------
+@q(
+    "kruskal_wallis_dow",
+    oracle(
+        """
+bars AS (
+  SELECT
+    to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+    symbol,
+    last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, bucket, isodow(bucket) AS dow,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+),
+rk AS (
+  SELECT symbol, dow,
+         avg(rn * 1.0) OVER (PARTITION BY symbol, ret) AS fr
+  FROM (
+    SELECT symbol, dow, ret,
+           row_number() OVER (PARTITION BY symbol ORDER BY ret, bucket) AS rn
+    FROM r WHERE ret IS NOT NULL
+  )
+),
+g AS (
+  SELECT symbol, dow, count(*) * 1.0 AS nj, sum(fr) AS rj
+  FROM rk GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(sum(nj) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS k_groups,
+       ROUND(12.0 / (sum(nj) * (sum(nj) + 1.0)) * sum(rj * rj / nj)
+             - 3.0 * (sum(nj) + 1.0), 6) AS h_stat
+FROM g GROUP BY 1 HAVING count(*) >= 3
+"""
+    ),
+)
+def kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional ranks over the full per-symbol return sample, rank
+    sums per weekday, closed-form H in one final aggregate — the
+    mann_whitney machinery generalized to k groups."""
+    bars = _bars60(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w)
+    iso_dow = ((F.dayofweek("bucket") + 5) % 7) + 1
+    r = bars.select(
+        "symbol",
+        "bucket",
+        iso_dow.alias("dow"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.log(F.col("close") / prev),
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy("symbol").orderBy("ret", "bucket")
+    )
+    rk = r.withColumn("rn", rn).select(
+        "symbol",
+        "dow",
+        F.avg(F.col("rn") * 1.0)
+        .over(Window.partitionBy("symbol", "ret"))
+        .alias("fr"),
+    )
+    g = rk.groupBy("symbol", "dow").agg(
+        (F.count(F.lit(1)) * 1.0).alias("nj"),
+        F.sum("fr").alias("rj"),
+    )
+    n = F.sum("nj")
+    return (
+        g.groupBy("symbol")
+        .agg(
+            F.sum("nj").cast("bigint").alias("n_obs"),
+            F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+            F.round(
+                12.0
+                / (n * (n + 1.0))
+                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
+                - 3.0 * (n + 1.0),
+                6,
+            ).alias("h_stat"),
+        )
+        .filter(F.col("k_groups") >= 3)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
