@@ -23353,6 +23353,126 @@ def kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired test of |overnight| vs |intraday|
+# daily return magnitudes per symbol: W⁺ from fractional ranks of
+# the nonzero |differences|, normal approximation. Completes the
+# nonparametric trio (Mann–Whitney two-sample, Kruskal–Wallis
+# k-sample, Wilcoxon paired).
+# --------------------------------------------------------------------------
+@q(
+    "wilcoxon_overnight_intraday",
+    oracle(
+        """
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         first(price ORDER BY time, trade_id) AS open,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, d,
+         CASE WHEN open > 0 AND lag(close) OVER w > 0
+              THEN abs(ln(open / lag(close) OVER w)) END AS a_on,
+         CASE WHEN close > 0 AND open > 0
+              THEN abs(ln(close / open)) END AS a_id
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY d)
+),
+dif AS (
+  SELECT symbol, d, a_on - a_id AS diff
+  FROM r WHERE a_on IS NOT NULL AND a_id IS NOT NULL
+    AND a_on - a_id <> 0
+),
+rk AS (
+  SELECT symbol, diff,
+         avg(rn * 1.0) OVER (PARTITION BY symbol, abs(diff)) AS fr
+  FROM (
+    SELECT symbol, d, diff,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY abs(diff), d) AS rn
+    FROM dif
+  )
+),
+wsum AS (
+  SELECT symbol,
+         count(*) * 1.0 AS n,
+         sum(CASE WHEN diff > 0 THEN fr ELSE 0.0 END) AS w_plus
+  FROM rk GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT symbol,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(w_plus, 6) AS w_plus,
+       ROUND((w_plus - n * (n + 1.0) / 4.0)
+             / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0), 6)
+           AS z_approx
+FROM wsum
+"""
+    ),
+)
+def wilcoxon_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired |overnight|−|intraday| differences from the daily bar
+    pipeline, fractional ranks of |diff| (ties averaged, zeros
+    dropped — the standard Wilcoxon convention), W⁺ and the normal
+    z in one aggregate."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.min_by("price", tkey).alias("open"),
+        F.max_by("price", tkey).alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    prev_close = F.lag("close").over(w)
+    r = daily.select(
+        "symbol",
+        "d",
+        F.when(
+            (F.col("open") > 0) & (prev_close > 0),
+            F.abs(F.log(F.col("open") / prev_close)),
+        ).alias("a_on"),
+        F.when(
+            (F.col("close") > 0) & (F.col("open") > 0),
+            F.abs(F.log(F.col("close") / F.col("open"))),
+        ).alias("a_id"),
+    )
+    dif = r.filter(
+        F.col("a_on").isNotNull() & F.col("a_id").isNotNull()
+    ).select(
+        "symbol", "d", (F.col("a_on") - F.col("a_id")).alias("diff")
+    ).filter(F.col("diff") != 0)
+    rn = F.row_number().over(
+        Window.partitionBy("symbol").orderBy(F.abs("diff"), "d")
+    )
+    rk = dif.withColumn("rn", rn).select(
+        "symbol",
+        "diff",
+        F.avg(F.col("rn") * 1.0)
+        .over(Window.partitionBy("symbol", F.abs("diff")))
+        .alias("fr"),
+    )
+    wsum = (
+        rk.groupBy("symbol")
+        .agg(
+            (F.count(F.lit(1)) * 1.0).alias("n"),
+            F.sum(
+                F.when(F.col("diff") > 0, F.col("fr")).otherwise(0.0)
+            ).alias("w_plus"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    n, wp = F.col("n"), F.col("w_plus")
+    return wsum.select(
+        "symbol",
+        n.cast("bigint").alias("n_pairs"),
+        F.round(wp, 6).alias("w_plus"),
+        F.round(
+            (wp - n * (n + 1.0) / 4.0)
+            / F.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0),
+            6,
+        ).alias("z_approx"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
