@@ -1554,9 +1554,13 @@ flags AS (
   FROM base
 ),
 sessions AS (
+  -- CAST AS BIGINT: DuckDB sum(INTEGER) is HUGEINT, which lands in
+  -- pandas as float64 — the driver's value hash then sees 1.0 vs
+  -- Spark's int64 1 and mismatches (r01/r02 red row root cause).
   SELECT user_id, ts, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
              AS session_no
   FROM flags
 )
@@ -2661,7 +2665,7 @@ surv AS (
 )
 SELECT l.lang_pred AS lang,
        count(*) AS n_docs,
-       sum(q.n_words) AS total_words,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words,
        ROUND(avg(q.quality), 6) AS avg_quality
 FROM surv s
 JOIN quality q ON q.doc_id = s.doc_id
@@ -3946,7 +3950,7 @@ grams AS (
 per_gram AS (
   SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
 )
-SELECT doc_id, sum(c) AS n_grams,
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
        ROUND(max(c) * 1.0 / sum(c), 6) AS rep_ratio
 FROM per_gram GROUP BY doc_id
 """,
@@ -8175,7 +8179,8 @@ km AS (
              AS dead
   FROM risk
 )
-SELECT t AS duration_sec, n AS n_at_risk, d AS n_events, c AS n_censored,
+SELECT t AS duration_sec, CAST(n AS BIGINT) AS n_at_risk,
+       d AS n_events, c AS n_censored,
        ROUND(CASE WHEN dead > 0 THEN 0.0 ELSE exp(cumlog) END, 6)
            AS km_survival
 FROM km
@@ -11821,7 +11826,9 @@ def price_poc_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "symbol",
             "rank",
-            F.round("level", 6).alias("price_level"),
+            # cast first: Spark floor() is LONG while DuckDB floor() is
+            # DOUBLE — both sides must land float64 for the driver hash
+            F.round(F.col("level").cast("double"), 6).alias("price_level"),
             F.round("level_volume", 6).alias("level_volume"),
             "n_trades",
         )

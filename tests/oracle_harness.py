@@ -100,7 +100,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+        # int-on-one-side / float-on-the-other: `==` passes (1 == 1.0)
+        # but the driver's VALUE HASH distinguishes the dtypes — this was
+        # the r01/r02 user_sessionization red row (DuckDB sum(INTEGER) →
+        # HUGEINT → pandas float64 vs Spark int64).  Fail loudly here.
+        g_int = pd.api.types.is_integer_dtype(g)
+        e_int = pd.api.types.is_integer_dtype(e)
+        g_f = pd.api.types.is_float_dtype(g)
+        e_f = pd.api.types.is_float_dtype(e)
+        if (g_int and e_f) or (g_f and e_int):
+            raise AssertionError(
+                f"{name}: column {c} dtype kind skew: spark={g.dtype} "
+                f"oracle={e.dtype} — driver hash distinguishes int vs float; "
+                f"CAST the oracle (HUGEINT sums → BIGINT) or the Spark side"
+            )
+        if g_f or e_f:
             ok = pd.Series(
                 np.isclose(
                     g.astype(float), e.astype(float), rtol=0, atol=0, equal_nan=True
