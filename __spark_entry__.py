@@ -15066,7 +15066,8 @@ j AS (
   SELECT p.symbol, p.time, p.trade_id, p.price, p.b,
          a.tp, a.tn,
          0.5 * abs((a.tp - a.tn) * (p.price - a.yp)
-                   - (a.tp - p.t) * (a.yn - a.yp)) AS area
+                   - (a.tp - p.t) * (a.yn - a.yp)) AS area,
+         count(*) OVER (PARTITION BY p.symbol, p.b) AS n
   FROM pts p JOIN anch a ON p.symbol = a.symbol AND p.b = a.b
 ),
 mid AS (
@@ -15080,9 +15081,11 @@ fst AS (
   FROM j WHERE tp IS NULL
 ),
 lst AS (
+  -- tn IS NULL covers the final bucket AND the single-bucket key
+  -- (whose lone 'first' row is excluded when the bucket has 1 point)
   SELECT *, row_number() OVER (PARTITION BY symbol, b
              ORDER BY time DESC, trade_id DESC) AS rn
-  FROM j WHERE tp IS NOT NULL AND tn IS NULL
+  FROM j WHERE tn IS NULL AND NOT (tp IS NULL AND n = 1)
 )
 SELECT to_timestamp(b)::TIMESTAMP AS bucket, symbol, time, trade_id,
        ROUND(price, 6) AS price, 'area' AS rule FROM mid WHERE rn = 1

@@ -94,8 +94,11 @@ def lttb_downsample(
     (key, bucket) picks the max-area point — (area DESC, time, tie)
     ordering, deterministic. First/last buckets per key (no neighbor
     anchor) keep their first/last point, matching LTTB's endpoint
-    rule. Empty buckets simply don't appear; their neighbors anchor
-    across the gap, the standard irregular-sampling behavior.
+    rule; a key whose data spans a SINGLE bucket (both anchors NULL)
+    keeps its first AND last point, collapsing to one row when the
+    bucket holds a single point. Empty buckets simply don't appear;
+    their neighbors anchor across the gap, the standard
+    irregular-sampling behavior.
     """
     t = F.col(time_col).cast("double")
     bexp = (F.floor(t / bucket_seconds) * bucket_seconds).cast("long")
@@ -124,8 +127,10 @@ def lttb_downsample(
         (F.col("_tp") - F.col("_tn")) * (F.col(value_col) - F.col("_yp"))
         - (F.col("_tp") - F.col("_t")) * (F.col("_yn") - F.col("_yp"))
     )
-    j = j.withColumn("_area", area)
     wb = Window.partitionBy(key, "_b")
+    j = j.withColumn("_area", area).withColumn(
+        "_n", F.count(F.lit(1)).over(wb)
+    )
     mid = (
         j.filter(F.col("_tp").isNotNull() & F.col("_tn").isNotNull())
         .withColumn(
@@ -148,8 +153,15 @@ def lttb_downsample(
         .filter(F.col("_rn") == 1)
         .withColumn("rule", F.lit("first"))
     )
+    # _tn IS NULL covers BOTH the final bucket and the single-bucket
+    # key (ADVICE r2: the latter previously got no 'last' endpoint);
+    # a one-point single bucket would duplicate its 'first' row, so
+    # that one case is excluded rather than deduped after the fact.
     last = (
-        j.filter(F.col("_tp").isNotNull() & F.col("_tn").isNull())
+        j.filter(
+            F.col("_tn").isNull()
+            & ~(F.col("_tp").isNull() & (F.col("_n") == 1))
+        )
         .withColumn(
             "_rn",
             F.row_number().over(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 
 def kalman_local_level(
@@ -69,19 +70,19 @@ def kalman_local_level(
         pdf["kf_gain"] = gains
         return pdf[cols + ["kf_level", "kf_var", "kf_gain"]]
 
-    out_schema = (
-        ", ".join(
-            f"{c} {t}"
-            for c, t in zip(
-                cols,
-                ["timestamp", "string", "string", "double"],
-            )
-        )
-        + ", kf_level double, kf_var double, kf_gain double"
+    # Derive pass-through dtypes from the input relation instead of
+    # hardcoding them — a numeric key or a date order column keeps its
+    # real type (ADVICE r2: the hardcoded list silently miscast those).
+    projected = trades.select(*cols)
+    out_schema = T.StructType(
+        list(projected.schema.fields)
+        + [
+            T.StructField("kf_level", T.DoubleType()),
+            T.StructField("kf_var", T.DoubleType()),
+            T.StructField("kf_gain", T.DoubleType()),
+        ]
     )
-    return (
-        trades.select(*cols).groupBy(key_col).applyInPandas(compute, out_schema)
-    )
+    return projected.groupBy(key_col).applyInPandas(compute, out_schema)
 
 
 def dtw_pair_distances(

@@ -166,3 +166,73 @@ def test_dtw_invariants(spark):
     }
     for k, r in out.items():
         assert wide[k] <= r["dtw_dist"] + 1e-12
+
+
+def test_kalman_schema_derived_from_input(spark):
+    """ADVICE r2: output pass-through dtypes must come from the input
+    relation — a numeric key and a date order column keep their types
+    instead of being silently cast to the old hardcoded
+    [timestamp, string, string, double] list."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.statespace import (
+        kalman_local_level,
+    )
+
+    rows = [
+        (dt.date(2024, 6, 1 + i), 7, 100.0 + i) for i in range(5)
+    ] + [(dt.date(2024, 6, 1 + i), 9, 50.0 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "d date, sensor int, reading double")
+    out = kalman_local_level(
+        df,
+        key_col="sensor",
+        value_col="reading",
+        order_cols=("d",),
+    )
+    dtypes = dict(out.dtypes)
+    assert dtypes["sensor"] == "int"
+    assert dtypes["d"] == "date"
+    assert dtypes["reading"] == "double"
+    assert dtypes["kf_level"] == "double"
+    got = {r["sensor"] for r in out.select("sensor").distinct().collect()}
+    assert got == {7, 9}
+
+
+def test_lttb_single_bucket_keeps_first_and_last(spark):
+    """ADVICE r2: a key spanning one bucket must keep BOTH endpoints
+    (LTTB endpoint rule); a one-point bucket collapses to a single
+    'first' row rather than duplicating it."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.downsample import (
+        lttb_downsample,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        # SOLO spans a single 6h bucket with 3 points
+        (base + dt.timedelta(minutes=i * 10), "SOLO", 100.0 + i, f"S-{i}")
+        for i in range(3)
+    ] + [
+        # LONE has exactly one point in its single bucket
+        (base, "LONE", 42.0, "L-0")
+    ] + [
+        # MULTI spans three buckets (normal path, regression guard)
+        (base + dt.timedelta(hours=6 * i), "MULTI", 10.0 + i, f"M-{i}")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, symbol string, price double, trade_id string"
+    )
+    out = lttb_downsample(df, bucket_seconds=21600).collect()
+    by_sym: dict[str, list] = {}
+    for r in out:
+        by_sym.setdefault(r["symbol"], []).append(r)
+    solo = {r["rule"]: r for r in by_sym["SOLO"]}
+    assert set(solo) == {"first", "last"}
+    assert solo["first"]["trade_id"] == "S-0"
+    assert solo["last"]["trade_id"] == "S-2"
+    # one-point bucket: exactly one row, no duplicate 'last'
+    assert [r["rule"] for r in by_sym["LONE"]] == ["first"]
+    # normal multi-bucket key unchanged: first + area + last
+    assert sorted(r["rule"] for r in by_sym["MULTI"]) == [
+        "area",
+        "first",
+        "last",
+    ]
