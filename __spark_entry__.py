@@ -23488,6 +23488,67 @@ def wilcoxon_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Storage lifecycle tiering plan (S15 — reference src/cost/
+# s3_lifecycle.py:11-88 policy, :90-120 cost estimate). The decision
+# plane re-expressed as data work: per-day partition rollup → age vs
+# the table's own max day (deterministic, no wall clock) → tier CASE →
+# per-tier GB × list rate. Applying the policy is an object-store API
+# call (sources/lifecycle.py lifecycle_policy emits the document).
+# --------------------------------------------------------------------------
+@q(
+    "storage_tiering_plan",
+    oracle(
+        """
+pd AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) AS n_rows,
+         sum(32 + strlen(coalesce(event_type, ''))
+                + strlen(coalesce(props, ''))) AS n_bytes
+  FROM events GROUP BY 1
+),
+aged AS (
+  SELECT *, date_diff('day', day, (SELECT max(day) FROM pd)) AS age_days
+  FROM pd
+),
+tiered AS (
+  SELECT CASE WHEN age_days >= 730 THEN 'expired'
+              WHEN age_days >= 90 THEN 'glacier'
+              WHEN age_days >= 30 THEN 'intelligent_tiering'
+              ELSE 'standard' END AS tier,
+         n_rows, n_bytes
+  FROM aged
+),
+rolled AS (
+  SELECT tier,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         ROUND(sum(n_bytes) / (1024.0 * 1024.0 * 1024.0), 6) AS est_gb
+  FROM tiered GROUP BY 1
+)
+SELECT tier, n_days, n_rows, est_gb,
+       ROUND(est_gb * CASE tier WHEN 'glacier' THEN 0.004
+                                WHEN 'expired' THEN 0.0
+                                ELSE 0.023 END, 6) AS monthly_cost
+FROM rolled
+"""
+    ),
+)
+def storage_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sources/lifecycle.py partition_age_audit over events: one
+    per-day hash aggregate (partial-agg; shuffle carries O(days)
+    rows), an O(days) window for the asof anchor, tier CASE, per-tier
+    rollup. The serialized-size estimate is schema-derived (fixed
+    widths + octet_length of the string columns) — identical
+    arithmetic in the oracle."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.lifecycle import (
+        partition_age_audit,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return partition_age_audit(events, time_col="ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
