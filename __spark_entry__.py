@@ -1093,9 +1093,138 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(k: int = 12, bands: int = 4) -> str:
+    rows = k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM mh".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"h{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(({agree}) / {float(k)}, 6) AS est_jaccard
+FROM cand c
+JOIN mh a ON c.id_a = a.doc_id
+JOIN mh b ON c.id_b = b.doc_id
+"""
+
+
+@q("dedup_minhash_md5", _minhash_md5_oracle())
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py minhash_lsh_pairs_md5 — the oracle-checkable
+    MinHash+LSH witness: salted-md5 min-wise family computed
+    bit-identically by both engines, so banding + candidate join +
+    signature agreement are pinned value-exact (the xxhash64 fast path
+    keeps the rows-only check + recall tests)."""
+    return _r6(
+        DD.minhash_lsh_pairs_md5(
+            load_table(spark, sf_dir, "documents"),
+            num_hashes=12,
+            bands=4,
+            shingle_df=_doc_shingles(spark, sf_dir),
+        ),
+        "est_jaccard",
+    )
+
+
 @q("dedup_simhash")  # xxhash64-based fingerprints → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def _simhash_md5_oracle(nbits: int = 32, max_hamming: int = 3) -> str:
+    nbands = max_hamming + 1
+    width = nbits // nbands
+    mask = (1 << width) - 1
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(nbits)
+    )
+    fp = "\n       | ".join(
+        f"((CASE WHEN b{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << {j})"
+        for j in range(nbits)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {mask} AS key FROM fp"
+        for b in range(nbands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'),
+                             ' ')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {fp} AS simhash
+  FROM sums
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+@q("dedup_simhash_md5", _simhash_md5_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py simhash_pairs_md5 — the oracle-checkable
+    SimHash witness: 32-bit fingerprints whose bit source is the first
+    8 hex chars of md5(word), computed bit-identically by DuckDB, so
+    majority-vote bits, pigeonhole bands and Hamming distances are
+    pinned value-exact (xxhash64 remains the production bit source)."""
+    return DD.simhash_pairs_md5(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 @q(
@@ -2455,6 +2584,33 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Properties pinned in tests/test_sampling_sketches.py."""
     t = _trades(spark, sf_dir)
     return t.filter(F.pmod(F.xxhash64("trade_id"), F.lit(100)) < 10).select(
+        "time", "symbol", "price", "volume", "trade_id"
+    )
+
+
+@q(
+    "hash_sample_md5",
+    oracle(
+        """
+SELECT time, symbol, price, volume, trade_id
+FROM trades
+WHERE ('0x' || substr(md5(trade_id), 1, 8))::BIGINT % 100 < 10
+"""
+    ),
+)
+def hash_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable witness for deterministic hash sampling: the
+    bucket is md5(trade_id)'s first 8 hex chars as an integer, which
+    DuckDB computes bit-identically — so the EXACT sampled row set is
+    pinned by SQL (the xxhash64 production sampler keeps the rows-only
+    check + property tests). Same plan: one scan, one codegen filter,
+    no shuffle."""
+    t = _trades(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("trade_id"), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    return t.filter(bucket < 10).select(
         "time", "symbol", "price", "volume", "trade_id"
     )
 

@@ -309,6 +309,91 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH with an md5-string hash family — the
+    ORACLE-CHECKABLE variant of ``minhash_lsh_pairs``.
+
+    The production operator's xxhash64 multiply-add family is the
+    100 TB fast path but has no DuckDB equivalent, so its driver check
+    is rows-only. This variant draws each permutation as
+    ``min(md5(i || '|' || shingle))`` — a salted random-oracle
+    min-wise family both engines compute bit-identically — so the
+    full signature → banding → candidate-join → signature-agreement
+    pipeline is pinned value-exact by SQL. Same plan shape as the
+    fast path (one shingle aggregate, band equi-join, no all-pairs);
+    ~``num_hashes``× the hashing cost, which is why it is the
+    correctness witness, not the default.
+
+    Returns (id_a, id_b, est_jaccard) for every banded candidate pair,
+    est_jaccard = fraction of agreeing signature positions.
+    """
+    rows = num_hashes // bands
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, text_col=text_col, n=n, id_col=id_col)
+    )
+    per_doc = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    banded = per_doc.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows + r}")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(per_doc.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(per_doc.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
 ) -> DataFrame:
@@ -473,6 +558,88 @@ def simhash_pairs(
         "id_a",
         "id_b",
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs_md5(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs with an md5-derived bit source — the
+    ORACLE-CHECKABLE variant of ``simhash_pairs``.
+
+    Same algorithm (per-bit majority vote over word hashes, pigeonhole
+    banding, exact Hamming verify) but the per-word hash is the first
+    8 hex chars of md5(word) parsed as an integer, which DuckDB
+    computes bit-identically (``('0x' || substr(md5(w),1,8))::BIGINT``)
+    — so fingerprints, candidate bands and Hamming distances are all
+    pinned value-exact by SQL. xxhash64 stays the production bit
+    source (one 64-bit hash vs md5's digest cost).
+
+    Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    nbands = max_hamming + 1
+    width = nbits // nbands
+    words = docs.select(
+        id_col, F.explode(F.split(_norm_text(text_col), " ")).alias("w")
+    )
+    v = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = words.select(id_col, v.alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(nbits)
+        ]
+    )
+    fp_expr = F.lit(0).cast("long")
+    for j in range(nbits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_expr = fp_expr.bitwiseOR(F.shiftleft(bit, j))
+    fp = bit_sums.select(id_col, fp_expr.alias("simhash"))
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        .cast("long")
+        .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 
