@@ -1293,6 +1293,232 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ann_lsh_oracle(bits: int = 4, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """Oracle for the REAL lsh_bucketed_topk operator: the Park–Miller
+    LCG hyperplanes are data-independent constants, so they embed as
+    literals; each projection is an explicit left-associated sum chain,
+    matching Spark's F.aggregate left fold bit-for-bit (float→double
+    casts are exact, neither engine reorders FP addition)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, bits, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN ({dot}) >= 0 THEN {w} ELSE 0 END)".format(
+            dot=" + ".join(
+                f"v[{j + 1}] * {plane[j]!r}" for j in range(dim)
+            ),
+            w=2**i,
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 499 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_lsh_witness", _ann_lsh_oracle())
+def ann_lsh_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py lsh_bucketed_topk — the SAME production
+    operator as ann_lsh_topk, pinned value-exact: the oracle embeds the
+    LCG hyperplanes as literals and reproduces the signed-projection
+    bucket with a bit-identical left-fold dot product, so bucketing,
+    candidate restriction, scoring and ranking are all SQL-checked
+    (ann_lsh_topk keeps the recall@k test for the wider-bits config)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.lsh_bucketed_topk(queries_df, emb, k=5, bits=4, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_pairs_oracle(
+    bits: int = 6,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.2,
+) -> str:
+    """Oracle for the REAL lsh_bucketed_pairs scale path: per-table LCG
+    hyperplanes embedded as literals, signed-projection buckets via
+    bit-identical left-fold dot chains, within-bucket self-join, exact
+    cosine verify — the same pipeline, SQL-checked."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    table_ctes = []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, seed + 1000 * t)
+        bucket = " + ".join(
+            "(CASE WHEN ({dot}) >= 0 THEN {w} ELSE 0 END)".format(
+                dot=" + ".join(
+                    f"v[{j + 1}] * {plane[j]!r}" for j in range(dim)
+                ),
+                w=2**i,
+            )
+            for i, plane in enumerate(planes)
+        )
+        table_ctes.append(
+            f"t{t} AS (SELECT vec_id, v, {t} AS tbl, {bucket} AS bucket FROM e)"
+        )
+    union = "\n  UNION ALL ".join(f"SELECT * FROM t{t}" for t in range(tables))
+    ctes = ",\n".join(table_ctes)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{ctes},
+tagged AS (
+  {union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM tagged a JOIN tagged b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand c
+JOIN e ea ON c.id_a = ea.vec_id
+JOIN e eb ON c.id_b = eb.vec_id
+WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+@q("dedup_embedding_lsh_witness", _lsh_pairs_oracle())
+def dedup_embedding_lsh_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py lsh_bucketed_pairs — the 100 TB
+    embedding near-dup scale path (multi-table signed-projection LSH +
+    exact-cosine verify), pinned value-exact by SQL with the
+    hyperplanes embedded as literals. Complements the recall test:
+    this proves the candidate generation and verify are computed
+    exactly as specified, the recall test proves they find the pairs."""
+    return SIM.lsh_bucketed_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        bits=6,
+        tables=4,
+        dim=64,
+    )
+
+
+def _ivf_witness_oracle(k_lists: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    """Oracle for the REAL ivf_topk probe pipeline with an
+    SQL-selectable codebook (the md5-ordered init vectors — Lloyd
+    iterations are the one genuinely non-SQL step, so the witness pins
+    everything around them). Cosines are computed with Spark's exact
+    formula — left-fold dot via list_reduce, dot/(sqrt(na)*sqrt(nb)) —
+    so the unrounded argmax assignment matches bit-for-bit."""
+    lr = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (p, q) -> p + q)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({lr.format(a=a, b=b)})"
+            f" / (sqrt({lr.format(a=a, b=a)}) * sqrt({lr.format(a=b, b=b)}))"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT v AS cv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS ord
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k_lists}
+),
+-- corpus assignment: first-max rule == max sim, then smallest ordinal
+asgn AS (
+  SELECT vec_id, ord AS list_id FROM (
+    SELECT e.vec_id, c.ord,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.ord ASC)
+               AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+-- query probes: Spark's reverse(array_sort(struct(s, i))) slice keeps
+-- the n_probe largest sims with ties broken by LARGER ordinal first
+probe AS (
+  SELECT query_id, ord AS list_id FROM (
+    SELECT q.vec_id AS query_id, c.ord,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos("q.v", "c.cv")} DESC, c.ord DESC)
+               AS rn
+    FROM (SELECT * FROM e WHERE vec_id % 499 = 0) q, cent c
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({cos("qe.v", "ce.v")}, 6) AS cosine
+  FROM probe p
+  JOIN asgn a ON a.list_id = p.list_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_witness", _ivf_witness_oracle())
+def ann_ivf_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py ivf_topk — the REAL probe pipeline
+    (nearest-centroid assignment, n_probe list restriction, exact
+    cosine re-rank) pinned value-exact by SQL. The codebook is the
+    md5-ordered init vectors (SQL-selectable); the Lloyd iterations —
+    the one genuinely iterative step — stay covered by ann_ivf_topk's
+    recall test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(8)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(queries_df, emb, centroids, k=5, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (rows-only: the k-means codebook is
