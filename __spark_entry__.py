@@ -7875,6 +7875,95 @@ def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_assign_oracle(k_lists: int = 8) -> str:
+    """Oracle for the k-means ASSIGNMENT stage (the per-iteration inner
+    loop of Lloyd and the codebook analytics surface) with the
+    SQL-selectable md5-ordered init codebook — same exact-cosine
+    argmax convention as _ivf_witness_oracle."""
+    lr = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (p, q) -> p + q)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({lr.format(a=a, b=b)})"
+            f" / (sqrt({lr.format(a=a, b=a)}) * sqrt({lr.format(a=b, b=b)}))"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT v AS cv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS ord
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k_lists}
+),
+asgn AS (
+  SELECT vec_id, ord AS cluster_id, s FROM (
+    SELECT e.vec_id, c.ord, {cos("e.v", "c.cv")} AS s,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.ord ASC)
+               AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       ROUND(avg(s), 6) AS mean_cosine
+FROM asgn GROUP BY 1
+"""
+
+
+@q("kmeans_assign_witness", _kmeans_assign_oracle())
+def kmeans_assign_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment stage pinned value-exact: nearest-
+    centroid argmax over the md5-ordered init codebook (SQL-selectable)
+    with bit-identical cosine, then per-cluster size + mean cosine.
+    This is the inner loop every Lloyd iteration repeats — the
+    iterative refinement itself stays rows-only (kmeans_cluster_sizes)
+    with its invariant tests."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(8)
+        .collect()
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)],
+        "ord int, cv array<double>",
+    )
+    scored = vecs.join(F.broadcast(cent_df)).select(
+        "vec_id",
+        "ord",
+        cosine_similarity("v", "cv").alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("ord").asc()
+    )
+    asgn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return asgn.groupBy(F.col("ord").cast("bigint").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("mean_cosine"),
+    )
+
+
 @q("kmeans_cluster_sizes")
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means-lite cluster profile of the embedding
