@@ -11907,6 +11907,129 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def _semdedup_witness_oracle(k_lists: int = 8, threshold: float = 0.95) -> str:
+    """Oracle for the SemDeDup decision logic: md5-init codebook
+    assignment (as in _kmeans_assign_oracle), within-cluster pair
+    comparison at ROUND(cos, 6) >= threshold, min-id keep rule,
+    per-cluster summary."""
+    lr = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (p, q) -> p + q)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({lr.format(a=a, b=b)})"
+            f" / (sqrt({lr.format(a=a, b=a)}) * sqrt({lr.format(a=b, b=b)}))"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT v AS cv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS ord
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k_lists}
+),
+asgn AS (
+  SELECT vec_id, v, ord AS cluster_id FROM (
+    SELECT e.vec_id, e.v, c.ord,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos("e.v", "c.cv")} DESC, c.ord ASC)
+               AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE ROUND({cos("a.v", "b.v")}, 6) >= {threshold}
+)
+SELECT a.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(CASE WHEN p.vec_id IS NULL THEN 1 END) AS BIGINT)
+           AS n_kept,
+       ROUND(count(CASE WHEN p.vec_id IS NULL THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+FROM asgn a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+GROUP BY 1
+"""
+
+
+@q("semdedup_witness", _semdedup_witness_oracle())
+def semdedup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup decision logic pinned value-exact: md5-init codebook
+    assignment, within-cluster pair comparison at ROUND(cosine, 6) >=
+    0.95 (rounded-threshold convention so both engines agree at the
+    boundary), min-id keep rule, per-cluster summary. The production
+    `semdedup` keeps the Lloyd-refined codebook + Arrow gram-matrix
+    fast path with its own recall tests (tests/test_semdedup.py)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(8)
+        .collect()
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in r["v"]]) for i, r in enumerate(init)],
+        "ord int, cv array<double>",
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = vecs.join(F.broadcast(cent_df)).select(
+        "vec_id", "v", "ord", cosine_similarity("v", "cv").alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("ord").asc()
+    )
+    asgn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("ord").alias("cluster_id"))
+    )
+    a = asgn.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = asgn.select(
+        F.col("cluster_id"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.95)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    flagged = asgn.join(pruned, "vec_id", "left")
+    return flagged.groupBy(
+        F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count(F.when(F.col("__pruned").isNull(), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.count(F.when(F.col("__pruned").isNull(), 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 @q("semdedup_prune")
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic-duplicate pruning summary:
