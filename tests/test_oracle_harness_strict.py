@@ -37,3 +37,31 @@ def test_normalize_preserves_sub_microsecond_digits():
 def test_scalar_frame_accepted():
     df = pd.DataFrame({"id": [1], "x": [2.5], "s": ["ok"]})
     _check_driver_hashable(df, "spark", "meta")
+
+
+def test_rejects_int_vs_float_dtype_kind_skew():
+    """Round 3: DuckDB sum(INTEGER) → HUGEINT → pandas float64 while
+    Spark emits int64. `==` passes (1 == 1.0) but the driver's value
+    hash distinguishes the dtypes — the r01/r02 user_sessionization
+    red row. compare() must fail loudly on the kind skew."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    class _FakeSparkDF:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def toPandas(self):
+            return self._pdf
+
+    con = duckdb.connect()
+    spark_side = pd.DataFrame({"k": [1, 2], "s": np.array([3, 4], dtype="int64")})
+    # windowed sum over INTEGER: HUGEINT → float64 in pandas
+    sql = """
+    SELECT k, sum(x) OVER (PARTITION BY k) AS s
+    FROM (VALUES (1, 3), (2, 4)) t(k, x)
+    """
+    assert con.execute(sql).df()["s"].dtype == "float64"  # the trap is real
+    with pytest.raises(AssertionError, match="dtype kind skew"):
+        compare(_FakeSparkDF(spark_side), con, sql, "meta")
