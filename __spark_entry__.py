@@ -18139,6 +18139,123 @@ def parametric_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not SQL-expressible at reasonable cost; invariants (dtw ≤ L1,
 # dtw(x,x)=0, band monotonicity) are pinned in tests/test_invariants.py.
 # --------------------------------------------------------------------------
+def _dtw_witness_oracle(band: int = 5) -> str:
+    """Oracle for the REAL banded-DTW dynamic program via a recursive
+    CTE: the Sakoe–Chiba band has fixed width 2·band+1, so each DP row
+    unrolls into that many lateral-alias columns (DuckDB lets a SELECT
+    reference earlier aliases, which carries the intra-row cur[j-1]
+    dependency), and the recursion steps i = 1..n. Every cell is
+    c + min(up, left, diag) — single-path FP arithmetic, so the DP is
+    bit-identical to the numpy loop in dtw_pair_distances given the
+    same inputs."""
+    width = 2 * band + 1
+    inf = "'infinity'::DOUBLE"
+    # 0.0::DOUBLE — a bare 0.0 would type the anchor column DECIMAL and
+    # the recursive union would then try to narrow the DP doubles
+    init_cols = ", ".join(
+        f"0.0::DOUBLE AS c{p}" if p == band else f"{inf} AS c{p}"
+        for p in range(width)
+    )
+    step_cols = []
+    for p in range(width):
+        off = p - band
+        # ni is the NEW row index (i+1), aliased distinctly so the old
+        # column i is never shadowed inside the same SELECT
+        j = f"(ni + ({off}))" if off < 0 else f"(ni + {off})"
+        up = inf if p == width - 1 else f"c{p + 1}"
+        diag = f"c{p}"
+        left = inf if p == 0 else f"d{p - 1}"
+        step_cols.append(
+            f"CASE WHEN {j} BETWEEN 1 AND n THEN"
+            f" abs(xs[ni] - ys[{j}]) + least({up}, {left}, {diag})"
+            f" ELSE {inf} END AS d{p}"
+        )
+    step = ",\n           ".join(step_cols)
+    renames = ", ".join(f"d{p} AS c{p}" for p in range(width))
+    from open_source_financial_time_series_data_pipeline_architecture_spark.schema import TRADES_CTE
+
+    return f"""
+WITH RECURSIVE {TRADES_CTE},
+daily AS (
+  SELECT symbol, CAST(time AS DATE) AS d,
+         last(price ORDER BY time, trade_id) AS close
+  FROM trades GROUP BY 1, 2
+),
+z AS (
+  SELECT symbol, d,
+         (close - avg(close) OVER (PARTITION BY symbol))
+           / stddev_samp(close) OVER (PARTITION BY symbol) AS zc
+  FROM daily
+),
+pairs AS (
+  SELECT a.symbol AS sa, b.symbol AS sb,
+         list(a.zc ORDER BY a.d) AS xs,
+         list(b.zc ORDER BY a.d) AS ys,
+         CAST(count(*) AS BIGINT) AS n
+  FROM z a JOIN z b ON a.d = b.d AND a.symbol < b.symbol
+  GROUP BY 1, 2
+),
+dp AS (
+  SELECT sa, sb, xs, ys, n, 0 AS i, {init_cols}
+  FROM pairs
+  UNION ALL
+  SELECT sa, sb, xs, ys, n, ni AS i, {renames} FROM (
+    SELECT sa, sb, xs, ys, n, i + 1 AS ni,
+           {step}
+    FROM dp WHERE i < n
+  )
+)
+SELECT sa AS symbol_a, sb AS symbol_b, n AS n_points,
+       ROUND(c{band}, 6) AS dtw_dist
+FROM dp WHERE i = n
+"""
+
+
+@q("dtw_witness", _dtw_witness_oracle())
+def dtw_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/statespace.py dtw_pair_distances — the REAL banded-DTW
+    applyInPandas operator, pinned value-exact by a recursive-CTE
+    oracle that unrolls the Sakoe–Chiba band into lateral-alias DP
+    columns. Same z-scored daily-close pair prep as
+    dtw_distance_pairs; euclidean_l1 is excluded (numpy's pairwise
+    summation order differs from any SQL fold — dtw itself is
+    single-path arithmetic and matches bit-for-bit before ROUND)."""
+    t = _trades(spark, sf_dir)
+    tkey = F.struct(F.col("time"), F.col("trade_id"))
+    daily = t.groupBy("symbol", F.to_date("time").alias("d")).agg(
+        F.max_by("price", tkey).alias("close")
+    )
+    ws = Window.partitionBy("symbol")
+    z = daily.select(
+        "symbol",
+        "d",
+        (
+            (F.col("close") - F.avg("close").over(ws))
+            / F.stddev_samp("close").over(ws)
+        ).alias("zc"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.d").alias("d"),
+        F.col("a.zc").alias("va"),
+        F.col("b.zc").alias("vb"),
+    )
+    out = SS.dtw_pair_distances(pairs, band=5)
+    return out.select(
+        "symbol_a",
+        "symbol_b",
+        "n_points",
+        F.round("dtw_dist", 6).alias("dtw_dist"),
+    )
+
+
 @q("dtw_distance_pairs")
 def dtw_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily closes normalized per symbol (z-scores, so DTW compares
