@@ -830,3 +830,39 @@ def test_bar_rollup_reconciliation_no_extra_scan(spark):
     # at most the two aggregates + join exchanges, no trade re-scan
     df = em.QUERIES["bar_rollup_reconciliation"](spark, SF_SMOKE)
     PL.assert_no_cartesian(df)
+
+
+def test_storage_tiering_partial_agg_before_shuffle(spark):
+    # the per-day rollup must partial-aggregate map-side: the shuffle
+    # carries O(days) rows, never raw events; and no cartesian anywhere
+    df = em.QUERIES["storage_tiering_plan"](spark, SF_SMOKE)
+    PL.assert_no_cartesian(df)
+    assert PL.shuffle_count(df) <= 3, PL.physical_plan(df)
+
+
+def test_lsh_witness_no_all_pairs(spark):
+    # candidates come from the (band, bucket) equi-join, never a
+    # nested-loop over the corpus
+    for name in ("ann_lsh_witness", "dedup_embedding_lsh_witness"):
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        plan = PL.physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_minhash_md5_one_shingle_aggregate(spark):
+    # signature build is ONE aggregation over the shared shingle frame;
+    # band join is equi, no nested loop
+    df = em.QUERIES["dedup_minhash_md5"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dtw_witness_single_pair_shuffle(spark):
+    # the DP runs inside applyInPandas after one shuffle on the pair
+    # key; the pair join itself is the equi-join on the day
+    df = em.QUERIES["dtw_witness"](spark, SF_SMOKE)
+    plan = PL.physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "CartesianProduct" not in plan, plan
