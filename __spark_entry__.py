@@ -12664,6 +12664,196 @@ def realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IND.realized_moments(bars)
 
 
+def _pca_power_oracle(squarings: int = 6, matvecs: int = 6) -> str:
+    """Oracle for the power-iteration principal-component witness.
+
+    Plain power iteration needs ~100 steps on a near-isotropic
+    embedding covariance, and the unnormalized form underflows, so the
+    witness uses repeated SQUARING: 6 matrix-squaring CTEs give
+    A^64-equivalent contraction per matvec, then 6 matvecs ≈ A^384,
+    each stage rescaled by max(abs(entry)) — a comparison, not a sum,
+    so the scaling is order-independent. Rayleigh quotient against the
+    ORIGINAL covariance recovers the eigenvalue. Same scheme on the
+    Spark side; ROUND(6) absorbs summation-order ulps."""
+    # AS MATERIALIZED: a squaring references its predecessor twice, so
+    # an inlined CTE chain re-evaluates exponentially (2^squarings)
+    steps = []
+    prev = "a0"
+    for s in range(1, squarings + 1):
+        steps.append(
+            f"r{s} AS MATERIALIZED (SELECT a.i, b.j, sum(a.cv * b.cv) AS cv"
+            f" FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j),\n"
+            f"m{s} AS (SELECT max(abs(cv)) AS mx FROM r{s}),\n"
+            f"a{s} AS MATERIALIZED"
+            f" (SELECT i, j, cv / mx AS cv FROM r{s} CROSS JOIN m{s})"
+        )
+        prev = f"a{s}"
+    vprev = "v0"
+    for k in range(1, matvecs + 1):
+        steps.append(
+            f"w{k} AS MATERIALIZED (SELECT c.i, sum(c.cv * p.w) AS w"
+            f" FROM {prev} c JOIN {vprev} p ON c.j = p.i GROUP BY c.i),\n"
+            f"s{k} AS (SELECT max(abs(w)) AS mx FROM w{k}),\n"
+            f"v{k} AS MATERIALIZED"
+            f" (SELECT i, w / mx AS w FROM w{k} CROSS JOIN s{k})"
+        )
+        vprev = f"v{k}"
+    chain = ",\n".join(steps)
+    last = vprev
+    return f"""
+WITH comp AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       UNNEST(range(1, 65)) AS t(i)
+),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM comp),
+mu AS (SELECT i, avg(x) AS m FROM comp GROUP BY i),
+ss AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT ss.i, ss.j,
+         (ss.sxy - nn.n * ma.m * mb.m) / (nn.n - 1.0) AS cv
+  FROM ss
+  JOIN mu ma ON ss.i = ma.i
+  JOIN mu mb ON ss.j = mb.i
+  CROSS JOIN nn
+),
+a0 AS MATERIALIZED (SELECT i, j, cv FROM cov),
+v0 AS (SELECT DISTINCT i, 1.0::DOUBLE AS w FROM cov),
+{chain},
+av AS (
+  SELECT c.i, sum(c.cv * p.w) AS w
+  FROM cov c JOIN {last} p ON c.j = p.i GROUP BY c.i
+),
+ray AS (
+  SELECT sum(a.w * b.w) AS num
+  FROM {last} a JOIN av b ON a.i = b.i
+),
+den AS (SELECT sum(w * w) AS d FROM {last}),
+tv AS (SELECT sum(cv) AS t FROM cov WHERE i = j)
+SELECT CAST(nn.n AS BIGINT) AS n_vectors,
+       ROUND(ray.num / den.d, 6) AS top_eigenvalue,
+       ROUND((ray.num / den.d) / tv.t, 6) AS explained_ratio
+FROM ray CROSS JOIN den CROSS JOIN tv CROSS JOIN nn
+"""
+
+
+@q("pca_power_witness", _pca_power_oracle())
+def pca_power_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding covariance via
+    repeated matrix squaring (6 squarings ≈ A^64 contraction) + 6
+    scaled matvecs + a Rayleigh quotient against the original
+    covariance — entirely declarative DataFrame ops (posexplode
+    components → covariance relation → join/aggregate matvecs; nothing
+    collects), so the distributed iterative linear algebra is
+    oracle-checked end to end. Matches LAPACK to 6 decimals at the
+    gate SFs; on a near-degenerate spectrum it is, by contract, the
+    fixed-scheme power estimate (both engines compute the identical
+    estimate — that is what the oracle pins). The production
+    embedding_pca_variance keeps the full LAPACK spectrum (rows-only,
+    invariants in tests/test_pca.py)."""
+    squarings, matvecs = 6, 6
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    nn = comp.agg(
+        F.countDistinct("vec_id").cast("double").alias("n")
+    )
+    mu = comp.groupBy("i").agg(F.avg("x").alias("m"))
+    a = comp.select(F.col("vec_id"), F.col("i"), F.col("x").alias("xa"))
+    b = comp.select(
+        F.col("vec_id"), F.col("i").alias("j"), F.col("x").alias("xb")
+    )
+    ss = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy"))
+    )
+    ma = mu.select(F.col("i"), F.col("m").alias("ma"))
+    mb = mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))
+    cov = (
+        ss.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sxy") - F.col("n") * F.col("ma") * F.col("mb"))
+                / (F.col("n") - 1.0)
+            ).alias("cv"),
+        )
+        .cache()
+    )
+    # repeated squaring: A ← (A @ A) / max|entry| — the rescale is a
+    # comparison, not a sum, so it is order-independent on both engines
+    A = cov
+    for _ in range(squarings):
+        a_side = A.select(
+            F.col("i"), F.col("j").alias("kk"), F.col("cv").alias("ca")
+        )
+        b_side = A.select(
+            F.col("i").alias("kk"), F.col("j"), F.col("cv").alias("cb")
+        )
+        raw = (
+            a_side.join(b_side, "kk")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("cv"))
+        )
+        mx = raw.agg(F.max(F.abs("cv")).alias("mx"))
+        A = (
+            raw.crossJoin(F.broadcast(mx))
+            .select("i", "j", (F.col("cv") / F.col("mx")).alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    v = cov.select("i").distinct().select("i", F.lit(1.0).alias("w"))
+    for _ in range(matvecs):
+        w = (
+            A.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cv") * F.col("w")).alias("w"))
+        )
+        smx = w.agg(F.max(F.abs("w")).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(smx))
+            .select("i", (F.col("w") / F.col("mx")).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    av = (
+        cov.join(v.withColumnRenamed("i", "j"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cv") * F.col("w")).alias("aw"))
+    )
+    num = (
+        v.withColumnRenamed("w", "wa")
+        .join(av, "i")
+        .agg(F.sum(F.col("wa") * F.col("aw")).alias("num"))
+    )
+    den = v.agg(F.sum(F.col("w") * F.col("w")).alias("d"))
+    tv = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cv").alias("t")
+    )
+    return (
+        num.crossJoin(den)
+        .crossJoin(tv)
+        .crossJoin(nn)
+        .select(
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(F.col("num") / F.col("d"), 6).alias("top_eigenvalue"),
+            F.round((F.col("num") / F.col("d")) / F.col("t"), 6).alias(
+                "explained_ratio"
+            ),
+        )
+    )
+
+
 @q("embedding_pca_variance")
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA eigenvalue spectrum of the embedding corpus via one
