@@ -215,6 +215,10 @@ def main() -> None:
         sorted(local_lookups)[len(local_lookups) // 2] * 1000, 4
     )
     headline = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
+    # apples-to-apples across rounds: r01's headline set was the first
+    # 17 queries — its subtotal lets a round-over-round comparison
+    # separate environment drift from real per-query regressions
+    r01_set = HEADLINE_QUERIES[:17]
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(headline.values()), 3),
@@ -223,6 +227,9 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
         "total_all_queries": total,
         "n_all_queries": len(timings),
+        "r01_set_total": round(
+            sum(timings[n] for n in r01_set if n in timings), 3
+        ),
         "pit_point_lookup_warm_ms": pit_lookup_ms,
         "pit_point_lookup_local_ms": pit_local_ms,
     }
