@@ -169,10 +169,11 @@ def main() -> None:
     # Warmup: one small end-to-end pass amortizes JVM class-loading and
     # codegen so per-query timings reflect steady-state execution.
     queries["vwap_5m"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    # Best-of-2 per query: single-shot timings on this box swing 2-3x
-    # with ambient load; the min of two runs is a stable steady-state
-    # measure (caches warm, codegen compiled — the state a long-running
-    # cluster job actually executes in).
+    # Best-of-3 per query: single-shot timings on this box swing 2-3x
+    # with ambient load (the host carries phantom load from co-tenant
+    # VMs — loadavg ~4 with no local process); the min of three runs is
+    # a stable steady-state measure (caches warm, codegen compiled —
+    # the state a long-running cluster job actually executes in).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:
@@ -182,7 +183,7 @@ def main() -> None:
         # queries' timings (measured ~1.6x inflation on the tail)
         spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
