@@ -114,6 +114,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
                 f"oracle={e.dtype} — driver hash distinguishes int vs float; "
                 f"CAST the oracle (HUGEINT sums → BIGINT) or the Spark side"
             )
+        # bool-vs-int is the same hazard class: True == 1 passes, the
+        # value hash ("True" vs "1") does not
+        if pd.api.types.is_bool_dtype(g) != pd.api.types.is_bool_dtype(e):
+            raise AssertionError(
+                f"{name}: column {c} bool-kind skew: spark={g.dtype} "
+                f"oracle={e.dtype} — emit BOOLEAN on both sides or neither"
+            )
         if g_f or e_f:
             ok = pd.Series(
                 np.isclose(

@@ -65,3 +65,24 @@ def test_rejects_int_vs_float_dtype_kind_skew():
     assert con.execute(sql).df()["s"].dtype == "float64"  # the trap is real
     with pytest.raises(AssertionError, match="dtype kind skew"):
         compare(_FakeSparkDF(spark_side), con, sql, "meta")
+
+
+def test_rejects_bool_vs_int_kind_skew():
+    """bool-vs-int is the same hazard class as int-vs-float: True == 1
+    passes, the driver's value hash does not."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    class _FakeSparkDF:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def toPandas(self):
+            return self._pdf
+
+    con = duckdb.connect()
+    spark_side = pd.DataFrame({"k": [1, 2], "f": [True, False]})
+    sql = "SELECT k, f FROM (VALUES (1, 1), (2, 0)) t(k, f)"
+    with pytest.raises(AssertionError, match="bool-kind skew"):
+        compare(_FakeSparkDF(spark_side), con, sql, "meta")
