@@ -239,7 +239,18 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
         json.dump({**payload, "queries": timings}, fh, indent=1)
     line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) < 1500, f"bench JSON line too long ({len(line)} chars)"
+    if len(line) >= 1500:
+        # the driver records only a ~2 KB stdout tail — never lose the
+        # whole run to an oversized line (and never rely on `assert`,
+        # which python -O strips): fall back to a minimal payload
+        minimal = {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "sf": payload["sf"],
+            "truncated": True,
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -85,7 +85,11 @@ def assign_tier(
     tiers: tuple[tuple[str, int, float], ...] = DEFAULT_TIERS,
 ) -> Column:
     """Age (days) → tier name as one CASE chain, highest threshold
-    first so each age lands in the oldest tier it qualifies for."""
+    first so each age lands in the oldest tier it qualifies for.
+    Negative ages (a caller-supplied ``asof`` older than some
+    partitions) clamp to 0 — not-yet-aged data is 'standard', never a
+    NULL tier with a NULL cost."""
+    age_days = F.greatest(age_days, F.lit(0))
     expr = None
     for tier, min_age, _rate in sorted(tiers, key=lambda t: -t[1]):
         cond = age_days >= min_age

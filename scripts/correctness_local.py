@@ -30,7 +30,7 @@ def main() -> None:
         default_parallelism,
         get_spark,
     )
-    from tests.oracle_harness import compare, duckdb_con
+    from tests.oracle_harness import compare_frames, duckdb_con
 
     spark = get_spark(
         app_name="correctness-local",
@@ -58,19 +58,21 @@ def main() -> None:
                 n_rows_only += 1
             else:
                 # strict compare raises on ANY divergence the driver
-                # hash would see; row/oracle counts recorded either way
+                # hash would see; both sides execute exactly ONCE and
+                # the recorded counts come from the compared frames
                 got = df.toPandas()
                 exp = con.execute(oracles[name]).df()
                 row["spark_rows"] = len(got)
                 row["oracle_rows"] = len(exp)
-                compare(df, con, oracles[name], name)
+                compare_frames(got, exp, name)
                 row["rows_match"] = row["schema_match"] = row["hash_match"] = True
                 n_pass += 1
         except Exception as exc:  # record, keep sweeping
-            msg = str(exc).splitlines()[0][:300]
+            msg = (str(exc).splitlines() or [""])[0][:300] or type(exc).__name__
             if row["err"] != "no_oracle":
                 row["err"] = msg
-                row["rows_match"] = row["spark_rows"] == row["oracle_rows"]
+                if row["spark_rows"] is not None and row["oracle_rows"] is not None:
+                    row["rows_match"] = row["spark_rows"] == row["oracle_rows"]
                 row["hash_match"] = False
                 n_fail += 1
         out[name] = row

@@ -90,6 +90,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
     got_raw = spark_df.toPandas()
     exp_raw = con.execute(sql).df()
+    compare_frames(got_raw, exp_raw, name)
+
+
+def compare_frames(
+    got_raw: pd.DataFrame, exp_raw: pd.DataFrame, name: str = "?"
+) -> None:
+    """Frame-level core of :func:`compare` — callers that already hold
+    both result frames (the correctness sweep records row counts from
+    the SAME execution it compares) enter here."""
     _check_driver_hashable(got_raw, "spark", name)
     _check_driver_hashable(exp_raw, "oracle", name)
     got = _normalize(got_raw)
