@@ -8171,18 +8171,35 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf law fit of the corpus rank-frequency curve: OLS of
     ln(freq) on ln(rank) over the top-100 words — slope ≈ −1 for
     natural language; a flat slope flags synthetic/templated text.
-    One explode + hash agg + top-100 rank window (global window over
-    100 surviving rows only after the TakeOrdered-style cut)."""
+
+    Scale-safe ranking (VERDICT r3 item 1): the old form ran
+    row_number over the ENTIRE vocabulary (single-partition total
+    order) just to keep 100 rows. Now `orderBy(...).limit(100)`
+    compiles to TakeOrderedAndProject — each task keeps its local
+    top-100, the driver merges O(tasks·100) rows — and ranks are
+    assigned IN-ROW (collect the ≤100 survivors into one array,
+    array_sort, posexplode): no Window operator anywhere. Same
+    deterministic (freq DESC, word ASC) order, same oracle."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
     )
     f = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     n_vocab = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
-    rk = f.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("w"))),
-    ).filter(F.col("rank") <= 100)
+    top = f.orderBy(F.col("freq").desc(), F.col("w")).limit(100)
+    # rank in-row: sort key (-freq, w) ascending == (freq DESC, w ASC)
+    arr = top.agg(
+        F.collect_list(
+            F.struct(
+                (-F.col("freq")).alias("negf"),
+                F.col("w").alias("w"),
+                F.col("freq").alias("freq"),
+            )
+        ).alias("xs")
+    ).select(F.array_sort("xs").alias("xs"))
+    rk = arr.select(
+        F.posexplode("xs").alias("pos0", "s")
+    ).select((F.col("pos0") + 1).alias("rank"), F.col("s.freq").alias("freq"))
     lnf, lnr = F.log("freq"), F.log("rank")
     fit = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fit"),
@@ -10099,8 +10116,105 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts) AS now_ts FROM base),
+rfm AS (
+  SELECT user_id,
+         CAST(floor(epoch((SELECT now_ts FROM mx)))
+              - floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         ROUND(sum(value), 6) AS monetary
+  FROM base GROUP BY 1
+),
+cuts AS (
+  SELECT {BK.quantile_cut_sql("recency_s", 5)} AS rc,
+         {BK.quantile_cut_sql("frequency", 5)} AS fc,
+         {BK.quantile_cut_sql("monetary", 5)} AS mc
+  FROM rfm
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary,
+         CAST(6 - {BK.bucket_sql("recency_s", "cuts.rc", 5)} AS INT) AS r_score,
+         CAST({BK.bucket_sql("frequency", "cuts.fc", 5)} AS INT) AS f_score,
+         CAST({BK.bucket_sql("monetary", "cuts.mc", 5)} AS INT) AS m_score
+  FROM rfm, cuts
+)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+FROM scored
+"""
+
+
 @q(
     "rfm_segmentation",
+    _rfm_oracle(),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation on purchase events: recency (seconds
+    since last purchase, inverted so fresher = higher), frequency, and
+    monetary quintile SCORES via broadcast quantile cutpoints + CASE
+    chains (functions/bucketing.py — the scale-safe form, VERDICT r3
+    item 1: the old 3× global ntile put the whole user frame through
+    one partition three times), composed into the classic 3-digit RFM
+    code. One filter + one hash aggregate + one cutpoint aggregate +
+    a map. Ties share a score; the exact-ntile form survives as
+    `rfm_segmentation_exact_witness`."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    rfm = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.max(F.col("now_ts").cast("double")))
+                - F.floor(F.max(F.col("ts").cast("double")))
+            )
+            .cast("bigint")
+            .alias("recency_s"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+    )
+    scored = BK.with_quantile_buckets(
+        rfm,
+        {
+            "rb": ("recency_s", 5),
+            "fb": ("frequency", 5),
+            "mb": ("monetary", 5),
+        },
+    ).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        (6 - F.col("rb")).cast("int").alias("r_score"),
+        F.col("fb").cast("int").alias("f_score"),
+        F.col("mb").cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+@q(
+    "rfm_segmentation_exact_witness",
     """
 WITH base AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
@@ -10126,13 +10240,12 @@ SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
 FROM scored
 """,
 )
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation on purchase events: recency (seconds
-    since last purchase, inverted so fresher = higher), frequency, and
-    monetary quintiles via ntile with deterministic (metric, user_id)
-    tie-break, composed into the classic 3-digit RFM code. One filter
-    + one hash aggregate + three rank windows over the small user
-    frame."""
+def rfm_segmentation_exact_witness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-ntile witness for `rfm_segmentation`: equal-count
+    quintiles with (metric, user_id) tie-break — total order, kept as
+    the small-scale correctness pin only."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -12537,7 +12650,7 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curriculum_oracle() -> str:
+def _curriculum_scored_sql() -> str:
     from open_source_financial_time_series_data_pipeline_architecture_spark.functions.text import (
         STOPWORDS,
     )
@@ -12546,7 +12659,7 @@ def _curriculum_oracle() -> str:
         _occ_sql("' ' || text || ' '", f" {w} ") for w in STOPWORDS
     )
     return f"""
-WITH base AS (
+base AS (
   SELECT doc_id,
          len(string_split_regex(trim(text), ' +')) AS n_words,
          ({n_stop}) AS n_stop
@@ -12556,7 +12669,91 @@ scored AS (
   SELECT doc_id, n_words,
          n_stop / CAST(nullif(n_words, 0) AS DOUBLE) AS stop_density
   FROM base
+)"""
+
+
+def _curriculum_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    qb = BK.bucket_sql("stop_density", "cuts.qc", 5)
+    lb = BK.bucket_sql("n_words", "cuts.lc", 3)
+    return f"""
+WITH {_curriculum_scored_sql()},
+cuts AS (
+  SELECT {BK.quantile_cut_sql("stop_density", 5)} AS qc,
+         {BK.quantile_cut_sql("n_words", 3)} AS lc
+  FROM scored
 ),
+bucketed AS (
+  SELECT doc_id, n_words, stop_density,
+         {qb} AS quality_bucket,
+         {lb} AS length_bucket
+  FROM scored, cuts
+)
+SELECT CAST(quality_bucket AS BIGINT) AS quality_bucket,
+       CAST(length_bucket AS BIGINT) AS length_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(stop_density), 6) AS avg_stop_density,
+       ROUND(avg(n_words), 6) AS avg_n_words
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+def _curriculum_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = sum(TX.occurrences(padded, f" {w} ") for w in TX.STOPWORDS)
+    n_words = F.size(F.split(F.trim(t), " +"))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_stop / F.nullif(n_words.cast("double"), F.lit(0.0))).alias(
+            "stop_density"
+        ),
+    )
+
+
+@q("curriculum_buckets", _curriculum_oracle())
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning bucket grid: stopword-density quintile ×
+    length tercile per document (the ordering axes a staged training
+    schedule samples from), with per-cell counts and means.
+
+    PRODUCTION (scale-safe) form — VERDICT r3 item 1: quantile
+    CUTPOINTS from one aggregate, broadcast, CASE-chain bucketing
+    (functions/bucketing.py). No total order anywhere: the old
+    ntile(5)×ntile(3) form moved a copy of every doc through ONE
+    partition twice; this plan is agg → broadcast → map → group-agg
+    and survives any N. Ties share a bucket (the semantic delta vs
+    exact ntile — see `curriculum_buckets_exact_witness`, which keeps
+    the total-order form oracle-green at witness scale)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    scored = _curriculum_scored(spark, sf_dir)
+    b = BK.with_quantile_buckets(
+        scored,
+        {"qb": ("stop_density", 5), "lb": ("n_words", 3)},
+    ).select(
+        "stop_density",
+        "n_words",
+        F.col("qb").cast("bigint").alias("quality_bucket"),
+        F.col("lb").cast("bigint").alias("length_bucket"),
+    )
+    return b.groupBy("quality_bucket", "length_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("stop_density"), 6).alias("avg_stop_density"),
+        F.round(F.avg("n_words"), 6).alias("avg_n_words"),
+    )
+
+
+def _curriculum_exact_oracle() -> str:
+    return f"""
+WITH {_curriculum_scored_sql()},
 bucketed AS (
   SELECT doc_id, n_words, stop_density,
          ntile(5) OVER (ORDER BY stop_density, doc_id) AS quality_bucket,
@@ -12572,29 +12769,15 @@ FROM bucketed GROUP BY 1, 2
 """
 
 
-@q("curriculum_buckets", _curriculum_oracle())
-def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum-learning bucket grid: stopword-density quintile ×
-    length tercile per document (the ordering axes a staged training
-    schedule samples from), with per-cell counts and means. ntile with
-    a doc_id tiebreak is deterministic and identical across engines.
-
-    Scale note: global ntile implies a total order — at 100 TB replace
-    with percentile-threshold bucketing (as `psi_price_drift` does);
-    at inventory scale the two are equivalent up to boundary ties.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    n_stop = sum(TX.occurrences(padded, f" {w} ") for w in TX.STOPWORDS)
-    n_words = F.size(F.split(F.trim(t), " +"))
-    scored = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        (n_stop / F.nullif(n_words.cast("double"), F.lit(0.0))).alias(
-            "stop_density"
-        ),
-    )
+@q("curriculum_buckets_exact_witness", _curriculum_exact_oracle())
+def curriculum_buckets_exact_witness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-ntile witness for `curriculum_buckets`: equal-COUNT
+    buckets need a total order (deterministic (metric, doc_id)
+    tie-break), which is a single-partition window — kept as the
+    small-scale correctness witness, not the production default."""
+    scored = _curriculum_scored(spark, sf_dir)
     wq = Window.orderBy(F.col("stop_density").asc(), F.col("doc_id").asc())
     wl = Window.orderBy(F.col("n_words").asc(), F.col("doc_id").asc())
     b = scored.select(
@@ -13197,10 +13380,7 @@ def side_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MS.side_runs_test(_trades(spark, sf_dir))
 
 
-@q(
-    "heaps_law_fit",
-    """
-WITH words AS (
+_HEAPS_PREFIX_SQL = """words AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
   FROM documents
 ),
@@ -13212,16 +13392,9 @@ first_seen AS (
 ),
 new_types AS (
   SELECT first_doc AS doc_id, count(*) AS n_new FROM first_seen GROUP BY 1
-),
-curve AS (
-  SELECT d.doc_id,
-         sum(d.n_tokens) OVER w AS cum_tokens,
-         sum(coalesce(nt.n_new, 0)) OVER w AS cum_types
-  FROM doc_tokens d LEFT JOIN new_types nt USING (doc_id)
-  WINDOW w AS (ORDER BY d.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-pts AS (
+)"""
+
+_HEAPS_FIT_SQL = """pts AS (
   SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
          ln(CAST(cum_types AS DOUBLE)) AS y
   FROM curve
@@ -13235,18 +13408,98 @@ fit AS (
 SELECT CAST(n_points AS BIGINT) AS n_points,
        ROUND(beta, 6) AS heaps_beta,
        ROUND(exp(ln_k), 6) AS heaps_k
-FROM fit
+FROM fit"""
+
+
+@q(
+    "heaps_law_fit",
+    f"""
+WITH {_HEAPS_PREFIX_SQL},
+ids AS (
+  SELECT min(doc_id) AS mn,
+         greatest(1, (max(doc_id) - min(doc_id)) // 200 + 1) AS stride
+  FROM documents
+),
+per_bucket AS (
+  SELECT (d.doc_id - ids.mn) // ids.stride AS bucket,
+         CAST(sum(d.n_tokens) AS BIGINT) AS tok,
+         CAST(sum(coalesce(nt.n_new, 0)) AS BIGINT) AS nw
+  FROM doc_tokens d LEFT JOIN new_types nt USING (doc_id), ids
+  GROUP BY 1
+),
+curve AS (
+  SELECT bucket,
+         sum(tok) OVER w AS cum_tokens,
+         sum(nw) OVER w AS cum_types
+  FROM per_bucket
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+{_HEAPS_FIT_SQL}
 """,
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth fit V(N) = K·N^beta over the
     corpus ingest order (doc_id): the companion to `zipf_fit` that
     predicts vocabulary size — hence tokenizer OOV pressure — at 100 TB
-    from the observed curve. Per-doc token counts and first-seen type
-    counts are hash aggregates; the cumulative curve is one global
-    ordered window over |docs| points (the already-aggregated table),
-    then a closed-form OLS in one aggregate."""
+    from the observed curve.
+
+    Scale-safe curve (VERDICT r3 item 1): the old form ran ONE global
+    cumulative window over |docs| rows. The curve is now sampled at a
+    FIXED ≤200 checkpoints: docs hash-aggregate into
+    bucket = (doc_id − min) DIV stride, stride = span DIV 200 + 1, so
+    the bucket count is bounded regardless of N; prefix sums over the
+    ≤200 bucket rows happen IN-ROW (collect → array_sort → transform
+    with slice/aggregate — integer adds, order-independent, O(200²))
+    — no Window operator anywhere. OLS over 200 points on a smooth
+    log-log curve loses nothing statistically. The every-doc curve
+    survives as `heaps_law_fit_exact_witness`."""
     docs = load_table(spark, sf_dir, "documents")
+    doc_tokens, new_types = _heaps_inputs(docs)
+    ids = docs.agg(
+        F.min("doc_id").alias("mn"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(max(doc_id) - min(doc_id)) DIV 200") + 1,
+        ).alias("stride"),
+    )
+    per_bucket = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .na.fill({"n_new": 0})
+        .crossJoin(F.broadcast(ids))
+        .groupBy(F.expr("(doc_id - mn) DIV stride").alias("bucket"))
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tok"),
+            F.sum("n_new").cast("bigint").alias("nw"),
+        )
+    )
+    arr = per_bucket.agg(
+        F.collect_list(F.struct("bucket", "tok", "nw")).alias("xs")
+    ).select(F.array_sort("xs").alias("xs"))
+    cum = arr.select(
+        F.transform(
+            "xs",
+            lambda s, i: F.struct(
+                F.aggregate(
+                    F.slice("xs", F.lit(1), i + 1),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + t["tok"],
+                ).alias("cum_tokens"),
+                F.aggregate(
+                    F.slice("xs", F.lit(1), i + 1),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + t["nw"],
+                ).alias("cum_types"),
+            ),
+        ).alias("cs")
+    )
+    curve = cum.select(F.explode("cs").alias("c")).select(
+        "c.cum_tokens", "c.cum_types"
+    )
+    return _heaps_fit(curve)
+
+
+def _heaps_inputs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
@@ -13260,16 +13513,10 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        doc_tokens.join(new_types, "doc_id", "left")
-        .na.fill({"n_new": 0})
-        .select(
-            "doc_id",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
-            F.sum("n_new").over(w).alias("cum_types"),
-        )
-    )
+    return doc_tokens, new_types
+
+
+def _heaps_fit(curve: DataFrame) -> DataFrame:
     pts = curve.select(
         F.log(F.col("cum_tokens").cast("double")).alias("x"),
         F.log(F.col("cum_types").cast("double")).alias("y"),
@@ -13284,6 +13531,42 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("beta", 6).alias("heaps_beta"),
         F.round(F.exp("ln_k"), 6).alias("heaps_k"),
     )
+
+
+@q(
+    "heaps_law_fit_exact_witness",
+    f"""
+WITH {_HEAPS_PREFIX_SQL},
+curve AS (
+  SELECT d.doc_id,
+         sum(d.n_tokens) OVER w AS cum_tokens,
+         sum(coalesce(nt.n_new, 0)) OVER w AS cum_types
+  FROM doc_tokens d LEFT JOIN new_types nt USING (doc_id)
+  WINDOW w AS (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+{_HEAPS_FIT_SQL}
+""",
+)
+def heaps_law_fit_exact_witness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every-doc witness for `heaps_law_fit`: the per-doc cumulative
+    curve is one global ordered window over |docs| points — kept as
+    the small-scale correctness pin only."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens, new_types = _heaps_inputs(docs)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .na.fill({"n_new": 0})
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("cum_types"),
+        )
+    )
+    return _heaps_fit(curve)
 
 
 
@@ -19109,15 +19392,25 @@ FROM sweep GROUP BY 1
     ),
 )
 def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessions via the one-sort islands pipeline, interval endpoints
-    exploded to ±1 boundary events, ONE global ordered running sum
-    (the sweep line — at 100 TB this becomes a per-day or per-shard
-    sweep plus a prefix-offset pass; at driver-gate scale a single
-    ordered partition is exact and the tie rule (t, end-before-start
-    resolved as start-first via tie flag) is deterministic), daily
-    peak aggregate. A zero-length session contributes +1 then −1 at
-    the same instant with start ordered first — live count never
-    dips negative."""
+    """Sessions via the one-sort islands pipeline, then a sweep line
+    over interval endpoints — DISTRIBUTED (VERDICT r3 item 1; the old
+    form ran one global ordered running sum over every boundary
+    event):
+
+    1. endpoints PRE-AGGREGATE per distinct timestamp → (t, n_start,
+       n_end) — the shuffle carries one row per distinct second, not
+       per session;
+    2. the running net is a window PARTITIONED BY day (bounded frame
+       per partition);
+    3. cross-day carry is a per-day-total prefix via a triangular
+       self-join over the O(days) day table — no unpartitioned window
+       anywhere.
+
+    Within-timestamp semantics identical to the boundary-row sweep
+    with starts-ordered-first (the oracle's tie rule): the peak AT t
+    is live_after(t) + ends(t) when any session starts at t, else
+    live_before(t) − 1 — so a zero-length session still never dips
+    the count negative. Same oracle as before, value-exact."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
@@ -19142,28 +19435,43 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = g.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
-    starts = iv.select(
-        F.col("s_start").alias("t"),
-        F.lit(1).alias("delta"),
-        F.lit(0).alias("tie"),
+    sb = iv.groupBy(F.col("s_start").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_start")
     )
-    ends = iv.select(
-        F.col("s_end").alias("t"),
-        F.lit(-1).alias("delta"),
-        F.lit(1).alias("tie"),
+    eb = iv.groupBy(F.col("s_end").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_end")
     )
-    pts = starts.unionByName(ends)
-    sweep = pts.withColumn(
-        "live",
-        F.sum("delta").over(
-            Window.orderBy("t", "tie", "delta").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
+    pt = (
+        sb.join(eb, "t", "full")
+        .na.fill({"n_start": 0, "n_end": 0})
+        .withColumn("d", F.to_date("t"))
+        .withColumn("net", F.col("n_start") - F.col("n_end"))
     )
-    return sweep.groupBy(F.to_date("t").alias("d")).agg(
-        F.max("live").cast("bigint").alias("peak_concurrency"),
-        F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),
+    wd = Window.partitionBy("d").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    day_net = pt.groupBy("d").agg(F.sum("net").alias("day_net"))
+    offs = (
+        day_net.alias("a")
+        .join(day_net.alias("b"), F.col("b.d") < F.col("a.d"), "left")
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.coalesce(F.sum("b.day_net"), F.lit(0)).alias("day_offset"))
+    )
+    live_after = F.col("day_offset") + F.sum("net").over(wd)
+    # max running value among the boundary ROWS at t (starts first):
+    # with starts: live_before + n_start = live_after + n_end;
+    # ends only:   live_before - 1      = live_after + n_end - 1
+    peak_at_t = live_after + F.col("n_end") - F.when(
+        F.col("n_start") == 0, 1
+    ).otherwise(0)
+    sweep = pt.join(F.broadcast(offs), "d").select(
+        "d",
+        peak_at_t.alias("peak_at_t"),
+        (F.col("n_start") + F.col("n_end")).alias("n_bounds"),
+    )
+    return sweep.groupBy("d").agg(
+        F.max("peak_at_t").cast("bigint").alias("peak_concurrency"),
+        F.sum("n_bounds").cast("bigint").alias("n_boundary_events"),
     )
 
 
@@ -22654,6 +22962,59 @@ def global_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # means the score carries information beyond length.
 # --------------------------------------------------------------------------
 def _quality_by_decile_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    inner = _quality_oracle().strip()
+    return f"""
+WITH q AS (
+{inner}
+),
+cuts AS (SELECT {BK.quantile_cut_sql("n_chars", 10)} AS lc FROM q),
+dec AS (
+  SELECT quality, n_chars,
+         {BK.bucket_sql("n_chars", "cuts.lc", 10)} AS decile
+  FROM q, cuts
+)
+SELECT CAST(decile AS BIGINT) AS length_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       ROUND(avg(quality), 6) AS mean_quality
+FROM dec GROUP BY 1
+"""
+
+
+@q("quality_by_length_decile", _quality_by_decile_oracle())
+def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc scores (rounded first, both sides), length deciles via
+    broadcast quantile cutpoints + CASE chain (functions/bucketing.py)
+    — the scale-safe form (VERDICT r3 item 1); no total order. The
+    exact-ntile cut survives as
+    `quality_by_length_decile_exact_witness`."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        bucketing as BK,
+    )
+
+    df = TX.quality_score(load_table(spark, sf_dir, "documents"))
+    q = df.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("quality", 6).alias("quality"),
+    )
+    dec = BK.with_quantile_buckets(q, {"decile": ("n_chars", 10)})
+    return dec.groupBy(
+        F.col("decile").cast("bigint").alias("length_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+
+
+def _quality_by_decile_exact_oracle() -> str:
     inner = _quality_oracle().strip()
     return f"""
 WITH q AS (
@@ -22673,10 +23034,12 @@ FROM dec GROUP BY 1
 """
 
 
-@q("quality_by_length_decile", _quality_by_decile_oracle())
-def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc scores (rounded first, both sides), ntile(10) over
-    (n_chars, doc_id) — deterministic decile cut — one aggregate."""
+@q("quality_by_length_decile_exact_witness", _quality_by_decile_exact_oracle())
+def quality_by_length_decile_exact_witness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-ntile witness for `quality_by_length_decile` (equal-count
+    deciles need the total order; small-scale correctness pin only)."""
     df = TX.quality_score(load_table(spark, sf_dir, "documents"))
     q = df.select(
         "doc_id",
@@ -24503,6 +24866,20 @@ _DRIVER_WINDOW_PINNED = [
 ]
 
 
+# Debut list: queries whose SEMANTICS are new or changed this round —
+# they jump the rotation queue for one round so the driver proves them
+# immediately, then fall back into normal rotation once a
+# CORRECTNESS_r*.json records them.
+_DRIVER_WINDOW_DEBUT = [
+    "curriculum_buckets",
+    "quality_by_length_decile",
+    "rfm_segmentation",
+    "zipf_fit",
+    "heaps_law_fit",
+    "peak_concurrency",
+]
+
+
 def _driver_rounds_seen() -> dict[str, int]:
     """name → number of prior driver rounds that hashed it, from the
     committed CORRECTNESS_r*.json files next to this module."""
@@ -24528,8 +24905,9 @@ def _window_order(names: list[str]) -> list[str]:
     assert len(head) == len(set(head)), "duplicate pinned window names"
     seen = _driver_rounds_seen()
     idx = {n: i for i, n in enumerate(names)}
+    debut = set(_DRIVER_WINDOW_DEBUT)
     rotation = [n for n in names if n not in head and n in ORACLES]
-    rotation.sort(key=lambda n: (seen.get(n, 0), idx[n]))
+    rotation.sort(key=lambda n: (seen.get(n, 0), n not in debut, idx[n]))
     head += rotation[: 50 - len(head)]
     assert len(head) == 50 and len(set(head)) == 50, (
         f"driver window must be exactly 50 unique oracled names, got "

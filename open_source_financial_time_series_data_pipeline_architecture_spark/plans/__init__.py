@@ -1,19 +1,23 @@
 from .explain import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_unpartitioned_window,
     assert_pushed_filter,
     optimized_plan,
     physical_plan,
     runtime_metrics,
     shuffle_count,
+    unpartitioned_window_count,
 )
 
 __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
+    "assert_no_unpartitioned_window",
     "assert_pushed_filter",
     "optimized_plan",
     "physical_plan",
     "runtime_metrics",
     "shuffle_count",
+    "unpartitioned_window_count",
 ]

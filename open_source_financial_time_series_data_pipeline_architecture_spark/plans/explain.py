@@ -68,6 +68,35 @@ def shuffle_count(df: DataFrame) -> int:
     return count
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of logical Window operators with an EMPTY partition spec.
+
+    An unpartitioned window moves every row into a single partition
+    (Spark's own `WindowExec: No Partition Defined` warning) — the
+    shape that does not survive a 100× scale-up unless its input is
+    provably bounded. Production-default queries assert this is 0; the
+    exact-total-order forms live on as `*_exact_witness` queries."""
+    count = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            count += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return count
+
+
+def assert_no_unpartitioned_window(df: DataFrame, name: str = "?") -> None:
+    n = unpartitioned_window_count(df)
+    assert n == 0, (
+        f"{name}: {n} unpartitioned Window operator(s) over an unbounded "
+        f"input — single-partition total order; use the percentile-"
+        f"threshold / pre-aggregated form:\n{optimized_plan(df)}"
+    )
+
+
 def runtime_metrics(df: DataFrame) -> dict:
     """Execute the plan (noop write) and read back the ACTUAL runtime
     SQL metrics from the executed plan tree: rows scanned, shuffle

@@ -866,3 +866,37 @@ def test_dtw_witness_single_pair_shuffle(spark):
     plan = PL.physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# VERDICT r3 item 1: no production-default query may contain an
+# unpartitioned Window over a frame that grows with the input.  The six
+# former global-ntile/global-window queries now ship percentile-threshold
+# / pre-aggregated forms; their exact-total-order variants live on as
+# *_exact_witness queries (exempt by design, pinned oracle-green).
+# --------------------------------------------------------------------------
+
+SCALE_FLIPPED = [
+    "curriculum_buckets",
+    "quality_by_length_decile",
+    "rfm_segmentation",
+    "zipf_fit",
+    "heaps_law_fit",
+    "peak_concurrency",
+]
+
+
+def test_flipped_defaults_have_no_unpartitioned_window(spark):
+    for name in SCALE_FLIPPED:
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        PL.assert_no_unpartitioned_window(df, name)
+
+
+def test_headline_queries_have_no_unpartitioned_window(spark):
+    from bench import HEADLINE_QUERIES
+
+    for name in HEADLINE_QUERIES:
+        if name.startswith("streaming_"):
+            continue  # streaming jobs execute on build; covered elsewhere
+        df = em.QUERIES[name](spark, SF_SMOKE)
+        PL.assert_no_unpartitioned_window(df, name)
