@@ -16,7 +16,9 @@ bounded by `spark.sql.execution.arrow.maxRecordsPerBatch`.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+import math
+import struct
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,8 +74,9 @@ def extract_features(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; use decoder='stub'"
+            "real IMAGE/VIDEO decoding requires media libraries not present "
+            "in this environment; use decoder='stub'. Audio/WAV decode IS "
+            "real — see decode_wav/wav_decode_stats (pure-spec RIFF parser)"
         )
 
     schema = f"{id_col} long, n_bytes long, features array<double>"
@@ -89,6 +92,208 @@ def extract_features(
                     ),
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# REAL media decode: RIFF/WAVE PCM, written from the public format spec
+# (the canonical RIFF layout Microsoft/IBM published in 1991; same
+# precedent as sources/avro_wire.py — no media library required).
+# This replaces the decoder='real' NotImplementedError for audio/wav:
+# the decode path below parses arbitrary spec-conformant PCM WAV files
+# (chunk walking, pad bytes, 8/16/24/32-bit), not just our fixtures.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(
+    sample_rate: int,
+    channels: int,
+    samples: Sequence[int],
+    bits: int = 16,
+) -> bytes:
+    """Serialize interleaved integer PCM samples to a RIFF/WAVE file.
+
+    ``samples`` is the flat interleaved stream (frame-major); 8-bit is
+    unsigned-biased per the spec, wider widths are signed
+    little-endian."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM width: {bits}")
+    width = bits // 8
+    block_align = channels * width
+    byte_rate = sample_rate * block_align
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 24:
+        data = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        )
+    else:
+        fmt = "<" + ("h" if bits == 16 else "i") * len(samples)
+        data = struct.pack(fmt, *samples)
+    fmt_chunk = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_chunk))
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM RIFF/WAVE payload: header fields + integer sample
+    statistics.
+
+    Walks the chunk list per spec (skipping unknown chunks such as
+    LIST/INFO, honoring the odd-size pad byte), requires
+    audio_format=1 (PCM), and decodes 8-bit unsigned / 16/24/32-bit
+    signed LE samples. Returns integer sums (order-independent, exact)
+    rather than float streams so downstream stats are reproducible
+    bit-for-bit on any engine:
+    {sample_rate, channels, bits, n_samples, sum_samples, sum_squares,
+    peak_amp}."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        cstart = pos + 8
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", payload, cstart)
+        elif cid == b"data":
+            data = payload[cstart : cstart + csize]
+        pos = cstart + csize + (csize % 2)  # odd chunks pad one byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"not PCM (audio_format={audio_format})")
+    width = bits // 8
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM width: {bits}")
+    n = len(data) // width
+    if bits == 8:
+        vals = [b - 128 for b in data[:n]]
+    elif bits == 24:
+        vals = [
+            int.from_bytes(data[i * 3 : i * 3 + 3], "little", signed=True)
+            for i in range(n)
+        ]
+    else:
+        vals = list(
+            struct.unpack_from("<" + ("h" if bits == 16 else "i") * n, data)
+        )
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n,
+        "sum_samples": sum(vals),
+        "sum_squares": sum(v * v for v in vals),
+        "peak_amp": max((abs(v) for v in vals), default=0),
+    }
+
+
+# Deterministic synthetic PCM: sample i of doc d is the LCG residue
+#     s(d, i) = ((d·2654435761 + i·40503) mod 65536) − 32768
+# — closed-form in BOTH engines (the DuckDB oracle recomputes it from
+# range(n) without ever seeing the bytes), so encode→decode→stats is
+# pinned value-exact end to end.
+_LCG_MULT = 2654435761
+_LCG_STEP = 40503
+
+
+def wav_fixture_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) for a doc — varied so the
+    decoder sees mono/stereo and several rates across the corpus."""
+    return (
+        8000 + (doc_id % 3) * 4000,
+        1 + doc_id % 2,
+        40 + doc_id % 60,
+    )
+
+
+def _lcg_samples(doc_id: int, n_total: int) -> list[int]:
+    return [
+        ((doc_id * _LCG_MULT + i * _LCG_STEP) % 65536) - 32768
+        for i in range(n_total)
+    ]
+
+
+def synth_wav_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic 16-bit PCM WAV payload per doc (the
+    audio-table stand-in: real corpora carry the bytes in exactly this
+    column shape). Arrow-batched mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                rate, ch, frames = wav_fixture_params(int(d))
+                payloads.append(
+                    encode_wav(rate, ch, _lcg_samples(int(d), frames * ch))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def wav_decode_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each WAV payload and emit per-doc audio features: header
+    fields + amplitude stats from exact integer sums (mean, RMS, peak).
+    Arrow-batched mapInPandas — a pure map over the existing
+    partitioning, the 100 TB shape for media feature extraction."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, bits int, "
+        "n_samples long, mean_amp double, rms_amp double, peak_amp long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [],
+                "sample_rate": [],
+                "n_channels": [],
+                "bits": [],
+                "n_samples": [],
+                "mean_amp": [],
+                "rms_amp": [],
+                "peak_amp": [],
+            }
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_wav(bytes(payload))
+                n = st["n_samples"]
+                out[id_col].append(d)
+                out["sample_rate"].append(st["sample_rate"])
+                out["n_channels"].append(st["channels"])
+                out["bits"].append(st["bits"])
+                out["n_samples"].append(n)
+                out["mean_amp"].append(st["sum_samples"] / n if n else None)
+                out["rms_amp"].append(
+                    math.sqrt(st["sum_squares"] / n) if n else None
+                )
+                out["peak_amp"].append(st["peak_amp"])
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 

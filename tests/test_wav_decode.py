@@ -1,0 +1,86 @@
+"""Pure-spec RIFF/WAVE PCM codec (operators/multimodal.py — VERDICT r3
+item 4): the decoder must parse arbitrary spec-conformant WAV files,
+not just our fixtures — chunk walking, pad bytes, all PCM widths,
+loud failures on non-PCM."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators.multimodal import (
+    _lcg_samples,
+    decode_wav,
+    encode_wav,
+    synth_wav_payloads,
+    wav_decode_stats,
+    wav_fixture_params,
+)
+
+
+def test_roundtrip_all_widths():
+    samples = [0, 1, -1, 100, -100, 127, -128]
+    for bits, lo, hi in ((8, -128, 127), (16, -32768, 32767),
+                         (24, -(2**23), 2**23 - 1), (32, -(2**31), 2**31 - 1)):
+        vals = samples + [lo, hi]
+        st = decode_wav(encode_wav(44100, 1, vals, bits=bits))
+        assert st["bits"] == bits
+        assert st["sample_rate"] == 44100
+        assert st["channels"] == 1
+        assert st["n_samples"] == len(vals)
+        assert st["sum_samples"] == sum(vals)
+        assert st["sum_squares"] == sum(v * v for v in vals)
+        assert st["peak_amp"] == max(abs(v) for v in vals)
+
+
+def test_stereo_interleaved():
+    st = decode_wav(encode_wav(8000, 2, [1, -2, 3, -4], bits=16))
+    assert st["channels"] == 2
+    assert st["n_samples"] == 4
+    assert st["sum_samples"] == -2
+
+
+def test_skips_unknown_chunks_and_pads():
+    # LIST chunk before fmt, plus an odd-sized junk chunk (pad byte)
+    wav = encode_wav(16000, 1, [5, -7, 9], bits=16)
+    chunks = wav[12:]  # fmt + data chunks (after RIFF header + 'WAVE')
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    odd = b"junk" + struct.pack("<I", 3) + b"abc\x00"  # 3 bytes + pad
+    patched = b"RIFF" + struct.pack(
+        "<I", 4 + len(extra) + len(odd) + len(chunks)
+    ) + b"WAVE" + extra + odd + chunks
+    st = decode_wav(patched)
+    assert st["n_samples"] == 3
+    assert st["sum_samples"] == 7
+    assert st["peak_amp"] == 9
+
+
+def test_rejects_non_pcm_and_garbage():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOTAWAVFILE")
+    wav = bytearray(encode_wav(8000, 1, [1, 2], bits=16))
+    # audio_format lives at offset 20 (RIFF8 + WAVE4 + 'fmt '4 + size4)
+    struct.pack_into("<H", wav, 20, 3)  # 3 = IEEE float
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_wav(bytes(wav))
+
+
+def test_zero_length_data():
+    st = decode_wav(encode_wav(8000, 1, [], bits=16))
+    assert st["n_samples"] == 0 and st["peak_amp"] == 0
+
+
+def test_spark_decode_matches_local(spark):
+    docs = spark.range(0, 7).withColumnRenamed("id", "doc_id")
+    wav = synth_wav_payloads(docs)
+    got = {r["doc_id"]: r for r in wav_decode_stats(wav).collect()}
+    for d in range(7):
+        rate, ch, frames = wav_fixture_params(d)
+        vals = _lcg_samples(d, frames * ch)
+        r = got[d]
+        assert r["sample_rate"] == rate
+        assert r["n_channels"] == ch
+        assert r["n_samples"] == frames * ch
+        assert r["peak_amp"] == max(abs(v) for v in vals)
+        assert r["mean_amp"] == sum(vals) / len(vals)
