@@ -9845,10 +9845,13 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs"))
     )
     langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    wall = Window.partitionBy()
-    p = F.col("c") / F.sum("c").over(wall)
+    # share denominator as a broadcast 1-row aggregate, not an
+    # unpartitioned window (same values; no single-partition stage)
+    tot = langs.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
     lang_ent = (
-        langs.select((p * F.log(p)).alias("term"))
+        langs.crossJoin(F.broadcast(tot))
+        .select((p * F.log(p)).alias("term"))
         .agg(F.round(F.lit(0.0) - F.sum("term"), 6).alias("lang_entropy"))
     )
     return (
@@ -14693,16 +14696,14 @@ def risk_parity_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
     ).filter(F.col("ret").isNotNull())
     vols = rr.groupBy("symbol").agg(F.stddev_samp("ret").alias("sd"))
-    wall = Window.partitionBy(F.lit(1))
-    wts = (
-        vols.filter(F.col("sd") > 0)
-        .select(
-            "symbol",
-            (
-                (F.lit(1.0) / F.col("sd"))
-                / F.sum(F.lit(1.0) / F.col("sd")).over(wall)
-            ).alias("w"),
-        )
+    # normalizers as broadcast 1-row aggregates, not constant-partition
+    # windows (Catalyst folds a literal partition key away, leaving a
+    # single-partition WindowExec — same hazard class as partitionBy())
+    pos = vols.filter(F.col("sd") > 0)
+    inv_tot = pos.agg(F.sum(F.lit(1.0) / F.col("sd")).alias("inv_tot"))
+    wts = pos.crossJoin(F.broadcast(inv_tot)).select(
+        "symbol",
+        ((F.lit(1.0) / F.col("sd")) / F.col("inv_tot")).alias("w"),
     )
     a = rr.select(F.col("symbol").alias("sym_i"), "bucket", F.col("ret").alias("ri"))
     b = rr.select(F.col("symbol").alias("sym_j"), "bucket", F.col("ret").alias("rj"))
@@ -14722,9 +14723,9 @@ def risk_parity_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("wj")).alias("sigma_w"))
         .withColumnRenamed("sym_i", "symbol")
     )
-    port = marg.join(F.broadcast(wts), "symbol").withColumn(
-        "port_var", F.sum(F.col("w") * F.col("sigma_w")).over(wall)
-    )
+    mw = marg.join(F.broadcast(wts), "symbol")
+    pv = mw.agg(F.sum(F.col("w") * F.col("sigma_w")).alias("port_var"))
+    port = mw.crossJoin(F.broadcast(pv))
     return port.select(
         "symbol",
         F.round("w", 6).alias("weight"),

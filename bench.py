@@ -150,6 +150,12 @@ BENCH_QUERIES = [
     "silhouette_by_label",
     "peak_concurrency",
     "supplier_scorecard",
+    # round-4: real WAV decode + capped linkage + flipped defaults
+    "multimodal_decode_stats",
+    "entity_match_candidates",
+    "curriculum_buckets",
+    "rfm_segmentation",
+    "zipf_fit",
 ]
 
 
@@ -169,6 +175,22 @@ def main() -> None:
     # Warmup: one small end-to-end pass amortizes JVM class-loading and
     # codegen so per-query timings reflect steady-state execution.
     queries["vwap_5m"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # DRIFT CONTROL (VERDICT r3 item 5): a fixed pure-compute query —
+    # no IO, no shuffle, data-independent — timed best-of-3 exactly
+    # like the real queries. The bench box carries phantom co-tenant
+    # load that drifts over hours (r01→r03 measured ~1.5× uniform
+    # slowdown on identical code); this number moves with THAT load and
+    # nothing else, so cross-round comparisons divide by it:
+    # r01_set_per_drift and pit_warm_ms_per_drift below are the
+    # environment-normalized series.
+    drift = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, default_parallelism()).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        drift = min(drift, time.perf_counter() - t0)
+    drift = round(drift, 3)
     # Best-of-3 per query: single-shot timings on this box swing 2-3x
     # with ambient load (the host carries phantom load from co-tenant
     # VMs — loadavg ~4 with no local process); the min of three runs is
@@ -233,6 +255,13 @@ def main() -> None:
         ),
         "pit_point_lookup_warm_ms": pit_lookup_ms,
         "pit_point_lookup_local_ms": pit_local_ms,
+        "drift_control_s": drift,
+        # environment-normalized series (dimensionless; compare ACROSS
+        # rounds — phantom host load cancels out)
+        "r01_set_per_drift": round(
+            sum(timings[n] for n in r01_set if n in timings) / drift, 2
+        ),
+        "pit_warm_ms_per_drift": round(pit_lookup_ms / drift, 1),
     }
     # Full breakdown for the judge / round-over-round tracking (the
     # printed line must stay under the driver's ~2 KB stdout tail cap).
