@@ -352,33 +352,64 @@ def duplicate_span_coverage(
     )
 
 
+def _rle_units(s: str) -> int:
+    """Run-length-encoded size of a string in (char, count) units ×2
+    with unbounded counts: 2 · number of maximal equal-char runs.
+    A real, well-defined compression scheme whose output size IS
+    SQL-recomputable — the oracle-checkable stand-in for zlib."""
+    if not s:
+        return 0
+    runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+    return 2 * runs
+
+
 def compression_ratio(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    codec: str = "zlib",
 ) -> DataFrame:
-    """Per-document zlib compression ratio — the production corpus
-    filter (e.g. RefinedWeb/CCNet-style pipelines) that catches
+    """Per-document compression ratio — the production corpus filter
+    (e.g. RefinedWeb/CCNet-style pipelines) that catches
     machine-generated or highly repetitive text the token heuristics
     miss: boilerplate compresses far below natural language.
 
-    `ratio = compressed_bytes / raw_bytes` (UTF-8), level 6. zlib is
-    DEFLATE — deterministic for a given (input, level) across
-    platforms, so values are stable for tests, but no SQL engine can
-    recompute it → rows-only driver check by design.
+    ``codec='zlib'`` (default): `ratio = compressed_bytes / raw_bytes`
+    (UTF-8), level 6. zlib is DEFLATE — deterministic for a given
+    (input, level) across platforms, so values are stable for tests,
+    but no SQL engine can recompute it → rows-only driver check by
+    design.
 
-    Arrow-batched mapInPandas (CPU-bound per batch, no shuffle at all —
-    a pure map over however the corpus is already partitioned).
+    ``codec='rle'``: run-length-encoded units (2 per maximal
+    equal-char run, counts unbounded) over characters — the
+    ORACLE-CHECKABLE witness codec: DuckDB recomputes the run count
+    exactly (adjacent-char comparison over the same string), so the
+    WHOLE mapInPandas plumbing + ratio arithmetic is pinned
+    value-exact while zlib stays the production codec.
+
+    Arrow-batched mapInPandas either way (CPU-bound per batch, no
+    shuffle at all — a pure map over however the corpus is already
+    partitioned).
     """
     import zlib
 
     import pandas as pd
 
+    if codec not in ("zlib", "rle"):
+        raise ValueError(f"unknown codec: {codec}")
+
     schema = f"{id_col} long, raw_bytes long, compressed_bytes long, compression_ratio double"
 
     def batches(it):
         for pdf in it:
-            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
-            nraw = raw.map(len)
-            ncomp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            txt = pdf[text_col].fillna("")
+            if codec == "zlib":
+                raw = txt.map(lambda s: s.encode("utf-8"))
+                nraw = raw.map(len)
+                ncomp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            else:  # rle: character-unit sizes, runs recomputable in SQL
+                nraw = txt.map(len)
+                ncomp = txt.map(_rle_units)
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -317,6 +317,7 @@ def minhash_lsh_pairs_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_df: DataFrame | None = None,
+    with_exact: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH with an md5-string hash family — the
     ORACLE-CHECKABLE variant of ``minhash_lsh_pairs``.
@@ -333,7 +334,9 @@ def minhash_lsh_pairs_md5(
     correctness witness, not the default.
 
     Returns (id_a, id_b, est_jaccard) for every banded candidate pair,
-    est_jaccard = fraction of agreeing signature positions.
+    est_jaccard = fraction of agreeing signature positions; with
+    ``with_exact`` also the exact shingle-set ``jaccard`` (computed by
+    a candidate-scoped join, never all-pairs) for calibration.
     """
     rows = num_hashes // bands
     sh = (
@@ -383,13 +386,43 @@ def minhash_lsh_pairs_md5(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    return (
+    est = (
         cand.join(per_doc.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
         .join(per_doc.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+    if not with_exact:
+        return est
+    # exact Jaccard for the CANDIDATE pairs only (calibration ground
+    # truth): common-shingle counts via a candidate-scoped equi-join —
+    # never the all-pairs shingle self-join
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    c = F.coalesce(F.col("common"), F.lit(0))
+    return (
+        est.join(common, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (c.cast("double") / (F.col("na") + F.col("nb") - c)).alias(
+                "jaccard"
+            ),
         )
     )
 

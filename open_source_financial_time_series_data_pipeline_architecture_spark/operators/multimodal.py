@@ -208,6 +208,144 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# REAL image decode: binary PPM (P6), written from the public Netpbm
+# format spec. Uncompressed RGB — header parse (whitespace/comments)
+# + pixel statistics; compressed formats (JPEG/PNG) stay stubbed, the
+# entropy coders genuinely need media libraries.
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixels: Sequence[int]) -> bytes:
+    """Serialize RGB bytes (row-major, R G B interleaved, one byte per
+    channel) to a binary PPM (P6, maxval 255)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return (
+        f"P6\n{width} {height}\n255\n".encode("ascii")
+        + bytes(p & 0xFF for p in pixels)
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6): header (arbitrary whitespace, `#`
+    comments per spec) + per-channel integer pixel statistics.
+    Returns {width, height, maxval, n_pixels, sum_r, sum_g, sum_b,
+    sum_all, max_byte}."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comment lines
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported maxval {maxval} (1-byte samples only)")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    n = width * height
+    raster = payload[pos : pos + 3 * n]
+    if len(raster) != 3 * n:
+        raise ValueError("truncated PPM raster")
+    sums = [0, 0, 0]
+    mx = 0
+    for i, b in enumerate(raster):
+        sums[i % 3] += b
+        if b > mx:
+            mx = b
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_pixels": n,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+        "sum_all": sums[0] + sums[1] + sums[2],
+        "max_byte": mx,
+    }
+
+
+def ppm_fixture_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) for a doc's synthetic image."""
+    return 8 + doc_id % 9, 6 + doc_id % 7
+
+
+_PPM_STEP = 48271
+
+
+def _lcg_pixels(doc_id: int, n_bytes: int) -> list[int]:
+    return [
+        (doc_id * _LCG_MULT + i * _PPM_STEP) % 256 for i in range(n_bytes)
+    ]
+
+
+def synth_ppm_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic binary-PPM payload per doc (pixel bytes
+    from the same closed-form LCG family as the WAV fixtures)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                w, h = ppm_fixture_params(int(d))
+                payloads.append(encode_ppm(w, h, _lcg_pixels(int(d), w * h * 3)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def ppm_decode_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each PPM payload and emit per-doc image features:
+    dimensions + per-channel means + brightness + peak byte, from
+    exact integer sums. Arrow-batched mapInPandas, no shuffle."""
+    schema = (
+        f"{id_col} long, width int, height int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double, "
+        "brightness double, max_byte long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_ppm(bytes(payload))
+                n = st["n_pixels"]
+                rows.append(
+                    {
+                        id_col: d,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "n_pixels": n,
+                        "mean_r": st["sum_r"] / n,
+                        "mean_g": st["sum_g"] / n,
+                        "mean_b": st["sum_b"] / n,
+                        "brightness": st["sum_all"] / (3 * n),
+                        "max_byte": st["max_byte"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 # Deterministic synthetic PCM: sample i of doc d is the LCG residue
 #     s(d, i) = ((d·2654435761 + i·40503) mod 65536) − 32768
 # — closed-form in BOTH engines (the DuckDB oracle recomputes it from

@@ -84,3 +84,59 @@ def test_spark_decode_matches_local(spark):
         assert r["n_samples"] == frames * ch
         assert r["peak_amp"] == max(abs(v) for v in vals)
         assert r["mean_amp"] == sum(vals) / len(vals)
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) image codec — same pure-spec precedent, image plane
+# ---------------------------------------------------------------------------
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators.multimodal import (  # noqa: E402
+    _lcg_pixels,
+    decode_ppm,
+    encode_ppm,
+    ppm_decode_stats,
+    ppm_fixture_params,
+    synth_ppm_payloads,
+)
+
+
+def test_ppm_roundtrip():
+    pixels = [(i * 37) % 256 for i in range(4 * 3 * 3)]
+    st = decode_ppm(encode_ppm(4, 3, pixels))
+    assert (st["width"], st["height"], st["maxval"]) == (4, 3, 255)
+    assert st["n_pixels"] == 12
+    assert st["sum_all"] == sum(pixels)
+    assert st["sum_r"] == sum(pixels[0::3])
+    assert st["max_byte"] == max(pixels)
+
+
+def test_ppm_header_comments_and_whitespace():
+    raster = bytes([10, 20, 30, 40, 50, 60])
+    payload = b"P6\n# a comment\n 2 \n# another\n1\n255\n" + raster
+    st = decode_ppm(payload)
+    assert (st["width"], st["height"]) == (2, 1)
+    assert st["sum_all"] == sum(raster)
+
+
+def test_ppm_rejects_bad_payloads():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n000")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
+
+def test_ppm_spark_decode_matches_local(spark):
+    docs = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in ppm_decode_stats(synth_ppm_payloads(docs)).collect()}
+    for d in range(6):
+        w, h = ppm_fixture_params(d)
+        px = _lcg_pixels(d, w * h * 3)
+        r = got[d]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["max_byte"] == max(px)
+        assert r["mean_r"] == sum(px[0::3]) / (w * h)
+        assert r["brightness"] == sum(px) / (3 * w * h)
