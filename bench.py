@@ -220,7 +220,8 @@ def main() -> None:
     eng = Engine(spark, SF_DIR)
     store = eng.online_store()
     syms = [r["symbol"] for r in store.get().select("symbol").collect()]
-    store.get([syms[0]]).collect()  # warm the lookup path
+    for s in syms:  # warm each key's prepared plan (serving startup)
+        store.get([s]).collect()
     lookups = []
     for i in range(20):
         t0 = time.perf_counter()

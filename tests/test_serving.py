@@ -203,3 +203,28 @@ def test_local_kv_snapshot_matches_spark_store(spark):
     one = store.get_local([next(iter(spark_rows))])
     assert len(one) == 1 and one[0] in local_rows.values()
     assert store.get_local(["__absent__"]) == []
+
+
+def test_plan_cache_reuses_and_invalidates(spark):
+    # get() is a prepared-statement analog: same key set → the SAME
+    # memoized DataFrame (compiled QueryExecution reused, no per-call
+    # Janino compile); any store swap must drop the cache because the
+    # old plans point at the unpersisted snapshot.
+    from open_source_financial_time_series_data_pipeline_architecture_spark.serving import (
+        OnlineFeatureStore,
+    )
+
+    store = OnlineFeatureStore(spark)
+    store.materialize(_ohlc_views(_mk_trades(spark, range(0, 5))))
+    key = sorted(store._local)[0]
+    a = store.get([key])
+    b = store.get([key])
+    assert a is b
+    # key order must not fragment the cache
+    if len(store._local) >= 2:
+        k1, k2 = sorted(store._local)[:2]
+        assert store.get([k1, k2]) is store.get([k2, k1])
+    store.refresh_from_batch(_ohlc_views(_mk_trades(spark, range(5, 9))))
+    c = store.get([key])
+    assert c is not a
+    assert c.collect()[0]["symbol"] == key
