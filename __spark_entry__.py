@@ -1867,6 +1867,129 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_png_stats",
+    """
+WITH p AS (
+  SELECT doc_id,
+         6 + doc_id % 8 AS width,
+         5 + doc_id % 6 AS height,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels
+  FROM documents
+),
+s AS (
+  SELECT doc_id, width, height, channels,
+         unnest(range(0, width * height * channels)) AS i
+  FROM p
+),
+v AS (
+  SELECT doc_id, width, height, channels, i,
+         (doc_id * 2654435761 + i * 48271) % 256 AS b
+  FROM s
+)
+SELECT doc_id,
+       CAST(any_value(width) AS INT) AS width,
+       CAST(any_value(height) AS INT) AS height,
+       CAST(any_value(channels) AS INT) AS channels,
+       CAST(any_value(width) * any_value(height) AS BIGINT) AS n_pixels,
+       ROUND(CAST(sum(CASE WHEN i % channels = 0 THEN b END) AS DOUBLE)
+             / (any_value(width) * any_value(height)), 6) AS mean_c0,
+       ROUND(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_all,
+       CAST(max(b) AS BIGINT) AS max_byte
+FROM v GROUP BY doc_id
+""",
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: per-doc PNG payloads — DEFLATE
+    streams with every scanline filtered (type = row % 5, so all five
+    spec filters are exercised), CRC-32-validated chunks, split IDAT —
+    are inflated and unfiltered by the pure-spec decoder
+    (operators/multimodal.py decode_png; stdlib zlib supplies DEFLATE)
+    and reduced to dimensions + channel-0/overall means + peak byte.
+    The oracle recomputes everything from the closed-form pixel
+    formula, so decode must invert the filtering EXACTLY — with this,
+    image decode is real for PNG, the dominant lossless training-
+    corpus format (JPEG's entropy-coded DCT is the one honest stub).
+    Two chained mapInPandas stages, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = MM.png_decode_stats(MM.synth_png_payloads(docs))
+    return st.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "n_pixels",
+        F.round("mean_c0", 6).alias("mean_c0"),
+        F.round("mean_all", 6).alias("mean_all"),
+        "max_byte",
+    )
+
+
+@q(
+    "video_frame_sample_stats",
+    """
+WITH p AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 3) AS width,
+         4 + 2 * (doc_id % 2) AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 25 END AS fps,
+         6 + doc_id % 10 AS n_frames,
+         CASE WHEN doc_id % 2 = 0
+              THEN (4 + 2 * (doc_id % 3)) * (4 + 2 * (doc_id % 2))
+              ELSE ((4 + 2 * (doc_id % 3)) * (4 + 2 * (doc_id % 2)) * 3) // 2
+         END AS fsize
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, width, height, fps, fsize,
+         unnest(range(0, n_frames)) AS f
+  FROM p
+),
+px AS (
+  SELECT doc_id, width, height, fps, fsize, f,
+         unnest(range(0, width * height)) AS j
+  FROM fr WHERE f % 2 = 0
+),
+v AS (
+  SELECT doc_id, width, height, fps, f,
+         (doc_id * 2654435761 + (f * fsize + j) * 48271) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 // fps AS BIGINT) AS frame_ts_ms,
+       CAST(any_value(width) AS INT) AS width,
+       CAST(any_value(height) AS INT) AS height,
+       ROUND(CAST(sum(b) AS DOUBLE) / count(*), 6) AS luma_mean,
+       CAST(max(b) AS BIGINT) AS luma_max
+FROM v GROUP BY doc_id, f, fps
+""",
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling — `frame_sample_plan`'s decode step
+    made concrete for YUV4MPEG2: per-doc Y4M streams (tagged-token
+    header, FRAME markers, mono / 4:2:0 plane sets) are parsed by the
+    pure-spec decoder (operators/multimodal.py decode_y4m_frames),
+    every 2nd frame is sampled, and each sampled frame emits its
+    timestamp + exact luma statistics. The oracle recomputes the luma
+    plane from the closed-form stream formula (byte j of frame f sits
+    at stream index f·frame_bytes + j), pinning header parse, frame
+    indexing, plane geometry (chroma skipped), sampling rule, and
+    timestamp arithmetic value-exact. Rows scale with sampled frames,
+    payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = MM.y4m_frame_sample(MM.synth_y4m_payloads(docs), every=2)
+    return st.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        "width",
+        "height",
+        F.round("luma_mean", 6).alias("luma_mean"),
+        "luma_max",
+    )
+
+
 # --------------------------------------------------------------------------
 # F7 expectations suite — named checks compiled to one aggregation pass
 # --------------------------------------------------------------------------
@@ -25259,6 +25382,8 @@ _DRIVER_WINDOW_PINNED = [
 _DRIVER_WINDOW_DEBUT = [
     "multimodal_decode_stats",
     "multimodal_image_stats",
+    "multimodal_png_stats",
+    "video_frame_sample_stats",
     "approx_stats_kmv_witness",
     "compression_ratio_rle_witness",
     "minhash_calibration_md5",

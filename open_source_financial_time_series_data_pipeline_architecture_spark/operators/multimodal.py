@@ -3,10 +3,12 @@
 A 100 TB training-data pipeline carries image/audio/video as opaque
 ``binary`` columns with a typed metadata struct alongside. This module
 provides the real Spark-side plumbing — schema, partition-friendly
-batch iteration, Arrow-batched UDF signatures — with the actual media
-decoding STUBBED (the container has no image/audio libraries): decode
-raises ``NotImplementedError`` unless the deterministic fake decoder is
-requested, which produces reproducible pseudo-features from the bytes.
+batch iteration, Arrow-batched UDF signatures — plus REAL pure-spec
+codecs for the formats whose specs don't require external libraries:
+RIFF/WAVE PCM audio, binary PPM and PNG images (stdlib zlib supplies
+DEFLATE; chunk CRCs and all five scanline filters implemented from the
+W3C spec), and YUV4MPEG2 video frame sampling. Only JPEG's
+entropy-coded DCT stays stubbed behind ``NotImplementedError``.
 
 Batch shape: `mapInPandas` streams Arrow record batches, so payload
 bytes never materialize as one big driver object; per-batch memory is
@@ -18,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import math
 import struct
+import zlib
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -74,9 +77,11 @@ def extract_features(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real IMAGE/VIDEO decoding requires media libraries not present "
-            "in this environment; use decoder='stub'. Audio/WAV decode IS "
-            "real — see decode_wav/wav_decode_stats (pure-spec RIFF parser)"
+            "JPEG decoding requires a real codec library not present in "
+            "this environment; use decoder='stub'. Image (PPM, PNG incl. "
+            "DEFLATE+unfiltering), audio (RIFF/WAVE PCM) and video "
+            "(YUV4MPEG2 frame sampling) decode ARE real — see decode_png/"
+            "decode_ppm/decode_wav/decode_y4m_frames (pure-spec parsers)"
         )
 
     schema = f"{id_col} long, n_bytes long, features array<double>"
@@ -346,6 +351,242 @@ def ppm_decode_stats(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+# --------------------------------------------------------------------------
+# REAL compressed-image decode: PNG, written from the public W3C/ISO
+# spec (PNG Second Edition). The container has no image libraries, but
+# PNG's entropy coder is DEFLATE — which IS in the Python stdlib
+# (zlib) — so unlike JPEG the whole pipeline is implementable
+# pure-spec: signature, chunk walk with CRC-32 validation, IHDR
+# parse, multi-IDAT zlib inflate, and per-scanline unfiltering of all
+# five filter types (None/Sub/Up/Average/Paeth). JPEG remains the one
+# honest stub (its arithmetic/Huffman-coded DCT needs a real codec).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, truecolor, truecolor+alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of a/b/c to a+b−c,
+    ties broken a, then b."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int, height: int, pixels: Sequence[int], color_type: int = 2
+) -> bytes:
+    """Serialize 8-bit pixels (row-major, channels interleaved) to a
+    spec-conformant PNG. Each scanline y is filtered with type y % 5,
+    so a decode of our own output exercises ALL five filters —
+    encode→decode is only the identity if the unfiltering is exactly
+    the spec's."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = bytes(p & 0xFF for p in pixels)
+    if len(raw) != height * stride:
+        raise ValueError("pixels must be height*width*channels bytes")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        ft = y % 5
+        out.append(ft)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            v = row[x]
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = v - a
+            elif ft == 2:
+                f = v - b
+            elif ft == 3:
+                f = v - (a + b) // 2
+            else:
+                f = v - _paeth(a, b, c)
+            out.append(f & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(bytes(out), 6)
+    # split the stream across two IDAT chunks when possible — decoders
+    # must concatenate IDAT data per spec, and ours should prove it
+    mid = len(comp) // 2
+    idats = (
+        _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+        if mid
+        else _png_chunk(b"IDAT", comp)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG payload: chunk walk (CRC-32 validated, ancillary
+    chunks skipped per spec), IHDR fields, concatenated-IDAT zlib
+    inflate, and full scanline unfiltering. 8-bit depth, color types
+    0/2/6, non-interlaced — the shapes our encoder (and the vast
+    majority of training-corpus PNGs) produce. Returns exact integer
+    stats: {width, height, channels, color_type, n_pixels, sum_c0,
+    sum_all, max_byte}."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ct, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (8 only)")
+    if ct not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {ct}")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    ch = _PNG_CHANNELS[ct]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("raster size mismatch")
+    sums = [0] * ch
+    mx = 0
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row_f = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            f = row_f[x]
+            if ft == 0:
+                v = f
+            elif ft == 1:
+                v = f + a
+            elif ft == 2:
+                v = f + b
+            elif ft == 3:
+                v = f + (a + b) // 2
+            elif ft == 4:
+                v = f + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            row[x] = v & 0xFF
+        prev = bytes(row)
+        for i, v in enumerate(row):
+            sums[i % ch] += v
+            if v > mx:
+                mx = v
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "color_type": ct,
+        "n_pixels": width * height,
+        "sum_c0": sums[0],
+        "sum_all": sum(sums),
+        "max_byte": mx,
+    }
+
+
+def png_fixture_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, color_type) for a doc's synthetic PNG — cycles
+    greyscale/RGB/RGBA so the decoder sees every supported layout."""
+    return 6 + doc_id % 8, 5 + doc_id % 6, (0, 2, 6)[doc_id % 3]
+
+
+def synth_png_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic PNG payload per doc: LCG pixel bytes
+    (same closed-form family as the WAV/PPM fixtures) through the real
+    encoder — every scanline filtered, DEFLATE-compressed, CRC'd."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                w, h, ct = png_fixture_params(int(d))
+                n = w * h * _PNG_CHANNELS[ct]
+                payloads.append(encode_png(w, h, _lcg_pixels(int(d), n), ct))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def png_decode_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each PNG payload (inflate + unfilter) and emit per-doc
+    image features from exact integer sums. Arrow-batched mapInPandas,
+    no shuffle — the 100 TB shape for media feature extraction."""
+    schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "n_pixels long, mean_c0 double, mean_all double, max_byte long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_png(bytes(payload))
+                n = st["n_pixels"]
+                rows.append(
+                    {
+                        id_col: d,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "channels": st["channels"],
+                        "n_pixels": n,
+                        "mean_c0": st["sum_c0"] / n,
+                        "mean_all": st["sum_all"] / (n * st["channels"]),
+                        "max_byte": st["max_byte"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 # Deterministic synthetic PCM: sample i of doc d is the LCG residue
 #     s(d, i) = ((d·2654435761 + i·40503) mod 65536) − 32768
 # — closed-form in BOTH engines (the DuckDB oracle recomputes it from
@@ -464,6 +705,185 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL video decode: YUV4MPEG2 (.y4m), written from the public format
+# spec (the mjpegtools/FFmpeg-documented uncompressed interchange
+# format). Plain-text stream header (W/H/F/I/A/C tagged tokens), then
+# raw YCbCr planes per FRAME marker — so frame indexing, timestamping,
+# and every-k-th sampling (`frame_sample_plan`'s stubbed decode step)
+# are implementable pure-spec. Supports Cmono (luma only) and C420*
+# (4:2:0 chroma subsampling).
+# --------------------------------------------------------------------------
+
+
+def _y4m_frame_bytes(width: int, height: int, colorspace: str) -> int:
+    if colorspace == "mono":
+        return width * height
+    if colorspace.startswith("420"):
+        return width * height + 2 * ((width // 2) * (height // 2))
+    raise ValueError(f"unsupported colorspace C{colorspace}")
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    fps_num: int,
+    fps_den: int,
+    colorspace: str,
+    frames: Sequence[bytes],
+) -> bytes:
+    """Serialize raw frames (each one full plane set) to a YUV4MPEG2
+    stream."""
+    fsize = _y4m_frame_bytes(width, height, colorspace)
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} "
+        f"Ip A1:1 C{colorspace}\n"
+    ).encode("ascii")
+    out = bytearray(head)
+    for fr in frames:
+        if len(fr) != fsize:
+            raise ValueError("frame size mismatch")
+        out += b"FRAME\n" + fr
+    return bytes(out)
+
+
+def decode_y4m_frames(payload: bytes, every: int = 1) -> dict:
+    """Parse a YUV4MPEG2 stream and sample every ``every``-th frame.
+
+    Tokenized stream header per spec (unknown/X parameter tokens
+    skipped), per-frame FRAME markers (frame-level parameters after the
+    marker allowed), plane sizes derived from the colorspace tag.
+    Returns header fields + one entry per SAMPLED frame with exact
+    integer luma statistics:
+    {width, height, fps_num, fps_den, n_frames, frames: [(frame_idx,
+    luma_sum, luma_max), ...]}."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    colorspace = "420jpeg"  # the spec's default when C is absent
+    for tok in payload[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val
+        # I (interlacing), A (aspect), X (extensions) don't affect
+        # plane geometry — skipped per spec
+    if width is None or height is None:
+        raise ValueError("missing W/H in stream header")
+    fsize = _y4m_frame_bytes(width, height, colorspace)
+    luma = width * height
+    pos = nl + 1
+    idx = 0
+    frames = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at offset {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        data = payload[fnl + 1 : fnl + 1 + fsize]
+        if len(data) != fsize:
+            raise ValueError("truncated frame")
+        if idx % every == 0:
+            plane = data[:luma]
+            frames.append((idx, sum(plane), max(plane)))
+        pos = fnl + 1 + fsize
+        idx += 1
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": idx,
+        "frames": frames,
+    }
+
+
+def y4m_fixture_params(doc_id: int) -> tuple[int, int, int, int, str]:
+    """(width, height, fps_num, n_frames, colorspace) — even dims (4:2:0
+    requirement), mono/420 alternating, two frame rates."""
+    return (
+        4 + 2 * (doc_id % 3),
+        4 + 2 * (doc_id % 2),
+        25 if doc_id % 2 else 30,
+        6 + doc_id % 10,
+        "mono" if doc_id % 2 == 0 else "420jpeg",
+    )
+
+
+def synth_y4m_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic Y4M payload per doc: byte j of frame f is
+    the LCG residue at stream index f·frame_bytes + j (closed-form in
+    both engines, luma plane first per spec)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                w, h, fps, n_frames, cs = y4m_fixture_params(int(d))
+                fsize = _y4m_frame_bytes(w, h, cs)
+                stream = _lcg_pixels(int(d), n_frames * fsize)
+                frames = [
+                    bytes(stream[f * fsize : (f + 1) * fsize])
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_y4m(w, h, fps, 1, cs, frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def y4m_frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video frame sampling: decode each Y4M payload, keep every
+    ``every``-th frame, emit one row per sampled frame with its
+    timestamp and exact luma statistics. Arrow-batched mapInPandas —
+    rows scale with sampled frames, payload bytes never shuffle."""
+    schema = (
+        f"{id_col} long, frame_idx int, frame_ts_ms long, "
+        "width int, height int, luma_mean double, luma_max long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_y4m_frames(bytes(payload), every=every)
+                luma_n = st["width"] * st["height"]
+                for idx, luma_sum, luma_max in st["frames"]:
+                    rows.append(
+                        {
+                            id_col: d,
+                            "frame_idx": idx,
+                            "frame_ts_ms": idx * 1000 * st["fps_den"]
+                            // st["fps_num"],
+                            "width": st["width"],
+                            "height": st["height"],
+                            "luma_mean": luma_sum / luma_n,
+                            "luma_max": luma_max,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def resize_plan(
