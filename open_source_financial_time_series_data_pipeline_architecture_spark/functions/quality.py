@@ -103,7 +103,11 @@ def accuracy_zscore(
 
 
 def ks_two_sample(
-    df: DataFrame, value_col: str, tag_col: Column, key: str | None = None
+    df: DataFrame,
+    value_col: str,
+    tag_col: Column,
+    key: str | None = None,
+    prefix_buckets: int = 32,
 ) -> DataFrame:
     """G8 — two-sample Kolmogorov–Smirnov statistic
     D = max_x |F1(x) − F2(x)| (reference uses scipy.stats.ks_2samp,
@@ -111,8 +115,20 @@ def ks_two_sample(
     one-sample only, so this is a custom empirical-CDF build).
 
     ``tag_col`` must evaluate to 1 (sample A) or 0 (sample B). Distinct
-    values are aggregated first, so the window sort touches |distinct x|
-    rows, then cumulative counts give both ECDFs in one pass.
+    values are aggregated first, so cumulative counts over |distinct x|
+    rows give both ECDFs.
+
+    Scale shape: with no ``key`` the ECDF would otherwise be one
+    unpartitioned window over every distinct value — a total order
+    that grows with the data. Instead the prefix sums are EXACT and
+    distributed: distinct values are range-bucketed by
+    ``percentile_approx`` cutpoints (any monotone bucketing preserves
+    exactness — equal x always land together), cumulated WITHIN each
+    bucket by a partitioned window, and each bucket adds the summed
+    totals of all smaller buckets via a broadcast O(B²) prefix join —
+    the same carry idiom as the peak-concurrency sweep. All-integer
+    arithmetic until the final division, so values are bit-identical
+    to the single-window form.
     """
     keys = [key] if key else []
     tagged = df.select(
@@ -121,16 +137,78 @@ def ks_two_sample(
     pts = tagged.groupBy(*keys, "x").agg(
         F.sum("t").alias("c1"), F.sum(1 - F.col("t")).alias("c2")
     )
-    w = Window.partitionBy(*keys).orderBy("x").rowsBetween(
+    if key is not None:
+        w = Window.partitionBy(*keys).orderBy("x").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wk = Window.partitionBy(*keys)
+        cum = pts.select(
+            *keys,
+            (F.sum("c1").over(w) / F.sum("c1").over(wk)).alias("f1"),
+            (F.sum("c2").over(w) / F.sum("c2").over(wk)).alias("f2"),
+        )
+        return cum.groupBy(*keys).agg(
+            F.max(F.abs(F.col("f1") - F.col("f2"))).alias("ks_stat")
+        )
+    qs = [i / prefix_buckets for i in range(1, prefix_buckets)]
+    cuts = pts.agg(
+        F.percentile_approx(F.col("x").cast("double"), qs, 10000).alias(
+            "cuts"
+        )
+    )
+    b = pts.crossJoin(F.broadcast(cuts)).select(
+        "x",
+        "c1",
+        "c2",
+        F.size(
+            F.filter(F.col("cuts"), lambda c: c <= F.col("x"))
+        ).alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("x").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wk = Window.partitionBy(*keys)
-    cum = pts.select(
-        *keys,
-        (F.sum("c1").over(w) / F.sum("c1").over(wk)).alias("f1"),
-        (F.sum("c2").over(w) / F.sum("c2").over(wk)).alias("f2"),
+    within = b.select(
+        "bkt",
+        F.sum("c1").over(wb).alias("w1"),
+        F.sum("c2").over(wb).alias("w2"),
     )
-    return cum.groupBy(*keys).agg(F.max(F.abs(F.col("f1") - F.col("f2"))).alias("ks_stat"))
+    btot = b.groupBy("bkt").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    off = (
+        btot.select("bkt")
+        .join(
+            F.broadcast(
+                btot.select(
+                    F.col("bkt").alias("pb"),
+                    F.col("t1").alias("pt1"),
+                    F.col("t2").alias("pt2"),
+                )
+            ),
+            F.col("pb") < F.col("bkt"),
+            "left",
+        )
+        .groupBy("bkt")
+        .agg(
+            F.coalesce(F.sum("pt1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("pt2"), F.lit(0)).alias("o2"),
+        )
+    )
+    grand = pts.agg(
+        F.sum("c1").alias("g1"), F.sum("c2").alias("g2")
+    )
+    return (
+        within.join(F.broadcast(off), "bkt")
+        .crossJoin(F.broadcast(grand))
+        .agg(
+            F.max(
+                F.abs(
+                    (F.col("w1") + F.col("o1")) / F.col("g1")
+                    - (F.col("w2") + F.col("o2")) / F.col("g2")
+                )
+            ).alias("ks_stat")
+        )
+    )
 
 
 def sharpe_ratio(

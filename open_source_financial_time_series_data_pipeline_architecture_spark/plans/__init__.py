@@ -4,6 +4,7 @@ from .explain import (
     assert_no_unpartitioned_window,
     assert_pushed_filter,
     optimized_plan,
+    plan_hazards,
     physical_plan,
     runtime_metrics,
     shuffle_count,
@@ -16,6 +17,7 @@ __all__ = [
     "assert_no_unpartitioned_window",
     "assert_pushed_filter",
     "optimized_plan",
+    "plan_hazards",
     "physical_plan",
     "runtime_metrics",
     "shuffle_count",

@@ -97,6 +97,31 @@ def assert_no_unpartitioned_window(df: DataFrame, name: str = "?") -> None:
     )
 
 
+def plan_hazards(df: DataFrame) -> dict:
+    """Count the plan shapes that do NOT survive a 100× scale-up:
+
+    - ``cartesian``: CartesianProduct — O(N·M) pairs, never acceptable;
+    - ``python_row_udf``: BatchEvalPython — a row-at-a-time Python UDF
+      in the hot path (Arrow-batched pandas UDFs show as
+      ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas and are
+      the sanctioned Python escape hatch);
+    - ``unpartitioned_windows``: single-partition total orders (see
+      `unpartitioned_window_count`).
+
+    BroadcastNestedLoopJoin is deliberately NOT counted: the broadcast
+    1-row-aggregate pattern (the scale-safe replacement for
+    ``Window.partitionBy(lit(1))``) plans as a BNLJ whose build side is
+    one row — bounded by construction. The dangerous both-sides-scale
+    BNLJ shows up as a CartesianProduct or is caught per-query by the
+    targeted `assert_no_cartesian` / shuffle-shape tests."""
+    phys = physical_plan(df)
+    return {
+        "cartesian": phys.count("CartesianProduct"),
+        "python_row_udf": phys.count("BatchEvalPython"),
+        "unpartitioned_windows": unpartitioned_window_count(df),
+    }
+
+
 def runtime_metrics(df: DataFrame) -> dict:
     """Execute the plan (noop write) and read back the ACTUAL runtime
     SQL metrics from the executed plan tree: rows scanned, shuffle

@@ -906,3 +906,68 @@ def test_benched_queries_have_no_unpartitioned_window(spark):
             continue  # streaming jobs execute on build; covered elsewhere
         df = em.QUERIES[name](spark, SF_SMOKE)
         PL.assert_no_unpartitioned_window(df, name)
+
+
+# --------------------------------------------------------------------------
+# Registry-wide plan lint (round 4): EVERY registered query's plan is
+# scanned for the shapes that do not survive a 100× scale-up —
+# CartesianProduct, row-at-a-time Python UDFs (BatchEvalPython), and
+# unpartitioned Window operators over inputs that grow with the data.
+# Unpartitioned windows over inputs BOUNDED BY CONSTRUCTION are allowed
+# with a per-name justification; `*_exact_witness` queries are exempt
+# by design (they exist to pin the exact-total-order semantics at small
+# scale while a scale-safe form is the production default).
+# --------------------------------------------------------------------------
+
+UNPARTITIONED_WINDOW_BOUNDED_INPUT = {
+    "pairs_spread_zscore": "one pair's minute series, 30-row frame — "
+    "sequential O(n); partition by pair_id when fanned out over pairs",
+    "lead_lag_corr": "lag(1) over one aligned pair's bar series",
+    "cointegration_adf": "lag(1) over one pair's spread series",
+    "momentum_portfolio": "cumulative sum over per-DAY portfolio "
+    "returns — calendar-bounded input",
+    "kaplan_meier_sessions": "KM product over the distinct "
+    "session-duration grid — duration-domain-bounded aggregate",
+    "event_study_car": "cumulative abnormal return over the "
+    "event-relative minute grid (fixed ± window around events)",
+    "chi2_event_mix_drift": "totals over event-type categories — "
+    "bounded domain",
+    "split_label_balance": "totals over (split × label) cells — "
+    "bounded domain",
+    "global_outage_windows": "lag over DISTINCT gap minutes — "
+    "time-grid-bounded aggregate (the peak_concurrency recipe)",
+    "pipeline_health_tearsheet": "lag over distinct minutes — "
+    "time-grid-bounded aggregate",
+    "storage_tiering_plan": "anchor max over per-day partition rows — "
+    "calendar-bounded",
+    "pareto_frontier_parts": "prefix-min over distinct part sizes — "
+    "bounded domain (p_size in 1..50)",
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    """Zero cartesian products, zero row-at-a-time Python UDFs, and no
+    unjustified unpartitioned windows across ALL registered queries."""
+    failures = []
+    stale_allow = set(UNPARTITIONED_WINDOW_BOUNDED_INPUT)
+    for name, fn in em.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # availableNow jobs execute on build; their batch
+            # twins are linted and the jobs are pinned in test_streaming*
+        df = fn(spark, SF_SMOKE)
+        hz = PL.plan_hazards(df)
+        if hz["cartesian"] or hz["python_row_udf"]:
+            failures.append((name, hz))
+            continue
+        if hz["unpartitioned_windows"]:
+            if name in UNPARTITIONED_WINDOW_BOUNDED_INPUT:
+                stale_allow.discard(name)
+            elif not name.endswith("_exact_witness"):
+                failures.append((name, hz))
+        # an allowlisted name whose window disappeared means the entry
+        # is stale — flagged below so the list can't rot
+    assert not failures, f"plan hazards: {failures}"
+    assert not stale_allow, (
+        f"stale allowlist entries (no unpartitioned window found): "
+        f"{sorted(stale_allow)}"
+    )
