@@ -25325,6 +25325,84 @@ def storage_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_age_audit(events, time_col="ts")
 
 
+@q(
+    "versioned_cdc_summary",
+    oracle(
+        """
+SELECT CAST(2 AS BIGINT) AS commit_version,
+       'insert' AS change_type,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+WHERE symbol IN ('signup', 'error')
+GROUP BY symbol
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS commit_version,
+       'delete' AS change_type,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+WHERE symbol = 'error'
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite change data feed, end-to-end (reference
+    spark/batch_feature_calculation.py:61-65 writes its feature store
+    as Delta; CDC is the public Delta feature downstream consumers
+    read). Builds a real versioned table from the canonical trades —
+    v1 snapshot of three symbols, v2 APPEND of the other two, v3
+    OVERWRITE that drops 'error' — then reads
+    ``sources.versioned.read_changes(1, 3)`` and rolls the feed up per
+    (commit, change_type, symbol).
+
+    The oracle recomputes the feed from first principles: v2's inserts
+    are exactly the appended symbols' rows (O(new files) in the
+    engine), v3's deletes are exactly the dropped symbol's rows (the
+    overwrite content diff — identical recomputed rows cancel under
+    ``exceptAll``'s multiset semantics, bit-identical because both
+    snapshots derive from the same deterministic projection). Volume
+    sums are small-integer doubles, so summation order cannot skew
+    them. The table builds once per sf under /tmp (atomic
+    rename-into-place; concurrent builders race safely)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_cdc")
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
+    if not _os.path.isdir(_os.path.join(table, "_versions")):
+        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.filter(F.col("symbol").isin("click", "view", "purchase")), work)
+        V.commit(
+            tr.filter(F.col("symbol").isin("signup", "error")), work, mode="append"
+        )
+        V.commit(tr.filter(F.col("symbol") != "error"), work)
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    ch = V.read_changes(spark, table, 1, 3)
+    return ch.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "symbol",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("volume"), 6).alias("sum_volume"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -25396,6 +25474,7 @@ _DRIVER_WINDOW_DEBUT = [
     "zipf_fit",
     "heaps_law_fit",
     "peak_concurrency",
+    "versioned_cdc_summary",
 ]
 
 

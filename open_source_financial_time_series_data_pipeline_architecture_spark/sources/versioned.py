@@ -31,6 +31,35 @@ union of prior files + new files without rewriting old data.
 At 100 TB: manifests carry file lists, not data — commit cost is
 O(files touched); time travel is free (old manifests keep old files
 alive until vacuum).
+
+Round-4 extensions (mirroring the public Delta Lake feature set the
+reference's spark/batch_feature_calculation.py:61-65 relies on):
+
+- **put-if-absent commit**: the manifest is published with
+  ``os.link`` (hard-link then unlink), which FAILS if the target
+  version already exists — two concurrent writers can no longer both
+  "win" version N+1 (the old ``os.rename`` silently replaced the
+  loser's manifest: a lost update). Append commits retry against the
+  new head; rewrite commits surface ``ConcurrentCommitError`` —
+  optimistic concurrency, same contract as Delta's transaction log.
+- **schema enforcement + evolution on append**: an append whose
+  schema differs from the table's is rejected unless
+  ``allow_evolution=True`` and the new schema can still read every
+  old file (``schema_compat.check_backward`` — added nullable fields
+  / widening promotions only). Readers always apply the manifest
+  schema explicitly, so evolved tables read old files with NULLs in
+  the new columns.
+- **change data feed**: ``read_changes`` emits the row-level delta
+  between two versions (``_change_type`` insert/delete +
+  ``_commit_version``) — O(new files) for append commits, a content
+  diff for rewrites, nothing for compactions.
+- **compaction**: ``compact`` rewrites the current snapshot into few
+  large (optionally Z-ordered) files as a logical no-op commit
+  (``mode="optimize"``) that the change feed skips and ``vacuum``
+  reclaims.
+- **streaming tail**: ``versioned_stream.VersionedTailDataSource``
+  follows the commit log as a Structured Streaming source (version
+  number = offset), the "Delta as a stream" analog.
 """
 
 from __future__ import annotations
@@ -40,9 +69,25 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+    schema_compat,
+)
 
 _VERSIONS = "_versions"
 _DATA = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency conflict). Append commits retry automatically; rewrite
+    commits must re-read the new head and re-apply."""
+
+
+class SchemaMismatchError(ValueError):
+    """Append schema is incompatible with the table's current schema."""
 
 
 def _versions_dir(table_dir: str) -> str:
@@ -63,24 +108,32 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit(
-    df: DataFrame,
-    table_dir: str,
-    mode: str = "overwrite",
-) -> dict:
-    """Write ``df`` as the next version. ``mode='overwrite'`` makes the
-    new manifest a full snapshot of just this write; ``mode='append'``
-    carries the previous manifest's files forward. Returns the manifest.
-    """
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode: {mode!r}")
-    os.makedirs(_versions_dir(table_dir), exist_ok=True)
-    data_dir = os.path.join(table_dir, _DATA)
-    versions = _list_versions(table_dir)
-    next_v = (versions[-1] if versions else 0) + 1
+def _publish(table_dir: str, manifest: dict) -> None:
+    """Atomically publish a manifest iff its version does not exist
+    yet. ``os.link`` is the POSIX put-if-absent: unlike ``os.rename``
+    (which silently REPLACES an existing target — a lost update when
+    two writers race to the same version), a hard link to an existing
+    path fails with EEXIST."""
+    vd = _versions_dir(table_dir)
+    tmp = os.path.join(vd, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    target = os.path.join(vd, f"{manifest['version']:08d}.json")
+    try:
+        os.link(tmp, target)  # the atomic commit point
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {manifest['version']} already committed at {table_dir}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
-    # stage the write into a scratch dir, then move files in under
-    # unique names — they stay invisible until the manifest lands
+
+def _stage_files(df: DataFrame, table_dir: str, next_v: int) -> list[str]:
+    """Write ``df``'s parquet files under ``data/`` with version-
+    prefixed uuid-unique names — invisible until a manifest lists
+    them. Returns the new file names."""
+    data_dir = os.path.join(table_dir, _DATA)
     scratch = os.path.join(table_dir, f".stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(scratch)
     os.makedirs(data_dir, exist_ok=True)
@@ -94,22 +147,103 @@ def commit(
     import shutil
 
     shutil.rmtree(scratch)
+    return new_files
 
-    files = new_files
-    if mode == "append" and versions:
-        files = _read_manifest(table_dir, versions[-1])["files"] + new_files
-    manifest = {
-        "version": next_v,
-        "mode": mode,
-        "files": files,
-        "schema": df.schema.json(),
-    }
-    tmp = os.path.join(_versions_dir(table_dir), f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    # the atomic commit point
-    os.rename(tmp, os.path.join(_versions_dir(table_dir), f"{next_v:08d}.json"))
-    return manifest
+
+def _check_append_schema(
+    old_json: str, new_schema: T.StructType, allow_evolution: bool
+) -> str:
+    """Enforce the table schema on append. Returns the schema JSON the
+    new manifest should carry (the evolved one when evolution is
+    allowed and backward-compatible)."""
+    old = T.StructType.fromJson(json.loads(old_json))
+    if old == new_schema:
+        return old_json
+    if not allow_evolution:
+        raise SchemaMismatchError(
+            "append schema differs from table schema (pass "
+            f"allow_evolution=True to evolve): table={old.simpleString()} "
+            f"append={new_schema.simpleString()}"
+        )
+    rep = schema_compat.check_backward(old, new_schema)
+    if not rep.compatible:
+        raise SchemaMismatchError(
+            "schema evolution rejected (a reader of the new schema could "
+            "not read the table's existing files): " + "; ".join(rep.errors)
+        )
+    return new_schema.json()
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    *,
+    allow_evolution: bool = False,
+    retries: int = 2,
+    expected_base: int | None = None,
+) -> dict:
+    """Write ``df`` as the next version. ``mode='overwrite'`` makes the
+    new manifest a full snapshot of just this write; ``mode='append'``
+    carries the previous manifest's files forward (schema-checked — see
+    ``allow_evolution``). Returns the manifest.
+
+    Concurrency: the publish is put-if-absent. A losing append re-reads
+    the new head and retries (its staged files are version-independent
+    facts, only the carried-forward file list changes); a losing
+    overwrite retries at the next version (its snapshot does not depend
+    on prior state). When ``expected_base`` is set the commit instead
+    FAILS with ``ConcurrentCommitError`` if the head moved — the
+    compare-and-swap contract rewrite commits (compaction) need.
+    """
+    if mode not in ("overwrite", "append", "optimize"):
+        raise ValueError(f"mode: {mode!r}")
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    versions = _list_versions(table_dir)
+    base = versions[-1] if versions else 0
+    if expected_base is not None and base != expected_base:
+        raise ConcurrentCommitError(
+            f"expected base version {expected_base}, head is {base}"
+        )
+    next_v = base + 1
+    staged = _stage_files(df, table_dir, next_v)
+
+    for attempt in range(retries + 1):
+        files = staged
+        schema_json = df.schema.json()
+        if mode == "append" and base > 0:
+            prior = _read_manifest(table_dir, base)
+            schema_json = _check_append_schema(
+                prior["schema"], df.schema, allow_evolution
+            )
+            files = prior["files"] + staged
+        manifest = {
+            "version": next_v,
+            "mode": mode,
+            "files": files,
+            "schema": schema_json,
+        }
+        try:
+            _publish(table_dir, manifest)
+            return manifest
+        except ConcurrentCommitError:
+            if expected_base is not None or attempt == retries:
+                raise
+            versions = _list_versions(table_dir)
+            base = versions[-1] if versions else 0
+            next_v = base + 1
+
+
+def _read_files(
+    spark: SparkSession, table_dir: str, files: list[str], schema_json: str
+) -> DataFrame:
+    """Read a file list under the given manifest schema. The explicit
+    schema is what makes evolution work: old files missing a column
+    added later surface NULLs, and no schema-inference listing runs."""
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    data_dir = os.path.join(table_dir, _DATA)
+    paths = [os.path.join(data_dir, f) for f in files]
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def read_version(
@@ -123,9 +257,127 @@ def read_version(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(table_dir, v)
-    data_dir = os.path.join(table_dir, _DATA)
-    paths = [os.path.join(data_dir, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    return _read_files(spark, table_dir, m["files"], m["schema"])
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: the row-level delta that took the table from
+    ``start_version`` to ``end_version`` (head when None), as the
+    table's columns plus ``_change_type`` ('insert'/'delete') and
+    ``_commit_version``.
+
+    Cost model (the 100 TB contract): an **append** step is O(its new
+    files) — only the files the commit added are read; an **optimize**
+    step is free (logical no-op, skipped); an **overwrite** step is a
+    content diff (``exceptAll`` both ways) — O(both snapshots), the
+    honest price of a blind rewrite with no row lineage. Every step is
+    read under the END version's schema (append-time backward-compat
+    checks guarantee it reads all older files).
+    """
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    end = versions[-1] if end_version is None else end_version
+    for v in (start_version, end):
+        if v not in versions and v != 0:
+            raise ValueError(f"version {v} not in {versions}")
+    schema_json = _read_manifest(table_dir, end)["schema"] if end else None
+    steps = [v for v in versions if start_version < v <= end]
+
+    parts: list[DataFrame] = []
+    prev_files: list[str] = (
+        _read_manifest(table_dir, start_version)["files"]
+        if start_version
+        else []
+    )
+    for v in steps:
+        m = _read_manifest(table_dir, v)
+        if m["mode"] == "append":
+            seen = set(prev_files)
+            new_files = [f for f in m["files"] if f not in seen]
+            if new_files:
+                parts.append(
+                    _read_files(spark, table_dir, new_files, schema_json)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        elif m["mode"] == "optimize":
+            pass  # logical no-op: same rows, fewer files
+        else:  # overwrite: content diff against the previous snapshot
+            cur = _read_files(spark, table_dir, m["files"], schema_json)
+            if prev_files:
+                prev = _read_files(spark, table_dir, prev_files, schema_json)
+                ins, dels = cur.exceptAll(prev), prev.exceptAll(cur)
+            else:
+                ins, dels = cur, None
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+            if dels is not None:
+                parts.append(
+                    dels.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        prev_files = m["files"]
+
+    if not parts:
+        base = T.StructType.fromJson(json.loads(schema_json)) if schema_json else T.StructType([])
+        empty_schema = T.StructType(
+            base.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    n_files: int = 1,
+    zorder_cols: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE: rewrite the head snapshot into ``n_files`` files
+    (optionally Z-order-clustered on ``zorder_cols`` for min-max data
+    skipping) as a ``mode="optimize"`` commit — logically a no-op (the
+    change feed skips it), physically the small-file fix. The commit is
+    a compare-and-swap against the version that was read: a concurrent
+    writer landing first raises ``ConcurrentCommitError`` instead of
+    silently losing their rows."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    df = read_version(spark, table_dir, base)
+    if zorder_cols:
+        from open_source_financial_time_series_data_pipeline_architecture_spark.sources.zorder import (
+            zvalue,
+        )
+
+        df = (
+            zvalue(df, zorder_cols)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.repartition(n_files)
+    return commit(
+        df, table_dir, mode="optimize", expected_base=base, retries=0
+    )
 
 
 def history(table_dir: str) -> list[dict]:
