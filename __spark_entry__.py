@@ -25403,6 +25403,79 @@ def versioned_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_versioned_tail",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming job over the versioned table's
+    commit log (sources/versioned_stream.py — the "Delta as a stream"
+    analog; reference spark/streaming_feature_updates.py consumes its
+    feature store the same way): two append commits split the
+    canonical trades by symbol, the tail source replays them with the
+    version number as the stream offset, and a complete-mode streaming
+    aggregate drains under Trigger.AvailableNow into a memory sink.
+    The oracle is the batch truth the replayed stream must reconstruct
+    exactly: per-symbol trade counts and volume sums over ALL trades
+    (append-only commits partition the rows, so the union is the
+    table). Volume sums are small-integer doubles — order-free."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+        VersionedTailDataSource,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        run_available_now,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_tail")
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
+    if not _os.path.isdir(_os.path.join(table, "_versions")):
+        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        tr = _trades(spark, sf_dir)
+        V.commit(
+            tr.filter(F.col("symbol").isin("click", "view", "purchase")),
+            work,
+            mode="append",
+        )
+        V.commit(
+            tr.filter(F.col("symbol").isin("signup", "error")),
+            work,
+            mode="append",
+        )
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    try:
+        spark.dataSource.register(VersionedTailDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("versioned_tail").option("path", table).load()
+    )
+    agg = stream.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.round(F.sum("volume"), 6).alias("sum_volume"),
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -25475,6 +25548,7 @@ _DRIVER_WINDOW_DEBUT = [
     "heaps_law_fit",
     "peak_concurrency",
     "versioned_cdc_summary",
+    "streaming_versioned_tail",
 ]
 
 

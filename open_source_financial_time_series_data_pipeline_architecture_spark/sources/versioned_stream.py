@@ -42,12 +42,26 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.sources 
 
 
 def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list[tuple]:
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     out: list[tuple] = []
     data_dir = os.path.join(table_dir, V._DATA)
     for f in files:
         tbl = pq.read_table(os.path.join(data_dir, f))
+        # Spark writes INT96/NTZ-flavored timestamps that pyarrow
+        # surfaces tz-naive (and ns-unit); Spark's ingest converter
+        # requires tz-aware values. Session tz is UTC, so re-tagging as
+        # UTC microseconds is a pure metadata fix (ns→µs truncation
+        # matches sources.load_table's normalization).
+        arrays, fields = [], []
+        for fld, col in zip(tbl.schema, tbl.columns):
+            if pa.types.is_timestamp(fld.type):
+                t = pa.timestamp("us", fld.type.tz or "UTC")
+                col, fld = col.cast(t), pa.field(fld.name, t)
+            arrays.append(col)
+            fields.append(fld)
+        tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
         cols = set(tbl.column_names)
         for rec in tbl.to_pylist():
             # manifest-schema order; columns added later read as None

@@ -260,6 +260,32 @@ def test_streaming_tail_overwrite_policies(spark, tmp_path):
     assert {r["id"] for r in skip.collect()} == set(range(6))
 
 
+def test_streaming_tail_reads_evolved_table(spark, tmp_path):
+    _register_tail(spark)
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 5), t, mode="append")
+    widened = _df(spark, 5, 8).withColumn(
+        "extra", F.when(F.col("id") >= 0, F.col("id") * 1.0)
+    )
+    V.commit(widened, t, mode="append", allow_evolution=True)
+    q = (
+        spark.readStream.format("versioned_tail")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vtail_evo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select id, extra from vtail_evo").collect()
+    assert len(rows) == 8
+    # pre-evolution files surface NULL for the evolved column
+    assert {r["id"] for r in rows if r["extra"] is None} == set(range(5))
+    assert {r["id"] for r in rows if r["extra"] is not None} == {5, 6, 7}
+
+
 def test_streaming_tail_schema_from_manifest(spark, tmp_path):
     _register_tail(spark)
     t = str(tmp_path / "tbl")
