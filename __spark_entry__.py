@@ -25476,6 +25476,73 @@ def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
+@q(
+    "versioned_pruned_scan",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(sum(volume), 6) AS sum_volume,
+       ROUND(min(price), 6) AS min_price,
+       ROUND(max(price), 6) AS max_price
+FROM trades
+WHERE symbol IN ('click', 'purchase') AND price >= 10.0
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping end-to-end (the Delta stats-pruning
+    analog the reference's Delta feature store gets for free —
+    spark/batch_feature_calculation.py:61-65): the canonical trades are
+    committed unclustered, OPTIMIZE'd with a Z-order compaction on
+    (symbol, price), and read back through
+    ``versioned.read_version(predicates=...)`` — the file list is
+    pruned against per-file min/max envelopes from the parquet footers
+    BEFORE Spark lists a path, then the same predicates run as the
+    residual row filter, so the answer is exact by construction. The
+    oracle is the plain filtered aggregate over all trades: pruning
+    must be invisible in the result. Aggregates are prune-invariant
+    and order-free (counts, small-integer volume sums, min/max).
+
+    At 100 TB this is the core read-path win: a predicate on any
+    Z-ordered dimension plans O(matching files), not O(table), with no
+    cluster involvement in the prune (manifest-only). tests/
+    test_versioned_skipping.py asserts the file-count effect directly.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_prune")
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
+    if not _os.path.isdir(_os.path.join(table, "_versions")):
+        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        V.commit(_trades(spark, sf_dir).repartition(8), work)
+        V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    pruned = V.read_version(
+        spark,
+        table,
+        predicates=[("symbol", "in", ["click", "purchase"]), ("price", ">=", 10.0)],
+    )
+    return pruned.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.round(F.sum("volume"), 6).alias("sum_volume"),
+        F.round(F.min("price"), 6).alias("min_price"),
+        F.round(F.max("price"), 6).alias("max_price"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -25549,6 +25616,7 @@ _DRIVER_WINDOW_DEBUT = [
     "peak_concurrency",
     "versioned_cdc_summary",
     "streaming_versioned_tail",
+    "versioned_pruned_scan",
 ]
 
 

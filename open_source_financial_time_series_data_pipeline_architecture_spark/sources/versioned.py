@@ -60,6 +60,16 @@ reference's spark/batch_feature_calculation.py:61-65 relies on):
 - **streaming tail**: ``versioned_stream.VersionedTailDataSource``
   follows the commit log as a Structured Streaming source (version
   number = offset), the "Delta as a stream" analog.
+- **data skipping**: every commit records per-file column min/max/null
+  stats in the manifest (read from the parquet FOOTERS of the staged
+  files — O(new files), no data scan; Delta stores the same envelope
+  in its add-actions). ``read_version(..., predicates=[...])`` prunes
+  the file list against the envelopes BEFORE Spark ever lists a path,
+  then applies the same predicates as a residual filter so results are
+  exact whether or not a file had stats. Clustered writes
+  (``compact(zorder_cols=...)``) make the envelopes tight in every
+  clustered dimension — at 100 TB the planner-side prune is the
+  difference between touching 3 files and 30,000.
 """
 
 from __future__ import annotations
@@ -135,7 +145,18 @@ def _stage_files(df: DataFrame, table_dir: str, next_v: int) -> list[str]:
     them. Returns the new file names."""
     data_dir = os.path.join(table_dir, _DATA)
     scratch = os.path.join(table_dir, f".stage-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(scratch)
+    # INT96 (Spark's default parquet timestamp encoding) carries NO
+    # column statistics, which would blind data skipping on time — the
+    # most common prune dimension. TIMESTAMP_MICROS is the annotated
+    # int64 form: footer min/max present, pyarrow reads it tz-aware.
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    old = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(scratch)
+    finally:
+        conf.set(key, old) if old else conf.unset(key)
     os.makedirs(data_dir, exist_ok=True)
     new_files = []
     for f in sorted(os.listdir(scratch)):
@@ -148,6 +169,157 @@ def _stage_files(df: DataFrame, table_dir: str, next_v: int) -> list[str]:
 
     shutil.rmtree(scratch)
     return new_files
+
+
+def _stat_key(v):
+    """Normalize a parquet-footer statistic (or a predicate value) to a
+    JSON-safe, totally-ordered key. Timestamps/dates become epoch
+    microseconds / ordinal days so tz-naive-vs-aware and ISO-format
+    quirks can never reorder them; unsupported types return None (no
+    stats kept → file never pruned on that column)."""
+    import datetime as _dt
+    import math
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    return None
+
+
+def _collect_stats(table_dir: str, files: list[str]) -> dict:
+    """Per-file column envelopes from parquet footers: for each staged
+    file, ``{"rows": n, "cols": {col: {"min": k, "max": k, "nulls": n}}}``.
+    Footer-only — no row is read. A column whose footer lacks stats (or
+    whose type has no total order we trust, e.g. binary) simply has no
+    entry and is never used to prune."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(table_dir, _DATA)
+    out: dict[str, dict] = {}
+    for fname in files:
+        md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+        cols: dict[str, dict] = {}
+        ok: dict[str, bool] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name:  # nested field — skip
+                    ok[name] = False
+                    continue
+                st = c.statistics
+                nulls = (
+                    st.null_count
+                    if st is not None and st.has_null_count
+                    else None
+                )
+                if st is not None and st.has_min_max:
+                    lo, hi = _stat_key(st.min), _stat_key(st.max)
+                elif nulls is not None and nulls == g.num_rows:
+                    lo = hi = None  # all-NULL group: a valid empty envelope
+                else:
+                    ok[name] = False
+                    continue
+                if nulls is None or (lo is None) != (hi is None):
+                    ok[name] = False
+                    continue
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = {"min": lo, "max": hi, "nulls": nulls}
+                    ok.setdefault(name, True)
+                else:
+                    for k, v, agg in (("min", lo, min), ("max", hi, max)):
+                        if v is not None:
+                            prev[k] = v if prev[k] is None else agg(prev[k], v)
+                    prev["nulls"] += nulls
+        out[fname] = {
+            "rows": md.num_rows,
+            "cols": {n: s for n, s in cols.items() if ok.get(n)},
+        }
+    return out
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
+    """Conservative envelope test: False ONLY when the file provably
+    contains no matching row. Missing stats → True (never wrong, just
+    unpruned)."""
+    if not stats:
+        return True
+    cols = stats.get("cols", {})
+    rows = stats.get("rows", 0)
+    for col, op, val in predicates:
+        s = cols.get(col)
+        if s is None:
+            continue
+        if s["nulls"] >= rows > 0:
+            return False  # all NULL — no comparison predicate matches
+        lo, hi = s["min"], s["max"]
+        if lo is None or hi is None:
+            continue
+        if op == "in":
+            keys = [k for k in (_stat_key(v) for v in val) if k is not None]
+            if len(keys) == len(val) and not any(lo <= k <= hi for k in keys):
+                return False
+            continue
+        k = _stat_key(val)
+        if k is None:
+            continue
+        if (
+            (op == "=" and not (lo <= k <= hi))
+            or (op == "<" and not lo < k)
+            or (op == "<=" and not lo <= k)
+            or (op == ">" and not hi > k)
+            or (op == ">=" and not hi >= k)
+        ):
+            return False
+    return True
+
+
+def prune_files(manifest: dict, predicates: list[tuple]) -> tuple[list[str], dict]:
+    """File-level data skipping: the subset of the manifest's files
+    whose min/max envelopes may satisfy ALL ``predicates`` (conjunctive
+    ``(column, op, value)`` triples, op in ``=, <, <=, >, >=, in``),
+    plus a report ``{"files_total", "files_kept"}``. Purely
+    manifest-driven — nothing is listed or read."""
+    for col, op, _ in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r} on {col!r}")
+    stats = manifest.get("stats", {})
+    kept = [
+        f for f in manifest["files"] if _file_may_match(stats.get(f), predicates)
+    ]
+    return kept, {"files_total": len(manifest["files"]), "files_kept": len(kept)}
+
+
+def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
+    """The residual row filter — ALWAYS applied after pruning, so the
+    result is exact even for files committed before stats existed."""
+    for col, op, val in predicates:
+        c = F.col(col)
+        cond = {
+            "=": c == F.lit(val),
+            "<": c < F.lit(val),
+            "<=": c <= F.lit(val),
+            ">": c > F.lit(val),
+            ">=": c >= F.lit(val),
+        }.get(op)
+        df = df.filter(c.isin(list(val)) if op == "in" else cond)
+    return df
 
 
 def _check_append_schema(
@@ -207,9 +379,11 @@ def commit(
         )
     next_v = base + 1
     staged = _stage_files(df, table_dir, next_v)
+    staged_stats = _collect_stats(table_dir, staged)
 
     for attempt in range(retries + 1):
         files = staged
+        stats = dict(staged_stats)
         schema_json = df.schema.json()
         if mode == "append" and base > 0:
             prior = _read_manifest(table_dir, base)
@@ -217,11 +391,13 @@ def commit(
                 prior["schema"], df.schema, allow_evolution
             )
             files = prior["files"] + staged
+            stats = {**prior.get("stats", {}), **staged_stats}
         manifest = {
             "version": next_v,
             "mode": mode,
             "files": files,
             "schema": schema_json,
+            "stats": stats,
         }
         try:
             _publish(table_dir, manifest)
@@ -247,9 +423,21 @@ def _read_files(
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    predicates: list[tuple] | None = None,
+    prune_report: dict | None = None,
 ) -> DataFrame:
-    """Load a snapshot (latest when ``version`` is None) — time travel."""
+    """Load a snapshot (latest when ``version`` is None) — time travel.
+
+    ``predicates`` (conjunctive ``(column, op, value)`` triples)
+    activates manifest data skipping: files whose stat envelopes
+    provably cannot match are dropped from the read BEFORE Spark lists
+    a single path, and the predicates are re-applied as a row filter so
+    the answer is exact regardless of stats coverage. Pass a dict as
+    ``prune_report`` to observe ``files_total``/``files_kept``."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -257,7 +445,21 @@ def read_version(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(table_dir, v)
-    return _read_files(spark, table_dir, m["files"], m["schema"])
+    files = m["files"]
+    if predicates:
+        files, report = prune_files(m, predicates)
+        if prune_report is not None:
+            prune_report.update(report)
+        if not files:
+            # match a parquet scan's schema exactly: file reads surface
+            # every field nullable, so the all-pruned frame must too
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            nullable = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+            return spark.createDataFrame([], nullable)
+    df = _read_files(spark, table_dir, files, m["schema"])
+    return _apply_predicates(df, predicates) if predicates else df
 
 
 def read_changes(
