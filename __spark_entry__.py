@@ -25543,6 +25543,80 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "versioned_merge_upsert",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(sum(volume), 6) AS sum_volume,
+       ROUND(min(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS min_price,
+       ROUND(max(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS max_price
+FROM trades
+WHERE symbol <> 'error'
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the versioned table, end-to-end (Delta's upsert —
+    reference spark/batch_feature_calculation.py:61-65): the canonical
+    trades are committed, OPTIMIZE'd with a Z-order on (symbol, price)
+    so per-file symbol envelopes are tight, then TWO merges run:
+    (1) an update merge keyed on (symbol, trade_id) that doubles every
+    'click' price — file-level merge pruning reads only the files whose
+    symbol envelope can contain 'click'; (2) a delete merge that
+    removes the 'error' symbol entirely. The query aggregates the
+    post-merge head snapshot; the oracle recomputes the same state
+    declaratively (CASE-doubled prices, error rows excluded).
+    Aggregates are order-free (counts, small-integer volume sums,
+    min/max of bit-identically doubled doubles)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_merge")
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
+    if not _os.path.isdir(_os.path.join(table, "_versions")):
+        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
+        clicks = tr.filter(F.col("symbol") == "click").withColumn(
+            "price", F.col("price") * 2
+        )
+        V.merge(spark, work, clicks, keys=["symbol", "trade_id"])
+        errors = tr.filter(F.col("symbol") == "error")
+        V.merge(
+            spark,
+            work,
+            errors,
+            keys=["symbol", "trade_id"],
+            when_matched="delete",
+            when_not_matched="ignore",
+        )
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    return (
+        V.read_version(spark, table)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.sum("volume"), 6).alias("sum_volume"),
+            F.round(F.min("price"), 6).alias("min_price"),
+            F.round(F.max("price"), 6).alias("max_price"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -25617,6 +25691,7 @@ _DRIVER_WINDOW_DEBUT = [
     "versioned_cdc_summary",
     "streaming_versioned_tail",
     "versioned_pruned_scan",
+    "versioned_merge_upsert",
 ]
 
 

@@ -60,6 +60,13 @@ reference's spark/batch_feature_calculation.py:61-65 relies on):
 - **streaming tail**: ``versioned_stream.VersionedTailDataSource``
   follows the commit log as a Structured Streaming source (version
   number = offset), the "Delta as a stream" analog.
+- **MERGE INTO**: ``merge`` upserts a keyed source into the table with
+  Delta's matched/not-matched branches AND file-level merge pruning —
+  the source's key envelope (one tiny aggregate) selects the files
+  that can possibly contain matches; only those are read and
+  rewritten, everything else carries forward verbatim. The manifest
+  records the replaced files, so the change feed diffs O(touched
+  content) rather than whole snapshots.
 - **data skipping**: every commit records per-file column min/max/null
   stats in the manifest (read from the parquet FOOTERS of the staged
   files — O(new files), no data scan; Delta stores the same envelope
@@ -510,6 +517,36 @@ def read_changes(
                 )
         elif m["mode"] == "optimize":
             pass  # logical no-op: same rows, fewer files
+        elif m["mode"] == "merge":
+            # the manifest names the replaced files — diff ONLY the
+            # touched content (O(files the merge rewrote), not O(table))
+            seen = set(prev_files)
+            new_files = [f for f in m["files"] if f not in seen]
+            replaced = m.get("replaced", [])
+            cur = (
+                _read_files(spark, table_dir, new_files, schema_json)
+                if new_files
+                else None
+            )
+            old = (
+                _read_files(spark, table_dir, replaced, schema_json)
+                if replaced
+                else None
+            )
+            ins = cur.exceptAll(old) if (cur is not None and old is not None) else cur
+            dels = old.exceptAll(cur) if (cur is not None and old is not None) else old
+            if ins is not None:
+                parts.append(
+                    ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+            if dels is not None:
+                parts.append(
+                    dels.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
         else:  # overwrite: content diff against the previous snapshot
             cur = _read_files(spark, table_dir, m["files"], schema_json)
             if prev_files:
@@ -544,6 +581,156 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    report: dict | None = None,
+) -> dict:
+    """MERGE INTO the versioned table (Delta's upsert primitive —
+    reference spark/batch_feature_calculation.py:61-65 relies on it):
+    target rows whose key tuple appears in ``source`` are updated
+    (replaced by the source row), deleted, or kept
+    (``when_matched='update'|'delete'|'ignore'``); source rows matching
+    nothing are inserted or dropped (``when_not_matched``).
+
+    The 100 TB property is file-level merge pruning: the source's key
+    envelopes (one tiny min/max aggregate) are tested against every
+    file's manifest stats, and ONLY overlapping files are read and
+    rewritten — a merge touching one day of a year-partitioned table
+    rewrites ~1/365th of it. Untouched files (and their stats) carry
+    forward verbatim; the commit is compare-and-swap (a racing writer
+    raises ``ConcurrentCommitError`` rather than being silently
+    overwritten). The manifest records the replaced files so the
+    change feed can diff ONLY the touched content, not the snapshots.
+
+    Multiple source rows with the same key would make the update
+    non-deterministic — rejected up front, exactly as Delta's
+    "multiple source rows matched" error. Pass a dict as ``report``
+    to observe files_total/files_rewritten/rows_written."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched: {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched: {when_not_matched!r}")
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _read_manifest(table_dir, base)
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if [(f.name, f.dataType) for f in source.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise SchemaMismatchError(
+            "merge source schema differs from table schema: "
+            f"table={schema.simpleString()} source={source.schema.simpleString()}"
+        )
+    dup = (
+        source.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge source has duplicate key tuples — the update would be "
+            f"non-deterministic (keys={keys})"
+        )
+
+    # file-level merge pruning: candidate files are those whose stat
+    # envelopes overlap the source's key envelope in EVERY key column
+    env = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).first()
+    if env[f"lo_{keys[0]}"] is None:  # empty source: provable no-op
+        if report is not None:
+            report.update(
+                {
+                    "files_total": len(m["files"]),
+                    "files_rewritten": 0,
+                    "rows_written": 0,
+                }
+            )
+        return m
+    preds = []
+    for k in keys:
+        if env[f"lo_{k}"] is not None:
+            preds += [(k, ">=", env[f"lo_{k}"]), (k, "<=", env[f"hi_{k}"])]
+    touched, _ = prune_files(m, preds)
+    untouched = [f for f in m["files"] if f not in set(touched)]
+
+    key_cols = [F.col(k) for k in keys]
+    src_keys = source.select(*key_cols).distinct()
+    if touched:
+        target = _read_files(spark, table_dir, touched, m["schema"])
+        tgt_keys = target.select(*key_cols).distinct()
+        if when_matched == "update":
+            kept = target.join(src_keys, keys, "left_anti")
+            updated = source.join(tgt_keys, keys, "left_semi")
+        elif when_matched == "delete":
+            kept = target.join(src_keys, keys, "left_anti")
+            updated = None
+        else:  # ignore
+            kept, updated = target, None
+        inserts = (
+            source.join(tgt_keys, keys, "left_anti")
+            if when_not_matched == "insert"
+            else None
+        )
+    else:  # no candidate files: every source row is unmatched
+        kept = updated = None
+        inserts = source if when_not_matched == "insert" else None
+
+    order = [F.col(f.name) for f in schema.fields]
+    parts = [p.select(*order) for p in (kept, updated, inserts) if p is not None]
+    if not parts:  # matched-ignore merge with nothing to insert: no-op
+        if report is not None:
+            report.update(
+                {
+                    "files_total": len(m["files"]),
+                    "files_rewritten": 0,
+                    "rows_written": 0,
+                }
+            )
+        return m
+    new_df = parts[0]
+    for p in parts[1:]:
+        new_df = new_df.unionByName(p)
+
+    next_v = base + 1
+    staged = _stage_files(new_df, table_dir, next_v)
+    staged_stats = _collect_stats(table_dir, staged)
+    prior_stats = m.get("stats", {})
+    manifest = {
+        "version": next_v,
+        "mode": "merge",
+        "files": untouched + staged,
+        "replaced": touched,
+        "schema": m["schema"],
+        "stats": {
+            **{f: prior_stats[f] for f in untouched if f in prior_stats},
+            **staged_stats,
+        },
+    }
+    _publish(table_dir, manifest)  # CAS: merge read base — losing = error
+    if report is not None:
+        report.update(
+            {
+                "files_total": len(m["files"]),
+                "files_rewritten": len(touched),
+                "rows_written": sum(
+                    staged_stats[f]["rows"] for f in staged
+                ),
+            }
+        )
+    return manifest
 
 
 def compact(

@@ -104,10 +104,10 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
                 out.extend(_rows_from_files(self.table_dir, new, self.names))
             elif m["mode"] == "optimize":
                 pass
-            else:  # overwrite
+            else:  # overwrite/merge: the snapshot changed in place
                 if self.on_overwrite == "fail":
                     raise RuntimeError(
-                        f"version {v} is an overwrite; streaming tail "
+                        f"version {v} is a {m['mode']}; streaming tail "
                         "requires append-only commits (set "
                         "on_overwrite='snapshot' or 'skip')"
                     )
