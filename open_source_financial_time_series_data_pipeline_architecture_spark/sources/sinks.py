@@ -78,6 +78,44 @@ def foreach_batch_upsert(
     return handle
 
 
+def foreach_batch_versioned(
+    table_dir: str,
+    app_id: str,
+    keys: list[str] | None = None,
+    when_matched: str = "update",
+):
+    """`writeStream.foreachBatch` handler committing each micro-batch
+    into the VERSIONED table (sources/versioned.py) with Delta's `txn`
+    idempotence: the manifest records (app_id, batch_id), so a replayed
+    batch — crash after commit, before checkpoint — is a provable no-op
+    instead of a duplicate append. Without ``keys`` each batch is an
+    append commit; with ``keys`` it is a pruned MERGE (exactly-once
+    upsert, the transactional form of `foreach_batch_upsert`)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os as _os
+
+        if not _os.path.isdir(_os.path.join(table_dir, "_versions")):
+            V.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
+        elif keys:
+            V.merge(
+                spark,
+                table_dir,
+                batch_df.dropDuplicates(keys),
+                keys,
+                when_matched=when_matched,
+                txn=(app_id, batch_id),
+            )
+        else:
+            V.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
+
+    return handle
+
+
 def append_dlq(dlq_df: DataFrame, target_dir: str, checkpoint: str):
     """S13 — dead-letter side output as an append-only stream."""
     return (

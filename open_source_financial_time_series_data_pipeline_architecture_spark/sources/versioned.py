@@ -353,6 +353,25 @@ def _check_append_schema(
     return new_schema.json()
 
 
+def last_txn_version(table_dir: str, app_id: str) -> int | None:
+    """The highest transaction version the given writer application has
+    committed (Delta's ``txn`` action) — None if it never wrote."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        return None
+    v = _read_manifest(table_dir, versions[-1]).get("txn", {}).get(app_id)
+    return int(v) if v is not None else None
+
+
+def _txn_replayed(prior: dict | None, txn: tuple[str, int] | None) -> bool:
+    """True when this (app_id, version) already committed — the
+    exactly-once guard for replayed streaming micro-batches."""
+    if txn is None or prior is None:
+        return False
+    seen = prior.get("txn", {}).get(txn[0])
+    return seen is not None and int(seen) >= int(txn[1])
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -361,6 +380,7 @@ def commit(
     allow_evolution: bool = False,
     retries: int = 2,
     expected_base: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Write ``df`` as the next version. ``mode='overwrite'`` makes the
     new manifest a full snapshot of just this write; ``mode='append'``
@@ -384,6 +404,9 @@ def commit(
         raise ConcurrentCommitError(
             f"expected base version {expected_base}, head is {base}"
         )
+    prior = _read_manifest(table_dir, base) if base > 0 else None
+    if _txn_replayed(prior, txn):
+        return prior  # exactly-once: this micro-batch already landed
     next_v = base + 1
     staged = _stage_files(df, table_dir, next_v)
     staged_stats = _collect_stats(table_dir, staged)
@@ -392,8 +415,7 @@ def commit(
         files = staged
         stats = dict(staged_stats)
         schema_json = df.schema.json()
-        if mode == "append" and base > 0:
-            prior = _read_manifest(table_dir, base)
+        if mode == "append" and prior is not None:
             schema_json = _check_append_schema(
                 prior["schema"], df.schema, allow_evolution
             )
@@ -405,6 +427,10 @@ def commit(
             "files": files,
             "schema": schema_json,
             "stats": stats,
+            "txn": {
+                **(prior.get("txn", {}) if prior else {}),
+                **({txn[0]: int(txn[1])} if txn else {}),
+            },
         }
         try:
             _publish(table_dir, manifest)
@@ -414,6 +440,9 @@ def commit(
                 raise
             versions = _list_versions(table_dir)
             base = versions[-1] if versions else 0
+            prior = _read_manifest(table_dir, base) if base > 0 else None
+            if _txn_replayed(prior, txn):  # the racing writer was our replay
+                return prior
             next_v = base + 1
 
 
@@ -591,6 +620,7 @@ def merge(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     report: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE INTO the versioned table (Delta's upsert primitive —
     reference spark/batch_feature_calculation.py:61-65 relies on it):
@@ -622,6 +652,17 @@ def merge(
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
     m = _read_manifest(table_dir, base)
+    if _txn_replayed(m, txn):
+        if report is not None:
+            report.update(
+                {
+                    "files_total": len(m["files"]),
+                    "files_rewritten": 0,
+                    "rows_written": 0,
+                    "replayed": True,
+                }
+            )
+        return m  # exactly-once: this micro-batch already merged
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
@@ -717,6 +758,10 @@ def merge(
         "stats": {
             **{f: prior_stats[f] for f in untouched if f in prior_stats},
             **staged_stats,
+        },
+        "txn": {
+            **m.get("txn", {}),
+            **({txn[0]: int(txn[1])} if txn else {}),
         },
     }
     _publish(table_dir, manifest)  # CAS: merge read base — losing = error
