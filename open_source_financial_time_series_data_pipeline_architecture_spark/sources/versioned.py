@@ -107,6 +107,12 @@ class SchemaMismatchError(ValueError):
     """Append schema is incompatible with the table's current schema."""
 
 
+def _now() -> float:
+    import time
+
+    return time.time()
+
+
 def _versions_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _VERSIONS)
 
@@ -313,20 +319,35 @@ def prune_files(manifest: dict, predicates: list[tuple]) -> tuple[list[str], dic
     return kept, {"files_total": len(manifest["files"]), "files_kept": len(kept)}
 
 
+def _predicate_column(predicates: list[tuple]):
+    """The conjunction of ``(column, op, value)`` triples as ONE Column
+    expression (NULL-propagating, exactly like the SQL WHERE clause the
+    triples transcribe)."""
+    conds = []
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op == "in":
+            conds.append(c.isin(list(val)))
+        else:
+            conds.append(
+                {
+                    "=": c == F.lit(val),
+                    "<": c < F.lit(val),
+                    "<=": c <= F.lit(val),
+                    ">": c > F.lit(val),
+                    ">=": c >= F.lit(val),
+                }[op]
+            )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
     """The residual row filter — ALWAYS applied after pruning, so the
     result is exact even for files committed before stats existed."""
-    for col, op, val in predicates:
-        c = F.col(col)
-        cond = {
-            "=": c == F.lit(val),
-            "<": c < F.lit(val),
-            "<=": c <= F.lit(val),
-            ">": c > F.lit(val),
-            ">=": c >= F.lit(val),
-        }.get(op)
-        df = df.filter(c.isin(list(val)) if op == "in" else cond)
-    return df
+    return df.filter(_predicate_column(predicates))
 
 
 def _check_append_schema(
@@ -424,6 +445,7 @@ def commit(
         manifest = {
             "version": next_v,
             "mode": mode,
+            "ts": _now(),
             "files": files,
             "schema": schema_json,
             "stats": stats,
@@ -463,10 +485,13 @@ def read_version(
     table_dir: str,
     version: int | None = None,
     *,
+    as_of_timestamp: float | None = None,
     predicates: list[tuple] | None = None,
     prune_report: dict | None = None,
 ) -> DataFrame:
     """Load a snapshot (latest when ``version`` is None) — time travel.
+    ``as_of_timestamp`` (epoch seconds) selects the newest version
+    committed at or before that instant — ``TIMESTAMP AS OF``.
 
     ``predicates`` (conjunctive ``(column, op, value)`` triples)
     activates manifest data skipping: files whose stat envelopes
@@ -477,6 +502,20 @@ def read_version(
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_timestamp, not both")
+        eligible = [
+            v
+            for v in versions
+            if _read_manifest(table_dir, v).get("ts", 0) <= as_of_timestamp
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version committed at or before {as_of_timestamp} "
+                f"at {table_dir}"
+            )
+        version = eligible[-1]
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -763,6 +802,7 @@ def merge(
             **m.get("txn", {}),
             **({txn[0]: int(txn[1])} if txn else {}),
         },
+        "ts": _now(),
     }
     _publish(table_dir, manifest)  # CAS: merge read base — losing = error
     if report is not None:
@@ -776,6 +816,97 @@ def merge(
             }
         )
     return manifest
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    transform,
+    report: dict | None,
+) -> dict:
+    """Shared engine for DELETE/UPDATE WHERE: prune to the files whose
+    stat envelopes can contain matching rows, rewrite ONLY those via
+    ``transform(df, matched_condition)``, carry everything else (and
+    its stats) forward, publish as a CAS 'merge' commit the change feed
+    diffs at O(touched content)."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _read_manifest(table_dir, base)
+    touched, _ = prune_files(m, predicates)
+    if report is not None:
+        report.update(
+            {"files_total": len(m["files"]), "files_rewritten": len(touched)}
+        )
+    if not touched:  # provably nothing matches: no-op, no commit
+        return m
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    target = _read_files(spark, table_dir, touched, m["schema"])
+    new_df = transform(target, _predicate_column(predicates))
+    next_v = base + 1
+    staged = _stage_files(new_df, table_dir, next_v)
+    staged_stats = _collect_stats(table_dir, staged)
+    prior_stats = m.get("stats", {})
+    manifest = {
+        "version": next_v,
+        "mode": "merge",
+        "ts": _now(),
+        "files": untouched + staged,
+        "replaced": touched,
+        "schema": m["schema"],
+        "stats": {
+            **{f: prior_stats[f] for f in untouched if f in prior_stats},
+            **staged_stats,
+        },
+        "txn": m.get("txn", {}),
+    }
+    _publish(table_dir, manifest)
+    return manifest
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    report: dict | None = None,
+) -> dict:
+    """DELETE FROM table WHERE <conjunction> (Delta's predicate
+    delete): rows where the predicate is TRUE are removed; rows where
+    it is FALSE or NULL survive. Only envelope-overlapping files are
+    rewritten — deleting one symbol from a symbol-clustered table
+    rewrites that symbol's files, nothing else."""
+    return _rewrite_where(
+        spark,
+        table_dir,
+        predicates,
+        lambda df, p: df.filter(~F.coalesce(p, F.lit(False))),
+        report,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    set_exprs: dict,
+    report: dict | None = None,
+) -> dict:
+    """UPDATE table SET col=expr, ... WHERE <conjunction> (Delta's
+    predicate update): matching rows get each ``set_exprs`` column
+    replaced (Column expressions over the row), non-matching rows pass
+    through byte-identical. File pruning as in ``delete_where``. The
+    updated columns must keep their types — the commit re-applies the
+    table schema order and a type drift fails the parquet write."""
+    def _tx(df: DataFrame, p):
+        for c, expr in set_exprs.items():
+            df = df.withColumn(
+                c, F.when(F.coalesce(p, F.lit(False)), expr).otherwise(F.col(c))
+            )
+        return df
+
+    return _rewrite_where(spark, table_dir, predicates, _tx, report)
 
 
 def compact(
@@ -820,7 +951,12 @@ def history(table_dir: str) -> list[dict]:
     for v in _list_versions(table_dir):
         m = _read_manifest(table_dir, v)
         out.append(
-            {"version": v, "mode": m["mode"], "n_files": len(m["files"])}
+            {
+                "version": v,
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+                "ts": m.get("ts"),
+            }
         )
     return out
 
