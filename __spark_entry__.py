@@ -25543,6 +25543,137 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_aug_spark() -> F.Column:
+    """Deterministic PII enrichment of the documents corpus: the
+    synthetic texts carry no emails/phones/IPs, so the fixture injects
+    them as pure functions of doc_id (the oracle builds the IDENTICAL
+    strings in SQL) — the scan/redaction operators then have real work
+    whose answers both engines must agree on."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" host 10."), (did % 200).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_AUG_SQL = """text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+
+
+def _pii_scan_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        pii as PII,
+    )
+
+    cnt = PII.counts_sql("t")
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {cnt[n]} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS {n}_docs,\n"
+        f"       CAST(sum({cnt[n]}) AS BIGINT) AS {n}_hits"
+        for n in PII.PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (SELECT source, {_PII_AUG_SQL} AS t FROM documents)
+SELECT source,
+       {cols}
+FROM aug
+GROUP BY source
+"""
+
+
+@q("pii_scan_summary", _pii_scan_oracle())
+def pii_scan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over the (deterministically enriched) corpus — the
+    pre-tokenization audit every LLM data pipeline runs: per source,
+    how many documents contain each PII type and how many raw matches.
+    Pure regexp projections (functions/pii.py — Java-regex/RE2 common
+    dialect) + one hash aggregate; map-only before the groupBy, scales
+    as a single corpus pass."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        pii as PII,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t", _pii_aug_spark()
+    )
+    for name, c in PII.pii_counts(F.col("t")).items():
+        docs = docs.withColumn(f"__c_{name}", c)
+    aggs = []
+    for name in PII.PII_PATTERNS:
+        c = F.col(f"__c_{name}")
+        aggs.append(
+            F.sum(F.when(c > 0, 1).otherwise(0)).cast("bigint").alias(f"{name}_docs")
+        )
+        aggs.append(F.sum(c).cast("bigint").alias(f"{name}_hits"))
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _pii_redact_oracle() -> str:
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        pii as PII,
+    )
+
+    red = PII.redact_sql("t")
+    return f"""
+WITH aug AS (SELECT source, {_PII_AUG_SQL} AS t FROM documents),
+r AS (SELECT source, t, {red} AS red FROM aug)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN red <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+       CAST(sum(length(t) - length(red)) AS BIGINT) AS chars_delta
+FROM r
+GROUP BY source
+"""
+
+
+@q("pii_redaction_stats", _pii_redact_oracle())
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/SSNs/phones/IPv4s replaced by bracketed
+    tokens, fixed order) with the audit aggregate a scrub job emits:
+    per source, documents changed and net character delta. The oracle
+    runs the SAME regexp_replace chain generated from the SAME pattern
+    table (functions/pii.py redact_sql), so engine drift is impossible
+    without a red row. One projection + one hash aggregate."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        pii as PII,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t", _pii_aug_spark()
+    )
+    docs = docs.withColumn("red", PII.redact(F.col("t")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("red") != F.col("t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_redacted"),
+        F.sum(F.length("t") - F.length("red")).cast("bigint").alias("chars_delta"),
+    )
+
+
 @q(
     "versioned_merge_upsert",
     oracle(
@@ -25692,6 +25823,8 @@ _DRIVER_WINDOW_DEBUT = [
     "streaming_versioned_tail",
     "versioned_pruned_scan",
     "versioned_merge_upsert",
+    "pii_scan_summary",
+    "pii_redaction_stats",
 ]
 
 
