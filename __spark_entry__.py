@@ -69,6 +69,11 @@ _TRADES_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _TRADES_CACHE:
+        # NB: measured both ways — pre-repartitioning this cache across
+        # 32 tasks SLOWS the suite at toy scale (scheduling overhead on
+        # ~100k cheap rows beats the parse parallelism); the explicit
+        # spread pays only for CPU-heavy expansions (see
+        # winnowing_fingerprints' in-query repartition).
         _TRADES_CACHE[key] = trades_from_events(
             load_table(spark, sf_dir, "events")
         ).cache()
@@ -17233,6 +17238,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("text")).alias("t"),
             F.length("text").alias("len"),
         )
+        # the corpus arrives as ONE row group = one scan task; spread
+        # the ×|chars| gram explode + md5 across the executors BEFORE
+        # the expansion, hashed on doc_id so the winnowing window's
+        # partitioning is already satisfied (no second exchange). The
+        # explicit count keeps AQE from coalescing the pre-expansion
+        # rows (tiny in bytes, huge in downstream CPU) back to 1 task.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     grams = docs.select(
         "doc_id",
@@ -17259,22 +17271,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
         (F.col("len") - 7).alias("n_kgrams"),
     )
-    fp = (
-        sel.filter(F.col("wn") >= 10)
-        .select(
-            "doc_id",
-            "n_kgrams",
-            F.col("m.pos").alias("fp_pos"),
-            F.col("m.h").alias("fp_hash"),
-        )
-        .distinct()
+    fp = sel.filter(F.col("wn") >= 10).select(
+        "doc_id",
+        "n_kgrams",
+        F.col("m.pos").alias("fp_pos"),
+        F.col("m.h").alias("fp_hash"),
     )
+    # dedup INSIDE the aggregate: a standalone .distinct() would shuffle
+    # on all four columns, discarding the doc_id partitioning the window
+    # just established — count_distinct keeps it one exchange-free agg
+    n_fp = F.count_distinct(F.struct("fp_pos", "fp_hash"))
     return fp.groupBy("doc_id").agg(
         F.max("n_kgrams").cast("bigint").alias("n_kgrams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
-        F.round(
-            F.count(F.lit(1)) * 1.0 / F.max("n_kgrams"), 6
-        ).alias("density"),
+        n_fp.cast("bigint").alias("n_fingerprints"),
+        F.round(n_fp * 1.0 / F.max("n_kgrams"), 6).alias("density"),
     )
 
 
