@@ -152,10 +152,21 @@ def _publish(table_dir: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _stage_files(df: DataFrame, table_dir: str, next_v: int) -> list[str]:
+def _stage_files(
+    df: DataFrame,
+    table_dir: str,
+    next_v: int,
+    bloom_cols: list[str] | None = None,
+) -> list[str]:
     """Write ``df``'s parquet files under ``data/`` with version-
     prefixed uuid-unique names — invisible until a manifest lists
-    them. Returns the new file names."""
+    them. Returns the new file names.
+
+    ``bloom_cols`` turns on parquet-native split-block bloom filters
+    for those columns (parquet-mr writer property) — the reader then
+    skips row groups on point predicates over high-cardinality keys
+    that min/max envelopes cannot prune (e.g. trade_id when the table
+    is clustered by time)."""
     data_dir = os.path.join(table_dir, _DATA)
     scratch = os.path.join(table_dir, f".stage-{uuid.uuid4().hex[:8]}")
     # INT96 (Spark's default parquet timestamp encoding) carries NO
@@ -167,7 +178,10 @@ def _stage_files(df: DataFrame, table_dir: str, next_v: int) -> list[str]:
     old = conf.get(key, None)
     conf.set(key, "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").parquet(scratch)
+        writer = df.write.mode("overwrite")
+        for c in bloom_cols or []:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(scratch)
     finally:
         conf.set(key, old) if old else conf.unset(key)
     os.makedirs(data_dir, exist_ok=True)
@@ -402,6 +416,7 @@ def commit(
     retries: int = 2,
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as the next version. ``mode='overwrite'`` makes the
     new manifest a full snapshot of just this write; ``mode='append'``
@@ -428,8 +443,12 @@ def commit(
     prior = _read_manifest(table_dir, base) if base > 0 else None
     if _txn_replayed(prior, txn):
         return prior  # exactly-once: this micro-batch already landed
+    # bloom columns are TABLE config: set once, every later commit
+    # (append/merge/optimize) keeps writing them without re-asking
+    if bloom_cols is None and prior is not None:
+        bloom_cols = prior.get("bloom_cols")
     next_v = base + 1
-    staged = _stage_files(df, table_dir, next_v)
+    staged = _stage_files(df, table_dir, next_v, bloom_cols)
     staged_stats = _collect_stats(table_dir, staged)
 
     for attempt in range(retries + 1):
@@ -453,6 +472,7 @@ def commit(
                 **(prior.get("txn", {}) if prior else {}),
                 **({txn[0]: int(txn[1])} if txn else {}),
             },
+            **({"bloom_cols": bloom_cols} if bloom_cols else {}),
         }
         try:
             _publish(table_dir, manifest)
@@ -785,7 +805,7 @@ def merge(
         new_df = new_df.unionByName(p)
 
     next_v = base + 1
-    staged = _stage_files(new_df, table_dir, next_v)
+    staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
     staged_stats = _collect_stats(table_dir, staged)
     prior_stats = m.get("stats", {})
     manifest = {
@@ -803,6 +823,7 @@ def merge(
             **({txn[0]: int(txn[1])} if txn else {}),
         },
         "ts": _now(),
+        **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
     }
     _publish(table_dir, manifest)  # CAS: merge read base — losing = error
     if report is not None:
@@ -846,7 +867,7 @@ def _rewrite_where(
     target = _read_files(spark, table_dir, touched, m["schema"])
     new_df = transform(target, _predicate_column(predicates))
     next_v = base + 1
-    staged = _stage_files(new_df, table_dir, next_v)
+    staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
     staged_stats = _collect_stats(table_dir, staged)
     prior_stats = m.get("stats", {})
     manifest = {
@@ -861,6 +882,7 @@ def _rewrite_where(
             **staged_stats,
         },
         "txn": m.get("txn", {}),
+        **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
     }
     _publish(table_dir, manifest)
     return manifest

@@ -41,8 +41,8 @@ def test_append_retries_past_concurrent_writer(spark, tmp_path, monkeypatch):
     orig = V._stage_files
     state = {"raced": False}
 
-    def racy(df, table_dir, next_v):
-        files = orig(df, table_dir, next_v)
+    def racy(df, table_dir, next_v, bloom_cols=None):
+        files = orig(df, table_dir, next_v, bloom_cols)
         if not state["raced"]:
             state["raced"] = True
             # a competing writer lands version 2 while we are staging

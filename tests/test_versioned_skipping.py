@@ -119,6 +119,37 @@ def test_zorder_compaction_tightens_envelopes(spark, tmp_path):
     assert {r["id"] for r in got.collect()} == set(range(64))
 
 
+def test_bloom_filter_table_config(spark, tmp_path):
+    """parquet-native bloom filters: opt in once at commit, every later
+    commit keeps writing them (manifest-carried table config), and the
+    bloom-bearing files measurably grow vs a no-bloom control."""
+    import os
+
+    def _data_bytes(table):
+        d = os.path.join(table, "data")
+        return sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+
+    df = spark.range(0, 50_000).select(
+        F.concat(F.lit("t-"), F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    V.commit(df.coalesce(1), plain)
+    m = V.commit(df.coalesce(1), bloomed, bloom_cols=["k"])
+    assert m["bloom_cols"] == ["k"]
+    assert _data_bytes(bloomed) > _data_bytes(plain) * 1.05
+    # appends inherit the config without re-asking
+    m2 = V.commit(df.coalesce(1), bloomed, mode="append")
+    assert m2["bloom_cols"] == ["k"]
+    # reads (incl. the point predicate the bloom serves) stay exact
+    got = V.read_version(spark, bloomed, predicates=[("k", "=", "t-123")])
+    assert [r["v"] for r in got.collect()] == [123, 123]
+    # merge commits keep writing blooms on rewritten files
+    src = spark.createDataFrame([("t-123", -1)], "k string, v long")
+    m3 = V.merge(spark, bloomed, src, keys=["k"])
+    assert m3["bloom_cols"] == ["k"]
+
+
 def test_stats_survive_append_and_evolution(spark, tmp_path):
     t = str(tmp_path / "tbl")
     V.commit(_df(spark, 0, 10).coalesce(1), t)
