@@ -107,6 +107,10 @@ class SchemaMismatchError(ValueError):
     """Append schema is incompatible with the table's current schema."""
 
 
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected the rows being committed."""
+
+
 def _now() -> float:
     import time
 
@@ -388,6 +392,58 @@ def _check_append_schema(
     return new_schema.json()
 
 
+def _check_constraints(df: DataFrame, constraints: dict) -> None:
+    """CHECK semantics (SQL / Delta): a row violates a constraint only
+    when the expression is FALSE — NULL (unknown) passes. One
+    violation-count job per commit; raises with the first offending
+    constraint name."""
+    for name, expr in (constraints or {}).items():
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {name!r} ({expr}) rejected incoming rows"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT CHECK (expr): validates the
+    CURRENT snapshot (the whole table must already satisfy it — same
+    contract as Delta), then publishes a metadata-only commit carrying
+    the constraint. Every later commit/merge/update validates its
+    incoming rows against it."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _read_manifest(table_dir, base)
+    cons = dict(m.get("constraints", {}))
+    _check_constraints(
+        _read_files(spark, table_dir, m["files"], m["schema"]), {name: expr}
+    )
+    cons[name] = expr
+    manifest = {**m, "version": base + 1, "mode": "metadata",
+                "constraints": cons, "ts": _now()}
+    _publish(table_dir, manifest)
+    return manifest
+
+
+def drop_constraint(table_dir: str, name: str) -> dict:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only commit."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _read_manifest(table_dir, base)
+    cons = dict(m.get("constraints", {}))
+    cons.pop(name, None)
+    manifest = {**m, "version": base + 1, "mode": "metadata",
+                "constraints": cons, "ts": _now()}
+    _publish(table_dir, manifest)
+    return manifest
+
+
 def last_txn_version(table_dir: str, app_id: str) -> int | None:
     """The highest transaction version the given writer application has
     committed (Delta's ``txn`` action) — None if it never wrote."""
@@ -447,6 +503,9 @@ def commit(
     # (append/merge/optimize) keeps writing them without re-asking
     if bloom_cols is None and prior is not None:
         bloom_cols = prior.get("bloom_cols")
+    constraints = prior.get("constraints", {}) if prior else {}
+    if constraints and mode != "optimize":  # optimize rewrites valid rows
+        _check_constraints(df, constraints)
     next_v = base + 1
     staged = _stage_files(df, table_dir, next_v, bloom_cols)
     staged_stats = _collect_stats(table_dir, staged)
@@ -473,6 +532,7 @@ def commit(
                 **({txn[0]: int(txn[1])} if txn else {}),
             },
             **({"bloom_cols": bloom_cols} if bloom_cols else {}),
+            **({"constraints": constraints} if constraints else {}),
         }
         try:
             _publish(table_dir, manifest)
@@ -603,8 +663,8 @@ def read_changes(
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
-        elif m["mode"] == "optimize":
-            pass  # logical no-op: same rows, fewer files
+        elif m["mode"] in ("optimize", "metadata"):
+            pass  # logical no-op: same rows (fewer files / new config)
         elif m["mode"] == "merge":
             # the manifest names the replaced files — diff ONLY the
             # touched content (O(files the merge rewrote), not O(table))
@@ -803,6 +863,7 @@ def merge(
     new_df = parts[0]
     for p in parts[1:]:
         new_df = new_df.unionByName(p)
+    _check_constraints(new_df, m.get("constraints"))
 
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
@@ -824,6 +885,7 @@ def merge(
         },
         "ts": _now(),
         **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
+        **({"constraints": m["constraints"]} if m.get("constraints") else {}),
     }
     _publish(table_dir, manifest)  # CAS: merge read base — losing = error
     if report is not None:
@@ -866,6 +928,7 @@ def _rewrite_where(
     untouched = [f for f in m["files"] if f not in set(touched)]
     target = _read_files(spark, table_dir, touched, m["schema"])
     new_df = transform(target, _predicate_column(predicates))
+    _check_constraints(new_df, m.get("constraints"))
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
     staged_stats = _collect_stats(table_dir, staged)
@@ -883,6 +946,7 @@ def _rewrite_where(
         },
         "txn": m.get("txn", {}),
         **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
+        **({"constraints": m["constraints"]} if m.get("constraints") else {}),
     }
     _publish(table_dir, manifest)
     return manifest

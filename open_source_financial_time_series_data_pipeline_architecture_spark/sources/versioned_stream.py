@@ -102,7 +102,7 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
                 seen = set(prev_files)
                 new = [f for f in m["files"] if f not in seen]
                 out.extend(_rows_from_files(self.table_dir, new, self.names))
-            elif m["mode"] == "optimize":
+            elif m["mode"] in ("optimize", "metadata"):
                 pass
             else:  # overwrite/merge: the snapshot changed in place
                 if self.on_overwrite == "fail":
@@ -117,6 +117,126 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
                     )
             prev_files = m["files"]
         return out
+
+
+def _multiset_diff(
+    table_dir: str, old_files: list[str], new_files: list[str], names: list[str]
+) -> tuple[list[tuple], list[tuple]]:
+    """(inserts, deletes) between two file sets as a MULTISET diff —
+    identical rows cancel pairwise (exceptAll semantics), so a rewrite
+    that reproduces a row bit-identically emits nothing for it. List
+    columns are tupled for hashing."""
+    from collections import Counter
+
+    def _key(row: tuple) -> tuple:
+        return tuple(
+            tuple(v) if isinstance(v, list) else v for v in row
+        )
+
+    old = Counter(_key(r) for r in _rows_from_files(table_dir, old_files, names))
+    new = Counter(_key(r) for r in _rows_from_files(table_dir, new_files, names))
+    ins = [k for k, n in (new - old).items() for _ in range(n)]
+    dels = [k for k, n in (old - new).items() for _ in range(n)]
+    return ins, dels
+
+
+class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
+    """Streaming CHANGE DATA FEED of the versioned table (Delta's
+    ``readChangeFeed`` as a stream): every commit becomes change rows —
+    appends are O(new files) inserts, merges diff ONLY the replaced
+    files' content, overwrites diff the snapshots (the honest price of
+    a blind rewrite), optimize/metadata commits emit nothing. Offsets
+    are the commit-log version numbers, so checkpoint replay re-reads
+    identical batches."""
+
+    def __init__(self, options, names: list[str]):
+        self.table_dir = options["path"]
+        self.start_version = int(options.get("start_version", 0))
+        self.names = names  # table columns; change columns appended
+
+    def initialOffset(self):
+        return {"v": self.start_version}
+
+    def read(self, start: dict):
+        versions = V._list_versions(self.table_dir)
+        head = versions[-1] if versions else 0
+        if head <= start["v"]:
+            return [], {"v": start["v"]}
+        return self._rows(start["v"], head), {"v": head}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["v"], end["v"])
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        versions = V._list_versions(self.table_dir)
+        prev_files: list[str] = (
+            V._read_manifest(self.table_dir, lo)["files"] if lo else []
+        )
+        out: list[tuple] = []
+
+        def _emit(rows, kind: str, v: int):
+            out.extend(tuple(r) + (kind, v) for r in rows)
+
+        for v in [v for v in versions if lo < v <= hi]:
+            m = V._read_manifest(self.table_dir, v)
+            if m["mode"] == "append":
+                seen = set(prev_files)
+                new = [f for f in m["files"] if f not in seen]
+                _emit(
+                    _rows_from_files(self.table_dir, new, self.names),
+                    "insert",
+                    v,
+                )
+            elif m["mode"] in ("optimize", "metadata"):
+                pass
+            elif m["mode"] == "merge":
+                seen = set(prev_files)
+                new = [f for f in m["files"] if f not in seen]
+                ins, dels = _multiset_diff(
+                    self.table_dir, m.get("replaced", []), new, self.names
+                )
+                _emit(ins, "insert", v)
+                _emit(dels, "delete", v)
+            else:  # overwrite: full snapshot diff
+                ins, dels = _multiset_diff(
+                    self.table_dir, prev_files, m["files"], self.names
+                )
+                _emit(ins, "insert", v)
+                _emit(dels, "delete", v)
+            prev_files = m["files"]
+        return out
+
+
+class VersionedCDFDataSource(DataSource):
+    """``spark.readStream.format("versioned_cdf").option("path", t)``
+    after ``spark.dataSource.register(VersionedCDFDataSource)`` —
+    change rows as the table's columns + ``_change_type`` +
+    ``_commit_version``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf"
+
+    def _table_struct(self) -> T.StructType:
+        versions = V._list_versions(self.options["path"])
+        if not versions:
+            raise FileNotFoundError(f"no versions at {self.options['path']}")
+        m = V._read_manifest(self.options["path"], versions[-1])
+        return T.StructType.fromJson(json.loads(m["schema"]))
+
+    def schema(self) -> T.StructType:
+        base = self._table_struct()
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+
+    def simpleStreamReader(self, schema) -> VersionedCDFStreamReader:
+        names = [f.name for f in self._table_struct().fields]
+        return VersionedCDFStreamReader(self.options, names)
 
 
 class VersionedTailDataSource(DataSource):

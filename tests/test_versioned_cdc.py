@@ -286,6 +286,56 @@ def test_streaming_tail_reads_evolved_table(spark, tmp_path):
     assert {r["id"] for r in rows if r["extra"] is not None} == {5, 6, 7}
 
 
+def test_streaming_cdf_matches_batch_feed(spark, tmp_path):
+    """The versioned_cdf stream must reconstruct exactly what the batch
+    change feed reports across append + merge + delete + overwrite
+    commits (optimize/metadata silent)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+        VersionedCDFDataSource,
+    )
+
+    try:
+        spark.dataSource.register(VersionedCDFDataSource)
+    except Exception:
+        pass
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 6), t)                                  # v1 snapshot
+    V.commit(_df(spark, 6, 9), t, mode="append")                   # v2 inserts
+    V.merge(                                                       # v3 update
+        spark,
+        t,
+        spark.range(2, 3).withColumn("v", F.col("id") * 100),
+        keys=["id"],
+    )
+    V.compact(spark, t, n_files=1)                                 # v4 silent
+    V.delete_where(spark, t, [("id", "=", 7)])                     # v5 delete
+    V.commit(_df(spark, 0, 2), t)                                  # v6 rewrite
+
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vcdf")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in spark.sql("select * from vcdf").collect()
+    }
+    exp = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in V.read_changes(spark, t, 0).collect()
+    }
+    assert got == exp
+    assert {v for (v, *_rest) in got} == {1, 2, 3, 5, 6}  # 4 is silent
+    assert (3, "delete", 2, 20) in got and (3, "insert", 2, 200) in got
+    assert (5, "delete", 7, 70) in got
+
+
 def test_streaming_tail_schema_from_manifest(spark, tmp_path):
     _register_tail(spark)
     t = str(tmp_path / "tbl")
