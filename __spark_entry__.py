@@ -25335,6 +25335,38 @@ def storage_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_age_audit(events, time_col="ts")
 
 
+def _versioned_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf, atomic rename-into-place) the 3-commit CDC
+    fixture table: v1 snapshot of three symbols, v2 APPEND of the other
+    two, v3 OVERWRITE that drops 'error'. Shared by the batch CDC
+    summary and the streaming CDF query."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_cdc")
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
+    if not _os.path.isdir(_os.path.join(table, "_versions")):
+        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.filter(F.col("symbol").isin("click", "view", "purchase")), work)
+        V.commit(
+            tr.filter(F.col("symbol").isin("signup", "error")), work, mode="append"
+        )
+        V.commit(tr.filter(F.col("symbol") != "error"), work)
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    return table
+
+
 @q(
     "versioned_cdc_summary",
     oracle(
@@ -25378,30 +25410,11 @@ def versioned_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are small-integer doubles, so summation order cannot skew
     them. The table builds once per sf under /tmp (atomic
     rename-into-place; concurrent builders race safely)."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-    import uuid as _uuid
-
     from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
         versioned as V,
     )
 
-    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_cdc")
-    _os.makedirs(base, exist_ok=True)
-    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
-    if not _os.path.isdir(_os.path.join(table, "_versions")):
-        work = table + f".build-{_uuid.uuid4().hex[:8]}"
-        tr = _trades(spark, sf_dir)
-        V.commit(tr.filter(F.col("symbol").isin("click", "view", "purchase")), work)
-        V.commit(
-            tr.filter(F.col("symbol").isin("signup", "error")), work, mode="append"
-        )
-        V.commit(tr.filter(F.col("symbol") != "error"), work)
-        try:
-            _os.rename(work, table)
-        except OSError:
-            _shutil.rmtree(work)  # a concurrent builder won the rename
+    table = _versioned_cdc_table(spark, sf_dir)
     ch = V.read_changes(spark, table, 1, 3)
     return ch.groupBy(
         F.col("_commit_version").alias("commit_version"),
@@ -25481,6 +25494,69 @@ def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.round(F.sum("volume"), 6).alias("sum_volume"),
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@q(
+    "streaming_versioned_cdf",
+    oracle(
+        """
+SELECT CAST(2 AS BIGINT) AS commit_version,
+       'insert' AS change_type,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+WHERE symbol IN ('signup', 'error')
+GROUP BY symbol
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS commit_version,
+       'delete' AS change_type,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+WHERE symbol = 'error'
+GROUP BY symbol
+"""
+    ),
+)
+def streaming_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change data feed as a REAL Structured Streaming source
+    (sources/versioned_stream.py VersionedCDFDataSource — Delta's
+    ``readChangeFeed`` streaming analog): the same 3-commit CDC fixture
+    table is followed from start_version=1; the stream emits v2's
+    appended rows as inserts and v3's overwrite diff as deletes
+    (multiset diff — recomputed identical rows cancel), drained under
+    Trigger.AvailableNow through a complete-mode aggregate into a
+    memory sink. The oracle is the identical first-principles feed the
+    batch versioned_cdc_summary pins — stream and batch MUST agree."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+        VersionedCDFDataSource,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        run_available_now,
+    )
+
+    table = _versioned_cdc_table(spark, sf_dir)
+    try:
+        spark.dataSource.register(VersionedCDFDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("versioned_cdf")
+        .option("path", table)
+        .option("start_version", "1")
+        .load()
+    )
+    agg = stream.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+        "symbol",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("volume"), 6).alias("sum_volume"),
     )
     return run_available_now(agg, output_mode="complete")
@@ -25835,6 +25911,7 @@ _DRIVER_WINDOW_DEBUT = [
     "versioned_merge_upsert",
     "pii_scan_summary",
     "pii_redaction_stats",
+    "streaming_versioned_cdf",
 ]
 
 
