@@ -53,6 +53,14 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
 
+    def versioned_table(self, path: str):
+        """Handle over a versioned (Delta-lite) table at ``path`` —
+        commits, MERGE, time travel, change feeds, streaming tail/CDF,
+        constraints, OPTIMIZE/restore/vacuum (sources/versioned.py)."""
+        from .sources.versioned import VersionedTable
+
+        return VersionedTable(self.spark, path)
+
     # -- features -----------------------------------------------------
     def feature(self, name: str) -> DataFrame:
         if name not in self._feature_cache:

@@ -545,6 +545,17 @@ def commit(
             prior = _read_manifest(table_dir, base) if base > 0 else None
             if _txn_replayed(prior, txn):  # the racing writer was our replay
                 return prior
+            # the winner may have changed table config mid-race: adopt
+            # its constraints (re-validating our rows against any new
+            # ones) and its bloom columns, or the retry manifest would
+            # silently drop them from the log
+            new_cons = prior.get("constraints", {}) if prior else {}
+            if new_cons != constraints:
+                if mode != "optimize":
+                    _check_constraints(df, new_cons)
+                constraints = new_cons
+            if prior is not None and prior.get("bloom_cols"):
+                bloom_cols = prior["bloom_cols"]
             next_v = base + 1
 
 
@@ -1031,6 +1042,40 @@ def compact(
     )
 
 
+def restore(table_dir: str, version: int) -> dict:
+    """RESTORE TABLE TO VERSION AS OF (Delta's restore): publishes a
+    NEW head commit that re-references the target version's files and
+    schema — no data is copied or rewritten, history is preserved (the
+    restore itself is an ordinary overwrite-mode commit, so the change
+    feed reports it as the content diff it is, and a later vacuum can
+    still reclaim the abandoned head's files)."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    base = versions[-1]
+    head = _read_manifest(table_dir, base)
+    target = _read_manifest(table_dir, version)
+    manifest = {
+        "version": base + 1,
+        "mode": "overwrite",
+        "ts": _now(),
+        "files": target["files"],
+        "schema": target["schema"],
+        "stats": target.get("stats", {}),
+        "txn": head.get("txn", {}),  # writer high-water marks survive
+        **({"bloom_cols": head["bloom_cols"]} if head.get("bloom_cols") else {}),
+        **(
+            {"constraints": head["constraints"]}
+            if head.get("constraints")
+            else {}
+        ),
+    }
+    _publish(table_dir, manifest)
+    return manifest
+
+
 def history(table_dir: str) -> list[dict]:
     """The table's commit log, oldest first (version/mode/file count)."""
     out = []
@@ -1045,6 +1090,113 @@ def history(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+class VersionedTable:
+    """Object handle over one versioned table — the user-facing
+    lakehouse API (DeltaTable analog): every module-level operation as
+    a method bound to (spark, path).
+
+        t = VersionedTable(spark, "/data/trades")
+        t.append(df); t.merge(src, keys=["id"]); t.compact(zorder_cols=[...])
+        t.read(predicates=[("symbol", "=", "click")])   # pruned scan
+        t.read(version=3); t.read(as_of_timestamp=ts)   # time travel
+        t.changes(1); t.stream_tail(); t.stream_cdf()   # feeds
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- writes ---------------------------------------------------------
+    def overwrite(self, df: DataFrame, **kw) -> dict:
+        return commit(df, self.path, mode="overwrite", **kw)
+
+    def append(self, df: DataFrame, **kw) -> dict:
+        return commit(df, self.path, mode="append", **kw)
+
+    def merge(self, source: DataFrame, keys: list[str], **kw) -> dict:
+        return merge(self.spark, self.path, source, keys, **kw)
+
+    def delete_where(self, predicates: list[tuple], **kw) -> dict:
+        return delete_where(self.spark, self.path, predicates, **kw)
+
+    def update_where(
+        self, predicates: list[tuple], set_exprs: dict, **kw
+    ) -> dict:
+        return update_where(self.spark, self.path, predicates, set_exprs, **kw)
+
+    def compact(self, n_files: int = 1, zorder_cols: list[str] | None = None) -> dict:
+        return compact(self.spark, self.path, n_files, zorder_cols)
+
+    def restore(self, version: int) -> dict:
+        return restore(self.path, version)
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        return vacuum(self.path, keep_last=keep_last)
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        return add_constraint(self.spark, self.path, name, expr)
+
+    def drop_constraint(self, name: str) -> dict:
+        return drop_constraint(self.path, name)
+
+    # -- reads ----------------------------------------------------------
+    def read(self, version: int | None = None, **kw) -> DataFrame:
+        return read_version(self.spark, self.path, version, **kw)
+
+    def changes(
+        self, start_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        return read_changes(self.spark, self.path, start_version, end_version)
+
+    def history(self) -> list[dict]:
+        return history(self.path)
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        return last_txn_version(self.path, app_id)
+
+    # -- streams ---------------------------------------------------------
+    def _register(self, cls) -> None:
+        try:
+            self.spark.dataSource.register(cls)
+        except Exception:
+            pass  # already registered in this session
+
+    def stream_tail(self, **options) -> DataFrame:
+        from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+            VersionedTailDataSource,
+        )
+
+        self._register(VersionedTailDataSource)
+        reader = self.spark.readStream.format("versioned_tail").option(
+            "path", self.path
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def stream_cdf(self, start_version: int = 0) -> DataFrame:
+        from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+            VersionedCDFDataSource,
+        )
+
+        self._register(VersionedCDFDataSource)
+        return (
+            self.spark.readStream.format("versioned_cdf")
+            .option("path", self.path)
+            .option("start_version", str(start_version))
+            .load()
+        )
+
+    def stream_sink(self, app_id: str, keys: list[str] | None = None, **kw):
+        """foreachBatch handler: exactly-once append/merge into this
+        table (sinks.foreach_batch_versioned)."""
+        from open_source_financial_time_series_data_pipeline_architecture_spark.sources.sinks import (
+            foreach_batch_versioned,
+        )
+
+        return foreach_batch_versioned(self.path, app_id, keys, **kw)
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> int:
