@@ -25629,6 +25629,141 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "lee_ready_classification",
+    oracle(
+        """
+WITH ord AS (
+  SELECT symbol, time, trade_id, price, side,
+         lag((bid + ask) / 2) OVER w AS mid_prev,
+         price - lag(price) OVER w AS dp
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id)
+),
+ticks AS (
+  SELECT symbol, side, mid_prev, price,
+         last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY time, trade_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tickdir
+  FROM ord
+),
+lab AS (
+  SELECT symbol, side,
+         CASE WHEN mid_prev IS NOT NULL AND price > mid_prev THEN 'buy'
+              WHEN mid_prev IS NOT NULL AND price < mid_prev THEN 'sell'
+              WHEN tickdir = 1 THEN 'buy'
+              WHEN tickdir = -1 THEN 'sell'
+         END AS cls
+  FROM ticks
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(CASE WHEN cls = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+       CAST(sum(CASE WHEN cls = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+       CAST(sum(CASE WHEN cls IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unclassified,
+       CAST(sum(CASE WHEN cls = side THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM lab
+GROUP BY symbol
+"""
+    ),
+)
+def lee_ready_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready (1991) trade-side classification — the standard
+    microstructure inference of aggressor side from prices and quotes
+    (the reference stores an explicit side column; real feeds often
+    don't, and this operator reconstructs it): a trade above the
+    PREVAILING (previous) quote midpoint is a buy, below a sell, and
+    at-the-mid trades fall back to the zero-tick rule (the last
+    non-zero price-move direction). Scored against the generator's
+    actual side per symbol.
+
+    One shuffle (symbol), two lag columns + one growing ignore-nulls
+    last() over the same window spec (single WindowExec), one hash
+    aggregate. Midpoints are (bid+ask)/2 on BOTH engines over the
+    identical stored doubles, so comparisons are bit-consistent."""
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    wg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mid_prev = F.lag((F.col("bid") + F.col("ask")) / 2).over(w)
+    dp = F.col("price") - F.lag("price").over(w)
+    ticked = _trades(spark, sf_dir).select(
+        "symbol",
+        "side",
+        "price",
+        mid_prev.alias("mid_prev"),
+        F.last(
+            F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1)), ignorenulls=True
+        )
+        .over(wg)
+        .alias("tickdir"),
+    )
+    cls = (
+        F.when(
+            F.col("mid_prev").isNotNull() & (F.col("price") > F.col("mid_prev")),
+            F.lit("buy"),
+        )
+        .when(
+            F.col("mid_prev").isNotNull() & (F.col("price") < F.col("mid_prev")),
+            F.lit("sell"),
+        )
+        .when(F.col("tickdir") == 1, F.lit("buy"))
+        .when(F.col("tickdir") == -1, F.lit("sell"))
+    )
+    lab = ticked.withColumn("cls", cls)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return lab.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        one(F.col("cls") == "buy").alias("n_buy"),
+        one(F.col("cls") == "sell").alias("n_sell"),
+        one(F.col("cls").isNull()).alias("n_unclassified"),
+        one(F.col("cls") == F.col("side")).alias("n_agree"),
+    )
+
+
+@q(
+    "doc_chunking",
+    """
+WITH pos AS (
+  SELECT doc_id, n_chars,
+         unnest(range(1, length(text) + 1, 150)) AS p,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       CAST((p - 1) // 150 AS BIGINT) AS chunk_idx,
+       CAST(length(substring(text, CAST(p AS INT), 200)) AS BIGINT) AS chunk_chars,
+       md5(substring(text, CAST(p AS INT), 200)) AS chunk_md5
+FROM pos
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping document chunking — the RAG/pretraining
+    prep step that splits each document into 200-char windows with a
+    150-char stride (50-char overlap). Emitted as (doc_id, chunk_idx,
+    chars, md5) so the result stays compact while pinning the exact
+    chunk CONTENT via the hash. sequence+explode generates positions
+    row-side (no driver loop, no UDF); chunk_idx derives from the
+    position arithmetic so no ordinality construct is needed. At
+    100 TB this is a map-only ×(len/stride) expansion — scan-bound,
+    embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("len"), F.lit(150))
+        ).alias("p"),
+    )
+    chunk = F.substring(F.col("text"), F.col("p"), F.lit(200))
+    return pos.select(
+        "doc_id",
+        ((F.col("p") - 1) / 150).cast("bigint").alias("chunk_idx"),
+        F.length(chunk).cast("bigint").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 def _pii_aug_spark() -> F.Column:
     """Deterministic PII enrichment of the documents corpus: the
     synthetic texts carry no emails/phones/IPs, so the fixture injects
@@ -25912,6 +26047,8 @@ _DRIVER_WINDOW_DEBUT = [
     "pii_scan_summary",
     "pii_redaction_stats",
     "streaming_versioned_cdf",
+    "lee_ready_classification",
+    "doc_chunking",
 ]
 
 
