@@ -112,3 +112,46 @@ def test_vectorized_knn_at_100k_corpus(spark):
         (F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)
     ).count()
     assert self_hits == 9
+
+
+def test_versioned_merge_prune_at_1m_rows(spark, tmp_path):
+    """Storage plane at 10× sf0.1 volume: a clustered 1M-row versioned
+    table takes a 1k-row merge by rewriting ONLY the envelope-matching
+    files, and a point-range pruned read plans a strict file subset."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    t = str(tmp_path / "big")
+    trades = _synth_trades(spark).withColumn(
+        "tid", F.col("trade_id").cast("long")
+    )
+    V.commit(trades.repartitionByRange(16, "tid"), t)
+
+    # pruned read: a 1%-of-keyspace range touches ~1/16th of the files
+    rep: dict = {}
+    got = V.read_version(
+        spark, t, predicates=[("tid", ">=", 990_000)], prune_report=rep
+    )
+    assert got.count() == 10_000
+    assert rep["files_kept"] <= 2 and rep["files_total"] == 16
+
+    # merge 1000 updated rows clustered in one range: ≤2 files rewritten
+    src = trades.filter(
+        (F.col("tid") >= 500_000) & (F.col("tid") < 501_000)
+    ).withColumn("price", F.col("price") + 1.0)
+    mrep: dict = {}
+    V.merge(spark, t, src, keys=["tid"], report=mrep)
+    assert mrep["files_rewritten"] <= 2 and mrep["files_total"] == 16
+    assert V.read_version(spark, t).count() == N
+    # the updated band really changed, everything else untouched
+    chk = (
+        V.read_version(
+            spark,
+            t,
+            predicates=[("tid", ">=", 499_999), ("tid", "<=", 501_000)],
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert chk["n"] == 1_002
