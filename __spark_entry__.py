@@ -25630,7 +25630,7 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "lee_ready_classification",
+    "lee_ready_prevailing_quote",
     oracle(
         """
 WITH ord AS (
@@ -25667,12 +25667,12 @@ GROUP BY symbol
 """
     ),
 )
-def lee_ready_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lee-Ready (1991) trade-side classification — the standard
-    microstructure inference of aggressor side from prices and quotes
-    (the reference stores an explicit side column; real feeds often
-    don't, and this operator reconstructs it): a trade above the
-    PREVAILING (previous) quote midpoint is a buy, below a sell, and
+def lee_ready_prevailing_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-Ready (1991) with the PREVAILING (= previous trade's) quote
+    midpoint — the textbook convention, complementing the existing
+    `lee_ready_sides` (current-quote variant, whose quote rule
+    degenerates to the tick rule on this data because mid == price):
+    a trade above the prevailing midpoint is a buy, below a sell, and
     at-the-mid trades fall back to the zero-tick rule (the last
     non-zero price-move direction). Scored against the generator's
     actual side per symbol.
@@ -25681,34 +25681,11 @@ def lee_ready_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     last() over the same window spec (single WindowExec), one hash
     aggregate. Midpoints are (bid+ask)/2 on BOTH engines over the
     identical stored doubles, so comparisons are bit-consistent."""
-    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
-    wg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mid_prev = F.lag((F.col("bid") + F.col("ask")) / 2).over(w)
-    dp = F.col("price") - F.lag("price").over(w)
-    ticked = _trades(spark, sf_dir).select(
-        "symbol",
-        "side",
-        "price",
-        mid_prev.alias("mid_prev"),
-        F.last(
-            F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1)), ignorenulls=True
-        )
-        .over(wg)
-        .alias("tickdir"),
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        microstructure as MS,
     )
-    cls = (
-        F.when(
-            F.col("mid_prev").isNotNull() & (F.col("price") > F.col("mid_prev")),
-            F.lit("buy"),
-        )
-        .when(
-            F.col("mid_prev").isNotNull() & (F.col("price") < F.col("mid_prev")),
-            F.lit("sell"),
-        )
-        .when(F.col("tickdir") == 1, F.lit("buy"))
-        .when(F.col("tickdir") == -1, F.lit("sell"))
-    )
-    lab = ticked.withColumn("cls", cls)
+
+    lab = MS.lee_ready_prevailing_labels(_trades(spark, sf_dir))
     one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
     return lab.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trades"),
@@ -26047,7 +26024,7 @@ _DRIVER_WINDOW_DEBUT = [
     "pii_scan_summary",
     "pii_redaction_stats",
     "streaming_versioned_cdf",
-    "lee_ready_classification",
+    "lee_ready_prevailing_quote",
     "doc_chunking",
 ]
 

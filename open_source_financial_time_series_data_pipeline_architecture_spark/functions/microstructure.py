@@ -544,3 +544,45 @@ def lee_ready_classification(trades: DataFrame) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+def lee_ready_prevailing_labels(trades: DataFrame) -> DataFrame:
+    """Per-trade Lee–Ready labels under the PREVAILING-quote convention
+    (price vs the PREVIOUS trade's midquote; at-mid/quoteless rows fall
+    back to the carried zero-tick direction). Returns one row per trade
+    with the inferred ``cls`` — the row-level form the aggregate query
+    and the streaming keyed-state classifier (streaming/cep.py
+    streaming_lee_ready) must both reproduce exactly.
+
+    One window pass: lag(mid), lag(price) and the growing ignore-nulls
+    last() share a single (symbol, time, trade_id) sort."""
+    w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    wg = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mid_prev = F.lag((F.col("bid") + F.col("ask")) / 2).over(w)
+    dp = F.col("price") - F.lag("price").over(w)
+    base = trades.select(
+        "symbol",
+        "time",
+        "trade_id",
+        "price",
+        "side",
+        mid_prev.alias("mid_prev"),
+        F.last(
+            F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1)), ignorenulls=True
+        )
+        .over(wg)
+        .alias("tickdir"),
+    )
+    cls = (
+        F.when(
+            F.col("mid_prev").isNotNull() & (F.col("price") > F.col("mid_prev")),
+            F.lit("buy"),
+        )
+        .when(
+            F.col("mid_prev").isNotNull() & (F.col("price") < F.col("mid_prev")),
+            F.lit("sell"),
+        )
+        .when(F.col("tickdir") == 1, F.lit("buy"))
+        .when(F.col("tickdir") == -1, F.lit("sell"))
+    )
+    return base.withColumn("cls", cls)

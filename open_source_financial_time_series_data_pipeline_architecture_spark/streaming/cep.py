@@ -461,3 +461,82 @@ def streaming_kalman(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LEE_READY_SCHEMA = (
+    "symbol string, time timestamp, trade_id string, cls string"
+)
+_LR_STATE_SCHEMA = "last_price double, last_mid double, tickdir int"
+
+
+def _lee_ready_fn():
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_price, last_mid, tickdir = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
+        out = []
+        for r in rows.itertuples():
+            price = float(r.price)
+            mid_prev = last_mid
+            if last_price is not None:
+                if price > last_price:
+                    tickdir = 1
+                elif price < last_price:
+                    tickdir = -1  # zero ticks carry the old direction
+            if mid_prev is not None and price > mid_prev:
+                cls = "buy"
+            elif mid_prev is not None and price < mid_prev:
+                cls = "sell"
+            elif tickdir == 1:
+                cls = "buy"
+            elif tickdir == -1:
+                cls = "sell"
+            else:
+                cls = None
+            out.append(
+                {
+                    "symbol": key[0],
+                    "time": r.time,
+                    "trade_id": r.trade_id,
+                    "cls": cls,
+                }
+            )
+            last_price = price
+            has_quotes = (
+                r.bid is not None
+                and r.ask is not None
+                and not pd.isna(r.bid)
+                and not pd.isna(r.ask)
+            )
+            last_mid = (
+                (float(r.bid) + float(r.ask)) / 2 if has_quotes else None
+            )
+        state.update((last_price, last_mid, tickdir))
+        yield pd.DataFrame(
+            out, columns=["symbol", "time", "trade_id", "cls"]
+        )
+
+    return fn
+
+
+def streaming_lee_ready(trades: DataFrame) -> DataFrame:
+    """The prevailing-quote Lee-Ready classifier as keyed streaming
+    state: (last price, last midquote, carried tick direction) — three
+    scalars per symbol, exact continuation across micro-batches, so the
+    streamed per-trade labels equal the batch window plan row-for-row
+    (pinned in tests/test_streaming.py). The batch form's growing
+    ignore-nulls last() IS this carry."""
+    return trades.select(
+        "time", "symbol", "price", "trade_id", "bid", "ask"
+    ).groupBy("symbol").applyInPandasWithState(
+        _lee_ready_fn(),
+        outputStructType=LEE_READY_SCHEMA,
+        stateStructType=_LR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
