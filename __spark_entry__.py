@@ -25697,7 +25697,7 @@ def lee_ready_prevailing_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "doc_chunking",
+    "doc_chunking_overlap",
     """
 WITH pos AS (
   SELECT doc_id, n_chars,
@@ -25712,10 +25712,10 @@ SELECT doc_id,
 FROM pos
 """,
 )
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size overlapping document chunking — the RAG/pretraining
-    prep step that splits each document into 200-char windows with a
-    150-char stride (50-char overlap). Emitted as (doc_id, chunk_idx,
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size OVERLAPPING character chunking — the RAG retrieval
+    convention (200-char windows, 150-char stride, 50-char overlap),
+    complementing the disjoint word-based `doc_chunking`. Emitted as (doc_id, chunk_idx,
     chars, md5) so the result stays compact while pinning the exact
     chunk CONTENT via the hash. sequence+explode generates positions
     row-side (no driver loop, no UDF); chunk_idx derives from the
@@ -26025,7 +26025,7 @@ _DRIVER_WINDOW_DEBUT = [
     "pii_redaction_stats",
     "streaming_versioned_cdf",
     "lee_ready_prevailing_quote",
-    "doc_chunking",
+    "doc_chunking_overlap",
 ]
 
 
