@@ -51,6 +51,10 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, oracle_sql_text: str | None = None):
     def register(fn):
+        # a reused name would silently SHADOW the earlier query (dict
+        # overwrite) — and anything composing via QUERIES[...] would
+        # quietly change semantics. Fail at import instead.
+        assert name not in QUERIES, f"duplicate query name: {name!r}"
         QUERIES[name] = fn
         if oracle_sql_text is not None:
             ORACLES[name] = oracle_sql_text
