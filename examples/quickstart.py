@@ -69,6 +69,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         5, truncate=False
     )
 
+    # 7. the lakehouse table: transactional storage for all of the
+    # above (reference: batch_feature_calculation.py writes Delta) —
+    # commit, OPTIMIZE ZORDER, pruned reads, MERGE, time travel, CDF
+    import tempfile
+
+    t = eng.versioned_table(tempfile.mkdtemp(prefix="fts_quickstart_"))
+    trades = eng.trades()
+    t.overwrite(trades.repartition(4))
+    t.compact(n_files=4, zorder_cols=["symbol", "price"])
+    rep: dict = {}
+    print("== pruned lakehouse scan ==")
+    t.read(predicates=[("symbol", "=", sym)], prune_report=rep).groupBy(
+        "symbol"
+    ).count().show(truncate=False)
+    print(f"   (manifest pruning read {rep['files_kept']}/{rep['files_total']} files)")
+    from pyspark.sql import functions as F
+
+    t.merge(
+        trades.filter(F.col("symbol") == sym).withColumn(
+            "price", F.col("price") * 2
+        ),
+        keys=["symbol", "trade_id"],
+    )
+    print("== change data feed (the merge, rolled up) ==")
+    t.changes(2).groupBy("_commit_version", "_change_type").count().show(
+        truncate=False
+    )
+    print("== time travel ==")
+    print(
+        "   rows now:", t.read().count(),
+        "| rows at v1:", t.read(version=1).count(),
+        "| history:", [(h["version"], h["mode"]) for h in t.history()],
+    )
+
     spark.stop()
 
 
