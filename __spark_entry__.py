@@ -53,8 +53,10 @@ def q(name: str, oracle_sql_text: str | None = None):
     def register(fn):
         # a reused name would silently SHADOW the earlier query (dict
         # overwrite) — and anything composing via QUERIES[...] would
-        # quietly change semantics. Fail at import instead.
-        assert name not in QUERIES, f"duplicate query name: {name!r}"
+        # quietly change semantics. Fail at import instead (raise, not
+        # assert: python -O must not strip this).
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name!r}")
         QUERIES[name] = fn
         if oracle_sql_text is not None:
             ORACLES[name] = oracle_sql_text
@@ -25339,36 +25341,60 @@ def storage_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_age_audit(events, time_col="ts")
 
 
-def _versioned_cdc_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf, atomic rename-into-place) the 3-commit CDC
-    fixture table: v1 snapshot of three symbols, v2 APPEND of the other
-    two, v3 OVERWRITE that drops 'error'. Shared by the batch CDC
-    summary and the streaming CDF query."""
+def _tmp_fixture_table(sf_dir: str, name: str, build) -> str:
+    """Build-once-per-sf fixture table under /tmp with the atomic
+    rename-into-place protocol all versioned driver queries share:
+    ``build(work_dir)`` writes into a uuid work dir that becomes the
+    table in one os.rename — a concurrent builder losing the rename
+    just discards its work dir; readers only ever see complete
+    tables."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
     import uuid as _uuid
 
-    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
-        versioned as V,
-    )
-
-    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_cdc")
+    base = _os.path.join(_tempfile.gettempdir(), name)
     _os.makedirs(base, exist_ok=True)
     table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
     if not _os.path.isdir(_os.path.join(table, "_versions")):
         work = table + f".build-{_uuid.uuid4().hex[:8]}"
+        build(work)
+        try:
+            _os.rename(work, table)
+        except OSError:
+            _shutil.rmtree(work)  # a concurrent builder won the rename
+    return table
+
+
+def _register_source(spark: SparkSession, cls) -> None:
+    """Register a Python Data Source, tolerating ONLY the duplicate-
+    registration error — real failures must surface here, not as an
+    opaque source-not-found at load()."""
+    try:
+        spark.dataSource.register(cls)
+    except Exception as exc:
+        if "exist" not in str(exc).lower():
+            raise
+
+
+def _versioned_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf, atomic rename-into-place) the 3-commit CDC
+    fixture table: v1 snapshot of three symbols, v2 APPEND of the other
+    two, v3 OVERWRITE that drops 'error'. Shared by the batch CDC
+    summary and the streaming CDF query."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
         tr = _trades(spark, sf_dir)
         V.commit(tr.filter(F.col("symbol").isin("click", "view", "purchase")), work)
         V.commit(
             tr.filter(F.col("symbol").isin("signup", "error")), work, mode="append"
         )
         V.commit(tr.filter(F.col("symbol") != "error"), work)
-        try:
-            _os.rename(work, table)
-        except OSError:
-            _shutil.rmtree(work)  # a concurrent builder won the rename
-    return table
+
+    return _tmp_fixture_table(sf_dir, "fts_versioned_cdc", build)
 
 
 @q(
@@ -25454,11 +25480,6 @@ def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly: per-symbol trade counts and volume sums over ALL trades
     (append-only commits partition the rows, so the union is the
     table). Volume sums are small-integer doubles — order-free."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-    import uuid as _uuid
-
     from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
         versioned as V,
     )
@@ -25469,11 +25490,7 @@ def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_tail")
-    _os.makedirs(base, exist_ok=True)
-    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
-    if not _os.path.isdir(_os.path.join(table, "_versions")):
-        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+    def build(work: str) -> None:
         tr = _trades(spark, sf_dir)
         V.commit(
             tr.filter(F.col("symbol").isin("click", "view", "purchase")),
@@ -25485,14 +25502,9 @@ def streaming_versioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             work,
             mode="append",
         )
-        try:
-            _os.rename(work, table)
-        except OSError:
-            _shutil.rmtree(work)  # a concurrent builder won the rename
-    try:
-        spark.dataSource.register(VersionedTailDataSource)
-    except Exception:
-        pass  # already registered in this session
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_tail", build)
+    _register_source(spark, VersionedTailDataSource)
     stream = (
         spark.readStream.format("versioned_tail").option("path", table).load()
     )
@@ -25545,10 +25557,7 @@ def streaming_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     table = _versioned_cdc_table(spark, sf_dir)
-    try:
-        spark.dataSource.register(VersionedCDFDataSource)
-    except Exception:
-        pass  # already registered in this session
+    _register_source(spark, VersionedCDFDataSource)
     stream = (
         spark.readStream.format("versioned_cdf")
         .option("path", table)
@@ -25600,26 +25609,15 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster involvement in the prune (manifest-only). tests/
     test_versioned_skipping.py asserts the file-count effect directly.
     """
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-    import uuid as _uuid
-
     from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
         versioned as V,
     )
 
-    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_prune")
-    _os.makedirs(base, exist_ok=True)
-    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
-    if not _os.path.isdir(_os.path.join(table, "_versions")):
-        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+    def build(work: str) -> None:
         V.commit(_trades(spark, sf_dir).repartition(8), work)
         V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
-        try:
-            _os.rename(work, table)
-        except OSError:
-            _shutil.rmtree(work)  # a concurrent builder won the rename
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_prune", build)
     pruned = V.read_version(
         spark,
         table,
@@ -25726,8 +25724,12 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arithmetic so no ordinality construct is needed. At
     100 TB this is a map-only ×(len/stride) expansion — scan-bound,
     embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("len")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("len"))
+        # empty docs yield no chunks; Spark's sequence(1, 0, 150) would
+        # THROW where the oracle's range() just emits nothing
+        .filter(F.col("len") >= 1)
     )
     pos = docs.select(
         "doc_id",
@@ -25904,20 +25906,11 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively (CASE-doubled prices, error rows excluded).
     Aggregates are order-free (counts, small-integer volume sums,
     min/max of bit-identically doubled doubles)."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-    import uuid as _uuid
-
     from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
         versioned as V,
     )
 
-    base = _os.path.join(_tempfile.gettempdir(), "fts_versioned_merge")
-    _os.makedirs(base, exist_ok=True)
-    table = _os.path.join(base, _os.path.basename(_os.path.normpath(sf_dir)))
-    if not _os.path.isdir(_os.path.join(table, "_versions")):
-        work = table + f".build-{_uuid.uuid4().hex[:8]}"
+    def build(work: str) -> None:
         tr = _trades(spark, sf_dir)
         V.commit(tr.repartition(8), work)
         V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
@@ -25934,10 +25927,8 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             when_matched="delete",
             when_not_matched="ignore",
         )
-        try:
-            _os.rename(work, table)
-        except OSError:
-            _shutil.rmtree(work)  # a concurrent builder won the rename
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_merge", build)
     return (
         V.read_version(spark, table)
         .groupBy("symbol")
@@ -26055,17 +26046,19 @@ def _driver_rounds_seen() -> dict[str, int]:
 
 def _window_order(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_WINDOW_PINNED if n in names]
-    assert len(head) == len(set(head)), "duplicate pinned window names"
+    if len(head) != len(set(head)):  # raise, not assert: -O-proof
+        raise ValueError("duplicate pinned window names")
     seen = _driver_rounds_seen()
     idx = {n: i for i, n in enumerate(names)}
     debut = set(_DRIVER_WINDOW_DEBUT)
     rotation = [n for n in names if n not in head and n in ORACLES]
     rotation.sort(key=lambda n: (seen.get(n, 0), n not in debut, idx[n]))
     head += rotation[: 50 - len(head)]
-    assert len(head) == 50 and len(set(head)) == 50, (
-        f"driver window must be exactly 50 unique oracled names, got "
-        f"{len(head)}/{len(set(head))}"
-    )
+    if not (len(head) == 50 and len(set(head)) == 50):
+        raise ValueError(
+            "driver window must be exactly 50 unique oracled names, got "
+            f"{len(head)}/{len(set(head))}"
+        )
     tail = sorted((n for n in names if n not in head), key=lambda n: idx[n])
     return head + tail
 

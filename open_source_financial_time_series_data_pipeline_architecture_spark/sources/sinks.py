@@ -99,13 +99,17 @@ def foreach_batch_versioned(
         spark = batch_df.sparkSession
         import os as _os
 
+        if keys:  # keyed sinks dedup EVERY batch — including the one
+            # that creates the table, or batch 0's intra-batch
+            # duplicates would violate the one-row-per-key contract
+            batch_df = batch_df.dropDuplicates(keys)
         if not _os.path.isdir(_os.path.join(table_dir, "_versions")):
             V.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
         elif keys:
             V.merge(
                 spark,
                 table_dir,
-                batch_df.dropDuplicates(keys),
+                batch_df,
                 keys,
                 when_matched=when_matched,
                 txn=(app_id, batch_id),

@@ -394,15 +394,27 @@ def _check_append_schema(
 
 def _check_constraints(df: DataFrame, constraints: dict) -> None:
     """CHECK semantics (SQL / Delta): a row violates a constraint only
-    when the expression is FALSE — NULL (unknown) passes. One
-    violation-count job per commit; raises with the first offending
-    constraint name."""
-    for name, expr in (constraints or {}).items():
-        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count()
-        if bad:
-            raise ConstraintViolationError(
-                f"CHECK constraint {name!r} ({expr}) rejected incoming rows"
-            )
+    when the expression is FALSE — NULL (unknown) passes. ALL
+    constraints validate in ONE aggregate job; raises naming every
+    violated constraint."""
+    if not constraints:
+        return
+    names = list(constraints)
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1)
+                .otherwise(0)
+            ).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    bad = [n for i, n in enumerate(names) if (counts[f"c{i}"] or 0) > 0]
+    if bad:
+        detail = "; ".join(f"{n!r} ({constraints[n]})" for n in bad)
+        raise ConstraintViolationError(
+            f"CHECK constraint(s) rejected incoming rows: {detail}"
+        )
 
 
 def add_constraint(
@@ -801,8 +813,12 @@ def merge(
             "merge source schema differs from table schema: "
             f"table={schema.simpleString()} source={source.schema.simpleString()}"
         )
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
     dup = (
-        source.groupBy(*keys)
+        source.filter(nn)  # NULL-key tuples never match — no hazard
+        .groupBy(*keys)
         .count()
         .filter(F.col("count") > 1)
         .limit(1)
@@ -816,11 +832,23 @@ def merge(
 
     # file-level merge pruning: candidate files are those whose stat
     # envelopes overlap the source's key envelope in EVERY key column
+    # envelope in _stat_key's key space: timestamps collect as epoch
+    # micros (a collected datetime would arrive in the DRIVER's local
+    # timezone and silently shift the envelope on non-UTC machines)
+    def _env_col(agg, k):
+        c = agg(k)
+        if isinstance(source.schema[k].dataType, T.TimestampType):
+            c = F.unix_micros(c)
+        return c
+
     env = source.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
+        F.count(F.lit(1)).alias("__n"),
+        *[_env_col(F.min, k).alias(f"lo_{k}") for k in keys],
+        *[_env_col(F.max, k).alias(f"hi_{k}") for k in keys],
     ).first()
-    if env[f"lo_{keys[0]}"] is None:  # empty source: provable no-op
+    if env["__n"] == 0:  # empty source: provable no-op (an all-NULL
+        # key column is NOT empty — its rows never match and still
+        # insert under when_not_matched='insert')
         if report is not None:
             report.update(
                 {
@@ -997,11 +1025,21 @@ def update_where(
     updated columns must keep their types — the commit re-applies the
     table schema order and a type drift fails the parquet write."""
     def _tx(df: DataFrame, p):
-        for c, expr in set_exprs.items():
-            df = df.withColumn(
-                c, F.when(F.coalesce(p, F.lit(False)), expr).otherwise(F.col(c))
-            )
-        return df
+        # ONE select so every SET expression and the WHERE predicate
+        # evaluate against the ORIGINAL row (SQL UPDATE semantics) —
+        # chained withColumn would let a later SET see an earlier
+        # column's already-updated value
+        hit = F.coalesce(p, F.lit(False))
+        return df.select(
+            *[
+                (
+                    F.when(hit, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
 
     return _rewrite_where(spark, table_dir, predicates, _tx, report)
 
@@ -1160,8 +1198,12 @@ class VersionedTable:
     def _register(self, cls) -> None:
         try:
             self.spark.dataSource.register(cls)
-        except Exception:
-            pass  # already registered in this session
+        except Exception as exc:
+            # tolerate ONLY the duplicate-registration case — a real
+            # failure (no Python Data Source API, bad class) must
+            # surface here, not as an opaque lookup error at load()
+            if "exist" not in str(exc).lower():
+                raise
 
     def stream_tail(self, **options) -> DataFrame:
         from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (

@@ -128,10 +128,15 @@ def _multiset_diff(
     columns are tupled for hashing."""
     from collections import Counter
 
+    def _freeze(v):
+        if isinstance(v, list):
+            return tuple(_freeze(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+        return v
+
     def _key(row: tuple) -> tuple:
-        return tuple(
-            tuple(v) if isinstance(v, list) else v for v in row
-        )
+        return tuple(_freeze(v) for v in row)
 
     old = Counter(_key(r) for r in _rows_from_files(table_dir, old_files, names))
     new = Counter(_key(r) for r in _rows_from_files(table_dir, new_files, names))

@@ -67,6 +67,53 @@ def test_update_where(spark, tmp_path):
     assert got[20] == 200.0 and len(got) == 100
 
 
+def test_update_where_multi_column_sees_original_row(spark, tmp_path):
+    """SQL UPDATE semantics: every SET expression evaluates against the
+    ORIGINAL row — a SET that rewrites a predicate column must not stop
+    the other SET columns from updating."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("price"),
+        (F.col("id") * 10.0).alias("volume"),
+    )
+    V.commit(df.coalesce(1), t)
+    V.update_where(
+        spark,
+        t,
+        [("price", ">", 10.0)],
+        {"price": F.lit(0.0), "volume": F.lit(-1.0)},
+    )
+    got = {r["id"]: (r["price"], r["volume"]) for r in V.read_version(spark, t).collect()}
+    assert got[11] == (0.0, -1.0)  # BOTH columns updated
+    assert got[10] == (10.0, 100.0)  # boundary row untouched
+    # swap-style update: both SETs read the pre-update values
+    V.update_where(
+        spark,
+        t,
+        [("id", "=", 5)],
+        {"price": F.col("volume"), "volume": F.col("price")},
+    )
+    got = {r["id"]: (r["price"], r["volume"]) for r in V.read_version(spark, t).collect()}
+    assert got[5] == (50.0, 5.0)
+
+
+def test_merge_all_null_key_rows_insert(spark, tmp_path):
+    """An all-NULL key column is not an empty source: its rows never
+    match and still insert under when_not_matched='insert'."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    V.commit(df, t)
+    src = spark.createDataFrame(
+        [(None, 99.0), (None, 98.0)], "id long, v double"
+    )
+    rep: dict = {}
+    V.merge(spark, t, src, keys=["id"], report=rep)
+    got = V.read_version(spark, t)
+    assert got.count() == 4
+    assert got.filter(F.col("id").isNull()).count() == 2
+
+
 def test_restore_re_references_old_files(spark, tmp_path):
     t = str(tmp_path / "tbl")
     _seed(spark, t, n=20, files=2)

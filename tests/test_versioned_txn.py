@@ -69,7 +69,15 @@ def test_foreach_batch_versioned_replay(spark, tmp_path):
 def test_foreach_batch_versioned_merge_mode(spark, tmp_path):
     t = str(tmp_path / "tbl")
     handle = foreach_batch_versioned(t, app_id="job1", keys=["id"])
-    handle(_df(spark, 0, 10), 0)
+    # the TABLE-CREATING batch dedups on keys too (late+corrected event
+    # in batch 0 must not land twice)
+    first = _df(spark, 0, 10).unionByName(_df(spark, 9, 10))
+    handle(first, 0)
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    assert V.read_version(spark, t).count() == 10
     upd = spark.range(5, 15).withColumn("v", F.col("id") * 100.0)
     handle(upd, 1)
     handle(upd, 1)  # replayed merge batch
