@@ -25631,10 +25631,7 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "lee_ready_prevailing_quote",
-    oracle(
-        """
+_LEE_READY_PREVAILING_SQL = """
 WITH ord AS (
   SELECT symbol, time, trade_id, price, side,
          lag((bid + ask) / 2) OVER w AS mid_prev,
@@ -25667,8 +25664,9 @@ SELECT symbol,
 FROM lab
 GROUP BY symbol
 """
-    ),
-)
+
+
+@q("lee_ready_prevailing_quote", oracle(_LEE_READY_PREVAILING_SQL))
 def lee_ready_prevailing_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-Ready (1991) with the PREVAILING (= previous trade's) quote
     midpoint — the textbook convention, complementing the existing
@@ -25688,6 +25686,42 @@ def lee_ready_prevailing_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lab = MS.lee_ready_prevailing_labels(_trades(spark, sf_dir))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return lab.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        one(F.col("cls") == "buy").alias("n_buy"),
+        one(F.col("cls") == "sell").alias("n_sell"),
+        one(F.col("cls").isNull()).alias("n_unclassified"),
+        one(F.col("cls") == F.col("side")).alias("n_agree"),
+    )
+
+
+@q("streaming_lee_ready_agg", oracle(_LEE_READY_PREVAILING_SQL))
+def streaming_lee_ready_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prevailing-quote Lee-Ready classifier as a REAL streaming
+    job: the events file is consumed as a stream, the keyed-state
+    classifier (streaming/cep.py streaming_lee_ready — three scalars
+    per symbol carried across micro-batches) labels every trade, the
+    label stream drains under Trigger.AvailableNow into a memory sink,
+    and the drained labels join back to the actual sides for the SAME
+    per-symbol scorecard the batch window plan produces. Oracle shared
+    verbatim with `lee_ready_prevailing_quote`: stream == batch is the
+    claim being hash-checked (cross-micro-batch carry is additionally
+    pinned by tests/test_streaming_lee_ready.py)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        load_events_stream,
+        run_available_now,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.cep import (
+        streaming_lee_ready,
+    )
+
+    stream_trades = trades_from_events(load_events_stream(spark, sf_dir))
+    labels = run_available_now(
+        streaming_lee_ready(stream_trades), output_mode="append"
+    )
+    sides = _trades(spark, sf_dir).select("symbol", "trade_id", "side")
+    lab = labels.join(sides, ["symbol", "trade_id"])
     one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
     return lab.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trades"),
@@ -26021,6 +26055,7 @@ _DRIVER_WINDOW_DEBUT = [
     "streaming_versioned_cdf",
     "lee_ready_prevailing_quote",
     "doc_chunking_overlap",
+    "streaming_lee_ready_agg",
 ]
 
 
