@@ -25912,6 +25912,50 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("streaming_pii_scan", _pii_scan_oracle())
+def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII audit as a REAL streaming job — the shape a continuous
+    ingestion scrubber runs (new crawl shards stream in, the audit
+    aggregate stays current): the documents table is consumed as a
+    file-source stream, the SAME deterministic enrichment + regexp
+    counting projections run per micro-batch (map-only, stateless), and
+    a complete-mode per-source aggregate drains under
+    Trigger.AvailableNow into a memory sink. Oracle shared verbatim
+    with the batch `pii_scan_summary` — stream == batch is the
+    hash-checked claim."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        pii as PII,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        run_available_now,
+    )
+
+    import os as _os
+
+    schema = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).schema  # footer-only batch peek (stream sources cannot infer)
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .withColumn("t", _pii_aug_spark())
+    )
+    for name, c in PII.pii_counts(F.col("t")).items():
+        docs = docs.withColumn(f"__c_{name}", c)
+    aggs = []
+    for name in PII.PII_PATTERNS:
+        c = F.col(f"__c_{name}")
+        aggs.append(
+            F.sum(F.when(c > 0, 1).otherwise(0)).cast("bigint").alias(f"{name}_docs")
+        )
+        aggs.append(F.sum(c).cast("bigint").alias(f"{name}_hits"))
+    return run_available_now(
+        docs.groupBy("source").agg(*aggs), output_mode="complete"
+    )
+
+
 @q(
     "versioned_merge_upsert",
     oracle(
@@ -26056,6 +26100,7 @@ _DRIVER_WINDOW_DEBUT = [
     "lee_ready_prevailing_quote",
     "doc_chunking_overlap",
     "streaming_lee_ready_agg",
+    "streaming_pii_scan",
 ]
 
 
