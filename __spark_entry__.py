@@ -25373,7 +25373,13 @@ def _register_source(spark: SparkSession, cls) -> None:
     try:
         spark.dataSource.register(cls)
     except Exception as exc:
-        if "exist" not in str(exc).lower():
+        # a bare "exist" match would also swallow real failures like
+        # "Path ... does not exist" — match the duplicate case only
+        msg = str(exc)
+        if (
+            "already exists" not in msg.lower()
+            and "DATA_SOURCE_ALREADY_EXISTS" not in msg
+        ):
             raise
 
 

@@ -258,12 +258,22 @@ def _collect_stats(table_dir: str, files: list[str]) -> dict:
                 )
                 if st is not None and st.has_min_max:
                     lo, hi = _stat_key(st.min), _stat_key(st.max)
+                    if lo is None or hi is None:
+                        # a PRESENT min/max that _stat_key cannot order
+                        # (±inf/NaN floats, unsupported types) is "no
+                        # usable stats", NOT an empty envelope — merging
+                        # it as (None, None) with a finite sibling row
+                        # group would shrink the file envelope and prune
+                        # real rows (e.g. groups [1,5] + [-inf,100,inf]
+                        # pruned for x=100)
+                        ok[name] = False
+                        continue
                 elif nulls is not None and nulls == g.num_rows:
                     lo = hi = None  # all-NULL group: a valid empty envelope
                 else:
                     ok[name] = False
                     continue
-                if nulls is None or (lo is None) != (hi is None):
+                if nulls is None:
                     ok[name] = False
                     continue
                 prev = cols.get(name)
@@ -435,10 +445,26 @@ def add_constraint(
         _read_files(spark, table_dir, m["files"], m["schema"]), {name: expr}
     )
     cons[name] = expr
-    manifest = {**m, "version": base + 1, "mode": "metadata",
-                "constraints": cons, "ts": _now()}
+    manifest = _metadata_manifest(m, base + 1, cons)
     _publish(table_dir, manifest)
     return manifest
+
+
+def _metadata_manifest(prior: dict, version: int, constraints: dict) -> dict:
+    """A metadata-only commit built from EXPLICIT fields — never ``{**prior}``,
+    which would inherit mode-specific keys like a merge's ``replaced``
+    file list into a commit that replaced nothing."""
+    return {
+        "version": version,
+        "mode": "metadata",
+        "ts": _now(),
+        "files": prior["files"],
+        "schema": prior["schema"],
+        "stats": prior.get("stats", {}),
+        "txn": prior.get("txn", {}),
+        **({"bloom_cols": prior["bloom_cols"]} if prior.get("bloom_cols") else {}),
+        **({"constraints": constraints} if constraints else {}),
+    }
 
 
 def drop_constraint(table_dir: str, name: str) -> dict:
@@ -450,8 +476,7 @@ def drop_constraint(table_dir: str, name: str) -> dict:
     m = _read_manifest(table_dir, base)
     cons = dict(m.get("constraints", {}))
     cons.pop(name, None)
-    manifest = {**m, "version": base + 1, "mode": "metadata",
-                "constraints": cons, "ts": _now()}
+    manifest = _metadata_manifest(m, base + 1, cons)
     _publish(table_dir, manifest)
     return manifest
 
@@ -1080,13 +1105,20 @@ def compact(
     )
 
 
-def restore(table_dir: str, version: int) -> dict:
+def restore(
+    table_dir: str, version: int, spark: SparkSession | None = None
+) -> dict:
     """RESTORE TABLE TO VERSION AS OF (Delta's restore): publishes a
     NEW head commit that re-references the target version's files and
     schema — no data is copied or rewritten, history is preserved (the
     restore itself is an ordinary overwrite-mode commit, so the change
     feed reports it as the content diff it is, and a later vacuum can
-    still reclaim the abandoned head's files)."""
+    still reclaim the abandoned head's files).
+
+    The head's active CHECK constraints survive the restore, so the
+    restored snapshot is RE-VALIDATED against them first (a target
+    version predating ``add_constraint`` may violate them) — pass the
+    SparkSession whenever the table carries constraints."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -1095,6 +1127,18 @@ def restore(table_dir: str, version: int) -> dict:
     base = versions[-1]
     head = _read_manifest(table_dir, base)
     target = _read_manifest(table_dir, version)
+    cons = head.get("constraints", {})
+    if cons:
+        if spark is None:
+            raise ValueError(
+                "table carries CHECK constraints — restore needs the "
+                "SparkSession to re-validate the restored snapshot "
+                "against them (restore(table_dir, version, spark))"
+            )
+        _check_constraints(
+            _read_files(spark, table_dir, target["files"], target["schema"]),
+            cons,
+        )
     manifest = {
         "version": base + 1,
         "mode": "overwrite",
@@ -1168,10 +1212,10 @@ class VersionedTable:
         return compact(self.spark, self.path, n_files, zorder_cols)
 
     def restore(self, version: int) -> dict:
-        return restore(self.path, version)
+        return restore(self.path, version, self.spark)
 
-    def vacuum(self, keep_last: int = 1) -> int:
-        return vacuum(self.path, keep_last=keep_last)
+    def vacuum(self, keep_last: int = 1, retention_s: float = 0.0) -> int:
+        return vacuum(self.path, keep_last=keep_last, retention_s=retention_s)
 
     def add_constraint(self, name: str, expr: str) -> dict:
         return add_constraint(self.spark, self.path, name, expr)
@@ -1201,8 +1245,14 @@ class VersionedTable:
         except Exception as exc:
             # tolerate ONLY the duplicate-registration case — a real
             # failure (no Python Data Source API, bad class) must
-            # surface here, not as an opaque lookup error at load()
-            if "exist" not in str(exc).lower():
+            # surface here, not as an opaque lookup error at load().
+            # Matching a bare "exist" would also swallow genuine errors
+            # like "Path ... does not exist".
+            msg = str(exc)
+            if (
+                "already exists" not in msg.lower()
+                and "DATA_SOURCE_ALREADY_EXISTS" not in msg
+            ):
                 raise
 
     def stream_tail(self, **options) -> DataFrame:
@@ -1241,21 +1291,59 @@ class VersionedTable:
         return foreach_batch_versioned(self.path, app_id, keys, **kw)
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> int:
+def _file_version_prefix(fname: str) -> int | None:
+    """The commit version a staged data file was written FOR, parsed
+    from its ``v{N}-<uuid>-...`` name — None if the name predates the
+    convention."""
+    if not fname.startswith("v"):
+        return None
+    head = fname.split("-", 1)[0][1:]
+    return int(head) if head.isdigit() else None
+
+
+#: how long vacuum assumes a future-version staged file may still belong
+#: to a LIVE in-flight commit (writer staged, manifest not yet published)
+INFLIGHT_GRACE_S = 600.0
+
+
+def vacuum(
+    table_dir: str, keep_last: int = 1, retention_s: float = 0.0
+) -> int:
     """Drop manifests older than the last ``keep_last`` and delete data
-    files no surviving manifest references. Returns files deleted."""
+    files no surviving manifest references. Returns files deleted.
+
+    In-flight-writer safety (Delta's retention model): a writer stages
+    its parquet files BEFORE publishing the manifest that references
+    them, so an unreferenced file is not necessarily garbage. A file
+    whose version prefix EXCEEDS the newest kept manifest is treated as
+    a possibly-live commit and spared until it is older than
+    ``max(retention_s, INFLIGHT_GRACE_S)`` — a writer dead that long
+    will never publish. ``retention_s > 0`` additionally spares ANY
+    unreferenced file younger than the window (covers a racing writer
+    whose staged version number was taken by the winner)."""
     versions = _list_versions(table_dir)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    newest_kept = max(keep) if keep else 0
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])
     deleted = 0
+    now = _now()
     data_dir = os.path.join(table_dir, _DATA)
     if os.path.isdir(data_dir):
         for f in os.listdir(data_dir):
-            if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(data_dir, f))
-                deleted += 1
+            if not f.endswith(".parquet") or f in live:
+                continue
+            path = os.path.join(data_dir, f)
+            age = now - os.path.getmtime(path)
+            fv = _file_version_prefix(f)
+            if fv is not None and fv > newest_kept:
+                if age < max(retention_s, INFLIGHT_GRACE_S):
+                    continue  # staged for a possibly-live commit
+            elif retention_s > 0 and age < retention_s:
+                continue
+            os.remove(path)
+            deleted += 1
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(_versions_dir(table_dir), f"{v:08d}.json"))

@@ -62,5 +62,11 @@ def test_killed_writer_leaves_readers_unaffected(spark, tmp_path):
     os.rename(str(tmp_path / "orphan_src" / src), orphan)
     # readers resolve manifests only — the orphan is invisible
     assert V.read_version(spark, t).count() == 100
-    # vacuum reclaims it
+    # a FRESH future-version file might be a live in-flight commit —
+    # vacuum must spare it until the in-flight grace window passes
+    assert V.vacuum(t, keep_last=1) == 0
+    assert os.path.exists(orphan)
+    # age the orphan past the grace window (writer provably dead)
+    past = os.path.getmtime(orphan) - V.INFLIGHT_GRACE_S - 60
+    os.utime(orphan, (past, past))
     assert V.vacuum(t, keep_last=1) == 1
