@@ -4,79 +4,66 @@ Closes the transactional-storage gap the environment leaves open (no
 Delta Lake jars; reference spark/batch_feature_calculation.py:61-65
 writes Delta + MERGE): a minimal transaction log over plain parquet.
 
-Layout:
+Layout (round 5 — INCREMENTAL log):
 
     <table>/
       _versions/
-        00000001.json   {"version":1,"files":[...],"n_rows":...,"ts":...}
+        00000001.json   commit SEGMENT — O(files touched), not O(table)
         00000002.json
+      _checkpoints/
+        00000010.json           full state at v10 (file list + config)
+        00000010-stats.parquet  per-file column stats, columnar
       data/
         v1-<uuid>-....parquet
         v2-<uuid>-....parquet
 
-Commit protocol (single-writer, reader-safe):
-1. write the new snapshot's parquet files under ``data/`` with a
-   version-prefixed, uuid-unique name — invisible to readers until a
-   manifest references them;
-2. atomically publish manifest ``N+1`` (os.rename of a temp file — the
-   commit point, exactly how Delta's _delta_log commits work).
+Commit protocol (reader-safe optimistic concurrency):
+1. write the new parquet files under ``data/`` with a version-prefixed,
+   uuid-unique name — invisible to readers until a segment references
+   them;
+2. atomically publish segment ``N+1`` via a put-if-absent CAS (local
+   backend: POSIX ``os.link``; S3 analog documented below) — two
+   writers can never both win version N+1.
 
-Readers resolve the latest (or requested) manifest and load ONLY the
-files it lists, so concurrent writers never corrupt a read and a
-killed writer leaves only unreferenced orphan files (cleaned by
-``vacuum``). Overwrite semantics per commit: each manifest is a full
-snapshot (the lakehouse "overwrite" mode); append commits list the
-union of prior files + new files without rewriting old data.
+**Incremental log (the 100 TB contract).** Each segment records only
+what the commit TOUCHED — ``add`` / ``remove`` file lists and footer
+stats for the added files — so commit bytes are O(touched), exactly
+like Delta's add/remove actions. Readers reconstruct a snapshot from
+the newest checkpoint at-or-before the requested version plus the
+segments after it; a checkpoint is written every ``CHECKPOINT_EVERY``
+commits (Delta's parquet checkpoint), bounding reconstruction to
+O(files) + O(CHECKPOINT_EVERY segments) regardless of table age. A
+year of minutely appends re-reads ten tiny segments and one columnar
+checkpoint, never a 100 MB JSON per operation.
 
-At 100 TB: manifests carry file lists, not data — commit cost is
-O(files touched); time travel is free (old manifests keep old files
-alive until vacuum).
+Checkpoint stats live in PARQUET, not JSON, so at large file counts
+predicate pruning runs as a Spark job over the stats table
+(``DISTRIBUTED_PRUNE_MIN_FILES``) — the driver never materializes
+100k envelopes to drop 99k of them; it collects only the kept names.
 
-Round-4 extensions (mirroring the public Delta Lake feature set the
-reference's spark/batch_feature_calculation.py:61-65 relies on):
+Segment modes and their replay semantics:
 
-- **put-if-absent commit**: the manifest is published with
-  ``os.link`` (hard-link then unlink), which FAILS if the target
-  version already exists — two concurrent writers can no longer both
-  "win" version N+1 (the old ``os.rename`` silently replaced the
-  loser's manifest: a lost update). Append commits retry against the
-  new head; rewrite commits surface ``ConcurrentCommitError`` —
-  optimistic concurrency, same contract as Delta's transaction log.
-- **schema enforcement + evolution on append**: an append whose
-  schema differs from the table's is rejected unless
-  ``allow_evolution=True`` and the new schema can still read every
-  old file (``schema_compat.check_backward`` — added nullable fields
-  / widening promotions only). Readers always apply the manifest
-  schema explicitly, so evolved tables read old files with NULLs in
-  the new columns.
-- **change data feed**: ``read_changes`` emits the row-level delta
-  between two versions (``_change_type`` insert/delete +
-  ``_commit_version``) — O(new files) for append commits, a content
-  diff for rewrites, nothing for compactions.
-- **compaction**: ``compact`` rewrites the current snapshot into few
-  large (optionally Z-ordered) files as a logical no-op commit
-  (``mode="optimize"``) that the change feed skips and ``vacuum``
-  reclaims.
-- **streaming tail**: ``versioned_stream.VersionedTailDataSource``
-  follows the commit log as a Structured Streaming source (version
-  number = offset), the "Delta as a stream" analog.
-- **MERGE INTO**: ``merge`` upserts a keyed source into the table with
-  Delta's matched/not-matched branches AND file-level merge pruning —
-  the source's key envelope (one tiny aggregate) selects the files
-  that can possibly contain matches; only those are read and
-  rewritten, everything else carries forward verbatim. The manifest
-  records the replaced files, so the change feed diffs O(touched
-  content) rather than whole snapshots.
-- **data skipping**: every commit records per-file column min/max/null
-  stats in the manifest (read from the parquet FOOTERS of the staged
-  files — O(new files), no data scan; Delta stores the same envelope
-  in its add-actions). ``read_version(..., predicates=[...])`` prunes
-  the file list against the envelopes BEFORE Spark ever lists a path,
-  then applies the same predicates as a residual filter so results are
-  exact whether or not a file had stats. Clustered writes
-  (``compact(zorder_cols=...)``) make the envelopes tight in every
-  clustered dimension — at 100 TB the planner-side prune is the
-  difference between touching 3 files and 30,000.
+- ``overwrite`` / ``optimize``: ``reset`` — drop all prior files, then
+  ``add`` the staged ones (a restore is published as an ``overwrite``
+  re-referencing the target's files: no data copied).
+- ``append``: ``add`` only.
+- ``merge``: ``add`` staged + ``remove`` the replaced files (file-level
+  merge pruning keeps the rewrite O(touched); DELETE/UPDATE WHERE share
+  the path).
+- ``metadata``: config-only (constraints); no file change.
+
+Legacy full-snapshot manifests (pre-round-5 tables, and the raw dict
+the CAS contention test publishes) replay as a reset+add of their
+``files`` list — old tables read without migration.
+
+Feature set (mirroring the public Delta Lake features the reference's
+spark/batch_feature_calculation.py:61-65 relies on): put-if-absent
+commits, schema enforcement + backward-compatible evolution, change
+data feed (batch + streaming), OPTIMIZE with Z-order, MERGE INTO with
+file-level pruning, manifest min/max data skipping with a residual
+row filter (exact regardless of stats coverage), CHECK constraints,
+exactly-once txn high-water marks, RESTORE (constraint-revalidated),
+TIMESTAMP AS OF time travel, retention-windowed VACUUM.
 """
 
 from __future__ import annotations
@@ -94,7 +81,25 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.function
 )
 
 _VERSIONS = "_versions"
+_CHECKPOINTS = "_checkpoints"
 _DATA = "data"
+
+#: write a full-state checkpoint every N commits (Delta: 10)
+CHECKPOINT_EVERY = 10
+
+#: prune via a Spark job over the checkpoint stats table at or above
+#: this file count; below it, driver-side python over the stats dict
+#: is faster than a job
+DISTRIBUTED_PRUNE_MIN_FILES = 4096
+
+#: collect footer stats on executors at or above this staged-file
+#: count; a thread pool above _STATS_POOL_MIN; serial below
+_STATS_DISTRIBUTED_MIN = 64
+_STATS_POOL_MIN = 5
+
+#: how long vacuum assumes a future-version staged file may still belong
+#: to a LIVE in-flight commit (writer staged, segment not yet published)
+INFLIGHT_GRACE_S = 600.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -121,6 +126,10 @@ def _versions_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _VERSIONS)
 
 
+def _checkpoints_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _CHECKPOINTS)
+
+
 def _list_versions(table_dir: str) -> list[int]:
     d = _versions_dir(table_dir)
     if not os.path.isdir(d):
@@ -130,30 +139,104 @@ def _list_versions(table_dir: str) -> list[int]:
     )
 
 
-def _read_manifest(table_dir: str, version: int) -> dict:
+def _read_segment(table_dir: str, version: int) -> dict:
+    """The raw on-disk commit record for one version — an incremental
+    segment (``add``/``remove``/``stats``) or a legacy full-snapshot
+    manifest (``files``)."""
     with open(os.path.join(_versions_dir(table_dir), f"{version:08d}.json")) as f:
         return json.load(f)
 
 
-def _publish(table_dir: str, manifest: dict) -> None:
-    """Atomically publish a manifest iff its version does not exist
-    yet. ``os.link`` is the POSIX put-if-absent: unlike ``os.rename``
-    (which silently REPLACES an existing target — a lost update when
-    two writers race to the same version), a hard link to an existing
-    path fails with EEXIST."""
-    vd = _versions_dir(table_dir)
-    tmp = os.path.join(vd, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    target = os.path.join(vd, f"{manifest['version']:08d}.json")
-    try:
-        os.link(tmp, target)  # the atomic commit point
-    except FileExistsError:
+# -- CAS publisher (pluggable put-if-absent backend) ----------------------
+
+
+class CasPublisher:
+    """Put-if-absent publisher — THE commit point. ``put_if_absent``
+    must atomically create ``target`` with ``payload`` and return True,
+    or return False (touching nothing) when ``target`` already exists.
+    Atomicity is what makes the optimistic-concurrency contract hold:
+    two writers racing to the same version must see exactly one True."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+class LocalLinkPublisher(CasPublisher):
+    """POSIX backend: write a temp file, hard-link it to the target.
+    ``os.link`` FAILS with EEXIST when the target exists — unlike
+    ``os.rename``, which silently REPLACES it (a lost update when two
+    writers race). Correct on local disks, NFS, and HDFS-mounted
+    POSIX views."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        d = os.path.dirname(target)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, target)  # the atomic commit point
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class S3ConditionalPutPublisher(CasPublisher):
+    """Object-store backend: S3 conditional PUT (``If-None-Match: *``),
+    the exact analog of the hard-link CAS — the PUT succeeds only if no
+    object exists at the key, returning 412 PreconditionFailed
+    otherwise (supported by S3 since 2024-08, and by GCS/Azure via
+    their generation/etag preconditions). Untestable in this sandbox
+    (no object store); the class is import-gated on boto3 and exists so
+    a reference user migrating their Delta-on-S3 layout
+    (reference spark/batch_feature_calculation.py:38) has a documented
+    seam rather than a silent POSIX assumption."""
+
+    def __init__(self, bucket: str, client=None):
+        if client is None:  # pragma: no cover - no boto3/S3 in env
+            import boto3
+
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.client = client
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=target.lstrip("/"),
+                Body=payload,
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as exc:  # pragma: no cover - no S3 in env
+            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412"):
+                return False
+            raise
+
+
+#: process-wide default backend; swap for object stores
+DEFAULT_PUBLISHER: CasPublisher = LocalLinkPublisher()
+
+
+def _publish(
+    table_dir: str, manifest: dict, publisher: CasPublisher | None = None
+) -> None:
+    """Atomically publish a commit record iff its version does not
+    exist yet (raises ``ConcurrentCommitError`` otherwise)."""
+    target = os.path.join(
+        _versions_dir(table_dir), f"{manifest['version']:08d}.json"
+    )
+    p = publisher or DEFAULT_PUBLISHER
+    if not p.put_if_absent(target, json.dumps(manifest).encode()):
         raise ConcurrentCommitError(
             f"version {manifest['version']} already committed at {table_dir}"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
+
+
+# -- staging + footer stats -----------------------------------------------
 
 
 def _stage_files(
@@ -163,7 +246,7 @@ def _stage_files(
     bloom_cols: list[str] | None = None,
 ) -> list[str]:
     """Write ``df``'s parquet files under ``data/`` with version-
-    prefixed uuid-unique names — invisible until a manifest lists
+    prefixed uuid-unique names — invisible until a segment lists
     them. Returns the new file names.
 
     ``bloom_cols`` turns on parquet-native split-block bloom filters
@@ -228,69 +311,116 @@ def _stat_key(v):
     return None
 
 
-def _collect_stats(table_dir: str, files: list[str]) -> dict:
-    """Per-file column envelopes from parquet footers: for each staged
-    file, ``{"rows": n, "cols": {col: {"min": k, "max": k, "nulls": n}}}``.
-    Footer-only — no row is read. A column whose footer lacks stats (or
-    whose type has no total order we trust, e.g. binary) simply has no
-    entry and is never used to prune."""
+def _file_stats(path: str) -> dict:
+    """One file's column envelopes from its parquet FOOTER — no row is
+    read. ``{"rows": n, "cols": {col: {"min","max","nulls"}}}``. A
+    column whose footer lacks stats, or whose min/max cannot be totally
+    ordered (±inf floats, binary), has no entry and never prunes."""
     import pyarrow.parquet as pq
 
-    data_dir = os.path.join(table_dir, _DATA)
-    out: dict[str, dict] = {}
-    for fname in files:
-        md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
-        cols: dict[str, dict] = {}
-        ok: dict[str, bool] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                c = g.column(ci)
-                name = c.path_in_schema
-                if "." in name:  # nested field — skip
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested field — skip
+                ok[name] = False
+                continue
+            st = c.statistics
+            nulls = (
+                st.null_count
+                if st is not None and st.has_null_count
+                else None
+            )
+            if st is not None and st.has_min_max:
+                lo, hi = _stat_key(st.min), _stat_key(st.max)
+                if lo is None or hi is None:
+                    # a PRESENT min/max that _stat_key cannot order
+                    # (±inf/NaN floats, unsupported types) is "no
+                    # usable stats", NOT an empty envelope — merging
+                    # it as (None, None) with a finite sibling row
+                    # group would shrink the file envelope and prune
+                    # real rows (e.g. groups [1,5] + [-inf,100,inf]
+                    # pruned for x=100)
                     ok[name] = False
                     continue
-                st = c.statistics
-                nulls = (
-                    st.null_count
-                    if st is not None and st.has_null_count
-                    else None
-                )
-                if st is not None and st.has_min_max:
-                    lo, hi = _stat_key(st.min), _stat_key(st.max)
-                    if lo is None or hi is None:
-                        # a PRESENT min/max that _stat_key cannot order
-                        # (±inf/NaN floats, unsupported types) is "no
-                        # usable stats", NOT an empty envelope — merging
-                        # it as (None, None) with a finite sibling row
-                        # group would shrink the file envelope and prune
-                        # real rows (e.g. groups [1,5] + [-inf,100,inf]
-                        # pruned for x=100)
-                        ok[name] = False
-                        continue
-                elif nulls is not None and nulls == g.num_rows:
-                    lo = hi = None  # all-NULL group: a valid empty envelope
-                else:
-                    ok[name] = False
-                    continue
-                if nulls is None:
-                    ok[name] = False
-                    continue
-                prev = cols.get(name)
-                if prev is None:
-                    cols[name] = {"min": lo, "max": hi, "nulls": nulls}
-                    ok.setdefault(name, True)
-                else:
-                    for k, v, agg in (("min", lo, min), ("max", hi, max)):
-                        if v is not None:
-                            prev[k] = v if prev[k] is None else agg(prev[k], v)
-                    prev["nulls"] += nulls
-        out[fname] = {
-            "rows": md.num_rows,
-            "cols": {n: s for n, s in cols.items() if ok.get(n)},
-        }
-    return out
+            elif nulls is not None and nulls == g.num_rows:
+                lo = hi = None  # all-NULL group: a valid empty envelope
+            else:
+                ok[name] = False
+                continue
+            if nulls is None:
+                ok[name] = False
+                continue
+            prev = cols.get(name)
+            if prev is None:
+                cols[name] = {"min": lo, "max": hi, "nulls": nulls}
+                ok.setdefault(name, True)
+            else:
+                for k, v, agg in (("min", lo, min), ("max", hi, max)):
+                    if v is not None:
+                        prev[k] = v if prev[k] is None else agg(prev[k], v)
+                prev["nulls"] += nulls
+    return {
+        "rows": md.num_rows,
+        "cols": {n: s for n, s in cols.items() if ok.get(n)},
+    }
 
+
+def _collect_stats(
+    table_dir: str, files: list[str], spark: SparkSession | None = None
+) -> dict:
+    """Per-file column envelopes for the staged files. Footer-only.
+    Scale path: at ``_STATS_DISTRIBUTED_MIN``+ files the reads fan out
+    to EXECUTORS (mapInPandas over the name list — the driver never
+    walks 100k footers serially); a driver thread pool covers the
+    mid range; tiny commits stay serial."""
+    data_dir = os.path.join(table_dir, _DATA)
+    if spark is not None and len(files) >= _STATS_DISTRIBUTED_MIN:
+        return _collect_stats_distributed(spark, data_dir, files)
+    if len(files) >= _STATS_POOL_MIN:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            stats = list(
+                ex.map(
+                    lambda f: _file_stats(os.path.join(data_dir, f)), files
+                )
+            )
+        return dict(zip(files, stats))
+    return {f: _file_stats(os.path.join(data_dir, f)) for f in files}
+
+
+def _collect_stats_distributed(
+    spark: SparkSession, data_dir: str, files: list[str]
+) -> dict:
+    """Footer stats as a Spark job: one task bundle per ~64 names, each
+    executor parses its files' footers with pyarrow and returns the
+    envelope as JSON. Requires ``data_dir`` visible to executors (true
+    for local mode and any shared filesystem/object store)."""
+    import pandas as pd
+
+    n_parts = max(1, min(len(files) // 64, 256))
+    names_df = spark.createDataFrame(
+        [(f,) for f in files], "fname string"
+    ).repartition(n_parts)
+
+    def _scan(batches):
+        for pdf in batches:
+            out = [
+                json.dumps(_file_stats(os.path.join(data_dir, f)))
+                for f in pdf["fname"]
+            ]
+            yield pd.DataFrame({"fname": pdf["fname"], "stats": out})
+
+    rows = names_df.mapInPandas(_scan, "fname string, stats string").collect()
+    return {r["fname"]: json.loads(r["stats"]) for r in rows}
+
+
+# -- pruning --------------------------------------------------------------
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
@@ -332,7 +462,7 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
 
 
 def prune_files(manifest: dict, predicates: list[tuple]) -> tuple[list[str], dict]:
-    """File-level data skipping: the subset of the manifest's files
+    """File-level data skipping: the subset of the snapshot's files
     whose min/max envelopes may satisfy ALL ``predicates`` (conjunctive
     ``(column, op, value)`` triples, op in ``=, <, <=, >, >=, in``),
     plus a report ``{"files_total", "files_kept"}``. Purely
@@ -345,6 +475,148 @@ def prune_files(manifest: dict, predicates: list[tuple]) -> tuple[list[str], dic
         f for f in manifest["files"] if _file_may_match(stats.get(f), predicates)
     ]
     return kept, {"files_total": len(manifest["files"]), "files_kept": len(kept)}
+
+
+_TWO53 = 2**53  # int64 values beyond this round when cast to double
+
+
+def _exclusion_condition(predicates: list[tuple]):
+    """The Spark-side mirror of ``not _file_may_match`` over the
+    checkpoint stats table: a Column that is True on a stats row iff
+    that row PROVES its file cannot satisfy one of the predicates.
+    Conservative by construction — a predicate whose value type does
+    not match a row's envelope kind contributes no exclusion (the
+    residual row filter keeps results exact), and long→double
+    cross-compares only fire inside the ±2^53 exact range so a rounded
+    envelope can never wrongly exclude. Returns None when no predicate
+    is expressible."""
+    conds = []
+    for col, op, val in predicates:
+        same_col = F.col("col") == F.lit(col)
+        # all-NULL envelope: no comparison predicate matches
+        per_pred = [(F.col("nulls") >= F.col("rows")) & (F.col("rows") > 0)]
+
+        def _env_excl(lo, hi, k):
+            kl = F.lit(k)
+            if op == "=":
+                return (kl < lo) | (kl > hi)
+            if op == "<":
+                return lo >= kl
+            if op == "<=":
+                return lo > kl
+            if op == ">":
+                return hi <= kl
+            return hi < kl  # ">="
+
+        if op == "in":
+            keys = [_stat_key(v) for v in val]
+            if None in keys or not keys:
+                conds.append(same_col & per_pred[0])
+                continue
+            kinds = {
+                (int if isinstance(k, int) and not isinstance(k, bool) else type(k))
+                for k in keys
+            }
+            if kinds == {int}:
+                lo, hi = F.col("lo_l"), F.col("hi_l")
+                kind = "l"
+            elif kinds == {float}:
+                lo, hi = F.col("lo_d"), F.col("hi_d")
+                kind = "d"
+            elif kinds == {str}:
+                lo, hi = F.col("lo_s"), F.col("hi_s")
+                kind = "s"
+            else:
+                conds.append(same_col & per_pred[0])
+                continue
+            outside = F.lit(True)
+            for k in keys:
+                outside = outside & ((F.lit(k) < lo) | (F.lit(k) > hi))
+            per_pred.append((F.col("kind") == kind) & outside)
+            conds.append(same_col & _any(per_pred))
+            continue
+
+        k = _stat_key(val)
+        if k is None:
+            conds.append(same_col & per_pred[0])
+            continue
+        if isinstance(k, int):
+            per_pred.append(
+                (F.col("kind") == "l")
+                & _env_excl(F.col("lo_l"), F.col("hi_l"), k)
+            )
+            if abs(k) <= _TWO53:  # exact as double → safe cross-compare
+                per_pred.append(
+                    (F.col("kind") == "d")
+                    & _env_excl(F.col("lo_d"), F.col("hi_d"), float(k))
+                )
+        elif isinstance(k, float):
+            per_pred.append(
+                (F.col("kind") == "d")
+                & _env_excl(F.col("lo_d"), F.col("hi_d"), k)
+            )
+            per_pred.append(
+                (F.col("kind") == "l")
+                & (F.abs(F.col("lo_l")) <= _TWO53)
+                & (F.abs(F.col("hi_l")) <= _TWO53)
+                & _env_excl(
+                    F.col("lo_l").cast("double"),
+                    F.col("hi_l").cast("double"),
+                    k,
+                )
+            )
+        else:  # str
+            per_pred.append(
+                (F.col("kind") == "s")
+                & _env_excl(F.col("lo_s"), F.col("hi_s"), k)
+            )
+        conds.append(same_col & _any(per_pred))
+    return _any(conds) if conds else None
+
+
+def _any(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _prune_distributed(
+    spark: SparkSession,
+    table_dir: str,
+    ckpt_version: int,
+    files: list[str],
+    seg_stats: dict,
+    predicates: list[tuple],
+) -> list[str]:
+    """Prune a big snapshot WITHOUT materializing its stats on the
+    driver: the checkpoint stats parquet is filtered by Spark (each
+    stats row that PROVES exclusion drops its file), and only the files
+    added after the checkpoint (``seg_stats`` — O(Δ) by construction)
+    are tested in driver python. Collect cost is O(kept names)."""
+    for col, op, _ in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r} on {col!r}")
+    excluded: set[str] = {
+        f
+        for f, s in seg_stats.items()
+        if not _file_may_match(s, predicates)
+    }
+    cond = _exclusion_condition(predicates)
+    if cond is not None:
+        stats_pq = _ckpt_stats_path(table_dir, ckpt_version)
+        files_df = spark.createDataFrame([(f,) for f in files], "file string")
+        excl = (
+            spark.read.parquet(stats_pq)
+            .filter(F.col("col").isin([c for c, _, _ in predicates]))
+            .filter(cond)
+            .select("file")
+            .distinct()
+        )
+        kept_rows = files_df.join(excl, "file", "left_anti").collect()
+        kept_set = {r["file"] for r in kept_rows}
+        return [f for f in files if f in kept_set and f not in excluded]
+    return [f for f in files if f not in excluded]
 
 
 def _predicate_column(predicates: list[tuple]):
@@ -378,11 +650,267 @@ def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
     return df.filter(_predicate_column(predicates))
 
 
+# -- checkpoints (stats in parquet, config in JSON) ------------------------
+
+
+def _ckpt_json_path(table_dir: str, version: int) -> str:
+    return os.path.join(_checkpoints_dir(table_dir), f"{version:08d}.json")
+
+
+def _ckpt_stats_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _checkpoints_dir(table_dir), f"{version:08d}-stats.parquet"
+    )
+
+
+def _list_checkpoints(table_dir: str) -> list[int]:
+    d = _checkpoints_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json") and f[:-5].isdigit():
+            out.append(int(f[:-5]))
+    return sorted(out)
+
+
+def _stats_to_arrow(stats: dict):
+    """Encode ``{file: {"rows", "cols": {col: {"min","max","nulls"}}}}``
+    as a columnar table, one row per (file, column) plus a marker row
+    for stat-less files. ``kind`` keys the envelope's value type so
+    int64 envelopes survive bit-exact ('l'), floats as doubles ('d'),
+    strings as strings ('s'), all-NULL empty envelopes as 'e'."""
+    import pyarrow as pa
+
+    cols = {
+        "file": [], "rows": [], "col": [], "kind": [],
+        "lo_l": [], "hi_l": [], "lo_d": [], "hi_d": [],
+        "lo_s": [], "hi_s": [], "nulls": [],
+    }
+
+    def _row(file, rows, col, kind, lo_l, hi_l, lo_d, hi_d, lo_s, hi_s, nulls):
+        for k, v in zip(cols, (file, rows, col, kind, lo_l, hi_l,
+                               lo_d, hi_d, lo_s, hi_s, nulls)):
+            cols[k].append(v)
+
+    for fname, s in stats.items():
+        wrote = False
+        for cname, env in s.get("cols", {}).items():
+            lo, hi, nulls = env["min"], env["max"], env["nulls"]
+            if lo is None and hi is None:
+                _row(fname, s["rows"], cname, "e",
+                     None, None, None, None, None, None, nulls)
+            elif isinstance(lo, bool) or isinstance(lo, int) and not isinstance(lo, bool):
+                _row(fname, s["rows"], cname, "l",
+                     int(lo), int(hi), None, None, None, None, nulls)
+            elif isinstance(lo, float):
+                _row(fname, s["rows"], cname, "d",
+                     None, None, lo, hi, None, None, nulls)
+            else:
+                _row(fname, s["rows"], cname, "s",
+                     None, None, None, None, lo, hi, nulls)
+            wrote = True
+        if not wrote:  # marker row keeps the file's row count around
+            _row(fname, s["rows"], None, None,
+                 None, None, None, None, None, None, None)
+    schema = pa.schema(
+        [
+            ("file", pa.string()), ("rows", pa.int64()),
+            ("col", pa.string()), ("kind", pa.string()),
+            ("lo_l", pa.int64()), ("hi_l", pa.int64()),
+            ("lo_d", pa.float64()), ("hi_d", pa.float64()),
+            ("lo_s", pa.string()), ("hi_s", pa.string()),
+            ("nulls", pa.int64()),
+        ]
+    )
+    return pa.table(cols, schema=schema)
+
+
+def _stats_from_arrow(tbl) -> dict:
+    out: dict[str, dict] = {}
+    for rec in tbl.to_pylist():
+        s = out.setdefault(rec["file"], {"rows": rec["rows"], "cols": {}})
+        if rec["col"] is None:
+            continue
+        kind = rec["kind"]
+        if kind == "e":
+            lo = hi = None
+        elif kind == "l":
+            lo, hi = rec["lo_l"], rec["hi_l"]
+        elif kind == "d":
+            lo, hi = rec["lo_d"], rec["hi_d"]
+        else:
+            lo, hi = rec["lo_s"], rec["hi_s"]
+        s["cols"][rec["col"]] = {"min": lo, "max": hi, "nulls": rec["nulls"]}
+    return out
+
+
+def _write_checkpoint(table_dir: str, snapshot: dict) -> None:
+    """Persist a full-state checkpoint for ``snapshot['version']`` —
+    config+file-list as JSON, per-file stats as parquet. Idempotent
+    (deterministic content per version; os.replace), best-effort (a
+    failed checkpoint only means replay starts one checkpoint earlier,
+    so callers swallow errors)."""
+    import pyarrow.parquet as pq
+
+    d = _checkpoints_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    v = snapshot["version"]
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(_stats_to_arrow(snapshot.get("stats", {})), tmp)
+    os.replace(tmp, _ckpt_stats_path(table_dir, v))
+    ck = {
+        "version": v,
+        "mode": snapshot.get("mode"),
+        "ts": snapshot.get("ts"),
+        "files": snapshot["files"],
+        "schema": snapshot["schema"],
+        "txn": snapshot.get("txn", {}),
+        "constraints": snapshot.get("constraints", {}),
+        "bloom_cols": snapshot.get("bloom_cols"),
+    }
+    tmpj = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
+    with open(tmpj, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmpj, _ckpt_json_path(table_dir, v))  # json last = valid
+
+
+def _maybe_checkpoint(table_dir: str, snapshot: dict) -> None:
+    if snapshot["version"] % CHECKPOINT_EVERY:
+        return
+    try:
+        _write_checkpoint(table_dir, snapshot)
+    except Exception:
+        pass  # derived data — replay just starts one checkpoint earlier
+
+
+def checkpoint(table_dir: str, version: int | None = None) -> int:
+    """Force a checkpoint at ``version`` (head when None). Returns the
+    checkpointed version. Vacuum calls this before dropping old
+    segments so every surviving version stays reconstructible."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = versions[-1] if version is None else version
+    _write_checkpoint(table_dir, _snapshot(table_dir, v, with_stats=True))
+    return v
+
+
+# -- snapshot reconstruction ------------------------------------------------
+
+
+def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
+    if "files" in seg:  # legacy full-snapshot manifest
+        state["files"] = list(seg["files"])
+        if with_stats:
+            state["stats"] = dict(seg.get("stats", {}))
+    else:
+        if seg.get("reset"):
+            state["files"] = []
+            if with_stats:
+                state["stats"] = {}
+        rm = seg.get("remove") or []
+        if rm:
+            rms = set(rm)
+            state["files"] = [f for f in state["files"] if f not in rms]
+            if with_stats:
+                for f in rm:
+                    state["stats"].pop(f, None)
+        add = seg.get("add") or []
+        if add:
+            state["files"] = state["files"] + add
+            if with_stats:
+                state["stats"].update(seg.get("stats", {}))
+    if seg.get("schema") is not None:
+        state["schema"] = seg["schema"]
+    state["txn"] = seg.get("txn", state["txn"])
+    state["constraints"] = seg.get("constraints", {})
+    state["bloom_cols"] = seg.get("bloom_cols")
+
+
+def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
+    """Reconstruct the full table state at ``version`` from the newest
+    checkpoint at-or-before it plus the segments after it — O(files) +
+    O(CHECKPOINT_EVERY) segment reads, independent of table age. With
+    ``with_stats=False`` the (potentially large) per-file stats are
+    skipped entirely — the path ``read_version`` without predicates
+    takes.
+
+    The returned dict is snapshot-shaped for compatibility with the
+    original full-manifest format: ``version/mode/ts/files/schema/
+    stats/txn/n_files`` plus ``constraints``/``bloom_cols`` when set
+    and ``replaced`` for merge commits."""
+    state = {
+        "files": [],
+        "stats": {},
+        "schema": None,
+        "txn": {},
+        "constraints": {},
+        "bloom_cols": None,
+    }
+    start = 0
+    ckpts = [c for c in _list_checkpoints(table_dir) if c <= version]
+    if ckpts:
+        start = ckpts[-1]
+        with open(_ckpt_json_path(table_dir, start)) as f:
+            ck = json.load(f)
+        state["files"] = list(ck["files"])
+        state["schema"] = ck["schema"]
+        state["txn"] = ck.get("txn", {})
+        state["constraints"] = ck.get("constraints", {})
+        state["bloom_cols"] = ck.get("bloom_cols")
+        if with_stats:
+            import pyarrow.parquet as pq
+
+            state["stats"] = _stats_from_arrow(
+                pq.read_table(_ckpt_stats_path(table_dir, start))
+            )
+        last = {"version": start, "mode": ck.get("mode"), "ts": ck.get("ts")}
+    else:
+        last = None
+    for v in [v for v in _list_versions(table_dir) if start < v <= version]:
+        seg = _read_segment(table_dir, v)
+        _apply_segment(state, seg, with_stats)
+        last = seg
+    if last is None or last.get("version") != version:
+        raise ValueError(
+            f"version {version} is not reconstructible at {table_dir}"
+        )
+    out = {
+        "version": version,
+        "mode": last.get("mode"),
+        "ts": last.get("ts"),
+        "files": state["files"],
+        "schema": state["schema"],
+        "txn": state["txn"],
+        "n_files": len(state["files"]),
+    }
+    if with_stats:
+        out["stats"] = state["stats"]
+    if state["constraints"]:
+        out["constraints"] = state["constraints"]
+    if state["bloom_cols"]:
+        out["bloom_cols"] = state["bloom_cols"]
+    if last.get("mode") == "merge":
+        out["replaced"] = last.get("replaced", last.get("remove", []))
+    return out
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    """The reconstructed SNAPSHOT at ``version`` (compat shim: callers
+    written against the round-4 full-manifest format keep working; the
+    on-disk record is now an O(touched) segment)."""
+    return _snapshot(table_dir, version, with_stats=True)
+
+
+# -- schema + constraints ----------------------------------------------------
+
+
 def _check_append_schema(
     old_json: str, new_schema: T.StructType, allow_evolution: bool
 ) -> str:
     """Enforce the table schema on append. Returns the schema JSON the
-    new manifest should carry (the evolved one when evolution is
+    new segment should carry (the evolved one when evolution is
     allowed and backward-compatible)."""
     old = T.StructType.fromJson(json.loads(old_json))
     if old == new_schema:
@@ -427,6 +955,46 @@ def _check_constraints(df: DataFrame, constraints: dict) -> None:
         )
 
 
+def _segment(
+    version: int,
+    mode: str,
+    *,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    stats: dict | None = None,
+    reset: bool = False,
+    schema_json: str,
+    txn: dict,
+    constraints: dict,
+    bloom_cols: list[str] | None,
+    n_files: int,
+) -> dict:
+    """One incremental commit record. File payload is O(touched);
+    config (schema/txn/constraints/bloom) is tiny and carried whole so
+    any segment fully determines the table config."""
+    seg = {
+        "version": version,
+        "mode": mode,
+        "ts": _now(),
+        "schema": schema_json,
+        "txn": txn,
+        "n_files": n_files,
+    }
+    if reset:
+        seg["reset"] = True
+    if add:
+        seg["add"] = add
+    if remove:
+        seg["remove"] = remove
+    if stats:
+        seg["stats"] = stats
+    if constraints:
+        seg["constraints"] = constraints
+    if bloom_cols:
+        seg["bloom_cols"] = bloom_cols
+    return seg
+
+
 def add_constraint(
     spark: SparkSession, table_dir: str, name: str, expr: str
 ) -> dict:
@@ -439,32 +1007,23 @@ def add_constraint(
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _read_manifest(table_dir, base)
+    m = _snapshot(table_dir, base, with_stats=False)
     cons = dict(m.get("constraints", {}))
     _check_constraints(
         _read_files(spark, table_dir, m["files"], m["schema"]), {name: expr}
     )
     cons[name] = expr
-    manifest = _metadata_manifest(m, base + 1, cons)
-    _publish(table_dir, manifest)
-    return manifest
-
-
-def _metadata_manifest(prior: dict, version: int, constraints: dict) -> dict:
-    """A metadata-only commit built from EXPLICIT fields — never ``{**prior}``,
-    which would inherit mode-specific keys like a merge's ``replaced``
-    file list into a commit that replaced nothing."""
-    return {
-        "version": version,
-        "mode": "metadata",
-        "ts": _now(),
-        "files": prior["files"],
-        "schema": prior["schema"],
-        "stats": prior.get("stats", {}),
-        "txn": prior.get("txn", {}),
-        **({"bloom_cols": prior["bloom_cols"]} if prior.get("bloom_cols") else {}),
-        **({"constraints": constraints} if constraints else {}),
-    }
+    seg = _segment(
+        base + 1,
+        "metadata",
+        schema_json=m["schema"],
+        txn=m.get("txn", {}),
+        constraints=cons,
+        bloom_cols=m.get("bloom_cols"),
+        n_files=m["n_files"],
+    )
+    _publish(table_dir, seg)
+    return _finish_commit(table_dir, base + 1)
 
 
 def drop_constraint(table_dir: str, name: str) -> dict:
@@ -473,12 +1032,20 @@ def drop_constraint(table_dir: str, name: str) -> dict:
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _read_manifest(table_dir, base)
+    m = _snapshot(table_dir, base, with_stats=False)
     cons = dict(m.get("constraints", {}))
     cons.pop(name, None)
-    manifest = _metadata_manifest(m, base + 1, cons)
-    _publish(table_dir, manifest)
-    return manifest
+    seg = _segment(
+        base + 1,
+        "metadata",
+        schema_json=m["schema"],
+        txn=m.get("txn", {}),
+        constraints=cons,
+        bloom_cols=m.get("bloom_cols"),
+        n_files=m["n_files"],
+    )
+    _publish(table_dir, seg)
+    return _finish_commit(table_dir, base + 1)
 
 
 def last_txn_version(table_dir: str, app_id: str) -> int | None:
@@ -487,7 +1054,8 @@ def last_txn_version(table_dir: str, app_id: str) -> int | None:
     versions = _list_versions(table_dir)
     if not versions:
         return None
-    v = _read_manifest(table_dir, versions[-1]).get("txn", {}).get(app_id)
+    head = _snapshot(table_dir, versions[-1], with_stats=False)
+    v = head.get("txn", {}).get(app_id)
     return int(v) if v is not None else None
 
 
@@ -498,6 +1066,15 @@ def _txn_replayed(prior: dict | None, txn: tuple[str, int] | None) -> bool:
         return False
     seen = prior.get("txn", {}).get(txn[0])
     return seen is not None and int(seen) >= int(txn[1])
+
+
+def _finish_commit(table_dir: str, version: int) -> dict:
+    """Post-publish bookkeeping shared by every write path: reconstruct
+    the snapshot (the caller-facing return value), roll a checkpoint on
+    the cadence boundary."""
+    snap = _snapshot(table_dir, version, with_stats=True)
+    _maybe_checkpoint(table_dir, snap)
+    return snap
 
 
 def commit(
@@ -511,18 +1088,18 @@ def commit(
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
 ) -> dict:
-    """Write ``df`` as the next version. ``mode='overwrite'`` makes the
-    new manifest a full snapshot of just this write; ``mode='append'``
-    carries the previous manifest's files forward (schema-checked — see
-    ``allow_evolution``). Returns the manifest.
+    """Write ``df`` as the next version. ``mode='overwrite'`` resets
+    the table to just this write; ``mode='append'`` adds files to the
+    current snapshot (schema-checked — see ``allow_evolution``).
+    Returns the reconstructed snapshot (the on-disk record is an
+    O(touched) segment).
 
     Concurrency: the publish is put-if-absent. A losing append re-reads
     the new head and retries (its staged files are version-independent
-    facts, only the carried-forward file list changes); a losing
-    overwrite retries at the next version (its snapshot does not depend
-    on prior state). When ``expected_base`` is set the commit instead
-    FAILS with ``ConcurrentCommitError`` if the head moved — the
-    compare-and-swap contract rewrite commits (compaction) need.
+    facts), a losing overwrite retries at the next version. When
+    ``expected_base`` is set the commit instead FAILS with
+    ``ConcurrentCommitError`` if the head moved — the compare-and-swap
+    contract rewrite commits (compaction) need.
     """
     if mode not in ("overwrite", "append", "optimize"):
         raise ValueError(f"mode: {mode!r}")
@@ -533,9 +1110,9 @@ def commit(
         raise ConcurrentCommitError(
             f"expected base version {expected_base}, head is {base}"
         )
-    prior = _read_manifest(table_dir, base) if base > 0 else None
+    prior = _snapshot(table_dir, base, with_stats=False) if base > 0 else None
     if _txn_replayed(prior, txn):
-        return prior  # exactly-once: this micro-batch already landed
+        return _snapshot(table_dir, base, with_stats=True)  # exactly-once
     # bloom columns are TABLE config: set once, every later commit
     # (append/merge/optimize) keeps writing them without re-asking
     if bloom_cols is None and prior is not None:
@@ -545,46 +1122,52 @@ def commit(
         _check_constraints(df, constraints)
     next_v = base + 1
     staged = _stage_files(df, table_dir, next_v, bloom_cols)
-    staged_stats = _collect_stats(table_dir, staged)
+    staged_stats = _collect_stats(table_dir, staged, spark=df.sparkSession)
 
     for attempt in range(retries + 1):
-        files = staged
-        stats = dict(staged_stats)
         schema_json = df.schema.json()
         if mode == "append" and prior is not None:
             schema_json = _check_append_schema(
                 prior["schema"], df.schema, allow_evolution
             )
-            files = prior["files"] + staged
-            stats = {**prior.get("stats", {}), **staged_stats}
-        manifest = {
-            "version": next_v,
-            "mode": mode,
-            "ts": _now(),
-            "files": files,
-            "schema": schema_json,
-            "stats": stats,
-            "txn": {
+            n_files = prior["n_files"] + len(staged)
+            reset = False
+        else:
+            n_files = len(staged)
+            reset = True
+        seg = _segment(
+            next_v,
+            mode,
+            add=staged,
+            stats=staged_stats,
+            reset=reset,
+            schema_json=schema_json,
+            txn={
                 **(prior.get("txn", {}) if prior else {}),
                 **({txn[0]: int(txn[1])} if txn else {}),
             },
-            **({"bloom_cols": bloom_cols} if bloom_cols else {}),
-            **({"constraints": constraints} if constraints else {}),
-        }
+            constraints=constraints,
+            bloom_cols=bloom_cols,
+            n_files=n_files,
+        )
         try:
-            _publish(table_dir, manifest)
-            return manifest
+            _publish(table_dir, seg)
+            return _finish_commit(table_dir, next_v)
         except ConcurrentCommitError:
             if expected_base is not None or attempt == retries:
                 raise
             versions = _list_versions(table_dir)
             base = versions[-1] if versions else 0
-            prior = _read_manifest(table_dir, base) if base > 0 else None
+            prior = (
+                _snapshot(table_dir, base, with_stats=False)
+                if base > 0
+                else None
+            )
             if _txn_replayed(prior, txn):  # the racing writer was our replay
-                return prior
+                return _snapshot(table_dir, base, with_stats=True)
             # the winner may have changed table config mid-race: adopt
             # its constraints (re-validating our rows against any new
-            # ones) and its bloom columns, or the retry manifest would
+            # ones) and its bloom columns, or the retry segment would
             # silently drop them from the log
             new_cons = prior.get("constraints", {}) if prior else {}
             if new_cons != constraints:
@@ -599,7 +1182,7 @@ def commit(
 def _read_files(
     spark: SparkSession, table_dir: str, files: list[str], schema_json: str
 ) -> DataFrame:
-    """Read a file list under the given manifest schema. The explicit
+    """Read a file list under the given snapshot schema. The explicit
     schema is what makes evolution work: old files missing a column
     added later surface NULLs, and no schema-inference listing runs."""
     schema = T.StructType.fromJson(json.loads(schema_json))
@@ -622,11 +1205,14 @@ def read_version(
     committed at or before that instant — ``TIMESTAMP AS OF``.
 
     ``predicates`` (conjunctive ``(column, op, value)`` triples)
-    activates manifest data skipping: files whose stat envelopes
-    provably cannot match are dropped from the read BEFORE Spark lists
-    a single path, and the predicates are re-applied as a row filter so
-    the answer is exact regardless of stats coverage. Pass a dict as
-    ``prune_report`` to observe ``files_total``/``files_kept``."""
+    activates data skipping: files whose stat envelopes provably cannot
+    match are dropped from the read BEFORE Spark lists a single path,
+    and the predicates are re-applied as a row filter so the answer is
+    exact regardless of stats coverage. At
+    ``DISTRIBUTED_PRUNE_MIN_FILES``+ files the prune itself runs as a
+    Spark filter over the checkpoint stats parquet — the driver only
+    collects the kept names. Pass a dict as ``prune_report`` to observe
+    ``files_total``/``files_kept``."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -636,7 +1222,7 @@ def read_version(
         eligible = [
             v
             for v in versions
-            if _read_manifest(table_dir, v).get("ts", 0) <= as_of_timestamp
+            if _read_segment(table_dir, v).get("ts", 0) <= as_of_timestamp
         ]
         if not eligible:
             raise ValueError(
@@ -647,22 +1233,61 @@ def read_version(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
-    m = _read_manifest(table_dir, v)
-    files = m["files"]
-    if predicates:
-        files, report = prune_files(m, predicates)
-        if prune_report is not None:
-            prune_report.update(report)
-        if not files:
-            # match a parquet scan's schema exactly: file reads surface
-            # every field nullable, so the all-pruned frame must too
-            schema = T.StructType.fromJson(json.loads(m["schema"]))
-            nullable = T.StructType(
-                [T.StructField(f.name, f.dataType, True) for f in schema.fields]
-            )
-            return spark.createDataFrame([], nullable)
+    if not predicates:
+        m = _snapshot(table_dir, v, with_stats=False)
+        return _read_files(spark, table_dir, m["files"], m["schema"])
+    files, m = _pruned_files(spark, table_dir, v, predicates)
+    if prune_report is not None:
+        prune_report.update(
+            {"files_total": m["n_files"], "files_kept": len(files)}
+        )
+    if not files:
+        # match a parquet scan's schema exactly: file reads surface
+        # every field nullable, so the all-pruned frame must too
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        nullable = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        )
+        return spark.createDataFrame([], nullable)
     df = _read_files(spark, table_dir, files, m["schema"])
-    return _apply_predicates(df, predicates) if predicates else df
+    return _apply_predicates(df, predicates)
+
+
+def _pruned_files(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    predicates: list[tuple],
+) -> tuple[list[str], dict]:
+    """(kept files, no-stats snapshot) for a predicated read. Picks the
+    driver path (materialize the stats dict, python envelope checks) at
+    small file counts and the distributed path (Spark filter over the
+    checkpoint stats parquet + driver check of only the post-checkpoint
+    additions) at large ones."""
+    m = _snapshot(table_dir, version, with_stats=False)
+    ckpts = [c for c in _list_checkpoints(table_dir) if c <= version]
+    if len(m["files"]) >= DISTRIBUTED_PRUNE_MIN_FILES and ckpts:
+        ck = ckpts[-1]
+        seg_stats: dict = {}
+        for sv in [sv for sv in _list_versions(table_dir) if ck < sv <= version]:
+            seg = _read_segment(table_dir, sv)
+            if "files" in seg:  # legacy full manifest — stats inline
+                seg_stats = dict(seg.get("stats", {}))
+            else:
+                if seg.get("reset"):
+                    seg_stats = {}
+                for f in seg.get("remove") or []:
+                    seg_stats.pop(f, None)
+                seg_stats.update(seg.get("stats", {}))
+        # a file covered by NEITHER the checkpoint nor the replayed
+        # segments simply skips pruning — the conservative contract
+        kept = _prune_distributed(
+            spark, table_dir, ck, m["files"], seg_stats, predicates
+        )
+        return kept, m
+    full = _snapshot(table_dir, version, with_stats=True)
+    kept, _ = prune_files(full, predicates)
+    return kept, full
 
 
 def read_changes(
@@ -677,13 +1302,14 @@ def read_changes(
     ``_commit_version``.
 
     Cost model (the 100 TB contract): an **append** step is O(its new
-    files) — only the files the commit added are read; an **optimize**
-    step is free (logical no-op, skipped); an **overwrite** step is a
-    content diff (``exceptAll`` both ways) — O(both snapshots), the
-    honest price of a blind rewrite with no row lineage. Every step is
-    read under the END version's schema (append-time backward-compat
-    checks guarantee it reads all older files).
-    """
+    files) — read straight off the segment's ``add`` list; an
+    **optimize** step is free (logical no-op, skipped); a **merge**
+    step diffs only the replaced-vs-added file content; an
+    **overwrite** step is a content diff (``exceptAll`` both ways) —
+    O(both snapshots), the honest price of a blind rewrite with no row
+    lineage. Every step is read under the END version's schema
+    (append-time backward-compat checks guarantee it reads all older
+    files)."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -691,34 +1317,41 @@ def read_changes(
     for v in (start_version, end):
         if v not in versions and v != 0:
             raise ValueError(f"version {v} not in {versions}")
-    schema_json = _read_manifest(table_dir, end)["schema"] if end else None
+    schema_json = (
+        _snapshot(table_dir, end, with_stats=False)["schema"] if end else None
+    )
     steps = [v for v in versions if start_version < v <= end]
 
     parts: list[DataFrame] = []
     prev_files: list[str] = (
-        _read_manifest(table_dir, start_version)["files"]
+        _snapshot(table_dir, start_version, with_stats=False)["files"]
         if start_version
         else []
     )
+    state = {"files": list(prev_files), "stats": {}, "schema": None,
+             "txn": {}, "constraints": {}, "bloom_cols": None}
     for v in steps:
-        m = _read_manifest(table_dir, v)
-        if m["mode"] == "append":
+        seg = _read_segment(table_dir, v)
+        prev_files = list(state["files"])
+        _apply_segment(state, seg, with_stats=False)
+        mode = seg["mode"]
+        if mode == "append":
             seen = set(prev_files)
-            new_files = [f for f in m["files"] if f not in seen]
+            new_files = [f for f in state["files"] if f not in seen]
             if new_files:
                 parts.append(
                     _read_files(spark, table_dir, new_files, schema_json)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
-        elif m["mode"] in ("optimize", "metadata"):
+        elif mode in ("optimize", "metadata"):
             pass  # logical no-op: same rows (fewer files / new config)
-        elif m["mode"] == "merge":
-            # the manifest names the replaced files — diff ONLY the
+        elif mode == "merge":
+            # the segment names the replaced files — diff ONLY the
             # touched content (O(files the merge rewrote), not O(table))
             seen = set(prev_files)
-            new_files = [f for f in m["files"] if f not in seen]
-            replaced = m.get("replaced", [])
+            new_files = [f for f in state["files"] if f not in seen]
+            replaced = seg.get("replaced", seg.get("remove", []))
             cur = (
                 _read_files(spark, table_dir, new_files, schema_json)
                 if new_files
@@ -744,7 +1377,7 @@ def read_changes(
                     )
                 )
         else:  # overwrite: content diff against the previous snapshot
-            cur = _read_files(spark, table_dir, m["files"], schema_json)
+            cur = _read_files(spark, table_dir, state["files"], schema_json)
             if prev_files:
                 prev = _read_files(spark, table_dir, prev_files, schema_json)
                 ins, dels = cur.exceptAll(prev), prev.exceptAll(cur)
@@ -761,7 +1394,6 @@ def read_changes(
                         "_commit_version", F.lit(v).cast("long")
                     )
                 )
-        prev_files = m["files"]
 
     if not parts:
         base = T.StructType.fromJson(json.loads(schema_json)) if schema_json else T.StructType([])
@@ -798,13 +1430,13 @@ def merge(
 
     The 100 TB property is file-level merge pruning: the source's key
     envelopes (one tiny min/max aggregate) are tested against every
-    file's manifest stats, and ONLY overlapping files are read and
-    rewritten — a merge touching one day of a year-partitioned table
-    rewrites ~1/365th of it. Untouched files (and their stats) carry
-    forward verbatim; the commit is compare-and-swap (a racing writer
-    raises ``ConcurrentCommitError`` rather than being silently
-    overwritten). The manifest records the replaced files so the
-    change feed can diff ONLY the touched content, not the snapshots.
+    file's stats, and ONLY overlapping files are read and rewritten — a
+    merge touching one day of a year-partitioned table rewrites ~1/365th
+    of it. Untouched files carry forward IMPLICITLY (the segment lists
+    only added+removed files — O(touched) commit bytes); the commit is
+    compare-and-swap (a racing writer raises ``ConcurrentCommitError``
+    rather than being silently overwritten). The segment records the
+    replaced files so the change feed diffs ONLY the touched content.
 
     Multiple source rows with the same key would make the update
     non-deterministic — rejected up front, exactly as Delta's
@@ -818,7 +1450,7 @@ def merge(
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _read_manifest(table_dir, base)
+    m = _snapshot(table_dir, base, with_stats=True)
     if _txn_replayed(m, txn):
         if report is not None:
             report.update(
@@ -888,7 +1520,6 @@ def merge(
         if env[f"lo_{k}"] is not None:
             preds += [(k, ">=", env[f"lo_{k}"]), (k, "<=", env[f"hi_{k}"])]
     touched, _ = prune_files(m, preds)
-    untouched = [f for f in m["files"] if f not in set(touched)]
 
     key_cols = [F.col(k) for k in keys]
     src_keys = source.select(*key_cols).distinct()
@@ -931,27 +1562,23 @@ def merge(
 
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
-    staged_stats = _collect_stats(table_dir, staged)
-    prior_stats = m.get("stats", {})
-    manifest = {
-        "version": next_v,
-        "mode": "merge",
-        "files": untouched + staged,
-        "replaced": touched,
-        "schema": m["schema"],
-        "stats": {
-            **{f: prior_stats[f] for f in untouched if f in prior_stats},
-            **staged_stats,
-        },
-        "txn": {
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    seg = _segment(
+        next_v,
+        "merge",
+        add=staged,
+        remove=touched,
+        stats=staged_stats,
+        schema_json=m["schema"],
+        txn={
             **m.get("txn", {}),
             **({txn[0]: int(txn[1])} if txn else {}),
         },
-        "ts": _now(),
-        **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
-        **({"constraints": m["constraints"]} if m.get("constraints") else {}),
-    }
-    _publish(table_dir, manifest)  # CAS: merge read base — losing = error
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        n_files=len(m["files"]) - len(touched) + len(staged),
+    )
+    _publish(table_dir, seg)  # CAS: merge read base — losing = error
     if report is not None:
         report.update(
             {
@@ -962,7 +1589,7 @@ def merge(
                 ),
             }
         )
-    return manifest
+    return _finish_commit(table_dir, next_v)
 
 
 def _rewrite_where(
@@ -974,14 +1601,15 @@ def _rewrite_where(
 ) -> dict:
     """Shared engine for DELETE/UPDATE WHERE: prune to the files whose
     stat envelopes can contain matching rows, rewrite ONLY those via
-    ``transform(df, matched_condition)``, carry everything else (and
-    its stats) forward, publish as a CAS 'merge' commit the change feed
-    diffs at O(touched content)."""
+    ``transform(df, matched_condition)``, list just added+removed in
+    the segment (everything else carries forward implicitly), publish
+    as a CAS 'merge' commit the change feed diffs at O(touched
+    content)."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _read_manifest(table_dir, base)
+    m = _snapshot(table_dir, base, with_stats=True)
     touched, _ = prune_files(m, predicates)
     if report is not None:
         report.update(
@@ -989,31 +1617,26 @@ def _rewrite_where(
         )
     if not touched:  # provably nothing matches: no-op, no commit
         return m
-    untouched = [f for f in m["files"] if f not in set(touched)]
     target = _read_files(spark, table_dir, touched, m["schema"])
     new_df = transform(target, _predicate_column(predicates))
     _check_constraints(new_df, m.get("constraints"))
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
-    staged_stats = _collect_stats(table_dir, staged)
-    prior_stats = m.get("stats", {})
-    manifest = {
-        "version": next_v,
-        "mode": "merge",
-        "ts": _now(),
-        "files": untouched + staged,
-        "replaced": touched,
-        "schema": m["schema"],
-        "stats": {
-            **{f: prior_stats[f] for f in untouched if f in prior_stats},
-            **staged_stats,
-        },
-        "txn": m.get("txn", {}),
-        **({"bloom_cols": m["bloom_cols"]} if m.get("bloom_cols") else {}),
-        **({"constraints": m["constraints"]} if m.get("constraints") else {}),
-    }
-    _publish(table_dir, manifest)
-    return manifest
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    seg = _segment(
+        next_v,
+        "merge",
+        add=staged,
+        remove=touched,
+        stats=staged_stats,
+        schema_json=m["schema"],
+        txn=m.get("txn", {}),
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        n_files=len(m["files"]) - len(touched) + len(staged),
+    )
+    _publish(table_dir, seg)
+    return _finish_commit(table_dir, next_v)
 
 
 def delete_where(
@@ -1125,8 +1748,8 @@ def restore(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     base = versions[-1]
-    head = _read_manifest(table_dir, base)
-    target = _read_manifest(table_dir, version)
+    head = _snapshot(table_dir, base, with_stats=False)
+    target = _snapshot(table_dir, version, with_stats=True)
     cons = head.get("constraints", {})
     if cons:
         if spark is None:
@@ -1139,36 +1762,38 @@ def restore(
             _read_files(spark, table_dir, target["files"], target["schema"]),
             cons,
         )
-    manifest = {
-        "version": base + 1,
-        "mode": "overwrite",
-        "ts": _now(),
-        "files": target["files"],
-        "schema": target["schema"],
-        "stats": target.get("stats", {}),
-        "txn": head.get("txn", {}),  # writer high-water marks survive
-        **({"bloom_cols": head["bloom_cols"]} if head.get("bloom_cols") else {}),
-        **(
-            {"constraints": head["constraints"]}
-            if head.get("constraints")
-            else {}
-        ),
-    }
-    _publish(table_dir, manifest)
-    return manifest
+    seg = _segment(
+        base + 1,
+        "overwrite",
+        add=target["files"],
+        stats=target.get("stats", {}),
+        reset=True,
+        schema_json=target["schema"],
+        txn=head.get("txn", {}),  # writer high-water marks survive
+        constraints=cons,
+        bloom_cols=head.get("bloom_cols"),
+        n_files=len(target["files"]),
+    )
+    _publish(table_dir, seg)
+    return _finish_commit(table_dir, base + 1)
 
 
 def history(table_dir: str) -> list[dict]:
-    """The table's commit log, oldest first (version/mode/file count)."""
+    """The table's commit log, oldest first (version/mode/file count).
+    O(1) per commit — segments carry their post-commit file count, so
+    no snapshot is reconstructed."""
     out = []
     for v in _list_versions(table_dir):
-        m = _read_manifest(table_dir, v)
+        seg = _read_segment(table_dir, v)
+        n = seg.get("n_files")
+        if n is None:  # legacy full manifest
+            n = len(seg.get("files", []))
         out.append(
             {
                 "version": v,
-                "mode": m["mode"],
-                "n_files": len(m["files"]),
-                "ts": m.get("ts"),
+                "mode": seg["mode"],
+                "n_files": n,
+                "ts": seg.get("ts"),
             }
         )
     return out
@@ -1216,6 +1841,9 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 1, retention_s: float = 0.0) -> int:
         return vacuum(self.path, keep_last=keep_last, retention_s=retention_s)
+
+    def checkpoint(self, version: int | None = None) -> int:
+        return checkpoint(self.path, version)
 
     def add_constraint(self, name: str, expr: str) -> dict:
         return add_constraint(self.spark, self.path, name, expr)
@@ -1301,32 +1929,47 @@ def _file_version_prefix(fname: str) -> int | None:
     return int(head) if head.isdigit() else None
 
 
-#: how long vacuum assumes a future-version staged file may still belong
-#: to a LIVE in-flight commit (writer staged, manifest not yet published)
-INFLIGHT_GRACE_S = 600.0
-
-
 def vacuum(
     table_dir: str, keep_last: int = 1, retention_s: float = 0.0
 ) -> int:
-    """Drop manifests older than the last ``keep_last`` and delete data
-    files no surviving manifest references. Returns files deleted.
+    """Drop commit segments older than the last ``keep_last`` versions
+    and delete data files no surviving version references. Returns
+    files deleted.
+
+    Log safety: before any segment is dropped, a CHECKPOINT is written
+    at the oldest surviving version, so every kept version remains
+    reconstructible (checkpoint + surviving segments). Older
+    checkpoints are reclaimed with their segments.
 
     In-flight-writer safety (Delta's retention model): a writer stages
-    its parquet files BEFORE publishing the manifest that references
+    its parquet files BEFORE publishing the segment that references
     them, so an unreferenced file is not necessarily garbage. A file
-    whose version prefix EXCEEDS the newest kept manifest is treated as
+    whose version prefix EXCEEDS the newest kept version is treated as
     a possibly-live commit and spared until it is older than
     ``max(retention_s, INFLIGHT_GRACE_S)`` — a writer dead that long
     will never publish. ``retention_s > 0`` additionally spares ANY
     unreferenced file younger than the window (covers a racing writer
     whose staged version number was taken by the winner)."""
     versions = _list_versions(table_dir)
-    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
-    newest_kept = max(keep) if keep else 0
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    newest_kept = keep[-1] if keep else 0
+    dropping_segments = bool(set(versions) - set(keep))
     live: set[str] = set()
-    for v in keep:
-        live.update(_read_manifest(table_dir, v)["files"])
+    if keep:
+        # ONE incremental walk covers every kept version's file set
+        state = _snapshot(table_dir, keep[0], with_stats=False)
+        live.update(state["files"])
+        walk = {"files": list(state["files"]), "stats": {}, "schema": None,
+                "txn": {}, "constraints": {}, "bloom_cols": None}
+        for v in keep[1:]:
+            _apply_segment(walk, _read_segment(table_dir, v), False)
+            live.update(walk["files"])
+        if dropping_segments and keep[0] not in _list_checkpoints(table_dir):
+            # make the oldest kept version self-sufficient BEFORE its
+            # predecessors disappear from the log
+            _write_checkpoint(
+                table_dir, _snapshot(table_dir, keep[0], with_stats=True)
+            )
     deleted = 0
     now = _now()
     data_dir = os.path.join(table_dir, _DATA)
@@ -1347,4 +1990,12 @@ def vacuum(
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(_versions_dir(table_dir), f"{v:08d}.json"))
+    # checkpoints older than the oldest kept version serve no reader
+    floor = keep[0] if keep else 0
+    for c in _list_checkpoints(table_dir):
+        if c < floor:
+            os.remove(_ckpt_json_path(table_dir, c))
+            sp = _ckpt_stats_path(table_dir, c)
+            if os.path.exists(sp):
+                os.remove(sp)
     return deleted

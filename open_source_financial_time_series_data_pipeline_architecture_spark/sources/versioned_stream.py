@@ -41,6 +41,29 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.sources 
 )
 
 
+def _walk_segments(table_dir: str, lo: int, hi: int):
+    """Yield ``(version, segment, files_after, files_before)`` for each
+    commit in ``(lo, hi]`` — ONE snapshot reconstruction at ``lo``, then
+    an incremental segment replay (O(touched) per commit), never a full
+    snapshot per version."""
+    versions = V._list_versions(table_dir)
+    state = {
+        "files": list(
+            V._snapshot(table_dir, lo, with_stats=False)["files"] if lo else []
+        ),
+        "stats": {},
+        "schema": None,
+        "txn": {},
+        "constraints": {},
+        "bloom_cols": None,
+    }
+    for v in [v for v in versions if lo < v <= hi]:
+        seg = V._read_segment(table_dir, v)
+        prev_files = list(state["files"])
+        V._apply_segment(state, seg, False)
+        yield v, seg, list(state["files"]), prev_files
+
+
 def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list[tuple]:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -91,31 +114,26 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
         return self._rows(start["v"], end["v"])
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
-        versions = V._list_versions(self.table_dir)
-        prev_files: list[str] = (
-            V._read_manifest(self.table_dir, lo)["files"] if lo else []
-        )
         out: list[tuple] = []
-        for v in [v for v in versions if lo < v <= hi]:
-            m = V._read_manifest(self.table_dir, v)
-            if m["mode"] == "append":
+        for v, seg, files, prev_files in _walk_segments(self.table_dir, lo, hi):
+            mode = seg["mode"]
+            if mode == "append":
                 seen = set(prev_files)
-                new = [f for f in m["files"] if f not in seen]
+                new = [f for f in files if f not in seen]
                 out.extend(_rows_from_files(self.table_dir, new, self.names))
-            elif m["mode"] in ("optimize", "metadata"):
+            elif mode in ("optimize", "metadata"):
                 pass
             else:  # overwrite/merge: the snapshot changed in place
                 if self.on_overwrite == "fail":
                     raise RuntimeError(
-                        f"version {v} is a {m['mode']}; streaming tail "
+                        f"version {v} is a {mode}; streaming tail "
                         "requires append-only commits (set "
                         "on_overwrite='snapshot' or 'skip')"
                     )
                 if self.on_overwrite == "snapshot":
                     out.extend(
-                        _rows_from_files(self.table_dir, m["files"], self.names)
+                        _rows_from_files(self.table_dir, files, self.names)
                     )
-            prev_files = m["files"]
         return out
 
 
@@ -173,42 +191,38 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
         return self._rows(start["v"], end["v"])
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
-        versions = V._list_versions(self.table_dir)
-        prev_files: list[str] = (
-            V._read_manifest(self.table_dir, lo)["files"] if lo else []
-        )
         out: list[tuple] = []
 
         def _emit(rows, kind: str, v: int):
             out.extend(tuple(r) + (kind, v) for r in rows)
 
-        for v in [v for v in versions if lo < v <= hi]:
-            m = V._read_manifest(self.table_dir, v)
-            if m["mode"] == "append":
+        for v, seg, files, prev_files in _walk_segments(self.table_dir, lo, hi):
+            mode = seg["mode"]
+            if mode == "append":
                 seen = set(prev_files)
-                new = [f for f in m["files"] if f not in seen]
+                new = [f for f in files if f not in seen]
                 _emit(
                     _rows_from_files(self.table_dir, new, self.names),
                     "insert",
                     v,
                 )
-            elif m["mode"] in ("optimize", "metadata"):
+            elif mode in ("optimize", "metadata"):
                 pass
-            elif m["mode"] == "merge":
+            elif mode == "merge":
                 seen = set(prev_files)
-                new = [f for f in m["files"] if f not in seen]
+                new = [f for f in files if f not in seen]
+                replaced = seg.get("replaced", seg.get("remove", []))
                 ins, dels = _multiset_diff(
-                    self.table_dir, m.get("replaced", []), new, self.names
+                    self.table_dir, replaced, new, self.names
                 )
                 _emit(ins, "insert", v)
                 _emit(dels, "delete", v)
             else:  # overwrite: full snapshot diff
                 ins, dels = _multiset_diff(
-                    self.table_dir, prev_files, m["files"], self.names
+                    self.table_dir, prev_files, files, self.names
                 )
                 _emit(ins, "insert", v)
                 _emit(dels, "delete", v)
-            prev_files = m["files"]
         return out
 
 
@@ -226,7 +240,7 @@ class VersionedCDFDataSource(DataSource):
         versions = V._list_versions(self.options["path"])
         if not versions:
             raise FileNotFoundError(f"no versions at {self.options['path']}")
-        m = V._read_manifest(self.options["path"], versions[-1])
+        m = V._snapshot(self.options["path"], versions[-1], with_stats=False)
         return T.StructType.fromJson(json.loads(m["schema"]))
 
     def schema(self) -> T.StructType:
@@ -256,7 +270,7 @@ class VersionedTailDataSource(DataSource):
         versions = V._list_versions(self.options["path"])
         if not versions:
             raise FileNotFoundError(f"no versions at {self.options['path']}")
-        m = V._read_manifest(self.options["path"], versions[-1])
+        m = V._snapshot(self.options["path"], versions[-1], with_stats=False)
         return T.StructType.fromJson(json.loads(m["schema"]))
 
     def schema(self) -> T.StructType:

@@ -155,3 +155,84 @@ def test_versioned_merge_prune_at_1m_rows(spark, tmp_path):
         .collect()[0]
     )
     assert chk["n"] == 1_002
+
+
+def test_100k_file_commit_log_planning_is_bounded(spark, tmp_path):
+    """The round-5 incremental log at six-figure file counts: a
+    fabricated 100k-file snapshot (stats checkpoint + segments) takes a
+    real append whose COMMIT BYTES are O(touched), and a selective
+    pruned read plans via the distributed stats-parquet path — the
+    driver collects only the kept names, never 100k envelopes."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    t = str(tmp_path / "big_log")
+    os.makedirs(os.path.join(t, V._VERSIONS))
+    os.makedirs(os.path.join(t, V._DATA))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    n_files = 100_000
+    names = [f"v1-{i:08x}-part-{i}.parquet" for i in range(n_files)]
+    stats = {
+        n: {"rows": 10, "cols": {"id": {"min": 10 * i, "max": 10 * i + 9, "nulls": 0}}}
+        for i, n in enumerate(names)
+    }
+    seg = V._segment(
+        1,
+        "overwrite",
+        add=names,
+        stats=stats,
+        reset=True,
+        schema_json=schema.json(),
+        txn={},
+        constraints={},
+        bloom_cols=None,
+        n_files=n_files,
+    )
+    V._publish(t, seg)
+    V._write_checkpoint(t, V._snapshot(t, 1, with_stats=True))
+    # real bytes only for the one file the selective predicate keeps
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(999_990, 1_000_000), pa.int64()),
+                "v": pa.array([1] * 10, pa.int64()),
+            }
+        ),
+        os.path.join(t, V._DATA, names[-1]),
+    )
+
+    # a real append on the 100k-file table: segment is O(touched)
+    m2 = V.commit(
+        spark.createDataFrame([(2_000_000, 1)], "id long, v long").coalesce(1),
+        t,
+        mode="append",
+    )
+    assert m2["n_files"] == n_files + 1
+    seg2_bytes = os.path.getsize(os.path.join(t, V._VERSIONS, "00000002.json"))
+    assert seg2_bytes < 10_000  # round-4 format: ~10 MB (full file list)
+
+    # pruned read plans through the checkpoint stats parquet
+    rep: dict = {}
+    t0 = time.monotonic()
+    got = V.read_version(
+        spark,
+        t,
+        predicates=[("id", ">=", 999_990), ("id", "<=", 999_999)],
+        prune_report=rep,
+    )
+    n = got.count()
+    plan_s = time.monotonic() - t0
+    assert rep == {"files_total": n_files + 1, "files_kept": 1}
+    assert n == 10
+    assert plan_s < 60  # a Spark job over 100k stats rows, not 100k
+    # driver-python envelope loops (generous bound for a loaded box)
