@@ -7,8 +7,11 @@ batch iteration, Arrow-batched UDF signatures — plus REAL pure-spec
 codecs for the formats whose specs don't require external libraries:
 RIFF/WAVE PCM audio, binary PPM and PNG images (stdlib zlib supplies
 DEFLATE; chunk CRCs and all five scanline filters implemented from the
-W3C spec), and YUV4MPEG2 video frame sampling. Only JPEG's
-entropy-coded DCT stays stubbed behind ``NotImplementedError``.
+W3C spec), YUV4MPEG2 video frame sampling, and — round 5 — baseline
+JPEG (ITU-T T.81: canonical Huffman entropy decode, dequantization,
+2-D IDCT, restart markers, chroma subsampling, BT.601 YCbCr→RGB).
+Every dominant training-corpus media format now decodes for real;
+only exotic codings (progressive/arithmetic JPEG) raise ValueError.
 
 Batch shape: `mapInPandas` streams Arrow record batches, so payload
 bytes never materialize as one big driver object; per-batch memory is
@@ -72,16 +75,21 @@ def extract_features(
     """Feature-extract each binary payload via ``mapInPandas``.
 
     decoder='stub'  → deterministic sha256 pseudo-features (testable);
-    decoder='real'  → NotImplementedError (media libs not present; the
-                      Spark-side plumbing is what this module delivers).
+    decoder='real'  → ValueError pointing at the REAL per-format decode
+                      paths (pure-spec parsers; no external media lib):
+                      decode_jpeg / decode_png / decode_ppm / decode_wav
+                      / decode_y4m_frames. A learned feature encoder is
+                      out of scope for this environment — the decode
+                      stage itself is no longer stubbed for any of the
+                      dominant formats.
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "JPEG decoding requires a real codec library not present in "
-            "this environment; use decoder='stub'. Image (PPM, PNG incl. "
-            "DEFLATE+unfiltering), audio (RIFF/WAVE PCM) and video "
-            "(YUV4MPEG2 frame sampling) decode ARE real — see decode_png/"
-            "decode_ppm/decode_wav/decode_y4m_frames (pure-spec parsers)"
+        raise ValueError(
+            "no learned media encoder is available in this environment; "
+            "use decoder='stub' for pseudo-features. DECODE is real for "
+            "every dominant format — see decode_jpeg (baseline T.81), "
+            "decode_png (DEFLATE+unfilter), decode_ppm, decode_wav, "
+            "decode_y4m_frames, and their *_decode_stats Spark wrappers"
         )
 
     schema = f"{id_col} long, n_bytes long, features array<double>"
@@ -216,8 +224,8 @@ def decode_wav(payload: bytes) -> dict:
 # --------------------------------------------------------------------------
 # REAL image decode: binary PPM (P6), written from the public Netpbm
 # format spec. Uncompressed RGB — header parse (whitespace/comments)
-# + pixel statistics; compressed formats (JPEG/PNG) stay stubbed, the
-# entropy coders genuinely need media libraries.
+# + pixel statistics. Compressed formats decode for real further down
+# (PNG via stdlib zlib; baseline JPEG pure-spec, round 5).
 # --------------------------------------------------------------------------
 
 
@@ -358,8 +366,8 @@ def ppm_decode_stats(
 # (zlib) — so unlike JPEG the whole pipeline is implementable
 # pure-spec: signature, chunk walk with CRC-32 validation, IHDR
 # parse, multi-IDAT zlib inflate, and per-scanline unfiltering of all
-# five filter types (None/Sub/Up/Average/Paeth). JPEG remains the one
-# honest stub (its arithmetic/Huffman-coded DCT needs a real codec).
+# five filter types (None/Sub/Up/Average/Paeth). Baseline JPEG decodes
+# pure-spec too (round 5) — see the T.81 section below.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -915,3 +923,597 @@ def resize_plan(
         (F.lit(max_w) - dst_w).alias("pad_x"),
         (F.lit(max_h) - dst_h).alias("pad_y"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG decode, written from the public ITU-T T.81 spec
+# (the last NotImplementedError in the image plane — training corpora
+# are mostly JPEG). Full baseline pipeline: marker walk, DQT (8/16-bit,
+# multi-table), DHT canonical Huffman construction (Annex C), SOF0,
+# interleaved-MCU entropy decode with byte destuffing + restart
+# markers, DC prediction + EXTEND (F.2.2.1), dequantization, float
+# 2-D IDCT (A.3.3), level shift + clamp, component upsampling for
+# subsampled chroma, and the JFIF BT.601 YCbCr->RGB conversion.
+#
+# Fixture strategy (same oracle discipline as PNG): the synthetic
+# encoder emits CHOSEN quantized coefficients restricted to the
+# frequency positions (0,0), (0,4), (4,0), (4,4) whose basis products
+# collapse to exactly +-1/8 — cos((2x+1)*4*pi/16) = +-sqrt(2)/2 and the
+# C(u) normalizers cancel the radicals — so the decoded pixel is the
+# CLOSED FORM 128 + 2*dc + sx*v40 + sy*v04 + sx*sy*v44 with
+# sx = +1 iff x%4 in {0,3} (float IDCT error ~1e-13, far from the
+# rounding boundary). The DuckDB oracle recomputes that formula from
+# the LCG coefficient streams without ever seeing a byte, pinning
+# Huffman tables, entropy decode, dequant, IDCT and the color path
+# value-exact end to end.
+# --------------------------------------------------------------------------
+
+#: zigzag index -> (row, col); rows of each anti-diagonal are walked
+#: upward on odd diagonals, downward on even — the T.81 Figure 5 order
+_JPEG_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+)
+_JPEG_ZZ_OF = {rc: i for i, rc in enumerate(_JPEG_ZIGZAG)}
+
+_JPEG_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_JPEG_CNORM = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _jpeg_huff_codes(bits: Sequence[int], huffval: Sequence[int]) -> dict:
+    """Canonical Huffman codes from a DHT's BITS/HUFFVAL lists — the
+    Annex C generate_size/code tables as one pass. Returns
+    {symbol: (code, length)}."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """Entropy-coded segment writer: MSB-first bits, 0xFF byte
+    stuffing (B.1.1.5), 1-padding of the final byte."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write_bits(self, value: int, n_bits: int) -> None:
+        for i in range(n_bits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def write_code(self, code: int, length: int) -> None:
+        self.write_bits(code, length)
+
+    def flush(self) -> None:
+        if self._n:
+            self._acc = (self._acc << (8 - self._n)) | ((1 << (8 - self._n)) - 1)
+            self.out.append(self._acc)
+            if self._acc == 0xFF:
+                self.out.append(0x00)
+            self._acc, self._n = 0, 0
+
+
+class _JpegBitReader:
+    """Entropy-coded segment reader over the full payload: destuffs
+    0xFF00, byte-aligns + consumes RSTn on demand, stops at any other
+    marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.buf) - 1:
+            raise ValueError("truncated entropy-coded segment")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError("hit marker inside entropy-coded segment")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan data")
+
+    def receive_extend(self, size: int) -> int:
+        """T.81 F.2.2.1 EXTEND: map a SIZE-bit magnitude to its signed
+        value (low half of the range is negative)."""
+        if size == 0:
+            return 0
+        v = self.read_bits(size)
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self._n = 0  # discard pad bits (B.2.1.2)
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + n:
+            raise ValueError(f"expected RST{n} marker")
+        self.pos += 2
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(SIZE, low-order bits) for a signed coefficient — the encoder
+    side of EXTEND (negative values are one's-complemented)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _jpeg_idct_block(coefs: list[int], quant: Sequence[int]) -> list[list[int]]:
+    """Dequantize a zigzag coefficient block and run the float 2-D
+    IDCT (T.81 A.3.3); returns 8x8 level-shifted, clamped samples."""
+    S = [[0.0] * 8 for _ in range(8)]
+    for i, v in enumerate(coefs):
+        if v:
+            r, c = _JPEG_ZIGZAG[i]
+            S[r][c] = v * quant[i]
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                cy = _JPEG_CNORM[v] * _JPEG_COS[y][v]
+                row = S[v]
+                for u in range(8):
+                    if row[u]:
+                        acc += _JPEG_CNORM[u] * row[u] * _JPEG_COS[x][u] * cy
+            s = int(math.floor(acc / 4 + 128 + 0.5))
+            out[y][x] = 0 if s < 0 else (255 if s > 255 else s)
+    return out
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG (SOF0) decoder, pure-spec: returns
+    {"width", "height", "channels", "pixels"} with pixels as row-major
+    interleaved bytes — grayscale passthrough or JFIF BT.601
+    YCbCr->RGB for 3-component images, chroma replicated up per the
+    component sampling factors. Progressive/arithmetic/12-bit streams
+    raise ValueError (honest scope: baseline is the training-corpus
+    dominant coding)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            off = 0
+            while off < len(seg):
+                pq_, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq_ == 0:
+                    quant[tq] = list(seg[off : off + 64])
+                    off += 64
+                else:
+                    quant[tq] = list(
+                        struct.unpack_from(">64H", seg, off)
+                    )
+                    off += 128
+        elif marker == 0xC4:  # DHT — possibly several tables per marker
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                codes = _jpeg_huff_codes(bits, vals)
+                table = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential (SOF0) JPEG is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            by_id = {c["id"]: c for c in frame["comps"]}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                c = dict(by_id[cs])
+                c["dc"], c["ac"] = tt >> 4, tt & 15
+                scan.append(c)
+            pixels = _jpeg_decode_scan(
+                payload, pos + ln, frame, scan, quant,
+                huff_dc, huff_ac, restart_interval,
+            )
+            nch = 1 if len(frame["comps"]) == 1 else 3
+            return {
+                "width": frame["w"],
+                "height": frame["h"],
+                "channels": nch,
+                "pixels": pixels,
+            }
+        # APPn / COM / anything else: skip
+        pos += ln
+    raise ValueError("no scan data found")
+
+
+def _jpeg_decode_scan(
+    buf: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[dict],
+    quant: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> bytes:
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in scan:
+        c["bw"] = mcus_x * c["h"]  # blocks across, padded to MCU grid
+        c["bh"] = mcus_y * c["v"]
+        planes.append(bytearray(c["bw"] * 8 * c["bh"] * 8))
+    br = _JpegBitReader(buf, pos)
+    preds = [0] * len(scan)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_rst(rst)
+            rst = (rst + 1) % 8
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(scan):
+            for vb in range(c["v"]):
+                for hb in range(c["h"]):
+                    coefs = [0] * 64
+                    t = br.read_huff(huff_dc[c["dc"]])
+                    preds[ci] += br.receive_extend(t)
+                    coefs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(huff_ac[c["ac"]])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        coefs[k] = br.receive_extend(s)
+                        k += 1
+                    block = _jpeg_idct_block(coefs, quant[c["tq"]])
+                    bx, by = mx * c["h"] + hb, my * c["v"] + vb
+                    row_w = c["bw"] * 8
+                    plane = planes[ci]
+                    base = by * 8 * row_w + bx * 8
+                    for yy in range(8):
+                        plane[base + yy * row_w : base + yy * row_w + 8] = bytes(
+                            block[yy]
+                        )
+    # assemble: upsample each component to full resolution, convert
+    if len(scan) == 1:
+        plane, row_w = planes[0], scan[0]["bw"] * 8
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = plane[y * row_w : y * row_w + w]
+        return bytes(out)
+    out = bytearray(w * h * 3)
+    row_ws = [c["bw"] * 8 for c in scan]
+    for y in range(h):
+        for x in range(w):
+            smp = []
+            for ci, c in enumerate(scan):
+                sx = x * c["h"] // hmax
+                sy = y * c["v"] // vmax
+                smp.append(planes[ci][sy * row_ws[ci] + sx])
+            yv, cb, cr = smp[0], smp[1] - 128, smp[2] - 128
+            r = int(math.floor(yv + 1.402 * cr + 0.5))
+            g = int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))
+            b = int(math.floor(yv + 1.772 * cb + 0.5))
+            o = (y * w + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return bytes(out)
+
+
+# -- JPEG encoder (fixture side: chosen-coefficient streams) ---------------
+
+#: fixture Huffman tables, correct BY CONSTRUCTION: DC sizes 0..11 as
+#: 4-bit canonical codes; every possible AC (run,size<=6) symbol plus
+#: EOB/ZRL as 8-bit codes. The DHT marker carries them, so the decoder
+#: exercises real table parsing, not a baked-in assumption.
+_JPEG_FIX_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_FIX_DC_VALS = list(range(12))
+_JPEG_FIX_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 7)
+]
+_JPEG_FIX_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_FIX_AC_VALS),
+                     0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _jpeg_fixture_quant() -> list[int]:
+    """Zigzag-order quant table: 16 everywhere, 8 at the three exact-
+    basis AC positions — dequantized values are multiples of 8, so the
+    IDCT lands on integers."""
+    q = [16] * 64
+    for rc in ((0, 4), (4, 0), (4, 4)):
+        q[_JPEG_ZZ_OF[rc]] = 8
+    return q
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_encode_blocks(
+    bw: _JpegBitWriter,
+    zz_blocks: Sequence[Sequence[int]],
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    for zz in zz_blocks:
+        diff = zz[0] - pred
+        pred = zz[0]
+        size, bits = _jpeg_mag_bits(diff)
+        bw.write_code(*dc_codes[size])
+        if size:
+            bw.write_bits(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write_code(*ac_codes[0xF0])
+                run -= 16
+            size, bits = _jpeg_mag_bits(v)
+            bw.write_code(*ac_codes[(run << 4) | size])
+            bw.write_bits(bits, size)
+            run = 0
+        if run:
+            bw.write_code(*ac_codes[0x00])
+    return pred
+
+
+def encode_jpeg_blocks(
+    width: int,
+    height: int,
+    luma_zz_blocks: Sequence[Sequence[int]],
+    chroma_zz_blocks: tuple | None = None,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize CHOSEN quantized coefficient blocks (zigzag order,
+    raster block order) into a spec-conformant baseline JFIF stream —
+    grayscale, or YCbCr with the given luma sampling factors (chroma is
+    1x1). Defining the image by its coefficients (instead of running a
+    forward DCT) is what makes closed-form pixel oracles possible for a
+    LOSSY format: the decoder must reproduce the coefficients exactly
+    or nothing matches."""
+    q = _jpeg_fixture_quant()
+    dc_codes = _jpeg_huff_codes(_JPEG_FIX_DC_BITS, _JPEG_FIX_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_FIX_AC_BITS, _JPEG_FIX_AC_VALS)
+    color = chroma_zz_blocks is not None
+    sh, sv = sampling if color else (1, 1)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes(q))
+    if color:
+        out += _jpeg_seg(0xDB, bytes([0x01]) + bytes(q))
+    sof = struct.pack(">BHHB", 8, height, width, 3 if color else 1)
+    sof += bytes([1, (sh << 4) | sv, 0])
+    if color:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += _jpeg_seg(0xC0, sof)
+
+    def dht(tc, th, bits, vals):
+        return _jpeg_seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, _JPEG_FIX_DC_BITS, _JPEG_FIX_DC_VALS)
+    out += dht(1, 0, _JPEG_FIX_AC_BITS, _JPEG_FIX_AC_VALS)
+    if color:
+        out += dht(0, 1, _JPEG_FIX_DC_BITS, _JPEG_FIX_DC_VALS)
+        out += dht(1, 1, _JPEG_FIX_AC_BITS, _JPEG_FIX_AC_VALS)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3 if color else 1, 1, 0x00])
+    if color:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+
+    mcus_x = -(-width // (8 * sh))
+    mcus_y = -(-height // (8 * sv))
+    luma_bw = mcus_x * sh
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mcus_x)
+        mcu_luma = [
+            luma_zz_blocks[(my * sv + vb) * luma_bw + (mx * sh + hb)]
+            for vb in range(sv)
+            for hb in range(sh)
+        ]
+        preds[0] = _jpeg_encode_blocks(bw, mcu_luma, dc_codes, ac_codes, preds[0])
+        if color:
+            cb_blocks, cr_blocks = chroma_zz_blocks
+            preds[1] = _jpeg_encode_blocks(
+                bw, [cb_blocks[m]], dc_codes, ac_codes, preds[1]
+            )
+            preds[2] = _jpeg_encode_blocks(
+                bw, [cr_blocks[m]], dc_codes, ac_codes, preds[2]
+            )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+_JPEG_DC_MOD, _JPEG_AC_MOD = 41, 31  # dc in [-20,20], ac in [-15,15]
+
+
+def jpeg_fixture_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, channels): dims deliberately off the 8-multiple
+    grid so right/bottom block cropping is exercised; even docs are
+    grayscale, odd docs interleaved YCbCr."""
+    return (
+        8 * (1 + doc_id % 3) - doc_id % 7,
+        8 * (1 + doc_id % 2) - doc_id % 5,
+        1 if doc_id % 2 == 0 else 3,
+    )
+
+
+def _jpeg_fixture_zz(doc_id: int, k: int) -> list[int]:
+    """Quantized zigzag block k of doc ``doc_id``: LCG-drawn DC plus
+    the three exact-basis AC coefficients."""
+    zz = [0] * 64
+    zz[0] = (doc_id * _LCG_MULT + (4 * k) * _LCG_STEP) % _JPEG_DC_MOD - 20
+    for j, rc in enumerate(((0, 4), (4, 0), (4, 4)), start=1):
+        zz[_JPEG_ZZ_OF[rc]] = (
+            doc_id * _LCG_MULT + (4 * k + j) * _LCG_STEP
+        ) % _JPEG_AC_MOD - 15
+    return zz
+
+
+def synth_jpeg_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic baseline-JPEG payload per doc through the
+    real entropy encoder: LCG coefficient streams, custom DHT tables,
+    cropped dimensions, all-zero chroma for color docs (Cb=Cr=128 after
+    decode — the color conversion runs but contributes exactly 0, so
+    the pixel oracle stays integer-exact)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, ch = jpeg_fixture_params(d)
+                bw_, bh_ = -(-w // 8), -(-h // 8)
+                luma = [
+                    _jpeg_fixture_zz(d, k) for k in range(bw_ * bh_)
+                ]
+                chroma = (
+                    ([[0] * 64] * (bw_ * bh_), [[0] * 64] * (bw_ * bh_))
+                    if ch == 3
+                    else None
+                )
+                payloads.append(encode_jpeg_blocks(w, h, luma, chroma))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def jpeg_decode_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each JPEG payload (Huffman + dequant + IDCT + color) and
+    emit per-doc stats from exact integer sums. Arrow-batched
+    mapInPandas, no shuffle — the 100 TB shape for media feature
+    extraction."""
+    schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "n_pixels long, mean_c0 double, mean_all double, max_byte long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_jpeg(bytes(payload))
+                px = st["pixels"]
+                ch = st["channels"]
+                n = st["width"] * st["height"]
+                rows.append(
+                    {
+                        id_col: d,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "channels": ch,
+                        "n_pixels": n,
+                        "mean_c0": sum(px[::ch]) / n,
+                        "mean_all": sum(px) / (n * ch),
+                        "max_byte": max(px),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

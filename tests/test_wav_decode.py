@@ -9,6 +9,9 @@ import struct
 
 import pytest
 
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+    multimodal as MM,
+)
 from open_source_financial_time_series_data_pipeline_architecture_spark.operators.multimodal import (
     _lcg_samples,
     decode_wav,
@@ -294,3 +297,169 @@ def test_y4m_spark_sample_matches_local(spark):
             assert r["luma_mean"] == sum(plane) / (w * h)
             assert r["luma_max"] == max(plane)
             assert r["frame_ts_ms"] == r["frame_idx"] * 1000 // fps
+
+
+# -- JPEG (baseline, ITU T.81 pure-spec) -----------------------------------
+
+
+def _jpeg_fixture(doc_id):
+    w, h, ch = MM.jpeg_fixture_params(doc_id)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    luma = [MM._jpeg_fixture_zz(doc_id, k) for k in range(bw_ * bh_)]
+    chroma = (
+        ([[0] * 64] * (bw_ * bh_), [[0] * 64] * (bw_ * bh_))
+        if ch == 3
+        else None
+    )
+    return w, h, ch, MM.encode_jpeg_blocks(w, h, luma, chroma)
+
+
+def _jpeg_expected(doc_id, x, y, bw_):
+    k = (y // 8) * bw_ + (x // 8)
+    dc = (doc_id * 2654435761 + (4 * k) * 40503) % 41 - 20
+    v40 = (doc_id * 2654435761 + (4 * k + 1) * 40503) % 31 - 15
+    v04 = (doc_id * 2654435761 + (4 * k + 2) * 40503) % 31 - 15
+    v44 = (doc_id * 2654435761 + (4 * k + 3) * 40503) % 31 - 15
+    sx = 1 if (x % 8) % 4 in (0, 3) else -1
+    sy = 1 if (y % 8) % 4 in (0, 3) else -1
+    return 128 + 2 * dc + sx * v40 + sy * v04 + sx * sy * v44
+
+
+def test_jpeg_roundtrip_closed_form_gray_and_color():
+    """Huffman + dequant + IDCT + (zero-chroma) color conversion invert
+    the chosen-coefficient stream to the closed-form pixel values —
+    every pixel, grayscale and interleaved YCbCr, cropped dims."""
+    for d in (0, 1, 2, 3, 4, 5, 10, 37):
+        w, h, ch, payload = _jpeg_fixture(d)
+        st = MM.decode_jpeg(payload)
+        assert (st["width"], st["height"], st["channels"]) == (w, h, ch)
+        px = st["pixels"]
+        bw_ = -(-w // 8)
+        for y in range(h):
+            for x in range(w):
+                e = _jpeg_expected(d, x, y, bw_)
+                got = px[(y * w + x) * ch : (y * w + x + 1) * ch]
+                assert all(g == e for g in got), (d, x, y, e, list(got))
+
+
+def test_jpeg_420_subsampling_with_live_chroma():
+    """2x2 luma sampling: 4 luma blocks per MCU + 1 Cb + 1 Cr, chroma
+    DC-only with NONZERO values — pins MCU interleave order, plane
+    placement, replicated upsampling and the BT.601 conversion
+    arithmetic (expected values recompute conversion only)."""
+    import math
+
+    w = h = 16  # one MCU at 2x2
+    luma = [MM._jpeg_fixture_zz(9, k) for k in range(4)]
+    cb = [[0] * 64]
+    cb[0][0] = 4  # dequantized 64 -> IDCT adds 8 -> Cb = 136
+    cr = [[0] * 64]
+    cr[0][0] = -6  # -96/8 = -12 -> Cr = 116
+    payload = MM.encode_jpeg_blocks(w, h, luma, (cb, cr), sampling=(2, 2))
+    st = MM.decode_jpeg(payload)
+    assert (st["width"], st["height"], st["channels"]) == (16, 16, 3)
+    px = st["pixels"]
+    for y in range(h):
+        for x in range(w):
+            # luma block index inside the MCU: raster of 8x8 quadrants
+            k = (y // 8) * 2 + (x // 8)
+            yv = _jpeg_expected(9, x % 8, y % 8, 1) + 2 * (
+                MM._jpeg_fixture_zz(9, k)[0] - MM._jpeg_fixture_zz(9, 0)[0]
+            )
+            # recompute from the block's own dc instead: full formula
+            zz = MM._jpeg_fixture_zz(9, k)
+            sx = 1 if (x % 8) % 4 in (0, 3) else -1
+            sy = 1 if (y % 8) % 4 in (0, 3) else -1
+            yv = (
+                128 + 2 * zz[0]
+                + sx * zz[MM._JPEG_ZZ_OF[(0, 4)]]
+                + sy * zz[MM._JPEG_ZZ_OF[(4, 0)]]
+                + sx * sy * zz[MM._JPEG_ZZ_OF[(4, 4)]]
+            )
+            cbv, crv = 136 - 128, 116 - 128
+            r = int(math.floor(yv + 1.402 * crv + 0.5))
+            g = int(math.floor(yv - 0.344136 * cbv - 0.714136 * crv + 0.5))
+            b = int(math.floor(yv + 1.772 * cbv + 0.5))
+            clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+            o = (y * w + x) * 3
+            assert list(px[o : o + 3]) == [clamp(r), clamp(g), clamp(b)], (x, y)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: predictors reset and the bit reader re-aligns at every
+    restart interval — same pixels as the unrestarted stream."""
+    d = 5
+    w, h = 24, 16  # 3x2 blocks, grayscale
+    bw_ = 3
+    luma = [MM._jpeg_fixture_zz(d, k) for k in range(6)]
+    plain = MM.decode_jpeg(MM.encode_jpeg_blocks(w, h, luma))
+    restarted = MM.decode_jpeg(
+        MM.encode_jpeg_blocks(w, h, luma, restart_interval=2)
+    )
+    assert plain["pixels"] == restarted["pixels"]
+    for y in range(h):
+        for x in range(w):
+            assert restarted["pixels"][y * w + x] == _jpeg_expected(
+                d, x, y, bw_
+            )
+
+
+def test_jpeg_rejects_unsupported_and_garbage():
+    import struct
+
+    import pytest
+
+    w, h, ch, payload = _jpeg_fixture(1)
+    with pytest.raises(ValueError, match="SOI"):
+        MM.decode_jpeg(b"\x89PNG1234")
+    # flip SOF0 -> SOF2 (progressive)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        MM.decode_jpeg(prog)
+    # corrupt a Huffman table length so scan decode derails
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(payload[:-10])  # truncated entropy segment
+
+
+def test_jpeg_16bit_quant_table_parse():
+    """Pq=1 (16-bit) DQT entries parse and dequantize identically when
+    the values fit in 8 bits."""
+    w, h, ch, payload = _jpeg_fixture(2)
+    # rebuild the DQT segment as 16-bit: find FFDB, expand
+    import struct
+
+    i = payload.index(b"\xff\xdb")
+    ln = struct.unpack_from(">H", payload, i + 2)[0]
+    body = payload[i + 4 : i + 2 + ln]
+    tq = body[0] & 15
+    vals = body[1:65]
+    wide = bytes([0x10 | tq]) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    seg = b"\xff\xdb" + struct.pack(">H", len(wide) + 2) + wide
+    patched = payload[:i] + seg + payload[i + 2 + ln :]
+    assert MM.decode_jpeg(patched)["pixels"] == MM.decode_jpeg(payload)["pixels"]
+
+
+def test_jpeg_spark_decode_matches_local(spark):
+    """The Spark plumbing: synth payloads + decode stats over a real
+    documents slice, validated against the local closed form."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    st = MM.jpeg_decode_stats(MM.synth_jpeg_payloads(docs)).collect()
+    assert len(st) == 24
+    for r in st:
+        d = r["doc_id"]
+        w, h, ch = MM.jpeg_fixture_params(d)
+        bw_ = -(-w // 8)
+        exp = [
+            _jpeg_expected(d, x, y, bw_)
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["n_pixels"] == w * h
+        assert r["mean_c0"] == sum(exp) / len(exp)
+        assert r["mean_all"] == sum(exp) / len(exp)
+        assert r["max_byte"] == max(exp)
