@@ -25542,6 +25542,66 @@ def versioned_cdc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "versioned_time_travel_replay",
+    oracle(
+        """
+b AS (SELECT hour(time) % 12 AS bucket, volume FROM trades),
+vs AS (SELECT unnest([9, 10, 11, 12]) AS version)
+SELECT CAST(vs.version AS BIGINT) AS version,
+       CAST(vs.version AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(b.volume), 6) AS sum_volume
+FROM vs JOIN b ON b.bucket < vs.version
+GROUP BY vs.version
+"""
+    ),
+)
+def versioned_time_travel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across the round-5 incremental log's CHECKPOINT
+    boundary, driver-graded: a 12-commit fixture table (one hour-bucket
+    of the canonical trades appended per commit, coalesce(1) so
+    n_files == version deterministically) rolls a checkpoint at v10
+    (CHECKPOINT_EVERY); reading versions 9/10/11/12 exercises
+    pure-segment replay (v9), checkpoint-only (v10) and
+    checkpoint+segment (v11, v12) reconstruction, plus the
+    segment-carried n_files bookkeeping history() serves from. The
+    oracle recomputes every snapshot as the cumulative hour-bucket
+    prefix — the commit log must agree with first-principles
+    arithmetic at every version or nothing hashes."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir).withColumn(
+            "bucket", F.hour("time") % 12
+        )
+        for b in range(12):
+            V.commit(
+                tr.filter(F.col("bucket") == b).drop("bucket").coalesce(1),
+                work,
+                mode="append" if b else "overwrite",
+            )
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_ttr", build)
+    parts = []
+    for v in (9, 10, 11, 12):
+        m = V._snapshot(table, v, with_stats=False)
+        parts.append(
+            V.read_version(spark, table, version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.lit(m["n_files"]).cast("bigint").alias("n_files"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("volume"), 6).alias("sum_volume"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
     "streaming_versioned_tail",
     oracle(
         """
@@ -26168,6 +26228,7 @@ _DRIVER_WINDOW_DEBUT = [
     "streaming_pii_scan",
     # r5 new/changed semantics
     "multimodal_jpeg_stats",
+    "versioned_time_travel_replay",
 ]
 
 

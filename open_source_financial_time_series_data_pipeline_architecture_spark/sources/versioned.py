@@ -1450,7 +1450,7 @@ def merge(
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _snapshot(table_dir, base, with_stats=True)
+    m = _snapshot(table_dir, base, with_stats=False)
     if _txn_replayed(m, txn):
         if report is not None:
             report.update(
@@ -1461,7 +1461,8 @@ def merge(
                     "replayed": True,
                 }
             )
-        return m  # exactly-once: this micro-batch already merged
+        # exactly-once: this micro-batch already merged
+        return _snapshot(table_dir, base, with_stats=True)
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
@@ -1519,7 +1520,12 @@ def merge(
     for k in keys:
         if env[f"lo_{k}"] is not None:
             preds += [(k, ">=", env[f"lo_{k}"]), (k, "<=", env[f"hi_{k}"])]
-    touched, _ = prune_files(m, preds)
+    if preds:
+        # scale-aware: at large file counts this prunes via the
+        # checkpoint stats parquet instead of a driver stats dict
+        touched, _ = _pruned_files(spark, table_dir, base, preds)
+    else:  # no usable key envelope (all-NULL keys): every file is a
+        touched = list(m["files"])  # match candidate
 
     key_cols = [F.col(k) for k in keys]
     src_keys = source.select(*key_cols).distinct()
@@ -1609,8 +1615,8 @@ def _rewrite_where(
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _snapshot(table_dir, base, with_stats=True)
-    touched, _ = prune_files(m, predicates)
+    m = _snapshot(table_dir, base, with_stats=False)
+    touched, _ = _pruned_files(spark, table_dir, base, predicates)
     if report is not None:
         report.update(
             {"files_total": len(m["files"]), "files_rewritten": len(touched)}

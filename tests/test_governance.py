@@ -113,7 +113,10 @@ def test_multimodal_stub_features(spark):
     for r in rows:
         assert again[r["doc_id"]] == r["features"]
         assert r["n_bytes"] > 0
-    with pytest.raises(NotImplementedError):
+    # decode is real for every dominant format since r5 (JPEG closed
+    # the set); only the learned feature ENCODER remains out of scope,
+    # and the error says where the real decode paths live
+    with pytest.raises(ValueError, match="decode_jpeg"):
         MM.extract_features(docs, decoder="real")
 
 
