@@ -2016,6 +2016,70 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "image_ahash_neardup",
+    """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM p
+),
+px AS (
+  SELECT doc_id,
+         ((j // w) * 4 // h) * 4 + ((j % w) * 4 // w) AS bit_idx,
+         (doc_id * 2654435761 + (3 * j) * 48271) % 256
+       + (doc_id * 2654435761 + (3 * j + 1) * 48271) % 256
+       + (doc_id * 2654435761 + (3 * j + 2) * 48271) % 256 AS lum
+  FROM s
+),
+g AS (
+  SELECT doc_id, bit_idx, sum(lum) AS bsum, count(*) AS bn
+  FROM px GROUP BY doc_id, bit_idx
+),
+t AS (
+  SELECT doc_id, sum(bsum) AS tsum, sum(bn) AS tn FROM g GROUP BY doc_id
+),
+hs AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN g.bsum * t.tn > t.tsum * g.bn
+                       THEN (CAST(1 AS BIGINT) << g.bit_idx)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM g JOIN t ON g.doc_id = t.doc_id GROUP BY g.doc_id
+),
+nv AS (
+  SELECT doc_id, ahash, r.range AS band,
+         (ahash >> (CAST(r.range AS INT) * 4)) & 15 AS nibble
+  FROM hs CROSS JOIN range(0, 4) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM nv a JOIN nv b
+    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over DECODED pixels — the multimodal
+    member of the dedup plane (text has MinHash/SimHash; images get the
+    public average-hash): per-doc PPM payloads are decoded
+    (operators/multimodal.py _ppm_parse), the luma plane downsamples to
+    a 4×4 grid of block means, and bit i says block i outruns the
+    global mean — ALL integer arithmetic (cross-multiplied comparison),
+    so the fingerprint is exact and the oracle recomputes it from the
+    closed-form LCG pixels. Candidates come from a banded LSH join
+    (4 bands × 4 bits; pigeonhole-complete for hamming ≤ 3 — never an
+    all-pairs cross), then bit_count(xor) keeps true near-dups. The
+    100 TB shape: decode is a map, fingerprints are 8 bytes/image, the
+    join shuffles O(docs × bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = MM.image_ahash(MM.synth_ppm_payloads(docs))
+    return MM.ahash_neardup_pairs(hashes)
+
+
+@q(
     "video_frame_sample_stats",
     """
 WITH p AS (
@@ -26229,6 +26293,7 @@ _DRIVER_WINDOW_DEBUT = [
     # r5 new/changed semantics
     "multimodal_jpeg_stats",
     "versioned_time_travel_replay",
+    "image_ahash_neardup",
 ]
 
 

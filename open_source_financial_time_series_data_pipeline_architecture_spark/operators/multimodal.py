@@ -1517,3 +1517,165 @@ def jpeg_decode_stats(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-duplicate fingerprinting: AVERAGE HASH (aHash,
+# the public perceptual-hash family's integer member): downsample the
+# decoded luma to a g×g grid of block means, emit bit 1 where a block
+# outruns the global mean. Pure integer arithmetic — the comparison is
+# the cross-multiplied block_sum·total_n > total_sum·block_n, so the
+# fingerprint is EXACT (no float means), which is what lets the DuckDB
+# oracle recompute it from the closed-form fixture pixels. Near-dups
+# are then banded-join candidates (pigeonhole: hamming ≤ bands−1
+# guarantees one equal band) + a bit_count(xor) distance — the same
+# LSH shape as the text MinHash plane, never all-pairs.
+# --------------------------------------------------------------------------
+
+
+def _ppm_parse(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raster) of a binary PPM — the header walk
+    decode_ppm uses, factored for decoders that need the pixels."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1
+    n = width * height
+    raster = payload[pos : pos + 3 * n]
+    if len(raster) != 3 * n:
+        raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
+def ahash_bits(width: int, height: int, luma: Sequence[int], grid: int = 4) -> int:
+    """The g×g average-hash as an integer (bit index row-major,
+    LSB = block (0,0)). Block of pixel (x, y) is (x·g//w, y·g//h) —
+    multiplicative binning so every block is non-empty whenever the
+    dimension ≥ g. Ties (block mean == global mean) are 0."""
+    bsum = [0] * (grid * grid)
+    bn = [0] * (grid * grid)
+    for y in range(height):
+        by = y * grid // height
+        row = y * width
+        for x in range(width):
+            idx = by * grid + (x * grid // width)
+            bsum[idx] += luma[row + x]
+            bn[idx] += 1
+    tsum, tn = sum(bsum), width * height
+    h = 0
+    for i in range(grid * grid):
+        if bsum[i] * tn > tsum * bn[i]:
+            h |= 1 << i
+    return h
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 4,
+) -> DataFrame:
+    """Decode each PPM payload and emit its integer average-hash
+    fingerprint (luma = r+g+b per pixel, integer). Arrow-batched
+    mapInPandas, no shuffle — fingerprints stream out at O(bytes)."""
+    schema = f"{id_col} long, width int, height int, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, raster = _ppm_parse(bytes(payload))
+                luma = [
+                    raster[3 * i] + raster[3 * i + 1] + raster[3 * i + 2]
+                    for i in range(w * h)
+                ]
+                rows.append(
+                    {
+                        id_col: d,
+                        "width": w,
+                        "height": h,
+                        "ahash": ahash_bits(w, h, luma, grid),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from integer fingerprints via
+    banded LSH: explode each hash into ``n_bands`` band values, join on
+    (band, value) — pigeonhole-complete for hamming ≤ n_bands−1 — then
+    keep pairs with bit_count(xor) ≤ max_hamming. Shuffle is O(docs ×
+    bands), never the all-pairs cross."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "banded join is only pigeonhole-complete for "
+            f"max_hamming <= n_bands-1 ({n_bands - 1})"
+        )
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col(hash_col), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{hash_col}").alias("hash_a"),
+            F.col(f"b.{hash_col}").alias("hash_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+    ).cast("bigint")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -463,3 +463,52 @@ def test_jpeg_spark_decode_matches_local(spark):
         assert r["mean_c0"] == sum(exp) / len(exp)
         assert r["mean_all"] == sum(exp) / len(exp)
         assert r["max_byte"] == max(exp)
+
+
+# -- perceptual image fingerprint (aHash) ----------------------------------
+
+
+def test_ahash_identical_images_collide_and_perturbed_stay_close():
+    w, h = 12, 10
+    base = [(7 * i + 13) % 256 for i in range(w * h)]
+    h0 = MM.ahash_bits(w, h, base)
+    assert h0 == MM.ahash_bits(w, h, list(base))  # deterministic
+    # a mild global brightness shift preserves every block-vs-mean
+    # comparison exactly (means shift together)
+    brighter = [v + 10 for v in base]
+    assert MM.ahash_bits(w, h, brighter) == h0
+    # zeroing one block's pixels flips few bits
+    perturbed = list(base)
+    for y in range(0, h // 4):
+        for x in range(0, w // 4):
+            perturbed[y * w + x] = 0
+    hp = MM.ahash_bits(w, h, perturbed)
+    assert 0 < bin(h0 ^ hp).count("1") <= 4
+
+
+def test_ahash_neardup_pairs_banded_join_complete(spark):
+    """The banded join must find EVERY pair with hamming <= 3 — compare
+    against brute force over the same fingerprints."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 80).select(F.col("id").alias("doc_id"))
+    hashes = MM.image_ahash(MM.synth_ppm_payloads(docs))
+    rows = {r["doc_id"]: r["ahash"] for r in hashes.collect()}
+    # local truth: decoder hash equals the direct closed-form hash
+    for d, hv in rows.items():
+        w, hgt = 8 + d % 9, 6 + d % 7
+        px = [(d * 2654435761 + i * 48271) % 256 for i in range(w * hgt * 3)]
+        luma = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(w * hgt)]
+        assert hv == MM.ahash_bits(w, hgt, luma)
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in MM.ahash_neardup_pairs(hashes).collect()
+    }
+    assert got == brute and all(a < b for a, b in got)
