@@ -158,6 +158,12 @@ BENCH_QUERIES = [
     "curriculum_buckets",
     "rfm_segmentation",
     "zipf_fit",
+    # round-5: baseline JPEG decode, perceptual image near-dup,
+    # incremental-log time travel, storage-plane MERGE
+    "multimodal_jpeg_stats",
+    "image_ahash_neardup",
+    "versioned_time_travel_replay",
+    "versioned_merge_upsert",
 ]
 
 
