@@ -1156,6 +1156,14 @@ def decode_jpeg(payload: bytes) -> dict:
             prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
+            if nf not in (1, 3):
+                # honest scope: grayscale or YCbCr only — a 4-component
+                # Adobe CMYK/YCCK stream must fail loudly, not decode
+                # its first three planes as garbage RGB
+                raise ValueError(
+                    f"unsupported component count {nf} (1=grayscale or "
+                    "3=YCbCr only)"
+                )
             comps = []
             for i in range(nf):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

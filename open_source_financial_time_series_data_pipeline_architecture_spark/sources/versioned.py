@@ -444,11 +444,19 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
             continue
         if op == "in":
             keys = [k for k in (_stat_key(v) for v in val) if k is not None]
+            if any(isinstance(k, str) != isinstance(lo, str) for k in keys):
+                continue  # kind mismatch: no prune (mirror of the
+                # Spark-side _exclusion_condition's conservatism)
             if len(keys) == len(val) and not any(lo <= k <= hi for k in keys):
                 return False
             continue
         k = _stat_key(val)
         if k is None:
+            continue
+        if isinstance(k, str) != isinstance(lo, str):
+            # a string predicate against a numeric envelope (or vice
+            # versa) proves nothing — skip rather than TypeError; the
+            # residual row filter keeps the result exact
             continue
         if (
             (op == "=" and not (lo <= k <= hi))
@@ -700,7 +708,7 @@ def _stats_to_arrow(stats: dict):
             if lo is None and hi is None:
                 _row(fname, s["rows"], cname, "e",
                      None, None, None, None, None, None, nulls)
-            elif isinstance(lo, bool) or isinstance(lo, int) and not isinstance(lo, bool):
+            elif isinstance(lo, int):  # bools already normalized by _stat_key
                 _row(fname, s["rows"], cname, "l",
                      int(lo), int(hi), None, None, None, None, nulls)
             elif isinstance(lo, float):
@@ -799,6 +807,33 @@ def checkpoint(table_dir: str, version: int | None = None) -> int:
 # -- snapshot reconstruction ------------------------------------------------
 
 
+def _empty_state() -> dict:
+    return {
+        "files": [],
+        "stats": {},
+        "schema": None,
+        "txn": {},
+        "constraints": {},
+        "bloom_cols": None,
+    }
+
+
+def _walk_segments(table_dir: str, lo: int, hi: int):
+    """Yield ``(version, segment, files_after, files_before)`` for each
+    commit in ``(lo, hi]`` — ONE snapshot reconstruction at ``lo``,
+    then an incremental segment replay (O(touched) per commit, never a
+    full snapshot per version). Shared by the batch change feed, the
+    streaming sources, and vacuum's live-set walk."""
+    state = _empty_state()
+    if lo:
+        state["files"] = list(_snapshot(table_dir, lo, with_stats=False)["files"])
+    for v in [v for v in _list_versions(table_dir) if lo < v <= hi]:
+        seg = _read_segment(table_dir, v)
+        prev_files = list(state["files"])
+        _apply_segment(state, seg, False)
+        yield v, seg, list(state["files"]), prev_files
+
+
 def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
     if "files" in seg:  # legacy full-snapshot manifest
         state["files"] = list(seg["files"])
@@ -828,6 +863,36 @@ def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
     state["bloom_cols"] = seg.get("bloom_cols")
 
 
+class _LazyStatsSnapshot(dict):
+    """A snapshot dict whose ``stats`` materialize on first access.
+    Write paths return snapshots for caller convenience, but loading a
+    big table's full stats (checkpoint parquet → driver dict) on EVERY
+    commit would defeat the incremental log — so ``_finish_commit``
+    returns this instead: O(files) names now, stats only if you ask
+    (the 10th-commit checkpoint write asks; most callers never do)."""
+
+    def __init__(self, data: dict, loader):
+        super().__init__(data)
+        self._loader = loader
+
+    def _materialize(self) -> None:
+        if not dict.__contains__(self, "stats"):
+            dict.__setitem__(self, "stats", self._loader())
+
+    def __getitem__(self, key):
+        if key == "stats":
+            self._materialize()
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        if key == "stats":
+            self._materialize()
+        return dict.get(self, key, default)
+
+    def __contains__(self, key):
+        return key == "stats" or dict.__contains__(self, key)
+
+
 def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
     """Reconstruct the full table state at ``version`` from the newest
     checkpoint at-or-before it plus the segments after it — O(files) +
@@ -840,14 +905,7 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
     original full-manifest format: ``version/mode/ts/files/schema/
     stats/txn/n_files`` plus ``constraints``/``bloom_cols`` when set
     and ``replaced`` for merge commits."""
-    state = {
-        "files": [],
-        "stats": {},
-        "schema": None,
-        "txn": {},
-        "constraints": {},
-        "bloom_cols": None,
-    }
+    state = _empty_state()
     start = 0
     ckpts = [c for c in _list_checkpoints(table_dir) if c <= version]
     if ckpts:
@@ -1068,11 +1126,22 @@ def _txn_replayed(prior: dict | None, txn: tuple[str, int] | None) -> bool:
     return seen is not None and int(seen) >= int(txn[1])
 
 
+def _lazy_snapshot(table_dir: str, version: int) -> dict:
+    base = _snapshot(table_dir, version, with_stats=False)
+    return _LazyStatsSnapshot(
+        base,
+        lambda: _snapshot(table_dir, version, with_stats=True)["stats"],
+    )
+
+
 def _finish_commit(table_dir: str, version: int) -> dict:
     """Post-publish bookkeeping shared by every write path: reconstruct
-    the snapshot (the caller-facing return value), roll a checkpoint on
-    the cadence boundary."""
-    snap = _snapshot(table_dir, version, with_stats=True)
+    the snapshot (the caller-facing return value, stats LAZY so a
+    100k-file table's commit never loads its full stats dict just to
+    return it), roll a checkpoint on the cadence boundary (the
+    checkpoint write is what materializes the stats, once per
+    CHECKPOINT_EVERY commits)."""
+    snap = _lazy_snapshot(table_dir, version)
     _maybe_checkpoint(table_dir, snap)
     return snap
 
@@ -1112,7 +1181,7 @@ def commit(
         )
     prior = _snapshot(table_dir, base, with_stats=False) if base > 0 else None
     if _txn_replayed(prior, txn):
-        return _snapshot(table_dir, base, with_stats=True)  # exactly-once
+        return _lazy_snapshot(table_dir, base)  # exactly-once
     # bloom columns are TABLE config: set once, every later commit
     # (append/merge/optimize) keeps writing them without re-asking
     if bloom_cols is None and prior is not None:
@@ -1164,7 +1233,7 @@ def commit(
                 else None
             )
             if _txn_replayed(prior, txn):  # the racing writer was our replay
-                return _snapshot(table_dir, base, with_stats=True)
+                return _lazy_snapshot(table_dir, base)
             # the winner may have changed table config mid-race: adopt
             # its constraints (re-validating our rows against any new
             # ones) and its bloom columns, or the retry segment would
@@ -1320,24 +1389,13 @@ def read_changes(
     schema_json = (
         _snapshot(table_dir, end, with_stats=False)["schema"] if end else None
     )
-    steps = [v for v in versions if start_version < v <= end]
 
     parts: list[DataFrame] = []
-    prev_files: list[str] = (
-        _snapshot(table_dir, start_version, with_stats=False)["files"]
-        if start_version
-        else []
-    )
-    state = {"files": list(prev_files), "stats": {}, "schema": None,
-             "txn": {}, "constraints": {}, "bloom_cols": None}
-    for v in steps:
-        seg = _read_segment(table_dir, v)
-        prev_files = list(state["files"])
-        _apply_segment(state, seg, with_stats=False)
+    for v, seg, files, prev_files in _walk_segments(table_dir, start_version, end):
         mode = seg["mode"]
         if mode == "append":
             seen = set(prev_files)
-            new_files = [f for f in state["files"] if f not in seen]
+            new_files = [f for f in files if f not in seen]
             if new_files:
                 parts.append(
                     _read_files(spark, table_dir, new_files, schema_json)
@@ -1350,7 +1408,7 @@ def read_changes(
             # the segment names the replaced files — diff ONLY the
             # touched content (O(files the merge rewrote), not O(table))
             seen = set(prev_files)
-            new_files = [f for f in state["files"] if f not in seen]
+            new_files = [f for f in files if f not in seen]
             replaced = seg.get("replaced", seg.get("remove", []))
             cur = (
                 _read_files(spark, table_dir, new_files, schema_json)
@@ -1377,7 +1435,7 @@ def read_changes(
                     )
                 )
         else:  # overwrite: content diff against the previous snapshot
-            cur = _read_files(spark, table_dir, state["files"], schema_json)
+            cur = _read_files(spark, table_dir, files, schema_json)
             if prev_files:
                 prev = _read_files(spark, table_dir, prev_files, schema_json)
                 ins, dels = cur.exceptAll(prev), prev.exceptAll(cur)
@@ -1462,7 +1520,7 @@ def merge(
                 }
             )
         # exactly-once: this micro-batch already merged
-        return _snapshot(table_dir, base, with_stats=True)
+        return _lazy_snapshot(table_dir, base)
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
@@ -1963,13 +2021,9 @@ def vacuum(
     live: set[str] = set()
     if keep:
         # ONE incremental walk covers every kept version's file set
-        state = _snapshot(table_dir, keep[0], with_stats=False)
-        live.update(state["files"])
-        walk = {"files": list(state["files"]), "stats": {}, "schema": None,
-                "txn": {}, "constraints": {}, "bloom_cols": None}
-        for v in keep[1:]:
-            _apply_segment(walk, _read_segment(table_dir, v), False)
-            live.update(walk["files"])
+        live.update(_snapshot(table_dir, keep[0], with_stats=False)["files"])
+        for _, _, files, _ in _walk_segments(table_dir, keep[0], keep[-1]):
+            live.update(files)
         if dropping_segments and keep[0] not in _list_checkpoints(table_dir):
             # make the oldest kept version self-sufficient BEFORE its
             # predecessors disappear from the log
@@ -1986,9 +2040,13 @@ def vacuum(
             path = os.path.join(data_dir, f)
             age = now - os.path.getmtime(path)
             fv = _file_version_prefix(f)
-            if fv is not None and fv > newest_kept:
+            if fv is not None and fv >= newest_kept:
+                # staged for a possibly-live commit. >= matters: a
+                # writer that LOST the race for version N keeps its
+                # vN-named staged files and publishes them under N+1 —
+                # their prefix equals the head, not exceeds it
                 if age < max(retention_s, INFLIGHT_GRACE_S):
-                    continue  # staged for a possibly-live commit
+                    continue
             elif retention_s > 0 and age < retention_s:
                 continue
             os.remove(path)

@@ -41,27 +41,9 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.sources 
 )
 
 
-def _walk_segments(table_dir: str, lo: int, hi: int):
-    """Yield ``(version, segment, files_after, files_before)`` for each
-    commit in ``(lo, hi]`` — ONE snapshot reconstruction at ``lo``, then
-    an incremental segment replay (O(touched) per commit), never a full
-    snapshot per version."""
-    versions = V._list_versions(table_dir)
-    state = {
-        "files": list(
-            V._snapshot(table_dir, lo, with_stats=False)["files"] if lo else []
-        ),
-        "stats": {},
-        "schema": None,
-        "txn": {},
-        "constraints": {},
-        "bloom_cols": None,
-    }
-    for v in [v for v in versions if lo < v <= hi]:
-        seg = V._read_segment(table_dir, v)
-        prev_files = list(state["files"])
-        V._apply_segment(state, seg, False)
-        yield v, seg, list(state["files"]), prev_files
+# the incremental segment walk is shared with the batch change feed
+# and vacuum — one snapshot at the start offset, O(touched) per commit
+_walk_segments = V._walk_segments
 
 
 def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list[tuple]:

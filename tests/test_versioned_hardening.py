@@ -166,3 +166,71 @@ def test_register_tolerates_only_duplicates():
     vt = _vt_with_fake_register(RuntimeError("Path /foo does not exist"))
     with pytest.raises(RuntimeError, match="does not exist"):
         vt._register(object)
+
+
+# -- round-5 self-review regressions --------------------------------------
+
+
+def test_vacuum_spares_lost_race_writer_same_version_prefix(spark, tmp_path):
+    """A writer that LOSES the CAS race for version N keeps its
+    vN-named staged files and publishes them under N+1 — vacuum must
+    not reclaim fresh unreferenced files whose prefix EQUALS the head,
+    only provably-superseded (old-prefix) or aged ones."""
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 10), t)
+    V.commit(_df(spark, 10, 20), t, mode="append")  # head = v2
+    loser = os.path.join(t, V._DATA, "v2-0badf00d-part-00000.parquet")
+    with open(loser, "wb") as f:
+        f.write(b"PAR1")
+    assert V.vacuum(t, keep_last=2) == 0
+    assert os.path.exists(loser)
+    # aged past the grace window the dead writer's files are reclaimed
+    past = os.path.getmtime(loser) - V.INFLIGHT_GRACE_S - 60
+    os.utime(loser, (past, past))
+    assert V.vacuum(t, keep_last=2) == 1
+
+
+def test_prune_kind_mismatch_is_conservative_not_typeerror(spark, tmp_path):
+    """An int predicate against a string envelope (or vice versa) must
+    skip pruning — the driver path used to raise TypeError where the
+    distributed path already answered conservatively."""
+    stats = {
+        "rows": 4,
+        "cols": {"symbol": {"min": "AAPL", "max": "MSFT", "nulls": 0}},
+    }
+    assert V._file_may_match(stats, [("symbol", "=", 5)]) is True
+    assert V._file_may_match(stats, [("symbol", "in", [1, 2])]) is True
+    # end to end: the residual filter still gives the exact (empty) answer
+    t = str(tmp_path / "tbl")
+    V.commit(
+        spark.createDataFrame([("AAPL", 1), ("MSFT", 2)], "symbol string, v long"),
+        t,
+    )
+    got = V.read_version(spark, t, predicates=[("symbol", "=", 5)])
+    assert got.count() == 0
+
+
+def test_commit_returns_lazy_stats_without_loading_checkpoint(spark, tmp_path, monkeypatch):
+    """Appending to a checkpointed table must not materialize the full
+    stats dict (checkpoint parquet -> driver) unless the caller asks
+    for m['stats'] — the O(total files) load per commit was this
+    round's own anti-goal."""
+    t = str(tmp_path / "tbl")
+    for i in range(V.CHECKPOINT_EVERY):
+        V.commit(_df(spark, 10 * i, 10 * (i + 1)).coalesce(1), t,
+                 mode="append" if i else "overwrite")
+    assert V._list_checkpoints(t) == [V.CHECKPOINT_EVERY]
+    calls = {"n": 0}
+    orig = V._stats_from_arrow
+
+    def counting(tbl):
+        calls["n"] += 1
+        return orig(tbl)
+
+    monkeypatch.setattr(V, "_stats_from_arrow", counting)
+    m = V.commit(_df(spark, 100, 110).coalesce(1), t, mode="append")
+    assert calls["n"] == 0  # commit never touched the stats checkpoint
+    assert m["n_files"] == V.CHECKPOINT_EVERY + 1
+    # ...until the caller actually asks
+    assert set(m["stats"]) == set(m["files"])
+    assert calls["n"] == 1

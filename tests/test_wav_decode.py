@@ -512,3 +512,26 @@ def test_ahash_neardup_pairs_banded_join_complete(spark):
         for r in MM.ahash_neardup_pairs(hashes).collect()
     }
     assert got == brute and all(a < b for a, b in got)
+
+
+def test_jpeg_rejects_unsupported_component_counts():
+    """4-component (Adobe CMYK) baseline streams must fail loudly, not
+    decode three planes as garbage RGB."""
+    import struct
+
+    import pytest
+
+    w, h, ch, payload = _jpeg_fixture(1)  # 3-component stream
+    i = payload.index(b"\xff\xc0")
+    ln = struct.unpack_from(">H", payload, i + 2)[0]
+    body = bytearray(payload[i + 4 : i + 2 + ln])
+    body[5] = 4  # Nf: 3 -> 4 (no 4th spec bytes needed: parse reads Nf first)
+    patched = (
+        payload[:i]
+        + b"\xff\xc0"
+        + struct.pack(">H", len(body) + 2)
+        + bytes(body)
+        + payload[i + 2 + ln :]
+    )
+    with pytest.raises(ValueError, match="component count"):
+        MM.decode_jpeg(patched)
