@@ -294,3 +294,36 @@ def test_publish_uses_injected_publisher(tmp_path):
     loser = Recorder(False)
     with pytest.raises(V.ConcurrentCommitError):
         V._publish(t, {"version": 1, "mode": "overwrite"}, publisher=loser)
+
+
+def test_s3_conditional_put_publisher_contract():
+    """The object-store CAS backend against a fake client: first PUT
+    wins with If-None-Match:*, a 412 PreconditionFailed maps to False
+    (ConcurrentCommitError upstream), any other error propagates."""
+
+    class FakeS3:
+        def __init__(self):
+            self.objects = {}
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            assert IfNoneMatch == "*"  # the publisher MUST be conditional
+            if (Bucket, Key) in self.objects:
+                exc = Exception("precondition failed")
+                exc.response = {"Error": {"Code": "PreconditionFailed"}}
+                raise exc
+            self.objects[(Bucket, Key)] = bytes(Body)
+
+    client = FakeS3()
+    pub = V.S3ConditionalPutPublisher("bkt", client=client)
+    assert pub.put_if_absent("/t/_versions/00000001.json", b"{}") is True
+    assert pub.put_if_absent("/t/_versions/00000001.json", b"{}") is False
+    assert client.objects[("bkt", "t/_versions/00000001.json")] == b"{}"
+
+    class Breaks(FakeS3):
+        def put_object(self, **kw):
+            raise RuntimeError("network down")
+
+    with pytest.raises(RuntimeError, match="network down"):
+        V.S3ConditionalPutPublisher("bkt", client=Breaks()).put_if_absent(
+            "/x", b"{}"
+        )
