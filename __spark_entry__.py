@@ -19555,6 +19555,71 @@ def diversification_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Differential-privacy release (governance plane, r5) — the publish-
+# side complement of the k-anonymity gate: per-group COUNT and
+# clipped SUM with seeded Laplace noise (auditable mechanism
+# randomness = salted md5, the repo's witness family).
+# --------------------------------------------------------------------------
+@q(
+    "dp_count_release",
+    oracle(
+        """
+g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         sum(least(greatest(CAST(volume AS DOUBLE), 0.0), 100.0))
+           AS sum_clipped
+  FROM trades GROUP BY symbol
+),
+noisy AS (
+  SELECT symbol, n_exact, sum_clipped,
+         (('0x' || substr(md5('dp-v1-count-' || symbol), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 - 0.5 AS uc,
+         (('0x' || substr(md5('dp-v1-sum-' || symbol), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 - 0.5 AS us
+  FROM g
+)
+SELECT symbol,
+       n_exact,
+       ROUND(n_exact + -(2.0) * sign(uc) * ln(1.0 - 2.0 * abs(uc)), 6)
+         AS dp_count,
+       ROUND(sum_clipped, 6) AS sum_clipped,
+       ROUND(sum_clipped + -(200.0) * sign(us) * ln(1.0 - 2.0 * abs(us)), 6)
+         AS dp_sum,
+       0.5 AS epsilon_count,
+       0.5 AS epsilon_sum
+FROM noisy
+"""
+    ),
+)
+def dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-symbol release
+    (functions/governance.py dp_release): the privacy budget (ε=1)
+    splits across a COUNT (sensitivity 1 → Laplace scale 2) and a
+    per-row-CLIPPED volume SUM (clipping to [0,100] bounds the
+    sensitivity → scale 200) — the two textbook DP aggregates a
+    governance office publishes. The Laplace draw is the inverse CDF of
+    a uniform derived from salted md5 (u = (v+½)/2³² − ½, total: never
+    0 or ±½), so the mechanism randomness is recorded and auditable —
+    and the oracle replays it bit-exactly. One hash aggregate +
+    map-side noise: scales like any groupBy."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        governance as G,
+    )
+
+    rel = G.dp_release(_trades(spark, sf_dir), "symbol", "volume")
+    return rel.select(
+        "symbol",
+        "n_exact",
+        F.round("dp_count", 6).alias("dp_count"),
+        F.round("sum_clipped", 6).alias("sum_clipped"),
+        F.round("dp_sum", 6).alias("dp_sum"),
+        F.col("epsilon_count").cast("double").alias("epsilon_count"),
+        F.col("epsilon_sum").cast("double").alias("epsilon_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # k-anonymity audit (V-plane, driver-visible) — equivalence-class
 # sizes over the quasi-identifier tuple at two generalization levels:
 # raw account balance vs decile-bucketed. The release-gate check a
@@ -26294,6 +26359,7 @@ _DRIVER_WINDOW_DEBUT = [
     "multimodal_jpeg_stats",
     "versioned_time_travel_replay",
     "image_ahash_neardup",
+    "dp_count_release",
 ]
 
 

@@ -178,3 +178,71 @@ def redact_digit_runs(
     return df.withColumn("digit_run", F.nullif(run, F.lit(""))).withColumn(
         "masked_run", masked
     )
+
+
+def dp_laplace_noise(seed, scale: float):
+    """Deterministic seeded Laplace(scale) noise as a Column — the
+    ε-differential-privacy mechanism with a REPRODUCIBLE draw: the
+    uniform comes from the first 8 hex digits of md5(seed) (exactly the
+    repo's salted-md5 witness family), mapped by the Laplace inverse
+    CDF  noise = −b·sign(u)·ln(1 − 2|u|),  u ∈ (−½, ½).
+
+    u = (v + 0.5) / 2³² − 0.5 keeps |u| strictly below ½ (no ln(0))
+    and never exactly 0 (v is an integer, so v + 0.5 ≠ 2³¹) — the
+    formula is total. Determinism is what makes a DP release AUDITABLE
+    (and DuckDB-witnessable) while remaining a faithful Laplace draw:
+    the seed acts as the mechanism's recorded randomness, per-key
+    unique so draws are independent across keys."""
+    v = F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("bigint")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    return -F.lit(scale) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+
+
+def dp_release(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    epsilon: float = 1.0,
+    value_cap: float = 100.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """ε-differentially-private per-group release of a COUNT and a
+    clipped SUM (the two workhorse DP aggregates): the privacy budget
+    splits evenly, each statistic gets Laplace noise calibrated to its
+    sensitivity (count: 1; sum: ``value_cap`` after per-row clipping —
+    clipping is what BOUNDS the sensitivity, the textbook mechanism).
+    One hash aggregate + map-side noise — scales like any groupBy.
+
+    Returns exact n/sum alongside the noisy values (callers drop the
+    exact columns before publishing; keeping them here makes the
+    mechanism testable) plus the per-statistic epsilon."""
+    eps_each = epsilon / 2.0
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(float(value_cap)),
+    )
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum(clipped).alias("sum_clipped"),
+    )
+    return agg.select(
+        group_col,
+        "n_exact",
+        (
+            F.col("n_exact")
+            + dp_laplace_noise(
+                F.concat(F.lit(f"{seed}-count-"), F.col(group_col)),
+                1.0 / eps_each,
+            )
+        ).alias("dp_count"),
+        F.col("sum_clipped"),
+        (
+            F.col("sum_clipped")
+            + dp_laplace_noise(
+                F.concat(F.lit(f"{seed}-sum-"), F.col(group_col)),
+                float(value_cap) / eps_each,
+            )
+        ).alias("dp_sum"),
+        F.lit(eps_each).alias("epsilon_count"),
+        F.lit(eps_each).alias("epsilon_sum"),
+    )

@@ -136,3 +136,41 @@ def test_frame_sample_plan(spark):
     plan = MM.frame_sample_plan(docs, every_ms=1000)
     got = plan.groupBy("doc_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_dp_release_mechanism_properties(spark):
+    """The seeded Laplace mechanism: deterministic across runs, noise
+    centered near zero with the right spread (empirical |noise| mean ≈
+    scale over many independent seeds), and the clipped sum's exposure
+    bounded by value_cap per row."""
+    from pyspark.sql import functions as F
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        governance as G,
+    )
+
+    # determinism + centering over 4000 independent seeds
+    seeds = spark.range(0, 4000).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("seed")
+    )
+    noise = seeds.select(G.dp_laplace_noise(F.col("seed"), 2.0).alias("x"))
+    st = noise.agg(
+        F.avg("x").alias("mu"),
+        F.avg(F.abs(F.col("x"))).alias("mad"),
+        F.max(F.abs(F.col("x"))).alias("mx"),
+    ).first()
+    assert abs(st["mu"]) < 0.25          # Laplace(2): sd ≈ 2.83, se ≈ .045
+    assert 1.6 < st["mad"] < 2.4         # E|Laplace(b)| = b = 2
+    assert st["mx"] < 60                 # tail guard: ln never blew up
+    again = noise.agg(F.sum("x")).first()[0]
+    assert again == noise.agg(F.sum("x")).first()[0]
+
+    # clipping bounds the sum's per-row exposure regardless of outliers
+    df = spark.createDataFrame(
+        [("a", 1e9), ("a", -5.0), ("a", 50.0), ("b", 7.0)],
+        "k string, v double",
+    )
+    rel = {r["k"]: r for r in G.dp_release(df, "k", "v", value_cap=100.0).collect()}
+    assert rel["a"]["sum_clipped"] == 150.0  # 100 (capped) + 0 + 50
+    assert rel["b"]["sum_clipped"] == 7.0
+    assert rel["a"]["epsilon_count"] == 0.5
