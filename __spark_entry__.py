@@ -19555,6 +19555,82 @@ def diversification_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD Type 2 dimension maintenance (r5) — the canonical lakehouse
+# dimension pattern (public Delta docs' flagship MERGE example): close
+# changed current rows, open new versions, ignore no-op updates,
+# insert unknown keys; point-in-time reads via effective ranges.
+# --------------------------------------------------------------------------
+@q(
+    "scd2_dimension_merge",
+    """
+SELECT c_custkey,
+       c_mktsegment,
+       ROUND(c_acctbal, 6) AS acctbal,
+       DATE '2024-01-01' AS effective_from,
+       CASE WHEN c_custkey % 10 < 3 THEN DATE '2024-06-01' END
+         AS effective_to,
+       CAST(c_custkey % 10 >= 3 AS BOOLEAN) AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, 'UPGRADED', ROUND(c_acctbal + 100.0, 6),
+       DATE '2024-06-01', NULL, TRUE
+FROM customer WHERE c_custkey % 10 < 3
+UNION ALL
+SELECT c_custkey + 10000000, 'NEW', 0.0,
+       DATE '2024-06-01', NULL, TRUE
+FROM customer WHERE c_custkey % 10 = 4
+""",
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 apply (operators/scd.py): the customer dimension is
+    bootstrapped as of 2024-01-01, then one update batch at 2024-06-01
+    exercises every branch — keys %10<3 change segment+balance (their
+    old rows CLOSE at the change date, new current versions open),
+    keys %10==3 arrive with IDENTICAL attributes (no-op: no spurious
+    version — the null-safe change detection is the point), keys %10==4
+    arrive as brand-new entities. The oracle recomputes the final
+    dimension declaratively as three UNION branches. Four keyed joins
+    over the current slice, no window, no row-at-a-time logic —
+    broadcastable update batches at 100 TB."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        scd as SCD,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dim0 = SCD.scd2_init(cust, "2024-01-01")
+    last = F.col("c_custkey") % 10
+    changed = cust.filter(last < 3).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    noop = cust.filter(last == 3)
+    new = cust.filter(last == 4).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    updates = (
+        changed.unionByName(noop)
+        .unionByName(new)
+        .withColumn("effective_ts", F.lit("2024-06-01"))
+    )
+    out = SCD.scd2_apply(
+        dim0, updates, keys=["c_custkey"], tracked=["c_mktsegment", "c_acctbal"]
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
 # Differential-privacy release (governance plane, r5) — the publish-
 # side complement of the k-anonymity gate: per-group COUNT and
 # clipped SUM with seeded Laplace noise (auditable mechanism
@@ -26360,6 +26436,7 @@ _DRIVER_WINDOW_DEBUT = [
     "versioned_time_travel_replay",
     "image_ahash_neardup",
     "dp_count_release",
+    "scd2_dimension_merge",
 ]
 
 

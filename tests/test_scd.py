@@ -1,0 +1,117 @@
+"""SCD Type 2 dimension maintenance (operators/scd.py): versioning on
+change, no-op suppression, brand-new keys, point-in-time reads,
+duplicate-batch rejection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.operators import scd as SCD
+
+
+def _dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "gold", 10.0), (2, "silver", 20.0), (3, "bronze", 30.0)],
+        "id long, tier string, bal double",
+    )
+    return SCD.scd2_init(snap, "2024-01-01")
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, tier string, bal double, effective_ts string"
+    )
+
+
+def test_scd2_versions_changes_and_suppresses_noops(spark):
+    dim = _dim(spark)
+    updates = _upd(
+        spark,
+        [
+            (1, "platinum", 10.0, "2024-06-01"),  # change -> new version
+            (2, "silver", 20.0, "2024-06-01"),    # identical -> no-op
+            (9, "new", 0.0, "2024-06-01"),        # unknown key -> insert
+        ],
+    )
+    out = SCD.scd2_apply(dim, updates, ["id"], ["tier", "bal"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], []).append(r)
+    # id 1: closed old + open new
+    v1 = sorted(by[1], key=lambda r: r["effective_from"])
+    assert len(v1) == 2
+    assert v1[0]["tier"] == "gold" and not v1[0]["is_current"]
+    assert v1[0]["effective_to"] == dt.date(2024, 6, 1)
+    assert v1[1]["tier"] == "platinum" and v1[1]["is_current"]
+    assert v1[1]["effective_to"] is None
+    # id 2: exactly ONE row, still the original open version
+    assert len(by[2]) == 1 and by[2][0]["is_current"]
+    assert by[2][0]["effective_from"] == dt.date(2024, 1, 1)
+    # id 3 untouched; id 9 inserted current
+    assert len(by[3]) == 1 and by[3][0]["is_current"]
+    assert len(by[9]) == 1 and by[9][0]["is_current"]
+    assert by[9][0]["effective_from"] == dt.date(2024, 6, 1)
+
+
+def test_scd2_as_of_reconstructs_past(spark):
+    dim = _dim(spark)
+    dim2 = SCD.scd2_apply(
+        dim,
+        _upd(spark, [(1, "platinum", 11.0, "2024-06-01")]),
+        ["id"],
+        ["tier", "bal"],
+    )
+    before = {r["id"]: r["tier"] for r in SCD.scd2_as_of(dim2, "2024-03-01").collect()}
+    after = {r["id"]: r["tier"] for r in SCD.scd2_as_of(dim2, "2024-07-01").collect()}
+    assert before[1] == "gold" and after[1] == "platinum"
+    assert before[2] == after[2] == "silver"
+    # the boundary instant itself belongs to the NEW version
+    at = {r["id"]: r["tier"] for r in SCD.scd2_as_of(dim2, "2024-06-01").collect()}
+    assert at[1] == "platinum"
+
+
+def test_scd2_chained_batches_grow_history(spark):
+    dim = _dim(spark)
+    dim = SCD.scd2_apply(
+        dim, _upd(spark, [(1, "a", 1.0, "2024-02-01")]), ["id"], ["tier", "bal"]
+    )
+    dim = SCD.scd2_apply(
+        dim, _upd(spark, [(1, "b", 2.0, "2024-03-01")]), ["id"], ["tier", "bal"]
+    )
+    rows = sorted(
+        (r for r in dim.collect() if r["id"] == 1),
+        key=lambda r: r["effective_from"],
+    )
+    assert [r["tier"] for r in rows] == ["gold", "a", "b"]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+    assert rows[0]["effective_to"] == rows[1]["effective_from"]
+    assert rows[1]["effective_to"] == rows[2]["effective_from"]
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    with pytest.raises(ValueError, match="duplicate key"):
+        SCD.scd2_apply(
+            _dim(spark),
+            _upd(spark, [(1, "x", 0.0, "2024-06-01"), (1, "y", 0.0, "2024-06-01")]),
+            ["id"],
+            ["tier", "bal"],
+        )
+
+
+def test_scd2_null_safe_change_detection(spark):
+    dim = SCD.scd2_init(
+        spark.createDataFrame([(1, None, 10.0)], "id long, tier string, bal double"),
+        "2024-01-01",
+    )
+    # NULL -> NULL is NOT a change; NULL -> value IS
+    out = SCD.scd2_apply(
+        dim, _upd(spark, [(1, None, 10.0, "2024-06-01")]), ["id"], ["tier", "bal"]
+    )
+    assert out.count() == 1
+    out2 = SCD.scd2_apply(
+        dim, _upd(spark, [(1, "set", 10.0, "2024-06-01")]), ["id"], ["tier", "bal"]
+    )
+    assert out2.count() == 2
