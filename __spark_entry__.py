@@ -19555,6 +19555,124 @@ def diversification_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Black–Scholes pricing + greeks (r5) — the closed-form 1973 model as a
+# pure projection over per-symbol market inputs. Neither engine ships
+# erf, so BOTH sides evaluate the SAME Abramowitz–Stegun 7.1.26 Horner
+# polynomial (|err| < 1.5e-7 ≪ ROUND(,6)) in the same operation order.
+# --------------------------------------------------------------------------
+@q(
+    "black_scholes_greeks",
+    oracle(
+        """
+g AS (
+  SELECT symbol, avg(price) AS s, stddev_samp(price) AS sd
+  FROM trades GROUP BY symbol
+),
+m AS (
+  SELECT symbol, s, sd / s AS sigma,
+         unnest([0.9::DOUBLE, 1.0::DOUBLE, 1.1::DOUBLE]) AS mny
+  FROM g WHERE sd IS NOT NULL AND sd > 0 AND s > 0
+),
+d AS (
+  SELECT symbol, mny, s, sigma, mny * s AS k,
+         0.02 AS r, 0.25 AS t FROM m
+),
+d1s AS (
+  SELECT *,
+         (ln(s / k) + (r + (sigma * sigma) / 2.0) * t)
+           / (sigma * sqrt(t)) AS d1
+  FROM d
+),
+d2s AS (SELECT *, d1 - sigma * sqrt(t) AS d2 FROM d1s),
+-- norm_cdf(x) = 0.5*(1+erf(x/sqrt(2))), erf per A&S 7.1.26 (Horner,
+-- IDENTICAL order to functions/options.py)
+y AS (
+  SELECT *, d1 / 1.4142135623730951 AS y1, d2 / 1.4142135623730951 AS y2
+  FROM d2s
+),
+tt AS (
+  SELECT *,
+         1.0 / (1.0 + 0.3275911 * abs(y1)) AS t1,
+         1.0 / (1.0 + 0.3275911 * abs(y2)) AS t2
+  FROM y
+),
+cdf AS (
+  SELECT *,
+         0.5 * (1.0 + sign(y1) * (1.0 - (((((1.061405429 * t1 + -1.453152027) * t1 + 1.421413741) * t1 + -0.284496736) * t1 + 0.254829592) * t1) * exp(-(abs(y1) * abs(y1))))) AS nd1,
+         0.5 * (1.0 + sign(y2) * (1.0 - (((((1.061405429 * t2 + -1.453152027) * t2 + 1.421413741) * t2 + -0.284496736) * t2 + 0.254829592) * t2) * exp(-(abs(y2) * abs(y2))))) AS nd2,
+         0.3989422804014327 * exp(-(d1 * d1) / 2.0) AS pdf1
+  FROM tt
+),
+px AS (
+  SELECT symbol, mny, s, sigma,
+         s * nd1 - k * exp(-r * t) * nd2 AS call_price,
+         (s * nd1 - k * exp(-r * t) * nd2) - s + k * exp(-r * t) AS put_price,
+         nd1 AS delta_call,
+         pdf1 / (s * sigma * sqrt(t)) AS gamma,
+         s * pdf1 * sqrt(t) AS vega
+  FROM cdf
+)
+SELECT symbol, mny AS moneyness,
+       ROUND(s, 6) AS spot,
+       ROUND(sigma, 6) AS sigma,
+       ROUND(call_price, 6) AS call_price,
+       ROUND(put_price, 6) AS put_price,
+       ROUND(delta_call, 6) AS delta_call,
+       ROUND(gamma, 6) AS gamma,
+       ROUND(vega, 6) AS vega
+FROM px
+"""
+    ),
+)
+def black_scholes_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black–Scholes call/put prices and greeks
+    (functions/options.py) over a per-symbol moneyness grid: spot =
+    mean trade price, vol = coefficient of variation, strikes at
+    0.9/1.0/1.1× spot, r=2%, T=0.25y. The put comes from put-call
+    parity (no second CDF to drift); gamma/vega use the closed-form
+    normal pdf. One hash aggregate then a MAP-ONLY pricing projection
+    — the 100 TB shape for revaluing an options grid per tick. The
+    oracle replays the exact A&S erf polynomial in the same operation
+    order, so results hash bit-identically after ROUND(,6)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        options as OPT,
+    )
+
+    base = (
+        _trades(spark, sf_dir)
+        .groupBy("symbol")
+        .agg(
+            F.avg("price").alias("s"),
+            F.stddev_samp("price").alias("sd"),
+        )
+        .filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.col("s") > 0))
+        .withColumn("sigma", F.col("sd") / F.col("s"))
+    )
+    grid = base.select(
+        "symbol",
+        "s",
+        "sigma",
+        F.explode(
+            F.array(F.lit(0.9), F.lit(1.0), F.lit(1.1))
+        ).alias("moneyness"),
+    ).withColumn("k", F.col("moneyness") * F.col("s"))
+    cols = OPT.bs_columns(
+        F.col("s"), F.col("k"), F.lit(0.02), F.col("sigma"), F.lit(0.25)
+    )
+    return grid.select(
+        "symbol",
+        "moneyness",
+        F.round("s", 6).alias("spot"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(cols["call_price"], 6).alias("call_price"),
+        F.round(cols["put_price"], 6).alias("put_price"),
+        F.round(cols["delta_call"], 6).alias("delta_call"),
+        F.round(cols["gamma"], 6).alias("gamma"),
+        F.round(cols["vega"], 6).alias("vega"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SCD Type 2 dimension maintenance (r5) — the canonical lakehouse
 # dimension pattern (public Delta docs' flagship MERGE example): close
 # changed current rows, open new versions, ignore no-op updates,
@@ -26437,6 +26555,7 @@ _DRIVER_WINDOW_DEBUT = [
     "image_ahash_neardup",
     "dp_count_release",
     "scd2_dimension_merge",
+    "black_scholes_greeks",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Black–Scholes option pricing + greeks as Spark Columns.
+
+The closed-form 1973 model over per-symbol market inputs — a pure
+projection (no UDF, no shuffle beyond whatever aggregate produced the
+inputs), so pricing a 100 TB trade tape's option grid is map-only.
+
+The normal CDF uses the Abramowitz–Stegun 7.1.26 rational
+approximation of erf (|error| < 1.5e-7, far inside the ROUND(,6)
+contract) — chosen over a library erf because NEITHER engine (Spark
+SQL, DuckDB) ships one, and writing the SAME Horner polynomial on both
+sides makes the oracle bit-comparable: identical arithmetic, identical
+order, no reordered summation anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Abramowitz–Stegun 7.1.26 constants (public handbook values)
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def erf_approx(x: Column) -> Column:
+    """A&S 7.1.26: erf(|x|) ≈ 1 − Horner(t)·exp(−x²), t = 1/(1+p|x|),
+    mirrored to negative x by sign. Max abs error 1.5e-7."""
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + F.lit(_AS_P) * ax)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = ((((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t + F.lit(a1)) * t
+    return F.signum(x) * (1.0 - poly * F.exp(-(ax * ax)))
+
+
+def norm_cdf(x: Column) -> Column:
+    return 0.5 * (1.0 + erf_approx(x / F.lit(_SQRT2)))
+
+
+def norm_pdf(x: Column) -> Column:
+    return F.lit(_INV_SQRT_2PI) * F.exp(-(x * x) / 2.0)
+
+
+def bs_d1(s: Column, k: Column, r: Column, sigma: Column, t: Column) -> Column:
+    return (F.log(s / k) + (r + (sigma * sigma) / 2.0) * t) / (
+        sigma * F.sqrt(t)
+    )
+
+
+def bs_columns(
+    s: Column, k: Column, r: Column, sigma: Column, t: Column
+) -> dict[str, Column]:
+    """{call_price, put_price, delta_call, gamma, vega} — the greeks a
+    risk system recomputes per tick. All expressions share d1/d2, so
+    Catalyst CSE evaluates the subtree once."""
+    d1 = bs_d1(s, k, r, sigma, t)
+    d2 = d1 - sigma * F.sqrt(t)
+    disc = F.exp(-r * t)
+    call = s * norm_cdf(d1) - k * disc * norm_cdf(d2)
+    # put via parity: identical arithmetic on both engines, and parity
+    # holds EXACTLY by construction (no second CDF evaluation to drift)
+    put = call - s + k * disc
+    return {
+        "call_price": call,
+        "put_price": put,
+        "delta_call": norm_cdf(d1),
+        "gamma": norm_pdf(d1) / (s * sigma * F.sqrt(t)),
+        "vega": s * norm_pdf(d1) * F.sqrt(t),
+    }
