@@ -2026,7 +2026,7 @@ s AS (
 ),
 px AS (
   SELECT doc_id,
-         ((j // w) * 4 // h) * 4 + ((j % w) * 4 // w) AS bit_idx,
+         ((j // w) * 4 // h) * 8 + ((j % w) * 8 // w) AS bit_idx,
          (doc_id * 2654435761 + (3 * j) * 48271) % 256
        + (doc_id * 2654435761 + (3 * j + 1) * 48271) % 256
        + (doc_id * 2654435761 + (3 * j + 2) * 48271) % 256 AS lum
@@ -2048,7 +2048,7 @@ hs AS (
 ),
 nv AS (
   SELECT doc_id, ahash, r.range AS band,
-         (ahash >> (CAST(r.range AS INT) * 4)) & 15 AS nibble
+         (ahash >> (CAST(r.range AS INT) * 8)) & 255 AS nibble
   FROM hs CROSS JOIN range(0, 4) r
 ),
 cand AS (
@@ -2066,14 +2066,16 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     member of the dedup plane (text has MinHash/SimHash; images get the
     public average-hash): per-doc PPM payloads are decoded
     (operators/multimodal.py _ppm_parse), the luma plane downsamples to
-    a 4×4 grid of block means, and bit i says block i outruns the
+    an 8×4 grid of block means, and bit i says block i outruns the
     global mean — ALL integer arithmetic (cross-multiplied comparison),
     so the fingerprint is exact and the oracle recomputes it from the
     closed-form LCG pixels. Candidates come from a banded LSH join
-    (4 bands × 4 bits; pigeonhole-complete for hamming ≤ 3 — never an
-    all-pairs cross), then bit_count(xor) keeps true near-dups. The
-    100 TB shape: decode is a map, fingerprints are 8 bytes/image, the
-    join shuffles O(docs × bands)."""
+    (4 bands × 8 bits; pigeonhole-complete for hamming ≤ 3 — never an
+    all-pairs cross; 32-bit hashes keep buckets at docs/256 where the
+    16-bit first cut blew up quadratically at 5k docs), then
+    bit_count(xor) keeps true near-dups. The 100 TB shape: decode is a
+    map, fingerprints are 8 bytes/image, the join shuffles
+    O(docs × bands)."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = MM.image_ahash(MM.synth_ppm_payloads(docs))
     return MM.ahash_neardup_pairs(hashes)

@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "image_ahash_neardup",
     "versioned_time_travel_replay",
     "versioned_merge_upsert",
+    "dp_count_release",
+    "scd2_dimension_merge",
+    "black_scholes_greeks",
 ]
 
 

@@ -1078,27 +1078,41 @@ def _jpeg_mag_bits(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _jpeg_idct_block(coefs: list[int], quant: Sequence[int]) -> list[list[int]]:
+def _jpeg_np():
+    """(cos matrix, C-norm outer product) as numpy arrays, built once.
+    COS[x][u] = cos((2x+1)uπ/16); CN2[v][u] = C(v)·C(u)."""
+    global _JPEG_NP
+    if _JPEG_NP is None:
+        import numpy as np
+
+        cos = np.array(_JPEG_COS, dtype=np.float64)
+        cn = np.array(_JPEG_CNORM, dtype=np.float64)
+        _JPEG_NP = (cos, np.outer(cn, cn))
+    return _JPEG_NP
+
+
+_JPEG_NP = None
+
+
+def _jpeg_idct_block(coefs: list[int], quant: Sequence[int]):
     """Dequantize a zigzag coefficient block and run the float 2-D
-    IDCT (T.81 A.3.3); returns 8x8 level-shifted, clamped samples."""
-    S = [[0.0] * 8 for _ in range(8)]
+    IDCT (T.81 A.3.3) as two 8×8 matmuls —
+    s = COS · (C⊗C ⊙ S) · COSᵀ / 4 — then level-shift, round, clamp.
+    Returns an 8×8 uint8 numpy array. (The 64×64-multiply python loop
+    this replaces dominated decode time ~20×; the matmul reorders the
+    inner sums, which is fine — the fixture's exact-basis coefficients
+    leave ~1e-13 float error, nowhere near the 0.5 rounding margin,
+    and generic lossy streams carry no bit-exactness contract.)"""
+    import numpy as np
+
+    cos, cn2 = _jpeg_np()
+    S = np.zeros((8, 8), dtype=np.float64)
     for i, v in enumerate(coefs):
         if v:
             r, c = _JPEG_ZIGZAG[i]
-            S[r][c] = v * quant[i]
-    out = [[0] * 8 for _ in range(8)]
-    for y in range(8):
-        for x in range(8):
-            acc = 0.0
-            for v in range(8):
-                cy = _JPEG_CNORM[v] * _JPEG_COS[y][v]
-                row = S[v]
-                for u in range(8):
-                    if row[u]:
-                        acc += _JPEG_CNORM[u] * row[u] * _JPEG_COS[x][u] * cy
-            s = int(math.floor(acc / 4 + 128 + 0.5))
-            out[y][x] = 0 if s < 0 else (255 if s > 255 else s)
-    return out
+            S[r, c] = v * quant[i]
+    out = np.floor(cos @ (cn2 * S) @ cos.T / 4.0 + 128.5)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -1215,6 +1229,8 @@ def _jpeg_decode_scan(
     huff_ac: dict,
     restart_interval: int,
 ) -> bytes:
+    import numpy as np
+
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -1224,7 +1240,7 @@ def _jpeg_decode_scan(
     for c in scan:
         c["bw"] = mcus_x * c["h"]  # blocks across, padded to MCU grid
         c["bh"] = mcus_y * c["v"]
-        planes.append(bytearray(c["bw"] * 8 * c["bh"] * 8))
+        planes.append(np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.uint8))
     br = _JpegBitReader(buf, pos)
     preds = [0] * len(scan)
     rst = 0
@@ -1257,38 +1273,26 @@ def _jpeg_decode_scan(
                         k += 1
                     block = _jpeg_idct_block(coefs, quant[c["tq"]])
                     bx, by = mx * c["h"] + hb, my * c["v"] + vb
-                    row_w = c["bw"] * 8
-                    plane = planes[ci]
-                    base = by * 8 * row_w + bx * 8
-                    for yy in range(8):
-                        plane[base + yy * row_w : base + yy * row_w + 8] = bytes(
-                            block[yy]
-                        )
-    # assemble: upsample each component to full resolution, convert
+                    planes[ci][
+                        by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8
+                    ] = block
+    # assemble: upsample each component to full resolution, convert —
+    # vectorized (per-pixel python over 5k images dominated otherwise)
     if len(scan) == 1:
-        plane, row_w = planes[0], scan[0]["bw"] * 8
-        out = bytearray(w * h)
-        for y in range(h):
-            out[y * w : (y + 1) * w] = plane[y * row_w : y * row_w + w]
-        return bytes(out)
-    out = bytearray(w * h * 3)
-    row_ws = [c["bw"] * 8 for c in scan]
-    for y in range(h):
-        for x in range(w):
-            smp = []
-            for ci, c in enumerate(scan):
-                sx = x * c["h"] // hmax
-                sy = y * c["v"] // vmax
-                smp.append(planes[ci][sy * row_ws[ci] + sx])
-            yv, cb, cr = smp[0], smp[1] - 128, smp[2] - 128
-            r = int(math.floor(yv + 1.402 * cr + 0.5))
-            g = int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))
-            b = int(math.floor(yv + 1.772 * cb + 0.5))
-            o = (y * w + x) * 3
-            out[o] = 0 if r < 0 else (255 if r > 255 else r)
-            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return bytes(out)
+        return planes[0][:h, :w].tobytes()
+    full = []
+    for ci, c in enumerate(scan):
+        xs = np.arange(w) * c["h"] // hmax
+        ys = np.arange(h) * c["v"] // vmax
+        full.append(planes[ci][np.ix_(ys, xs)].astype(np.float64))
+    yv, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = np.floor(yv + 1.402 * cr + 0.5)
+    g = np.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(yv + 1.772 * cb + 0.5)
+    rgb = np.stack(
+        [np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, b)], axis=-1
+    )
+    return rgb.tobytes()
 
 
 # -- JPEG encoder (fixture side: chosen-coefficient streams) ---------------
@@ -1503,11 +1507,13 @@ def jpeg_decode_stats(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for d, payload in zip(pdf[id_col], pdf[payload_col]):
                 st = decode_jpeg(bytes(payload))
-                px = st["pixels"]
+                px = np.frombuffer(st["pixels"], dtype=np.uint8)
                 ch = st["channels"]
                 n = st["width"] * st["height"]
                 rows.append(
@@ -1517,9 +1523,10 @@ def jpeg_decode_stats(
                         "height": st["height"],
                         "channels": ch,
                         "n_pixels": n,
-                        "mean_c0": sum(px[::ch]) / n,
-                        "mean_all": sum(px) / (n * ch),
-                        "max_byte": max(px),
+                        # int sums → exact means, same as the oracle's
+                        "mean_c0": int(px[::ch].sum(dtype=np.int64)) / n,
+                        "mean_all": int(px.sum(dtype=np.int64)) / (n * ch),
+                        "max_byte": int(px.max()),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1572,33 +1579,43 @@ def _ppm_parse(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, raster
 
 
-def ahash_bits(width: int, height: int, luma: Sequence[int], grid: int = 4) -> int:
-    """The g×g average-hash as an integer (bit index row-major,
-    LSB = block (0,0)). Block of pixel (x, y) is (x·g//w, y·g//h) —
+def ahash_bits(
+    width: int,
+    height: int,
+    luma: Sequence[int],
+    grid_x: int = 8,
+    grid_y: int = 4,
+) -> int:
+    """The gx×gy average-hash as an integer (bit index row-major,
+    LSB = block (0,0)). Block of pixel (x, y) is (x·gx//w, y·gy//h) —
     multiplicative binning so every block is non-empty whenever the
-    dimension ≥ g. Ties (block mean == global mean) are 0."""
-    bsum = [0] * (grid * grid)
-    bn = [0] * (grid * grid)
-    for y in range(height):
-        by = y * grid // height
-        row = y * width
-        for x in range(width):
-            idx = by * grid + (x * grid // width)
-            bsum[idx] += luma[row + x]
-            bn[idx] += 1
-    tsum, tn = sum(bsum), width * height
-    h = 0
-    for i in range(grid * grid):
-        if bsum[i] * tn > tsum * bn[i]:
-            h |= 1 << i
-    return h
+    dimension ≥ the grid. Ties (block mean == global mean) are 0. All
+    arithmetic is int64 (numpy int reductions are exact and
+    order-independent), so the fingerprint matches the SQL oracle bit
+    for bit. 32 bits (8×4) is the sweet spot for the corpus fixtures:
+    a 16-bit hash made LSH buckets of n/16 docs — quadratic candidate
+    blowup at 5k+ docs — while 32 bits keeps buckets at n/256."""
+    import numpy as np
+
+    arr = np.asarray(luma, dtype=np.int64).reshape(height, width)
+    bx = (np.arange(width) * grid_x) // width
+    by = (np.arange(height) * grid_y) // height
+    idx = (by[:, None] * grid_x + bx[None, :]).ravel()
+    nb = grid_x * grid_y
+    bsum = np.zeros(nb, dtype=np.int64)
+    np.add.at(bsum, idx, arr.ravel())
+    bn = np.bincount(idx, minlength=nb).astype(np.int64)
+    tsum, tn = int(bsum.sum()), width * height
+    bits = (bsum * tn) > (tsum * bn)
+    return sum(1 << i for i in range(nb) if bits[i])
 
 
 def image_ahash(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    grid: int = 4,
+    grid_x: int = 8,
+    grid_y: int = 4,
 ) -> DataFrame:
     """Decode each PPM payload and emit its integer average-hash
     fingerprint (luma = r+g+b per pixel, integer). Arrow-batched
@@ -1606,20 +1623,23 @@ def image_ahash(
     schema = f"{id_col} long, width int, height int, ahash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for d, payload in zip(pdf[id_col], pdf[payload_col]):
                 w, h, raster = _ppm_parse(bytes(payload))
-                luma = [
-                    raster[3 * i] + raster[3 * i + 1] + raster[3 * i + 2]
-                    for i in range(w * h)
-                ]
+                luma = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .sum(axis=1, dtype=np.int64)
+                )
                 rows.append(
                     {
                         id_col: d,
                         "width": w,
                         "height": h,
-                        "ahash": ahash_bits(w, h, luma, grid),
+                        "ahash": ahash_bits(w, h, luma, grid_x, grid_y),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -1632,7 +1652,7 @@ def ahash_neardup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "ahash",
     n_bands: int = 4,
-    band_bits: int = 4,
+    band_bits: int = 8,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from integer fingerprints via

@@ -483,7 +483,7 @@ def test_ahash_identical_images_collide_and_perturbed_stay_close():
         for x in range(0, w // 4):
             perturbed[y * w + x] = 0
     hp = MM.ahash_bits(w, h, perturbed)
-    assert 0 < bin(h0 ^ hp).count("1") <= 4
+    assert 0 < bin(h0 ^ hp).count("1") <= 8  # local damage stays local
 
 
 def test_ahash_neardup_pairs_banded_join_complete(spark):
