@@ -43,6 +43,7 @@ def scd2_apply(
     keys: list[str],
     tracked: list[str],
     ts_col: str = "effective_ts",
+    validate: bool = True,
 ) -> DataFrame:
     """Apply an update batch to a Type-2 dimension.
 
@@ -57,16 +58,15 @@ def scd2_apply(
       spurious version);
     - key unknown → a brand-new current row opens.
 
-    Duplicate key tuples in one batch would make the close time
-    ambiguous — rejected up front (same contract as MERGE)."""
+    Validation (``validate=True``, one combined aggregate job —
+    duplicate keys and time order together, so the contract costs a
+    single extra pass over the batch; trusted pipelines can skip it):
+    duplicate key tuples would make the close time ambiguous, and an
+    update whose ``ts_col`` PRECEDES the matched current row's
+    ``effective_from`` would publish an inverted validity interval that
+    silently erases the prior version from every as-of read — both are
+    rejected up front (same contract as MERGE)."""
     attr_cols = [c for c in dim.columns if c not in SCD_COLS]
-    dup = (
-        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            f"update batch has duplicate key tuples (keys={keys})"
-        )
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
 
@@ -77,6 +77,36 @@ def scd2_apply(
         [F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}")) for t in tracked],
     )
     joined = u.join(c, keys, "left")
+    if validate:
+        backdates = F.when(
+            F.col("c.is_current").isNotNull()
+            & ~same  # a backdated NO-OP creates no version: harmless
+            & (F.col(f"u.{ts_col}").cast("date") < F.col("c.effective_from")),
+            1,
+        ).otherwise(0)
+        checks = (
+            joined.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(backdates).alias("backdated"),
+            )
+            .agg(
+                F.max(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup"),
+                F.max("backdated").alias("backdated"),
+            )
+            .first()
+        )
+        if checks and checks["dup"]:
+            raise ValueError(
+                f"update batch has duplicate key tuples (keys={keys})"
+            )
+        if checks and checks["backdated"]:
+            raise ValueError(
+                f"update batch has {ts_col} values EARLIER than the "
+                "matched current row's effective_from — applying them "
+                "would publish inverted validity intervals and erase "
+                "the prior version from every as-of read"
+            )
     # key exists and at least one tracked attribute changed
     changed = joined.filter(F.col("c.is_current").isNotNull() & ~same)
     # rows to CLOSE: current versions of changed keys, stamped with the

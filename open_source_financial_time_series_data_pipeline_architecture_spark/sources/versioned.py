@@ -239,6 +239,28 @@ def _publish(
 # -- staging + footer stats -----------------------------------------------
 
 
+def _restage_names(
+    table_dir: str, files: list[str], stats: dict, next_v: int
+) -> tuple[list[str], dict]:
+    """Rename already-staged (still unreferenced) files to carry the
+    version they will actually be PUBLISHED under. A commit that loses
+    the CAS race retries at a higher version but reuses its staged
+    parquet — if the files kept the old prefix, vacuum's in-flight
+    guard (prefix >= head) would stop protecting them the moment the
+    head advanced, and the eventual segment would reference deleted
+    files. Renaming keeps the invariant: a file referenced by segment N
+    has prefix >= N... = N, always."""
+    data_dir = os.path.join(table_dir, _DATA)
+    out_files: list[str] = []
+    out_stats: dict = {}
+    for f in files:
+        nf = f"v{next_v}-{f.split('-', 1)[1]}"
+        os.rename(os.path.join(data_dir, f), os.path.join(data_dir, nf))
+        out_files.append(nf)
+        out_stats[nf] = stats[f]
+    return out_files, out_stats
+
+
 def _stage_files(
     df: DataFrame,
     table_dir: str,
@@ -818,14 +840,19 @@ def _empty_state() -> dict:
     }
 
 
-def _walk_segments(table_dir: str, lo: int, hi: int):
+def _walk_segments(
+    table_dir: str, lo: int, hi: int, start_files: list[str] | None = None
+):
     """Yield ``(version, segment, files_after, files_before)`` for each
-    commit in ``(lo, hi]`` — ONE snapshot reconstruction at ``lo``,
-    then an incremental segment replay (O(touched) per commit, never a
-    full snapshot per version). Shared by the batch change feed, the
-    streaming sources, and vacuum's live-set walk."""
+    commit in ``(lo, hi]`` — ONE snapshot reconstruction at ``lo``
+    (skipped when the caller already holds it and passes
+    ``start_files``), then an incremental segment replay (O(touched)
+    per commit, never a full snapshot per version). Shared by the batch
+    change feed, the streaming sources, and vacuum's live-set walk."""
     state = _empty_state()
-    if lo:
+    if start_files is not None:
+        state["files"] = list(start_files)
+    elif lo:
         state["files"] = list(_snapshot(table_dir, lo, with_stats=False)["files"])
     for v in [v for v in _list_versions(table_dir) if lo < v <= hi]:
         seg = _read_segment(table_dir, v)
@@ -891,6 +918,44 @@ class _LazyStatsSnapshot(dict):
 
     def __contains__(self, key):
         return key == "stats" or dict.__contains__(self, key)
+
+    def setdefault(self, key, default=None):
+        if key == "stats":
+            self._materialize()  # `in` says it exists — honor that
+        return dict.setdefault(self, key, default)
+
+    # whole-dict views materialize first: `{**m}` / dict(m) / items() /
+    # json.dumps(m) must never silently DROP the stats a `in`-check
+    # just said were there
+    def _full(self):
+        self._materialize()
+        return self
+
+    def keys(self):
+        return dict.keys(self._full())
+
+    def values(self):
+        return dict.values(self._full())
+
+    def items(self):
+        return dict.items(self._full())
+
+    def __iter__(self):
+        return dict.__iter__(self._full())
+
+    def __len__(self):
+        return dict.__len__(self._full())
+
+    def copy(self):
+        return dict(self._full())
+
+    def __eq__(self, other):
+        return dict.__eq__(self._full(), other)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    __hash__ = None
 
 
 def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
@@ -1246,6 +1311,12 @@ def commit(
             if prior is not None and prior.get("bloom_cols"):
                 bloom_cols = prior["bloom_cols"]
             next_v = base + 1
+            # keep the staged files' version prefix == the version they
+            # will be published under (vacuum's in-flight guard relies
+            # on it — see _restage_names)
+            staged, staged_stats = _restage_names(
+                table_dir, staged, staged_stats, next_v
+            )
 
 
 def _read_files(
@@ -2021,8 +2092,11 @@ def vacuum(
     live: set[str] = set()
     if keep:
         # ONE incremental walk covers every kept version's file set
-        live.update(_snapshot(table_dir, keep[0], with_stats=False)["files"])
-        for _, _, files, _ in _walk_segments(table_dir, keep[0], keep[-1]):
+        base_files = _snapshot(table_dir, keep[0], with_stats=False)["files"]
+        live.update(base_files)
+        for _, _, files, _ in _walk_segments(
+            table_dir, keep[0], keep[-1], start_files=base_files
+        ):
             live.update(files)
         if dropping_segments and keep[0] not in _list_checkpoints(table_dir):
             # make the oldest kept version self-sufficient BEFORE its

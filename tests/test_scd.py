@@ -115,3 +115,30 @@ def test_scd2_null_safe_change_detection(spark):
         dim, _upd(spark, [(1, "set", 10.0, "2024-06-01")]), ["id"], ["tier", "bal"]
     )
     assert out2.count() == 2
+
+
+def test_scd2_rejects_backdated_changes_allows_backdated_noops(spark):
+    dim = SCD.scd2_apply(
+        _dim(spark),
+        _upd(spark, [(1, "a", 1.0, "2024-06-01")]),
+        ["id"],
+        ["tier", "bal"],
+    )
+    # a CHANGED update dated before the current version's open: reject
+    with pytest.raises(ValueError, match="EARLIER"):
+        SCD.scd2_apply(
+            dim, _upd(spark, [(1, "b", 2.0, "2024-03-01")]), ["id"], ["tier", "bal"]
+        )
+    # a backdated NO-OP creates no version — harmless, passes
+    out = SCD.scd2_apply(
+        dim, _upd(spark, [(1, "a", 1.0, "2024-03-01")]), ["id"], ["tier", "bal"]
+    )
+    assert out.filter("id = 1").count() == 2  # unchanged history
+    # validate=False skips the contract for trusted pipelines
+    SCD.scd2_apply(
+        dim,
+        _upd(spark, [(1, "b", 2.0, "2024-03-01")]),
+        ["id"],
+        ["tier", "bal"],
+        validate=False,
+    ).count()

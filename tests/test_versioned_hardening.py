@@ -234,3 +234,48 @@ def test_commit_returns_lazy_stats_without_loading_checkpoint(spark, tmp_path, m
     # ...until the caller actually asks
     assert set(m["stats"]) == set(m["files"])
     assert calls["n"] == 1
+
+
+def test_lazy_snapshot_dict_operations_do_not_drop_stats(spark, tmp_path):
+    """`in` says 'stats' exists, so EVERY whole-dict view must agree:
+    {**m}, dict(m), items(), copy(), setdefault() — a spread that
+    silently dropped stats would disable pruning downstream."""
+    t = str(tmp_path / "tbl")
+    m = V.commit(_df(spark, 0, 10).coalesce(1), t)
+    assert "stats" in m
+    assert "stats" in {**m}
+    assert "stats" in dict(m)
+    assert "stats" in dict(m.items())
+    assert "stats" in m.copy()
+    m2 = V.commit(_df(spark, 10, 20).coalesce(1), t, mode="append")
+    sd = m2.setdefault("stats", {})
+    assert sd and set(sd) == set(m2["files"])  # never installs empty
+
+
+def test_commit_retry_restages_file_names(spark, tmp_path, monkeypatch):
+    """A CAS-race loser's staged files are RENAMED to the version they
+    are finally published under, so vacuum's prefix guard keeps
+    protecting them for their whole in-flight life."""
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 10), t)
+    orig = V._stage_files
+    raced = {"done": False}
+
+    def racy(df, table_dir, next_v, bloom_cols=None):
+        staged = orig(df, table_dir, next_v, bloom_cols)
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.setattr(V, "_stage_files", orig)
+            V.commit(_df(spark, 100, 105).coalesce(1), t, mode="append")
+        return staged
+
+    monkeypatch.setattr(V, "_stage_files", racy)
+    m = V.commit(_df(spark, 10, 20).coalesce(1), t, mode="append")
+    assert m["version"] == 3
+    seg = V._read_segment(t, 3)
+    # every file the winning retry references carries ITS version prefix
+    assert all(V._file_version_prefix(f) == 3 for f in seg["add"])
+    assert V.read_version(spark, t).count() == 25
+    # and vacuum finds nothing stale to fear
+    assert V.vacuum(t, keep_last=3) == 0
+    assert V.read_version(spark, t).count() == 25
