@@ -19674,6 +19674,154 @@ def black_scholes_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iv_newton_sql(n_steps: int = 6) -> str:
+    """Oracle for implied_vol_newton, GENERATED so every unrolled step
+    is character-identical: the same call/vega lateral-alias chain
+    (DuckDB allows alias refs within a SELECT) evaluated at the step's
+    volatility, then one Newton update — bit-parity with the Spark loop
+    that reuses functions/options.bs_columns per step."""
+    horner = (
+        "((((1.061405429 * {t} + -1.453152027) * {t} + 1.421413741) * {t}"
+        " + -0.284496736) * {t} + 0.254829592) * {t}"
+    )
+
+    def chain(vol: str) -> str:
+        nd1 = (
+            "0.5 * (1.0 + sign(y1) * (1.0 - ("
+            + horner.format(t="t1")
+            + ") * exp(-(abs(y1) * abs(y1)))))"
+        )
+        nd2 = (
+            "0.5 * (1.0 + sign(y2) * (1.0 - ("
+            + horner.format(t="t2")
+            + ") * exp(-(abs(y2) * abs(y2)))))"
+        )
+        return f"""
+         (ln(s / k) + (r + ({vol} * {vol}) / 2.0) * tt) / ({vol} * sqrt(tt)) AS d1,
+         d1 - {vol} * sqrt(tt) AS d2,
+         d1 / 1.4142135623730951 AS y1,
+         d2 / 1.4142135623730951 AS y2,
+         1.0 / (1.0 + 0.3275911 * abs(y1)) AS t1,
+         1.0 / (1.0 + 0.3275911 * abs(y2)) AS t2,
+         {nd1} AS nd1,
+         {nd2} AS nd2,
+         s * nd1 - k * exp(-r * tt) * nd2 AS call_px,
+         s * (0.3989422804014327 * exp(-(d1 * d1) / 2.0)) * sqrt(tt) AS vega_px"""
+
+    parts = [
+        """g AS (
+  SELECT symbol, avg(price) AS s, stddev_samp(price) AS sd
+  FROM trades GROUP BY symbol
+),
+base AS (
+  SELECT symbol, s, 0.95 * s AS k, sd / s AS sigma0,
+         0.02 AS r, 0.25 AS tt
+  FROM g WHERE sd IS NOT NULL AND sd > 0 AND s > 0
+),
+tgt AS MATERIALIZED (
+  SELECT symbol, s, k, r, tt, sigma0,"""
+        + chain("sigma0")
+        + """
+  FROM base
+),
+s0 AS (
+  SELECT symbol, s, k, r, tt, sigma0, call_px AS target,
+         0.5 AS iv0
+  FROM tgt
+)"""
+    ]
+    carried = "symbol, s, k, r, tt, sigma0, target"
+    ivs = ["iv0"]
+    for i in range(n_steps):
+        prev, nxt = f"iv{i}", f"iv{i + 1}"
+        keep = ", ".join([carried] + ivs)
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT {keep},{chain(prev)}
+  FROM s{i}
+),
+s{i + 1} AS (
+  SELECT {keep}, {prev} - (call_px - target) / vega_px AS {nxt}
+  FROM c{i}
+)"""
+        )
+        ivs.append(nxt)
+    last = f"iv{n_steps}"
+    parts.append(
+        f"""SELECT symbol,
+       ROUND(sigma0, 6) AS true_vol,
+       ROUND(target, 6) AS target_price,
+       ROUND(iv1, 6) AS iv_step1,
+       ROUND(iv2, 6) AS iv_step2,
+       ROUND({last}, 6) AS implied_vol
+FROM s{n_steps}"""
+    )
+    return oracle(",\n".join(parts[:-1]) + "\n" + parts[-1])
+
+
+@q("implied_vol_newton", _iv_newton_sql())
+def implied_vol_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied volatility via 6 UNROLLED Newton steps over the
+    Black–Scholes plane (functions/options.py): per symbol, the target
+    price is the model price at the realized coefficient of variation;
+    Newton starts at 0.5 and each step subtracts
+    (price(ivₙ) − target)/vega(ivₙ) — quadratic convergence hits
+    machine precision by step 3 at this data's vol level (6 steps
+    cover low-vol regimes where the start is far), so implied_vol
+    recovers true_vol and BOTH engines walk the identical trajectory:
+    the Spark loop reuses bs_columns per step and the oracle is
+    GENERATED with the same call/vega chain per step (the repo's
+    unrolled-iteration witness pattern, now on a root-finder). All
+    map-side after one aggregate — calibrating an IV surface at 100 TB
+    is a projection per (symbol, strike) cell."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+        options as OPT,
+    )
+
+    base = (
+        _trades(spark, sf_dir)
+        .groupBy("symbol")
+        .agg(
+            F.avg("price").alias("s"),
+            F.stddev_samp("price").alias("sd"),
+        )
+        .filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.col("s") > 0))
+        .select(
+            "symbol",
+            "s",
+            (F.lit(0.95) * F.col("s")).alias("k"),
+            (F.col("sd") / F.col("s")).alias("sigma0"),
+        )
+    )
+    r, t = F.lit(0.02), F.lit(0.25)
+    tgt = OPT.bs_columns(F.col("s"), F.col("k"), r, F.col("sigma0"), t)
+    df = base.select(
+        "symbol",
+        "s",
+        "k",
+        "sigma0",
+        tgt["call_price"].alias("target"),
+        F.lit(0.5).alias("iv0"),
+    )
+    for i in range(6):
+        iv = F.col(f"iv{i}")
+        step = OPT.bs_columns(F.col("s"), F.col("k"), r, iv, t)
+        df = df.select(
+            "*",
+            (
+                iv - (step["call_price"] - F.col("target")) / step["vega"]
+            ).alias(f"iv{i + 1}"),
+        )
+    return df.select(
+        "symbol",
+        F.round("sigma0", 6).alias("true_vol"),
+        F.round("target", 6).alias("target_price"),
+        F.round("iv1", 6).alias("iv_step1"),
+        F.round("iv2", 6).alias("iv_step2"),
+        F.round("iv6", 6).alias("implied_vol"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SCD Type 2 dimension maintenance (r5) — the canonical lakehouse
 # dimension pattern (public Delta docs' flagship MERGE example): close
@@ -26558,6 +26706,7 @@ _DRIVER_WINDOW_DEBUT = [
     "dp_count_release",
     "scd2_dimension_merge",
     "black_scholes_greeks",
+    "implied_vol_newton",
 ]
 
 

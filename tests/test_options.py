@@ -54,3 +54,35 @@ def test_bs_monotone_in_strike(spark):
     cols = OPT.bs_columns(F.lit(100.0), F.col("k"), F.lit(0.02), F.lit(0.3), F.lit(0.5))
     got = [r["c"] for r in df.select(cols["call_price"].alias("c")).orderBy("k").collect()]
     assert all(a > b for a, b in zip(got, got[1:]))  # calls fall as K rises
+
+
+def test_implied_vol_newton_recovers_sigma(spark):
+    """4 unrolled Newton steps recover the generating volatility to
+    machine precision across a moneyness/vol sweep (exact-erf reference
+    prices as targets keep the solver honest about model error)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    cases = []
+    for sig in (0.15, 0.3, 0.6, 0.9, 1.2):
+        for k in (45.0, 50.0, 55.0):
+            call, _ = _bs_exact(50.0, k, 0.02, sig, 0.25)
+            cases.append((50.0, k, 0.02, 0.25, call, sig))
+    df = spark.createDataFrame(
+        cases, "s double, k double, r double, t double, target double, sig double"
+    ).withColumn("iv0", F.lit(0.5))
+    for i in range(8):
+        step = OPT.bs_columns(
+            F.col("s"), F.col("k"), F.col("r"), F.col(f"iv{i}"), F.col("t")
+        )
+        df = df.withColumn(
+            f"iv{i + 1}",
+            F.col(f"iv{i}")
+            - (step["call_price"] - F.col("target")) / step["vega"],
+        )
+    for row in df.collect():
+        # the A&S erf bound (1.5e-7) is the only residual vs exact erf
+        assert abs(row["iv8"] - row["sig"]) < 5e-6, (row["sig"], row["k"])
+        # converged: one more step moves nothing
+        assert abs(row["iv7"] - row["iv8"]) < 1e-8
