@@ -2016,6 +2016,62 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_gif_stats",
+    """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 8 AS w, 4 + doc_id % 6 AS h FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM p
+),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 2654435761 + j * 48271) % 256 AS idx
+  FROM s
+),
+l AS (
+  SELECT doc_id, w, h, idx,
+         (doc_id * 2654435761 + (idx * 3) * 40503) % 256
+       + (doc_id * 2654435761 + (idx * 3 + 1) * 40503) % 256
+       + (doc_id * 2654435761 + (idx * 3 + 2) * 40503) % 256 AS luma
+  FROM v
+)
+SELECT doc_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       ROUND(CAST(sum(idx) AS DOUBLE) / count(*), 6) AS mean_index,
+       CAST(max(idx) AS BIGINT) AS max_index,
+       ROUND(CAST(sum(luma) AS DOUBLE) / count(*), 6) AS mean_luma
+FROM l GROUP BY doc_id
+""",
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-spec GIF89a + the format's LSB-first LZW
+    with growing code widths, CLEAR/EOI and 255-byte sub-blocks —
+    operators/multimodal.py decode_gif/lzw_decode_gif): per-doc
+    payloads built by a REAL LZW compressor over LCG palette+index
+    rasters (repeated patterns genuinely compress, so decode walks
+    table growth, not just root codes), then reduced to index stats +
+    the palette-resolved luma mean. The oracle recomputes everything
+    from the closed-form index/palette formulas without seeing a byte
+    — with PPM/PNG/JPEG/GIF the image plane now covers every format a
+    scraped training corpus actually carries. Two chained mapInPandas
+    stages, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = MM.gif_decode_stats(MM.synth_gif_payloads(docs))
+    return st.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_index", 6).alias("mean_index"),
+        "max_index",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@q(
     "image_ahash_neardup",
     """
 WITH p AS (
@@ -26707,6 +26763,7 @@ _DRIVER_WINDOW_DEBUT = [
     "scd2_dimension_merge",
     "black_scholes_greeks",
     "implied_vol_newton",
+    "multimodal_gif_stats",
 ]
 
 

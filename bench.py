@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "dp_count_release",
     "scd2_dimension_merge",
     "black_scholes_greeks",
+    "implied_vol_newton",
+    "multimodal_gif_stats",
 ]
 
 

