@@ -2016,6 +2016,74 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_g711_stats",
+    """
+WITH p AS (
+  SELECT doc_id, 40 + doc_id % 60 AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+  FROM documents
+),
+s AS (
+  SELECT doc_id, law, unnest(range(0, n)) AS j FROM p
+),
+b AS (
+  SELECT doc_id, law,
+         (doc_id * 2654435761 + j * 40503) % 256 AS byte
+  FROM s
+),
+u AS (
+  SELECT doc_id, law, xor(byte, 255) AS ub, xor(byte, 85) AS ab FROM b
+),
+v AS (
+  SELECT doc_id, law,
+         CASE WHEN law = 'ulaw' THEN
+           CASE WHEN (ub & 128) != 0
+                THEN 132 - ((((ub & 15) << 3) + 132) << ((ub & 112) >> 4))
+                ELSE ((((ub & 15) << 3) + 132) << ((ub & 112) >> 4)) - 132
+           END
+         ELSE
+           CASE WHEN (ab & 128) != 0 THEN 1 ELSE -1 END *
+           CASE (ab & 112) >> 4
+                WHEN 0 THEN ((ab & 15) << 4) + 8
+                WHEN 1 THEN ((ab & 15) << 4) + 264
+                ELSE (((ab & 15) << 4) + 264) << (((ab & 112) >> 4) - 1)
+           END
+         END AS val
+  FROM u
+)
+SELECT doc_id,
+       any_value(law) AS law,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       ROUND(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_amp,
+       ROUND(sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)), 6) AS rms_amp,
+       CAST(max(abs(val)) AS BIGINT) AS peak_amp
+FROM v GROUP BY doc_id
+""",
+)
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 decode — the telephony companding codecs (ITU-T
+    µ-law/A-law, audio_format 6/7 inside standard WAV containers) a
+    speech corpus actually carries: per-doc companded LCG bytes expand
+    through the spec's bit formulas (operators/multimodal.py
+    ulaw_to_linear/alaw_to_linear, wired into decode_wav) and reduce to
+    amplitude stats from exact integer sums. Even docs are µ-law, odd
+    A-law, so both tables run. The oracle replays the bit arithmetic
+    (xor/shift/mask CASE ladders) byte for byte. Map + one tiny join
+    (law tag), no shuffle of substance."""
+    docs = load_table(spark, sf_dir, "documents")
+    g711 = MM.synth_g711_payloads(docs)
+    st = MM.wav_decode_stats(g711)
+    return st.join(g711.select("doc_id", "law"), "doc_id").select(
+        "doc_id",
+        "law",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+        "peak_amp",
+    )
+
+
+@q(
     "multimodal_gif_stats",
     """
 WITH p AS (
@@ -26764,6 +26832,7 @@ _DRIVER_WINDOW_DEBUT = [
     "black_scholes_greeks",
     "implied_vol_newton",
     "multimodal_gif_stats",
+    "multimodal_g711_stats",
 ]
 
 

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "black_scholes_greeks",
     "implied_vol_newton",
     "multimodal_gif_stats",
+    "multimodal_g711_stats",
 ]
 
 

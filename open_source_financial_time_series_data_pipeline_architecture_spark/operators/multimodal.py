@@ -193,23 +193,30 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1:
+    if audio_format in (6, 7):  # G.711 A-law / µ-law (ITU, 1972)
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit samples, got {bits}")
+        expand = alaw_to_linear if audio_format == 6 else ulaw_to_linear
+        n = len(data)
+        vals = [expand(b) for b in data]
+    elif audio_format != 1:
         raise ValueError(f"not PCM (audio_format={audio_format})")
-    width = bits // 8
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"unsupported PCM width: {bits}")
-    n = len(data) // width
-    if bits == 8:
-        vals = [b - 128 for b in data[:n]]
-    elif bits == 24:
-        vals = [
-            int.from_bytes(data[i * 3 : i * 3 + 3], "little", signed=True)
-            for i in range(n)
-        ]
     else:
-        vals = list(
-            struct.unpack_from("<" + ("h" if bits == 16 else "i") * n, data)
-        )
+        width = bits // 8
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"unsupported PCM width: {bits}")
+        n = len(data) // width
+        if bits == 8:
+            vals = [b - 128 for b in data[:n]]
+        elif bits == 24:
+            vals = [
+                int.from_bytes(data[i * 3 : i * 3 + 3], "little", signed=True)
+                for i in range(n)
+            ]
+        else:
+            vals = list(
+                struct.unpack_from("<" + ("h" if bits == 16 else "i") * n, data)
+            )
     return {
         "sample_rate": sample_rate,
         "channels": channels,
@@ -1997,3 +2004,79 @@ def gif_decode_stats(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# G.711 companding (ITU-T, 1972) — the telephony codecs (µ-law/A-law)
+# a speech corpus carries inside 8-bit WAV containers. Pure bit
+# arithmetic from the public spec, so the expansion is closed-form in
+# SQL too (the oracle replays it byte for byte).
+# --------------------------------------------------------------------------
+
+
+def ulaw_to_linear(b: int) -> int:
+    """µ-law byte → 16-bit linear PCM (G.711 table 2a as the standard
+    bit formula): complement, bias-132 mantissa shifted by the segment
+    exponent, sign from bit 7."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def alaw_to_linear(b: int) -> int:
+    """A-law byte → 16-bit linear PCM (G.711 table 1a): XOR 0x55, then
+    a per-segment linear ramp; sign bit 7 is POSITIVE in A-law."""
+    a = b ^ 0x55
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t = ((a & 0x0F) << 4) + 8
+    elif seg == 1:
+        t = ((a & 0x0F) << 4) + 0x108
+    else:
+        t = (((a & 0x0F) << 4) + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def encode_g711_wav(
+    sample_rate: int, channels: int, companded: bytes, law: str
+) -> bytes:
+    """A RIFF/WAVE container around raw G.711 bytes (audio_format 6 for
+    A-law, 7 for µ-law; 8 bits per sample — the standard telephony WAV
+    layout)."""
+    fmt_code = {"alaw": 6, "ulaw": 7}[law]
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(companded)) + companded
+        + (b"\x00" if len(companded) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_g711_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc G.711 WAV payloads: LCG companded bytes, µ-law for even
+    docs and A-law for odd — both expansion tables get exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, laws = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 40 + d % 60
+                raw = bytes(
+                    (d * _LCG_MULT + j * _LCG_STEP) % 256 for j in range(n)
+                )
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                payloads.append(encode_g711_wav(8000, 1, raw, law))
+                laws.append(law)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "law": laws}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary, law string"
+    )

@@ -598,3 +598,53 @@ def test_gif_spark_decode_matches_local(spark):
         assert r["mean_index"] == sum(idx) / len(idx)
         assert r["max_index"] == max(idx)
         assert r["mean_luma"] == sum(luma) / len(luma)
+
+
+# -- G.711 µ-law / A-law ------------------------------------------------------
+
+
+def test_g711_expansion_reference_points_and_symmetry():
+    # spec reference points (16-bit-scaled tables, the SoX/ffmpeg
+    # convention): quiet codes decode to 0 / ±8, loudest to ±32124
+    assert MM.ulaw_to_linear(0xFF) == 0
+    assert MM.ulaw_to_linear(0x7F) == 0
+    assert abs(MM.alaw_to_linear(0xD5)) == 8  # A-law "zero" magnitude
+    assert MM.ulaw_to_linear(0x80) == 32124  # loudest positive
+    assert MM.ulaw_to_linear(0x00) == -32124
+    assert max(abs(MM.alaw_to_linear(b)) for b in range(256)) == 32256
+    # sign symmetry across bit 7
+    for b in range(128):
+        assert MM.ulaw_to_linear(b) == -MM.ulaw_to_linear(b | 0x80)
+        assert MM.alaw_to_linear(b | 0x80) == -MM.alaw_to_linear(b)
+    # µ-law magnitudes are monotone within a sign half (decreasing code
+    # value = increasing magnitude after complement)
+    mags = [abs(MM.ulaw_to_linear(b)) for b in range(128)]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_g711_wav_container_roundtrip_both_laws(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    g711 = MM.synth_g711_payloads(docs)
+    st = {r["doc_id"]: r for r in MM.wav_decode_stats(g711).collect()}
+    for d in range(10):
+        n = 40 + d % 60
+        raw = [(d * 2654435761 + j * 40503) % 256 for j in range(n)]
+        expand = MM.ulaw_to_linear if d % 2 == 0 else MM.alaw_to_linear
+        exp = [expand(b) for b in raw]
+        r = st[d]
+        assert r["bits"] == 8 and r["n_samples"] == n
+        assert r["mean_amp"] == sum(exp) / n
+        assert r["peak_amp"] == max(abs(v) for v in exp)
+
+
+def test_g711_rejects_wrong_width():
+    import pytest
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 16)  # µ-law @16 bits
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+    with pytest.raises(ValueError, match="8-bit"):
+        MM.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
