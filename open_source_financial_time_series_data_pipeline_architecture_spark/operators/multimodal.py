@@ -1947,21 +1947,22 @@ def synth_gif_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     patterns genuinely compress, so decode walks table growth)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for d in pdf[id_col]:
                 d = int(d)
                 w, h = gif_fixture_params(d)
-                palette = [
-                    tuple(
-                        (d * _LCG_MULT + (i * 3 + c) * _LCG_STEP) % 256
-                        for c in range(3)
-                    )
-                    for i in range(256)
-                ]
-                idx = [
-                    (d * _LCG_MULT + j * 48271) % 256 for j in range(w * h)
-                ]
+                pal = (
+                    (d * _LCG_MULT + np.arange(768, dtype=np.int64) * _LCG_STEP)
+                    % 256
+                ).reshape(256, 3)
+                palette = list(map(tuple, pal.tolist()))
+                idx = (
+                    (d * _LCG_MULT + np.arange(w * h, dtype=np.int64) * 48271)
+                    % 256
+                ).tolist()
                 payloads.append(encode_gif(w, h, palette, idx))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
@@ -1984,21 +1985,24 @@ def gif_decode_stats(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            import numpy as np
+
             for d, payload in zip(pdf[id_col], pdf[payload_col]):
                 st = decode_gif(bytes(payload))
-                idx = st["indices"]
-                pal = st["palette"]
+                idx = np.asarray(st["indices"], dtype=np.int64)
+                pal_sums = np.asarray(
+                    [sum(p) for p in st["palette"]], dtype=np.int64
+                )
                 n = st["width"] * st["height"]
-                luma = [sum(pal[i]) for i in idx]
                 rows.append(
                     {
                         id_col: d,
                         "width": st["width"],
                         "height": st["height"],
                         "n_pixels": n,
-                        "mean_index": sum(idx) / n,
-                        "max_index": max(idx),
-                        "mean_luma": sum(luma) / n,
+                        "mean_index": int(idx.sum()) / n,
+                        "max_index": int(idx.max()),
+                        "mean_luma": int(pal_sums[idx].sum()) / n,
                     }
                 )
             yield pd.DataFrame(rows)
