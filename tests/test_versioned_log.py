@@ -327,3 +327,73 @@ def test_s3_conditional_put_publisher_contract():
         V.S3ConditionalPutPublisher("bkt", client=Breaks()).put_if_absent(
             "/x", b"{}"
         )
+
+
+def test_10k_commit_log_reconstruction_is_checkpoint_bounded(tmp_path, monkeypatch):
+    """The r4 verdict's 'Done' criterion at the commit-count dimension:
+    on a fabricated 10k-commit table (segments + cadence checkpoints
+    written directly, no Spark), snapshot reconstruction at ANY version
+    reads at most ONE checkpoint and CHECKPOINT_EVERY segments — and
+    history() reads segments only, never snapshots."""
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, V._VERSIONS))
+    schema = '{"type":"struct","fields":[]}'
+    n_commits = 10_000
+    state_files: list[str] = []
+    state_stats: dict = {}
+    for v in range(1, n_commits + 1):
+        fname = f"v{v}-{v:08x}.parquet"
+        seg = V._segment(
+            v,
+            "append" if v > 1 else "overwrite",
+            add=[fname],
+            stats={fname: {"rows": 10, "cols": {"id": {"min": v, "max": v, "nulls": 0}}}},
+            reset=v == 1,
+            schema_json=schema,
+            txn={},
+            constraints={},
+            bloom_cols=None,
+            n_files=v,
+        )
+        V._publish(t, seg)
+        state_files.append(fname)
+        state_stats[fname] = seg["stats"][fname]
+        if v % V.CHECKPOINT_EVERY == 0:
+            V._write_checkpoint(
+                t,
+                {
+                    "version": v,
+                    "mode": seg["mode"],
+                    "ts": seg["ts"],
+                    "files": list(state_files),
+                    "schema": schema,
+                    "txn": {},
+                    "constraints": {},
+                    "bloom_cols": None,
+                    "stats": dict(state_stats),
+                },
+            )
+
+    reads = {"segments": 0}
+    orig = V._read_segment
+
+    def counting(table_dir, version):
+        reads["segments"] += 1
+        return orig(table_dir, version)
+
+    monkeypatch.setattr(V, "_read_segment", counting)
+    for v in (n_commits, n_commits - 3, 9_995, 5_004):
+        reads["segments"] = 0
+        snap = V._snapshot(t, v, with_stats=False)
+        assert snap["n_files"] == v and len(snap["files"]) == v
+        assert reads["segments"] <= V.CHECKPOINT_EVERY
+    # with stats: same bound, envelopes intact through the parquet ckpt
+    reads["segments"] = 0
+    snap = V._snapshot(t, n_commits, with_stats=True)
+    assert reads["segments"] <= V.CHECKPOINT_EVERY
+    assert snap["stats"][f"v{n_commits}-{n_commits:08x}.parquet"]["cols"]["id"]["min"] == n_commits
+    # history: one segment read per commit, no reconstruction
+    reads["segments"] = 0
+    h = V.history(t)
+    assert len(h) == n_commits and h[-1]["n_files"] == n_commits
+    assert reads["segments"] == n_commits
