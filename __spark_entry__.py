@@ -2071,11 +2071,13 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xor/shift/mask CASE ladders) byte for byte. Map + one tiny join
     (law tag), no shuffle of substance."""
     docs = load_table(spark, sf_dir, "documents")
-    g711 = MM.synth_g711_payloads(docs)
-    st = MM.wav_decode_stats(g711)
-    return st.join(g711.select("doc_id", "law"), "doc_id").select(
+    st = MM.wav_decode_stats(MM.synth_g711_payloads(docs))
+    # law is a pure doc_id parity — deriving it beats re-running the
+    # payload-synthesis mapInPandas a second time plus a join
+    law = F.when(F.col("doc_id") % 2 == 0, "ulaw").otherwise("alaw")
+    return st.select(
         "doc_id",
-        "law",
+        law.alias("law"),
         "n_samples",
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms_amp", 6).alias("rms_amp"),

@@ -165,9 +165,10 @@ def decode_wav(payload: bytes) -> dict:
     statistics.
 
     Walks the chunk list per spec (skipping unknown chunks such as
-    LIST/INFO, honoring the odd-size pad byte), requires
-    audio_format=1 (PCM), and decodes 8-bit unsigned / 16/24/32-bit
-    signed LE samples. Returns integer sums (order-independent, exact)
+    LIST/INFO, honoring the odd-size pad byte) and decodes
+    audio_format 1 (PCM: 8-bit unsigned / 16/24/32-bit signed LE) or
+    the G.711 telephony formats 6/7 (A-law/µ-law, expanded to 16-bit
+    scale). Returns integer sums (order-independent, exact)
     rather than float streams so downstream stats are reproducible
     bit-for-bit on any engine:
     {sample_rate, channels, bits, n_samples, sum_samples, sum_squares,
@@ -1876,6 +1877,8 @@ def decode_gif(payload: bytes) -> dict:
     "height", "indices", "palette"}."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF payload")
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
     pos = 13
@@ -1902,6 +1905,8 @@ def decode_gif(payload: bytes) -> dict:
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
         ipacked = payload[pos + 9]
         pos += 10

@@ -81,7 +81,11 @@ def scd2_apply(
         backdates = F.when(
             F.col("c.is_current").isNotNull()
             & ~same  # a backdated NO-OP creates no version: harmless
-            & (F.col(f"u.{ts_col}").cast("date") < F.col("c.effective_from")),
+            # <= not <: at date grain a SAME-DAY change would close the
+            # current row with effective_to == effective_from — a
+            # zero-length interval invisible to every as-of read, the
+            # exact corruption this guard exists to reject
+            & (F.col(f"u.{ts_col}").cast("date") <= F.col("c.effective_from")),
             1,
         ).otherwise(0)
         checks = (
@@ -102,10 +106,12 @@ def scd2_apply(
             )
         if checks and checks["backdated"]:
             raise ValueError(
-                f"update batch has {ts_col} values EARLIER than the "
+                f"update batch has {ts_col} values at or before the "
                 "matched current row's effective_from — applying them "
-                "would publish inverted validity intervals and erase "
-                "the prior version from every as-of read"
+                "would publish inverted or zero-length validity "
+                "intervals and erase the prior version from every "
+                "as-of read (a new version must open strictly later "
+                "at this date grain)"
             )
     # key exists and at least one tracked attribute changed
     changed = joined.filter(F.col("c.is_current").isNotNull() & ~same)

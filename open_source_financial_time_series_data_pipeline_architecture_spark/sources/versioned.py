@@ -924,6 +924,15 @@ class _LazyStatsSnapshot(dict):
             self._materialize()  # `in` says it exists — honor that
         return dict.setdefault(self, key, default)
 
+    def pop(self, key, *default):
+        if key == "stats":
+            self._materialize()
+        return dict.pop(self, key, *default)
+
+    def popitem(self):
+        self._materialize()
+        return dict.popitem(self)
+
     # whole-dict views materialize first: `{**m}` / dict(m) / items() /
     # json.dumps(m) must never silently DROP the stats a `in`-check
     # just said were there
@@ -2115,10 +2124,12 @@ def vacuum(
             age = now - os.path.getmtime(path)
             fv = _file_version_prefix(f)
             if fv is not None and fv >= newest_kept:
-                # staged for a possibly-live commit. >= matters: a
-                # writer that LOST the race for version N keeps its
-                # vN-named staged files and publishes them under N+1 —
-                # their prefix equals the head, not exceeds it
+                # staged for a possibly-live commit. >= matters even
+                # though commit retries RENAME staged files to their
+                # final publish version (_restage_names): between the
+                # winner's publish of N and the loser's rename, the
+                # loser's files still carry prefix == head — narrowing
+                # this to > would reopen that window
                 if age < max(retention_s, INFLIGHT_GRACE_S):
                     continue
             elif retention_s > 0 and age < retention_s:

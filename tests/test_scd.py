@@ -125,7 +125,7 @@ def test_scd2_rejects_backdated_changes_allows_backdated_noops(spark):
         ["tier", "bal"],
     )
     # a CHANGED update dated before the current version's open: reject
-    with pytest.raises(ValueError, match="EARLIER"):
+    with pytest.raises(ValueError, match="at or before"):
         SCD.scd2_apply(
             dim, _upd(spark, [(1, "b", 2.0, "2024-03-01")]), ["id"], ["tier", "bal"]
         )
@@ -142,3 +142,19 @@ def test_scd2_rejects_backdated_changes_allows_backdated_noops(spark):
         ["tier", "bal"],
         validate=False,
     ).count()
+
+
+def test_scd2_rejects_same_day_changes(spark):
+    """At date grain a SAME-DAY change would close the current row with
+    effective_to == effective_from — a zero-length interval invisible
+    to every as-of read. Rejected, not silently applied."""
+    dim = SCD.scd2_apply(
+        _dim(spark),
+        _upd(spark, [(1, "a", 1.0, "2024-06-01")]),
+        ["id"],
+        ["tier", "bal"],
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        SCD.scd2_apply(
+            dim, _upd(spark, [(1, "b", 2.0, "2024-06-01")]), ["id"], ["tier", "bal"]
+        )

@@ -358,7 +358,10 @@ def test_10k_commit_log_reconstruction_is_checkpoint_bounded(tmp_path, monkeypat
         V._publish(t, seg)
         state_files.append(fname)
         state_stats[fname] = seg["stats"][fname]
-        if v % V.CHECKPOINT_EVERY == 0:
+        # checkpoints only near the probed versions: 1000 full-snapshot
+        # checkpoints would write ~5M file names (~150 MB) to prove the
+        # same bound three checkpoints prove
+        if v in (5_000, 9_990, 10_000):
             V._write_checkpoint(
                 t,
                 {

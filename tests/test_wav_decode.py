@@ -546,10 +546,17 @@ def test_gif_lzw_roundtrip_with_table_growth_and_reset():
     rng = random.Random(3)
     for mcs in (2, 4, 8):
         pat = [rng.randrange(1 << mcs) for _ in range(5)]
-        seq = (pat * 2000)[: 6000]  # repetitive: deep growth + resets
+        seq = (pat * 2000)[: 6000]  # repetitive: deep table growth
         assert MM.lzw_decode_gif(MM.lzw_encode_gif(seq, mcs), mcs, len(seq)) == seq
         rnd = [rng.randrange(1 << mcs) for _ in range(777)]
         assert MM.lzw_decode_gif(MM.lzw_encode_gif(rnd, mcs), mcs, len(rnd)) == rnd
+    # the 4096-entry ceiling: random 8-bit symbols add ~1 table entry
+    # per emitted code, so 10k of them force the 12-bit width cap AND
+    # at least one mid-stream CLEAR/reset on both sides (a prior
+    # version of this test never actually reached the reset branch)
+    big = [rng.randrange(256) for _ in range(10_000)]
+    enc = MM.lzw_encode_gif(big, 8)
+    assert MM.lzw_decode_gif(enc, 8, len(big)) == big
 
 
 def test_gif_roundtrip_and_extension_skipping():
