@@ -20024,6 +20024,132 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_scd2_dimension",
+    """
+SELECT c_custkey, c_mktsegment,
+       ROUND(c_acctbal, 6) AS acctbal,
+       DATE '2024-01-01' AS effective_from,
+       CASE WHEN c_custkey % 10 < 3 THEN DATE '2024-06-01' END
+         AS effective_to,
+       CAST(c_custkey % 10 >= 3 AS BOOLEAN) AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, 'UPGRADED', ROUND(c_acctbal + 100.0, 6),
+       DATE '2024-06-01',
+       CASE WHEN c_custkey % 10 < 2 THEN DATE '2024-09-01' END,
+       CAST(c_custkey % 10 = 2 AS BOOLEAN)
+FROM customer WHERE c_custkey % 10 < 3
+UNION ALL
+SELECT c_custkey, 'PREMIUM', ROUND(c_acctbal + 250.0, 6),
+       DATE '2024-09-01', NULL, TRUE
+FROM customer WHERE c_custkey % 10 < 2
+UNION ALL
+SELECT c_custkey + 20000000, 'FRESH', 0.0,
+       DATE '2024-09-01', NULL, TRUE
+FROM customer WHERE c_custkey % 10 = 4
+""",
+)
+def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD Type 2 — the CDC-to-dimension pipeline run as a
+    REAL Structured Streaming job (the round-5 capstone composing three
+    planes): two update batches land as a file-source JSON topic
+    (mtime-staggered + maxFilesPerTrigger=1 so micro-batches process in
+    order), each foreachBatch invocation reads the current dimension
+    from a VERSIONED table, applies operators/scd.scd2_apply, and
+    commits the result — so the dimension's whole version history is
+    itself time-travelable. Batch 1 (2024-06-01) upgrades keys %10<3;
+    batch 2 (2024-09-01) re-upgrades keys %10<2 to PREMIUM and inserts
+    new FRESH entities — keys touched twice carry THREE chained
+    versions whose effective ranges must seam exactly. The oracle
+    recomputes the final dimension declaratively; the streamed result
+    must reconstruct it row-for-row or nothing hashes."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        scd as SCD,
+    )
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    last = F.col("c_custkey") % 10
+    work = _tempfile.mkdtemp(prefix="fts_scd2_stream_")
+    topic = _os.path.join(work, "topic")
+    _os.makedirs(topic)
+    batch1 = cust.filter(last < 3).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2024-06-01").alias("effective_ts"),
+    )
+    batch2 = (
+        cust.filter(last < 2)
+        .select(
+            "c_custkey",
+            F.lit("PREMIUM").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 250.0).alias("c_acctbal"),
+            F.lit("2024-09-01").alias("effective_ts"),
+        )
+        .unionByName(
+            cust.filter(last == 4).select(
+                (F.col("c_custkey") + 20000000).alias("c_custkey"),
+                F.lit("FRESH").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("2024-09-01").alias("effective_ts"),
+            )
+        )
+    )
+    for i, b in enumerate((batch1, batch2)):
+        path = _os.path.join(topic, f"batch{i}.json")
+        with open(path, "w") as fh:
+            fh.write("\n".join(b.toJSON().collect()))
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    tbl = _os.path.join(work, "dim")
+    V.commit(SCD.scd2_init(cust, "2024-01-01"), tbl)
+
+    def handle(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        cur = V.read_version(spark, tbl)
+        out = SCD.scd2_apply(
+            cur,
+            batch_df,
+            keys=["c_custkey"],
+            tracked=["c_mktsegment", "c_acctbal"],
+        )
+        V.commit(out, tbl)
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, c_mktsegment string, c_acctbal double, "
+            "effective_ts string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(topic)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", _os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return V.read_version(spark, tbl).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
 # --------------------------------------------------------------------------
 # Differential-privacy release (governance plane, r5) — the publish-
 # side complement of the k-anonymity gate: per-group COUNT and
@@ -26835,6 +26961,7 @@ _DRIVER_WINDOW_DEBUT = [
     "implied_vol_newton",
     "multimodal_gif_stats",
     "multimodal_g711_stats",
+    "streaming_scd2_dimension",
 ]
 
 

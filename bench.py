@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "implied_vol_newton",
     "multimodal_gif_stats",
     "multimodal_g711_stats",
+    "streaming_scd2_dimension",
 ]
 
 

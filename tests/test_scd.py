@@ -158,3 +158,32 @@ def test_scd2_rejects_same_day_changes(spark):
         SCD.scd2_apply(
             dim, _upd(spark, [(1, "b", 2.0, "2024-06-01")]), ["id"], ["tier", "bal"]
         )
+
+
+def test_streaming_scd2_chains_versions_across_micro_batches(spark):
+    """The driver's streaming SCD2 pipeline at smoke scale: two ordered
+    micro-batches produce three chained versions for twice-touched keys
+    (ranges seaming exactly), and the backing versioned table carries
+    one commit per batch (bootstrap + 2)."""
+    import __spark_entry__ as e
+
+    out = e.QUERIES["streaming_scd2_dimension"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by: dict[int, list] = {}
+    for r in rows:
+        by.setdefault(r["c_custkey"], []).append(r)
+    twice = [k for k in by if k % 10 < 2 and k < 20000000]
+    assert twice
+    for k in twice:
+        vs = sorted(by[k], key=lambda r: r["effective_from"])
+        assert [v["c_mktsegment"] for v in vs][1:] == ["UPGRADED", "PREMIUM"]
+        assert [v["is_current"] for v in vs] == [False, False, True]
+        assert vs[0]["effective_to"] == vs[1]["effective_from"]
+        assert vs[1]["effective_to"] == vs[2]["effective_from"]
+        assert vs[2]["effective_to"] is None
+    once = [k for k in by if k % 10 == 2]
+    assert all(len(by[k]) == 2 for k in once)
+    fresh = [k for k in by if k >= 20000000]
+    assert fresh and all(
+        len(by[k]) == 1 and by[k][0]["c_mktsegment"] == "FRESH" for k in fresh
+    )
