@@ -105,7 +105,9 @@ INFLIGHT_GRACE_S = 600.0
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic
     concurrency conflict). Append commits retry automatically; rewrite
-    commits must re-read the new head and re-apply."""
+    commits (MERGE/DELETE/UPDATE) auto-REBASE when the race was
+    file-disjoint (see ``_publish_rewrite``) and raise
+    ``RebaseConflictError`` only on a genuine read/write overlap."""
 
 
 class SchemaMismatchError(ValueError):
@@ -1220,6 +1222,165 @@ def _finish_commit(table_dir: str, version: int) -> dict:
     return snap
 
 
+# -- rebase-on-conflict (WriteSerializable for rewrite commits) -----------
+
+
+class RebaseConflictError(ConcurrentCommitError):
+    """The losing rewrite commit's read/write set genuinely overlaps a
+    winning commit's — republishing without recomputation would not be
+    serializable. Re-run the MERGE/DELETE/UPDATE against the new head."""
+
+
+def _rebase_head_or_raise(
+    table_dir: str,
+    base: int,
+    touched: list[str],
+    read_predicates: list[tuple] | None,
+    validated_constraints: dict,
+    schema_json: str,
+) -> dict:
+    """Delta-style WriteSerializable conflict check for a rewrite commit
+    that read version ``base`` and lost the publish race. Replays the
+    winning segments ``base+1..head`` and decides whether the loser's
+    already-staged output can be republished on top of the new head
+    WITHOUT recomputation. Safe iff every winner is file-disjoint from
+    the loser's read/write set:
+
+    - no winner RESET the table (overwrite/optimize/restore/legacy
+      manifest) — the files the loser read may no longer exist;
+    - no winner REMOVED a file the loser read-and-replaced (``touched``)
+      — the loser would resurrect superseded rows;
+    - no winner ADDED a file whose stat envelope may satisfy the
+      loser's ``read_predicates`` — those rows should have participated
+      in the loser's match/insert decisions (``read_predicates=None``
+      means the loser read the whole table: ANY add conflicts; a
+      winner-added file with no stats is conservatively a conflict);
+    - the head's schema is unchanged and its constraints are a subset
+      of the ones the loser's output rows were validated against.
+
+    Returns the new head snapshot (no stats) when the rebase is safe;
+    raises ``RebaseConflictError`` otherwise."""
+    head_versions = _list_versions(table_dir)
+    head = head_versions[-1]
+    touched_set = set(touched)
+    for wv in range(base + 1, head + 1):
+        seg = _read_segment(table_dir, wv)
+        if "files" in seg or seg.get("reset"):
+            raise RebaseConflictError(
+                f"version {wv} reset the table after our base {base} — "
+                "the files this commit read may be gone; re-run against "
+                "the new head"
+            )
+        overlap = touched_set.intersection(seg.get("remove") or [])
+        if overlap:
+            raise RebaseConflictError(
+                f"version {wv} rewrote {len(overlap)} file(s) this "
+                f"commit also read-and-replaced (e.g. "
+                f"{sorted(overlap)[0]!r}) — not serializable; re-run "
+                "against the new head"
+            )
+        added = seg.get("add") or []
+        if added:
+            if read_predicates is None:
+                raise RebaseConflictError(
+                    f"version {wv} added files while this commit read "
+                    "the whole table (no prunable read predicates) — "
+                    "re-run against the new head"
+                )
+            seg_stats = seg.get("stats") or {}
+            for f in added:
+                if _file_may_match(seg_stats.get(f), read_predicates):
+                    raise RebaseConflictError(
+                        f"version {wv} added file {f!r} whose stat "
+                        "envelope overlaps this commit's read "
+                        "predicates — its rows should have joined the "
+                        "match; re-run against the new head"
+                    )
+    new_head = _snapshot(table_dir, head, with_stats=False)
+    if new_head["schema"] != schema_json:
+        raise RebaseConflictError(
+            "a concurrent commit evolved the table schema — re-run "
+            "against the new head"
+        )
+    validated = set(validated_constraints.items())
+    if not set(new_head.get("constraints", {}).items()) <= validated:
+        raise RebaseConflictError(
+            "a concurrent commit added or changed CHECK constraints "
+            "this commit's rows were not validated against — re-run "
+            "against the new head"
+        )
+    return new_head
+
+
+def _publish_rewrite(
+    table_dir: str,
+    *,
+    base: int,
+    base_n_files: int,
+    base_txn: dict,
+    staged: list[str],
+    staged_stats: dict,
+    touched: list[str],
+    read_predicates: list[tuple] | None,
+    schema_json: str,
+    txn: tuple[str, int] | None,
+    constraints: dict,
+    bloom_cols: list[str] | None,
+    rebase_retries: int = 2,
+    report: dict | None = None,
+) -> dict:
+    """Publish a rewrite ('merge'-mode) commit with automatic
+    rebase-on-conflict: on a lost CAS the staged output is republished
+    against the new head iff `_rebase_head_or_raise` proves the race
+    was file-disjoint (the staged parquet is renamed to the new version
+    prefix — no recomputation); a genuine overlap raises
+    ``RebaseConflictError``. Mirrors ``commit``'s append retry loop
+    (reference analog: the dual Flink+Spark writer topology,
+    ARCHITECTURE.md:12-15, where spurious whole-job failures under
+    contention are the operational pain this removes)."""
+    n_files, txn_map = base_n_files, base_txn
+    for attempt in range(rebase_retries + 1):
+        seg = _segment(
+            base + 1,
+            "merge",
+            add=staged,
+            remove=touched or None,
+            stats=staged_stats,
+            schema_json=schema_json,
+            txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
+            constraints=constraints,
+            bloom_cols=bloom_cols,
+            n_files=n_files - len(touched) + len(staged),
+        )
+        try:
+            _publish(table_dir, seg)
+            if report is not None:
+                report["rebases"] = attempt
+            return _finish_commit(table_dir, base + 1)
+        except ConcurrentCommitError:
+            if attempt == rebase_retries:
+                raise
+            new_head = _rebase_head_or_raise(
+                table_dir,
+                base,
+                touched,
+                read_predicates,
+                constraints,
+                schema_json,
+            )
+            if _txn_replayed(new_head, txn):
+                # the racing writer WAS our own replayed micro-batch
+                if report is not None:
+                    report["replayed"] = True
+                return _lazy_snapshot(table_dir, new_head["version"])
+            base = new_head["version"]
+            n_files = new_head["n_files"]
+            txn_map = new_head.get("txn", {})
+            staged, staged_stats = _restage_names(
+                table_dir, staged, staged_stats, base + 1
+            )
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -1558,6 +1719,7 @@ def merge(
     when_not_matched: str = "insert",
     report: dict | None = None,
     txn: tuple[str, int] | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
     """MERGE INTO the versioned table (Delta's upsert primitive —
     reference spark/batch_feature_calculation.py:61-65 relies on it):
@@ -1572,9 +1734,14 @@ def merge(
     merge touching one day of a year-partitioned table rewrites ~1/365th
     of it. Untouched files carry forward IMPLICITLY (the segment lists
     only added+removed files — O(touched) commit bytes); the commit is
-    compare-and-swap (a racing writer raises ``ConcurrentCommitError``
-    rather than being silently overwritten). The segment records the
-    replaced files so the change feed diffs ONLY the touched content.
+    compare-and-swap with REBASE-ON-CONFLICT (Delta's WriteSerializable):
+    losing the publish race to a file-disjoint writer republishes the
+    already-staged output against the new head without recomputation
+    (up to ``rebase_retries`` times); a winner that rewrote a file this
+    merge read, or added rows inside its key envelope, raises
+    ``RebaseConflictError`` — never a silent overwrite. The segment
+    records the replaced files so the change feed diffs ONLY the
+    touched content.
 
     Multiple source rows with the same key would make the update
     non-deterministic — rejected up front, exactly as Delta's
@@ -1707,22 +1874,6 @@ def merge(
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
-    seg = _segment(
-        next_v,
-        "merge",
-        add=staged,
-        remove=touched,
-        stats=staged_stats,
-        schema_json=m["schema"],
-        txn={
-            **m.get("txn", {}),
-            **({txn[0]: int(txn[1])} if txn else {}),
-        },
-        constraints=m.get("constraints", {}),
-        bloom_cols=m.get("bloom_cols"),
-        n_files=len(m["files"]) - len(touched) + len(staged),
-    )
-    _publish(table_dir, seg)  # CAS: merge read base — losing = error
     if report is not None:
         report.update(
             {
@@ -1733,7 +1884,28 @@ def merge(
                 ),
             }
         )
-    return _finish_commit(table_dir, next_v)
+    # CAS with rebase-on-conflict: a lost race against a file-disjoint
+    # winner republishes the staged output on the new head (no
+    # recompute); a genuine read/write overlap raises
+    # RebaseConflictError. `preds` IS the merge's logical read set: any
+    # row a winner added that could match the source's key envelope
+    # would have changed our match/insert decisions.
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=touched,
+        read_predicates=preds or None,
+        schema_json=m["schema"],
+        txn=txn,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        report=report,
+    )
 
 
 def _rewrite_where(
@@ -1742,13 +1914,16 @@ def _rewrite_where(
     predicates: list[tuple],
     transform,
     report: dict | None,
+    rebase_retries: int = 2,
 ) -> dict:
     """Shared engine for DELETE/UPDATE WHERE: prune to the files whose
     stat envelopes can contain matching rows, rewrite ONLY those via
     ``transform(df, matched_condition)``, list just added+removed in
     the segment (everything else carries forward implicitly), publish
     as a CAS 'merge' commit the change feed diffs at O(touched
-    content)."""
+    content) — with rebase-on-conflict against file-disjoint racing
+    writers (see ``_publish_rewrite``); the DML's WHERE predicates are
+    its logical read set."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -1767,20 +1942,22 @@ def _rewrite_where(
     next_v = base + 1
     staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
-    seg = _segment(
-        next_v,
-        "merge",
-        add=staged,
-        remove=touched,
-        stats=staged_stats,
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=touched,
+        read_predicates=predicates,
         schema_json=m["schema"],
-        txn=m.get("txn", {}),
+        txn=None,
         constraints=m.get("constraints", {}),
         bloom_cols=m.get("bloom_cols"),
-        n_files=len(m["files"]) - len(touched) + len(staged),
+        rebase_retries=rebase_retries,
+        report=report,
     )
-    _publish(table_dir, seg)
-    return _finish_commit(table_dir, next_v)
 
 
 def delete_where(
@@ -1788,6 +1965,7 @@ def delete_where(
     table_dir: str,
     predicates: list[tuple],
     report: dict | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
     """DELETE FROM table WHERE <conjunction> (Delta's predicate
     delete): rows where the predicate is TRUE are removed; rows where
@@ -1800,6 +1978,7 @@ def delete_where(
         predicates,
         lambda df, p: df.filter(~F.coalesce(p, F.lit(False))),
         report,
+        rebase_retries,
     )
 
 
@@ -1809,6 +1988,7 @@ def update_where(
     predicates: list[tuple],
     set_exprs: dict,
     report: dict | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
     """UPDATE table SET col=expr, ... WHERE <conjunction> (Delta's
     predicate update): matching rows get each ``set_exprs`` column
@@ -1833,7 +2013,7 @@ def update_where(
             ]
         )
 
-    return _rewrite_where(spark, table_dir, predicates, _tx, report)
+    return _rewrite_where(spark, table_dir, predicates, _tx, report, rebase_retries)
 
 
 def compact(

@@ -62,7 +62,12 @@ def test_merge_prunes_to_single_file(spark, tmp_path):
     _seed(spark, t, n=1000, files=8)
     rep: dict = {}
     V.merge(spark, t, _df(spark, [(3, -3.0)]), keys=["id"], report=rep)
-    assert rep == {"files_total": 8, "files_rewritten": 1, "rows_written": 125}
+    assert rep == {
+        "files_total": 8,
+        "files_rewritten": 1,
+        "rows_written": 125,
+        "rebases": 0,  # uncontended publish (round 6: rebase counter)
+    }
     got = _snapshot(spark, t)
     assert (3, -3.0) in got and len(got) == 1000
 

@@ -1,0 +1,201 @@
+"""Rebase-on-conflict for rewrite commits (round 6, VERDICT r5 #2):
+a MERGE/DELETE/UPDATE that loses the publish CAS to a FILE-DISJOINT
+winner republishes its already-staged output against the new head
+(no recomputation); a genuine read/write overlap raises
+``RebaseConflictError``. Reference analog: the dual Flink+Spark writer
+topology (reference ARCHITECTURE.md:12-15), where a lost optimistic
+commit must not surface as a spurious whole-job failure."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 10)
+
+
+def _two_file_table(spark, tmp_path) -> str:
+    """v1: ids 0..9 (one file), v2: ids 100..109 appended (one file) —
+    two files with DISJOINT id envelopes."""
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 10).coalesce(1), t)
+    V.commit(_df(spark, 100, 110).coalesce(1), t, mode="append")
+    return t
+
+
+def _inject_once(monkeypatch, action, mode="merge"):
+    """Patch V._publish so the FIRST publish of a ``mode``-mode segment
+    first lets ``action`` (the racing winner) commit — a deterministic
+    lost CAS for the caller underway."""
+    orig = V._publish
+    state = {"armed": True}
+
+    def patched(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == mode:
+            state["armed"] = False
+            action()
+        return orig(table_dir, seg, publisher)
+
+    monkeypatch.setattr(V, "_publish", patched)
+
+
+def test_disjoint_merges_both_land_via_rebase(spark, tmp_path, monkeypatch):
+    t = _two_file_table(spark, tmp_path)
+    winner_src = _df(spark, 100, 105).withColumn("v", F.lit(-1).cast("long"))
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch, lambda: V.merge(spark, t, winner_src, keys=["id"])
+    )
+    rep: dict = {}
+    snap = V.merge(spark, t, loser_src, keys=["id"], report=rep)
+    assert rep["rebases"] == 1
+    assert snap["version"] == 4  # v3 winner, v4 rebased loser
+    got = {
+        r["id"]: r["v"]
+        for r in V.read_version(spark, t).collect()
+    }
+    assert len(got) == 20
+    assert all(got[i] == -2 for i in range(5))  # loser's update landed
+    assert all(got[i] == -1 for i in range(100, 105))  # winner's too
+    assert all(got[i] == i * 10 for i in list(range(5, 10)) + list(range(105, 110)))
+    # vacuum's in-flight invariant: every file referenced by the rebased
+    # segment carries the prefix of the version it was PUBLISHED under
+    seg = V._read_segment(t, 4)
+    assert all(f.startswith("v4-") for f in seg["add"])
+    # and the rebased log still replays / checkpoints cleanly
+    assert V.read_version(spark, t, version=3).count() == 20
+
+
+def test_overlapping_merges_loser_raises(spark, tmp_path, monkeypatch):
+    t = _two_file_table(spark, tmp_path)
+    winner_src = _df(spark, 5, 6).withColumn("v", F.lit(-1).cast("long"))
+    loser_src = _df(spark, 5, 6).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch, lambda: V.merge(spark, t, winner_src, keys=["id"])
+    )
+    with pytest.raises(V.RebaseConflictError, match="rewrote"):
+        V.merge(spark, t, loser_src, keys=["id"])
+    # the winner's commit is intact; the loser changed nothing
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert got[5] == -1 and len(got) == 20
+
+
+def test_concurrent_append_inside_read_envelope_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """A winner APPENDING rows inside the merge's key envelope is a
+    logical conflict — those rows should have joined the match — even
+    though no file was rewritten."""
+    t = _two_file_table(spark, tmp_path)
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(_df(spark, 2, 4).coalesce(1), t, mode="append"),
+    )
+    with pytest.raises(V.RebaseConflictError, match="envelope overlaps"):
+        V.merge(spark, t, loser_src, keys=["id"])
+
+
+def test_concurrent_append_outside_envelope_rebases(
+    spark, tmp_path, monkeypatch
+):
+    t = _two_file_table(spark, tmp_path)
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(_df(spark, 500, 510).coalesce(1), t, mode="append"),
+    )
+    rep: dict = {}
+    snap = V.merge(spark, t, loser_src, keys=["id"], report=rep)
+    assert rep["rebases"] == 1 and snap["version"] == 4
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 30  # 20 + 10 appended survive
+    assert all(got[i] == -2 for i in range(5))
+    assert all(got[i] == i * 10 for i in range(500, 510))
+
+
+def test_concurrent_overwrite_conflicts(spark, tmp_path, monkeypatch):
+    t = _two_file_table(spark, tmp_path)
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(_df(spark, 0, 3).coalesce(1), t, mode="overwrite"),
+    )
+    with pytest.raises(V.RebaseConflictError, match="reset"):
+        V.merge(spark, t, loser_src, keys=["id"])
+
+
+def test_concurrent_constraint_add_conflicts(spark, tmp_path, monkeypatch):
+    """A winner adding a CHECK constraint mid-race invalidates the
+    loser's pre-validation — conflict, not a silent unvalidated
+    publish."""
+    t = _two_file_table(spark, tmp_path)
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(2).cast("long"))
+    _inject_once(
+        monkeypatch,
+        lambda: V.add_constraint(spark, t, "v_nonneg", "v >= 0"),
+    )
+    with pytest.raises(V.RebaseConflictError, match="constraints"):
+        V.merge(spark, t, loser_src, keys=["id"])
+
+
+def test_delete_where_rebases_over_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    t = _two_file_table(spark, tmp_path)
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(_df(spark, 500, 510).coalesce(1), t, mode="append"),
+    )
+    rep: dict = {}
+    V.delete_where(spark, t, [("id", "<=", 4)], report=rep)
+    assert rep["rebases"] == 1
+    got = sorted(r["id"] for r in V.read_version(spark, t).collect())
+    assert got == list(range(5, 10)) + list(range(100, 110)) + list(
+        range(500, 510)
+    )
+
+
+def test_rebase_retries_zero_restores_fail_fast(spark, tmp_path, monkeypatch):
+    """rebase_retries=0 is the pre-round-6 contract: a lost CAS raises
+    immediately even when the race was disjoint."""
+    t = _two_file_table(spark, tmp_path)
+    winner_src = _df(spark, 100, 105).withColumn("v", F.lit(-1).cast("long"))
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch, lambda: V.merge(spark, t, winner_src, keys=["id"])
+    )
+    with pytest.raises(V.ConcurrentCommitError):
+        V.merge(spark, t, loser_src, keys=["id"], rebase_retries=0)
+
+
+def test_rebased_merge_leaves_no_stale_staged_files(
+    spark, tmp_path, monkeypatch
+):
+    """After a rebase, no file under data/ carries a version prefix that
+    is neither referenced nor reclaimable — the restage renamed, not
+    copied."""
+    t = _two_file_table(spark, tmp_path)
+    winner_src = _df(spark, 100, 105).withColumn("v", F.lit(-1).cast("long"))
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    _inject_once(
+        monkeypatch, lambda: V.merge(spark, t, winner_src, keys=["id"])
+    )
+    V.merge(spark, t, loser_src, keys=["id"])
+    m = V._snapshot(t, 4, with_stats=False)
+    live = set(m["files"])
+    on_disk = {
+        f
+        for f in os.listdir(os.path.join(t, V._DATA))
+        if f.endswith(".parquet")
+    }
+    # everything not live is a superseded OLD version's file (v1..v3
+    # prefixes vacuum can reclaim) — never an orphaned v4 stage
+    for f in on_disk - live:
+        assert not f.startswith("v4-"), f
