@@ -655,3 +655,51 @@ def test_g711_rejects_wrong_width():
             + b"data" + struct.pack("<I", 2) + b"\x00\x01")
     with pytest.raises(ValueError, match="8-bit"):
         MM.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_jpeg_batched_idct_matches_per_block_reference():
+    """Round 6 rewrote the entropy decode (16-bit-peek LUT tables) and
+    batched the IDCT (one einsum-shaped pass per component). This pins
+    the new path block-by-block against the retained per-block
+    reference `_jpeg_idct_block` on DENSE arbitrary coefficients (all
+    64 zigzag positions populated — far beyond the sparse closed-form
+    fixtures), so a LUT mis-decode or a batching/placement slip cannot
+    hide behind the fixture's exact-basis structure."""
+    import numpy as np
+
+    w = h = 16  # 2x2 blocks, grayscale, no cropping
+    rng = [(doc * 2654435761 + j * 40503) % 13 - 6 for doc in (3,) for j in range(4 * 64)]
+    blocks = [rng[k * 64 : (k + 1) * 64] for k in range(4)]
+    payload = MM.encode_jpeg_blocks(w, h, blocks)
+    st = MM.decode_jpeg(payload)
+    got = np.frombuffer(st["pixels"], dtype=np.uint8).reshape(h, w)
+    q = MM._jpeg_fixture_quant()
+    for k, zz in enumerate(blocks):
+        by, bx = divmod(k, 2)
+        ref = MM._jpeg_idct_block(list(zz), q)
+        assert (got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == ref).all(), k
+
+
+def test_jpeg_lut_decoder_rejects_invalid_code_and_marker_cut():
+    """The LUT reader's failure modes: a bit pattern outside the coded
+    space raises (len-0 LUT entry); scan data cut mid-MCU by the EOI
+    raises truncation, never returns short pixels."""
+    import pytest
+
+    w, h, ch, payload = _jpeg_fixture(4)
+    # the fixture AC table uses only 8-bit codes; a run of 8 zero bits
+    # after SOS start decodes the DC fine but derails AC eventually —
+    # instead, surgically blank the entropy segment to all-zero bytes
+    # (an 8-zero-bits prefix is not a defined fixture DC code: DC codes
+    # are 4-bit 0..11, so 0b0000 IS code 0 — use 0xFF-free garbage that
+    # forms code 12+ prefixes: 0b1100... = symbols beyond HUFFVAL)
+    i = payload.rindex(b"\xff\xd9")
+    sos = payload.index(b"\xff\xda")
+    ln = int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    start = sos + 2 + ln
+    bad = payload[:start] + b"\xfe" * (i - start) + payload[i:]
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(bad)
+    # cut INSIDE the entropy segment (keep EOI absent entirely)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_jpeg(payload[: start + 1])
