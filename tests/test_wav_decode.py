@@ -703,3 +703,97 @@ def test_jpeg_lut_decoder_rejects_invalid_code_and_marker_cut():
     # cut INSIDE the entropy segment (keep EOI absent entirely)
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_jpeg(payload[: start + 1])
+
+
+# -- MJPEG-in-AVI (RIFF container + baseline JPEG frames) -------------------
+
+
+def _mjpeg_fixture(doc_id):
+    w, h, nf, fps = MM.mjpeg_fixture_params(doc_id)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    frames = [
+        MM.encode_jpeg_blocks(
+            w,
+            h,
+            [MM._jpeg_fixture_zz(doc_id * 131 + f, k) for k in range(bw_ * bh_)],
+        )
+        for f in range(nf)
+    ]
+    return w, h, nf, fps, frames, MM.encode_mjpeg_avi(w, h, frames, fps)
+
+
+def test_mjpeg_avi_roundtrip_matches_per_frame_jpeg_decode():
+    """Container walk + frame extraction: every sampled frame's stats
+    equal a direct decode_jpeg of the same stream, at every sampling
+    stride, with fps carried from strh scale/rate."""
+    for d in (0, 1, 4, 7):
+        w, h, nf, fps, frames, avi = _mjpeg_fixture(d)
+        for every in (1, 2, 3):
+            st = MM.decode_mjpeg_frames(avi, every=every)
+            assert (st["width"], st["height"]) == (w, h)
+            assert (st["fps_num"], st["fps_den"]) == (fps, 1)
+            assert st["n_frames"] == nf
+            assert [fi for fi, _, _ in st["frames"]] == list(
+                range(0, nf, every)
+            )
+            for fi, c0_sum, c0_max in st["frames"]:
+                px = MM.decode_jpeg(frames[fi])["pixels"]
+                assert (c0_sum, c0_max) == (sum(px), max(px))
+
+
+def test_mjpeg_avi_rejects_truncation_and_wrong_codec():
+    import pytest
+
+    w, h, nf, fps, frames, avi = _mjpeg_fixture(3)
+    with pytest.raises(ValueError, match="RIFF AVI"):
+        MM.decode_mjpeg_frames(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_mjpeg_frames(avi[: len(avi) // 2])  # cut inside movi
+    # declared RIFF size larger than the actual payload
+    import struct
+
+    big = avi[:4] + struct.pack("<I", len(avi) + 100) + avi[8:]
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_mjpeg_frames(big)
+    # a non-MJPG stream (both strh handler and strf biCompression
+    # patched to cvid) must refuse rather than feed decode_jpeg garbage
+    other = avi.replace(b"MJPG", b"cvid")
+    with pytest.raises(ValueError, match="MJPG"):
+        MM.decode_mjpeg_frames(other)
+
+
+def test_mjpeg_avi_rejects_header_frame_dimension_mismatch():
+    import pytest
+    import struct
+
+    w, h, nf, fps, frames, avi = _mjpeg_fixture(2)
+    # lie in avih/strf: container says width+8
+    i = avi.index(b"avih") + 8
+    patched = (
+        avi[: i + 32] + struct.pack("<I", w + 8) + avi[i + 36 :]
+    )
+    with pytest.raises(ValueError, match="container says"):
+        MM.decode_mjpeg_frames(patched)
+
+
+def test_mjpeg_spark_frame_sample_matches_local(spark):
+    """Spark plumbing: synth payloads + frame sampling over a real
+    mapInPandas run equals the local decoder per doc/frame."""
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = MM.mjpeg_frame_sample(
+        MM.synth_mjpeg_payloads(docs), every=2
+    ).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in range(24):
+        w, h, nf, fps, frames, avi = _mjpeg_fixture(d)
+        st = MM.decode_mjpeg_frames(avi, every=2)
+        got = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        assert len(got) == len(st["frames"])
+        for r, (fi, c0_sum, c0_max) in zip(got, st["frames"]):
+            assert r["frame_idx"] == fi
+            assert r["frame_ts_ms"] == fi * 1000 // fps
+            assert r["max_c0"] == c0_max
+            assert abs(r["mean_c0"] - c0_sum / (w * h)) < 1e-12
