@@ -20137,7 +20137,13 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     new FRESH entities — keys touched twice carry THREE chained
     versions whose effective ranges must seam exactly. The oracle
     recomputes the final dimension declaratively; the streamed result
-    must reconstruct it row-for-row or nothing hashes."""
+    must reconstruct it row-for-row or nothing hashes.
+
+    Cost note (operators/scd.scd2_apply's contract): each foreachBatch
+    re-reads the WHOLE current dimension — O(|dimension|) per batch by
+    design, correct for a dimension, wrong for a fact stream. The
+    ``max_update_rows`` guard below fails the job loudly if a
+    fact-sized stream is ever routed through this path."""
     import os as _os
     import tempfile as _tempfile
 
@@ -20196,6 +20202,7 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df,
             keys=["c_custkey"],
             tracked=["c_mktsegment", "c_acctbal"],
+            max_update_rows=10_000_000,  # broadcast-scale dimension guard
         )
         V.commit(out, tbl)
 

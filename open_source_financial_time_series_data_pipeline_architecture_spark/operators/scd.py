@@ -44,8 +44,22 @@ def scd2_apply(
     tracked: list[str],
     ts_col: str = "effective_ts",
     validate: bool = True,
+    max_update_rows: int | None = None,
 ) -> DataFrame:
     """Apply an update batch to a Type-2 dimension.
+
+    **Cost model (read this before pointing a stream at it).** Each
+    apply reads the FULL current slice of the dimension: the cost per
+    invocation is O(|dimension|) regardless of batch size, which is the
+    right trade for a dimension (small, broadcast-joinable against the
+    batch) and the wrong one for a fact stream — a per-event fact
+    pipeline would re-scan the table every micro-batch. A streaming
+    caller (foreachBatch -> scd2_apply -> versioned commit) should keep
+    micro-batches coarse (minutes, not events) and can pass
+    ``max_update_rows`` — typically the broadcast-join threshold in
+    rows — to fail loudly the day someone routes a fact-sized stream
+    through the dimension path; the check shares the validation
+    aggregate, costing no extra job.
 
     ``dim``: keys + tracked attributes + (effective_from, effective_to,
     is_current). ``updates``: keys + tracked + ``ts_col`` (the change
@@ -97,9 +111,22 @@ def scd2_apply(
             .agg(
                 F.max(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup"),
                 F.max("backdated").alias("backdated"),
+                F.sum("n").alias("rows"),
             )
             .first()
         )
+        if (
+            checks
+            and max_update_rows is not None
+            and (checks["rows"] or 0) > max_update_rows
+        ):
+            raise ValueError(
+                f"update batch has {checks['rows']} rows, over the "
+                f"max_update_rows={max_update_rows} dimension-scale "
+                "guard — this apply re-reads the whole current slice "
+                "per batch; a fact-sized stream belongs in a keyed "
+                "merge/append path, not SCD2"
+            )
         if checks and checks["dup"]:
             raise ValueError(
                 f"update batch has duplicate key tuples (keys={keys})"
@@ -112,6 +139,16 @@ def scd2_apply(
                 "intervals and erase the prior version from every "
                 "as-of read (a new version must open strictly later "
                 "at this date grain)"
+            )
+    elif max_update_rows is not None:
+        # validation skipped: a limit-bounded count (never scans past
+        # the threshold) still enforces the dimension-scale guard
+        if updates.limit(max_update_rows + 1).count() > max_update_rows:
+            raise ValueError(
+                f"update batch exceeds max_update_rows={max_update_rows} "
+                "— this apply re-reads the whole current slice per "
+                "batch; a fact-sized stream belongs in a keyed "
+                "merge/append path, not SCD2"
             )
     # key exists and at least one tracked attribute changed
     changed = joined.filter(F.col("c.is_current").isNotNull() & ~same)
