@@ -88,7 +88,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish estimate (chars/4, the common
-    heuristic for English-like text)."""
+    heuristic for English-like text). For tokenizer-EXACT counts — the
+    number a training pipeline actually budgets with — use
+    ``functions.bpe.token_count`` (real byte-level BPE, round 6)."""
     t = F.col(text_col)
     return docs.select(
         "doc_id",

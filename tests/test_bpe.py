@@ -1,0 +1,126 @@
+"""Byte-level BPE tokenizer (round 6): the replace-chain production
+encoder IS textbook BPE (parity vs the rank-priority reference on
+crafted overlap cases and random strings), the embedded merge table is
+deterministic, and the Spark map-only counting path matches local."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
+
+
+def test_byte_alphabet_is_total_unique_and_space_free():
+    m = bpe.bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert all(" " not in c and len(c) == 1 for c in m.values())
+    assert m[ord(" ")] == "Ġ" and m[ord("a")] == "a"
+
+
+def test_default_merges_deterministic_and_pinned():
+    again = bpe.learn_merges([bpe.SEED_CORPUS], bpe.N_MERGES)
+    assert again == bpe.DEFAULT_MERGES
+    assert len(bpe.DEFAULT_MERGES) == bpe.N_MERGES
+    # head pinned: a platform- or dict-order-dependent tie-break would
+    # silently change every token count downstream
+    assert bpe.DEFAULT_MERGES[:4] == [
+        ("Ġ", "t"),
+        ("h", "e"),
+        ("Ġt", "he"),
+        ("e", "r"),
+    ]
+
+
+def test_replace_chain_equals_reference_on_crafted_cases():
+    """The cases that break naive single-space replace chains: adjacent
+    repeated pairs (both must merge in one pass), overlapping triples
+    (left-to-right greedy), merges creating later-rank pairs."""
+    crafted = [
+        "the",
+        " the",
+        " thethe",  # adjacent occurrences of every 'the' sub-merge
+        " ttt",  # overlap on the (Ġ,t)-adjacent family
+        "aaaa",
+        " hehe",
+        " thee",
+        " tables windows",
+        "12 34",
+        "!?.",
+        "   ",  # pure-whitespace pretoken
+        " er er er",
+    ]
+    for text in crafted:
+        for p in bpe.pretokenize(text):
+            assert bpe.encode(p, bpe.DEFAULT_MERGES) == bpe.encode_ref(
+                p, bpe.DEFAULT_MERGES
+            ), p
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghijklmnopqrstuvwy the!?,.012 "),
+        max_size=40,
+    )
+)
+def test_replace_chain_equals_reference_property(text):
+    for p in bpe.pretokenize(text):
+        assert bpe.encode(p, bpe.DEFAULT_MERGES) == bpe.encode_ref(
+            p, bpe.DEFAULT_MERGES
+        ), p
+
+
+def test_pretokenizer_partitions_text_exactly():
+    for text in ("the quick 12 rows!", "  double  spaces ", "a1b2"):
+        assert "".join(bpe.pretokenize(text)) == text
+
+
+def test_rendered_token_count_matches_symbol_list():
+    for p in (" the", "scan", "  ", " query"):
+        s = bpe.encode_rendered(p, bpe.DEFAULT_MERGES)
+        assert bpe.rendered_token_count(s) == len(
+            bpe.encode(p, bpe.DEFAULT_MERGES)
+        )
+
+
+def test_merges_compress_the_seed_domain():
+    """Learning worked: BPE tokens over seed-domain text are strictly
+    fewer than raw bytes and at least the pretoken count."""
+    text = "the fast query scans the small table and joins the batch"
+    pres = bpe.pretokenize(text)
+    n_tok = sum(
+        len(bpe.encode(p, bpe.DEFAULT_MERGES)) for p in pres
+    )
+    assert len(pres) <= n_tok < len(text.encode())
+
+
+def test_oracle_replace_chain_escaping_guard():
+    import pytest
+
+    with pytest.raises(ValueError, match="escaping"):
+        bpe.oracle_replace_chain("s", [("a'b", "c")])
+
+
+def test_spark_token_count_matches_local(spark):
+    import pandas as pd
+
+    texts = [
+        "the fast query scans the small table",
+        "key agg row scan slow fast",
+        "",
+        "windows  and   orders",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: r for r in bpe.token_count(df).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        pres = bpe.pretokenize(t)
+        n_tok = sum(len(bpe.encode(p, bpe.DEFAULT_MERGES)) for p in pres)
+        assert got[i]["n_pretokens"] == len(pres)
+        assert got[i]["n_tokens"] == n_tok
+        assert got[i]["n_bytes"] == len(t.encode())
