@@ -26934,20 +26934,12 @@ def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii as PII,
     )
     from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        load_stream_table,
         run_available_now,
     )
 
-    import os as _os
-
-    schema = spark.read.parquet(
-        _os.path.join(sf_dir, "documents.parquet")
-    ).schema  # footer-only batch peek (stream sources cannot infer)
-    docs = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-        .withColumn("t", _pii_aug_spark())
+    docs = load_stream_table(spark, sf_dir, "documents").withColumn(
+        "t", _pii_aug_spark()
     )
     for name, c in PII.pii_counts(F.col("t")).items():
         docs = docs.withColumn(f"__c_{name}", c)

@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "multimodal_gif_stats",
     "multimodal_g711_stats",
     "streaming_scd2_dimension",
+    # round-6: compressed video decode + tokenizer-exact counting
+    "video_mjpeg_stats",
+    "bpe_token_count",
 ]
 
 

@@ -29,21 +29,31 @@ from pyspark.sql import types as T
 from ..session import apply_runtime_confs
 
 
+def load_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of ``<sf_dir>/<name>.parquet``, whichever shape
+    it has: a single committed fixture FILE (the file stream source
+    needs a directory base path, so the listing is glob-filtered down
+    to it) or a DIRECTORY of part files (any real multi-file
+    deployment, and the bench scaling probe's generated corpus).
+    Without the directory branch the single-file glob silently matched
+    NOTHING — an empty stream that looked like a very fast query
+    (round-6 finding). Schema comes from a footer-only batch peek
+    (stream sources cannot infer)."""
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.option("pathGlobFilter", "*.parquet").load(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (file source, explicit schema
     — streaming sources cannot infer). Applies the same nanos→micros
     normalization as the batch `sources.load_table`."""
     apply_runtime_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # footer-only batch peek
-    # the file stream source requires a DIRECTORY base path; glob-filter
-    # the listing down to the events file
-    df = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    df = load_stream_table(spark, sf_dir, "events")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
