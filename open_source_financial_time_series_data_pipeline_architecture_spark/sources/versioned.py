@@ -43,13 +43,17 @@ predicate pruning runs as a Spark job over the stats table
 
 Segment modes and their replay semantics:
 
-- ``overwrite`` / ``optimize``: ``reset`` — drop all prior files, then
-  ``add`` the staged ones (a restore is published as an ``overwrite``
+- ``overwrite``: ``reset`` — drop all prior files, then ``add`` the
+  staged ones (a restore is published as an ``overwrite``
   re-referencing the target's files: no data copied).
 - ``append``: ``add`` only.
 - ``merge``: ``add`` staged + ``remove`` the replaced files (file-level
   merge pruning keeps the rewrite O(touched); DELETE/UPDATE WHERE share
   the path).
+- ``optimize``: since round 6, ``add`` compacted + ``remove`` the files
+  it read (so a concurrent append carries forward and the compaction
+  REBASES instead of failing); pre-round-6 optimize segments carry
+  ``reset`` and replay as overwrites of identical content.
 - ``metadata``: config-only (constraints); no file change.
 
 Legacy full-snapshot manifests (pre-round-5 tables, and the raw dict
@@ -1280,7 +1284,12 @@ def _rebase_head_or_raise(
                 "against the new head"
             )
         added = seg.get("add") or []
-        if added:
+        if added and read_predicates != []:
+            # read_predicates == [] is the PHYSICAL-rewrite marker
+            # (OPTIMIZE): its output is row-identical to its read set,
+            # so winner-added files simply carry forward — never a
+            # conflict. None means the loser logically read the whole
+            # table; a non-empty list is its prunable read envelope.
             if read_predicates is None:
                 raise RebaseConflictError(
                     f"version {wv} added files while this commit read "
@@ -1328,8 +1337,9 @@ def _publish_rewrite(
     bloom_cols: list[str] | None,
     rebase_retries: int = 2,
     report: dict | None = None,
+    mode: str = "merge",
 ) -> dict:
-    """Publish a rewrite ('merge'-mode) commit with automatic
+    """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
     rebase-on-conflict: on a lost CAS the staged output is republished
     against the new head iff `_rebase_head_or_raise` proves the race
     was file-disjoint (the staged parquet is renamed to the new version
@@ -1342,7 +1352,7 @@ def _publish_rewrite(
     for attempt in range(rebase_retries + 1):
         seg = _segment(
             base + 1,
-            "merge",
+            mode,
             add=staged,
             remove=touched or None,
             stats=staged_stats,
@@ -2021,19 +2031,28 @@ def compact(
     table_dir: str,
     n_files: int = 1,
     zorder_cols: list[str] | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
-    """OPTIMIZE: rewrite the head snapshot into ``n_files`` files
-    (optionally Z-order-clustered on ``zorder_cols`` for min-max data
-    skipping) as a ``mode="optimize"`` commit — logically a no-op (the
-    change feed skips it), physically the small-file fix. The commit is
-    a compare-and-swap against the version that was read: a concurrent
-    writer landing first raises ``ConcurrentCommitError`` instead of
-    silently losing their rows."""
+    """OPTIMIZE: rewrite the head snapshot's files into ``n_files``
+    files (optionally Z-order-clustered on ``zorder_cols`` for min-max
+    data skipping) as a ``mode="optimize"`` commit — logically a no-op
+    (the change feed skips it), physically the small-file fix.
+
+    Concurrency (round 6 — Delta's OPTIMIZE contract): the segment is
+    INCREMENTAL (remove = the files the compaction read, add = the
+    compacted rewrites), so a concurrent APPEND that wins the publish
+    race simply carries forward — the compaction rebases and
+    republishes without recomputation (its output is row-identical to
+    its read set, so new rows can never logically conflict; they just
+    stay uncompacted until the next OPTIMIZE, exactly like Delta). A
+    winner that REWROTE a file the compaction read (merge/DML) or reset
+    the table raises ``RebaseConflictError``."""
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    df = read_version(spark, table_dir, base)
+    m = _snapshot(table_dir, base, with_stats=False)
+    df = _read_files(spark, table_dir, m["files"], m["schema"])
     if zorder_cols:
         from open_source_financial_time_series_data_pipeline_architecture_spark.sources.zorder import (
             zvalue,
@@ -2047,8 +2066,23 @@ def compact(
         )
     else:
         df = df.repartition(n_files)
-    return commit(
-        df, table_dir, mode="optimize", expected_base=base, retries=0
+    staged = _stage_files(df, table_dir, base + 1, m.get("bloom_cols"))
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=list(m["files"]),
+        read_predicates=[],  # physical rewrite: winner adds never conflict
+        schema_json=m["schema"],
+        txn=None,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        mode="optimize",
     )
 
 
@@ -2157,8 +2191,13 @@ class VersionedTable:
     ) -> dict:
         return update_where(self.spark, self.path, predicates, set_exprs, **kw)
 
-    def compact(self, n_files: int = 1, zorder_cols: list[str] | None = None) -> dict:
-        return compact(self.spark, self.path, n_files, zorder_cols)
+    def compact(
+        self,
+        n_files: int = 1,
+        zorder_cols: list[str] | None = None,
+        **kw,
+    ) -> dict:
+        return compact(self.spark, self.path, n_files, zorder_cols, **kw)
 
     def restore(self, version: int) -> dict:
         return restore(self.path, version, self.spark)

@@ -199,3 +199,65 @@ def test_rebased_merge_leaves_no_stale_staged_files(
     # prefixes vacuum can reclaim) — never an orphaned v4 stage
     for f in on_disk - live:
         assert not f.startswith("v4-"), f
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Delta's OPTIMIZE contract (round 6): a compaction that loses the
+    CAS to an APPEND republishes against the new head — the appended
+    files carry forward uncompacted, no recomputation, no failure."""
+    t = _two_file_table(spark, tmp_path)
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(_df(spark, 500, 510).coalesce(1), t, mode="append"),
+        mode="optimize",
+    )
+    snap = V.compact(spark, t, n_files=1)
+    assert snap["version"] == 4 and snap["mode"] == "optimize"
+    # compacted output (1 file) + the winner's appended file
+    assert snap["n_files"] == 2
+    got = sorted(r["id"] for r in V.read_version(spark, t).collect())
+    assert got == list(range(0, 10)) + list(range(100, 110)) + list(
+        range(500, 510)
+    )
+    # the optimize segment is INCREMENTAL: remove = the two files read,
+    # add = the compacted file; no reset
+    seg = V._read_segment(t, 4)
+    assert not seg.get("reset")
+    assert len(seg["remove"]) == 2 and len(seg["add"]) == 1
+    # change feed across the optimize reports ONLY the append's rows
+    ch = V.read_changes(spark, t, 2)
+    assert ch.filter("_change_type = 'insert'").count() == 10
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    # and time travel to the pre-race version still reconstructs
+    assert V.read_version(spark, t, version=2).count() == 20
+
+
+def test_optimize_conflicts_with_concurrent_merge(spark, tmp_path, monkeypatch):
+    t = _two_file_table(spark, tmp_path)
+    winner_src = _df(spark, 5, 6).withColumn("v", F.lit(-1).cast("long"))
+    _inject_once(
+        monkeypatch,
+        lambda: V.merge(spark, t, winner_src, keys=["id"]),
+        mode="optimize",
+    )
+    with pytest.raises(V.RebaseConflictError, match="rewrote"):
+        V.compact(spark, t, n_files=1)
+    # the winner's merge is intact
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert got[5] == -1
+
+
+def test_optimize_zorder_still_skips_on_reads(spark, tmp_path):
+    """The incremental optimize segment keeps Z-order + data skipping
+    working: stats of the compacted files land in the segment and the
+    pruned read drops non-matching files."""
+    t = str(tmp_path / "tbl")
+    V.commit(
+        _df(spark, 0, 1000).withColumn("w", F.col("id") % 7).repartition(4),
+        t,
+    )
+    V.compact(spark, t, n_files=4, zorder_cols=["id", "w"])
+    rep: dict = {}
+    df = V.read_version(spark, t, predicates=[("id", "<", 10)], prune_report=rep)
+    assert df.count() == 10
+    assert rep["files_kept"] < rep["files_total"] == 4
