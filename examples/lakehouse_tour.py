@@ -14,6 +14,10 @@ sf0.001 test data (~60 s):
    recovered by unrolled Newton
 5. DP release            — per-group counts/sums with auditable
    seeded Laplace noise
+6. multi-writer rebase   — a MERGE and an OPTIMIZE each lose the
+   publish CAS to a concurrent append and republish without recompute
+7. BPE token counting    — tokenizer-exact budgeting numbers
+8. MJPEG/AVI sampling    — compressed-video frame decode
 """
 
 from __future__ import annotations
@@ -124,6 +128,82 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     GOV.dp_release(trades, "k", "v", epsilon=1.0, value_cap=100.0).select(
         "k", "n_exact", F.round("dp_count", 2).alias("dp_count")
     ).show()
+
+    print("== 6. multi-writer rebase (round 6) ==")
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+
+    t2 = VersionedTable(spark, tempfile.mkdtemp(prefix="tour_mw_"))
+    t2.overwrite(cust.filter(F.col("c_custkey") % 3 == 0).coalesce(1))
+    t2.append(cust.filter(F.col("c_custkey") % 3 == 1).coalesce(1))
+    # simulate the dual-writer race the reference topology runs daily:
+    # writer A merges the low keys while writer B appends fresh rows —
+    # A loses the CAS, proves the race file-disjoint, republishes its
+    # already-staged output against B's head
+    orig = V._publish
+    state = {"armed": True}
+
+    def racy(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == "merge":
+            state["armed"] = False
+            t2.append(
+                cust.filter(F.col("c_custkey") % 3 == 2).coalesce(1)
+            )
+        return orig(table_dir, seg, publisher)
+
+    V._publish = racy
+    try:
+        rep = {}
+        t2.merge(
+            cust.filter(F.col("c_custkey") % 3 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+            .withColumn("c_acctbal", F.lit(0.0)),
+            keys=["c_custkey"],
+            report=rep,
+        )
+    finally:
+        V._publish = orig
+    print(
+        "   merge rebased", rep.get("rebases"), "time(s); head now v",
+        t2.history()[-1]["version"],
+        "| rows:", t2.read().count(),
+    )
+    # OPTIMIZE concurrent with an append: the compaction rebases too
+    state["armed"] = True
+
+    def racy_opt(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == "optimize":
+            state["armed"] = False
+            t2.append(
+                cust.filter(F.col("c_custkey") % 3 == 2)
+                .withColumn("c_custkey", F.col("c_custkey") + 2_000_000)
+                .coalesce(1)
+            )
+        return orig(table_dir, seg, publisher)
+
+    V._publish = racy_opt
+    try:
+        t2.compact(n_files=1)
+    finally:
+        V._publish = orig
+    print("   optimize landed over a concurrent append; rows:", t2.read().count())
+
+    print("== 7. tokenizer-exact counting (round 6) ==")
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
+
+    counts = bpe.token_count(docs).orderBy("doc_id")
+    r0 = counts.first()
+    print(
+        "   doc 0:", r0["n_tokens"], "BPE tokens /",
+        r0["n_pretokens"], "pretokens /", r0["n_bytes"], "bytes",
+    )
+
+    print("== 8. compressed video sampling (round 6) ==")
+    frames = MM.mjpeg_frame_sample(MM.synth_mjpeg_payloads(docs), every=2)
+    f0 = frames.orderBy("doc_id", "frame_idx").first()
+    print(
+        "   MJPEG/AVI frames sampled:", frames.count(),
+        "| frame (0,0) mean_c0:", round(f0["mean_c0"], 3),
+    )
 
     print("tour complete.")
     spark.stop()
