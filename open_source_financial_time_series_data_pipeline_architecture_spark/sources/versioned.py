@@ -459,6 +459,12 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
     unpruned)."""
     if not stats:
         return True
+    if stats.get("rows") == 0:
+        # a zero-row file provably matches nothing — without this a
+        # staged EMPTY append (all-None envelopes) read as "may match
+        # anything" and spuriously conflicted every rebase (round-6
+        # finding, surfaced by the lakehouse tour's empty fixture split)
+        return False
     cols = stats.get("cols", {})
     rows = stats.get("rows", 0)
     for col, op, val in predicates:
@@ -529,8 +535,12 @@ def _exclusion_condition(predicates: list[tuple]):
     conds = []
     for col, op, val in predicates:
         same_col = F.col("col") == F.lit(col)
-        # all-NULL envelope: no comparison predicate matches
-        per_pred = [(F.col("nulls") >= F.col("rows")) & (F.col("rows") > 0)]
+        # all-NULL envelope (or a zero-row file): no comparison
+        # predicate matches — mirrors _file_may_match's short-circuits
+        per_pred = [
+            ((F.col("nulls") >= F.col("rows")) & (F.col("rows") > 0))
+            | (F.col("rows") == 0)
+        ]
 
         def _env_excl(lo, hi, k):
             kl = F.lit(k)

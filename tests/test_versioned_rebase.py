@@ -261,3 +261,32 @@ def test_optimize_zorder_still_skips_on_reads(spark, tmp_path):
     df = V.read_version(spark, t, predicates=[("id", "<", 10)], prune_report=rep)
     assert df.count() == 10
     assert rep["files_kept"] < rep["files_total"] == 4
+
+
+def test_empty_append_race_rebases_not_conflicts(spark, tmp_path, monkeypatch):
+    """A zero-row append winning the CAS must not block a rebase: its
+    staged file's empty envelope PROVABLY matches nothing (the round-6
+    lakehouse-tour finding — all-None stats used to read as 'may match
+    anything')."""
+    t = _two_file_table(spark, tmp_path)
+    empty = _df(spark, 0, 10).filter("id < 0").coalesce(1)
+    _inject_once(
+        monkeypatch,
+        lambda: V.commit(empty, t, mode="append"),
+    )
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(-2).cast("long"))
+    rep: dict = {}
+    V.merge(spark, t, loser_src, keys=["id"], report=rep)
+    assert rep["rebases"] == 1
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 20 and got[0] == -2
+
+
+def test_zero_row_files_prune_away(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 100).coalesce(1), t)
+    V.commit(_df(spark, 0, 1).filter("id < 0").coalesce(1), t, mode="append")
+    rep: dict = {}
+    df = V.read_version(spark, t, predicates=[("id", "<", 5)], prune_report=rep)
+    assert df.count() == 5
+    assert rep["files_kept"] == 1  # the empty file is provably out
