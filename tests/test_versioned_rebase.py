@@ -290,3 +290,46 @@ def test_zero_row_files_prune_away(spark, tmp_path):
     df = V.read_version(spark, t, predicates=[("id", "<", 5)], prune_report=rep)
     assert df.count() == 5
     assert rep["files_kept"] == 1  # the empty file is provably out
+
+
+def test_eight_threaded_disjoint_merges_all_land(spark, tmp_path):
+    """REAL contention (not injected): 8 threads merge disjoint key
+    ranges concurrently. Every writer must land — losers by rebasing —
+    and the final table must carry all 8 updates. This is the dual-
+    writer reference topology scaled up; before round 6 all but one
+    thread died with ConcurrentCommitError."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    # 8 files with disjoint id envelopes, one per writer's target range
+    V.commit(_df(spark, 0, 800).repartitionByRange(8, "id").sortWithinPartitions("id"), t)
+    errs: list = []
+    barrier = threading.Barrier(8)
+
+    def writer(k: int):
+        src = (
+            spark.range(k * 100, k * 100 + 10)
+            .withColumnRenamed("id", "id")
+            .select("id", F.lit(-(k + 1)).cast("long").alias("v"))
+        )
+        barrier.wait()
+        try:
+            V.merge(spark, t, src, keys=["id"], rebase_retries=16)
+        except Exception as exc:  # noqa: BLE001 - collected for assert
+            errs.append((k, exc))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 800
+    for k in range(8):
+        assert all(got[i] == -(k + 1) for i in range(k * 100, k * 100 + 10)), k
+    # 9 commits: base + 8 merges, every version reconstructible
+    vs = [h["version"] for h in V.history(t)]
+    assert vs == list(range(1, 10))
+    for v in vs:
+        V._snapshot(t, v, with_stats=False)
