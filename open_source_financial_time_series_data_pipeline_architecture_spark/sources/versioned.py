@@ -2042,11 +2042,19 @@ def compact(
     n_files: int = 1,
     zorder_cols: list[str] | None = None,
     rebase_retries: int = 2,
+    predicates: list[tuple] | None = None,
+    report: dict | None = None,
 ) -> dict:
-    """OPTIMIZE: rewrite the head snapshot's files into ``n_files``
-    files (optionally Z-order-clustered on ``zorder_cols`` for min-max
-    data skipping) as a ``mode="optimize"`` commit — logically a no-op
-    (the change feed skips it), physically the small-file fix.
+    """OPTIMIZE [WHERE]: rewrite the head snapshot's files — ALL of
+    them, or with ``predicates`` only the files whose stat envelopes
+    can hold matching rows (Delta's ``OPTIMIZE ... WHERE``: compact
+    yesterday's partition on a table ingesting 24/7 without touching
+    a year of already-compacted history) — into ``n_files`` files,
+    optionally Z-order-clustered on ``zorder_cols`` for min-max data
+    skipping, as a ``mode="optimize"`` commit: logically a no-op (the
+    change feed skips it), physically the small-file fix. NB the
+    predicate selects FILES, not rows — every row of a selected file is
+    rewritten, so the result is always row-identical.
 
     Concurrency (round 6 — Delta's OPTIMIZE contract): the segment is
     INCREMENTAL (remove = the files the compaction read, add = the
@@ -2062,7 +2070,17 @@ def compact(
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
     m = _snapshot(table_dir, base, with_stats=False)
-    df = _read_files(spark, table_dir, m["files"], m["schema"])
+    if predicates:
+        touched, _ = _pruned_files(spark, table_dir, base, predicates)
+    else:
+        touched = list(m["files"])
+    if report is not None:
+        report.update(
+            {"files_total": len(m["files"]), "files_rewritten": len(touched)}
+        )
+    if not touched:  # nothing can match: no-op, no commit
+        return m
+    df = _read_files(spark, table_dir, touched, m["schema"])
     if zorder_cols:
         from open_source_financial_time_series_data_pipeline_architecture_spark.sources.zorder import (
             zvalue,
@@ -2085,7 +2103,7 @@ def compact(
         base_txn=m.get("txn", {}),
         staged=staged,
         staged_stats=staged_stats,
-        touched=list(m["files"]),
+        touched=touched,
         read_predicates=[],  # physical rewrite: winner adds never conflict
         schema_json=m["schema"],
         txn=None,
@@ -2093,6 +2111,7 @@ def compact(
         bloom_cols=m.get("bloom_cols"),
         rebase_retries=rebase_retries,
         mode="optimize",
+        report=report,
     )
 
 

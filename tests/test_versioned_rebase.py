@@ -333,3 +333,28 @@ def test_eight_threaded_disjoint_merges_all_land(spark, tmp_path):
     assert vs == list(range(1, 10))
     for v in vs:
         V._snapshot(t, v, with_stats=False)
+
+
+def test_optimize_where_compacts_only_matching_files(spark, tmp_path):
+    """OPTIMIZE WHERE (round 6): the predicate selects FILES by stat
+    envelope — compacting one key range leaves the rest of the table's
+    files untouched (same names carried forward), and the result is
+    row-identical."""
+    t = str(tmp_path / "tbl")
+    V.commit(
+        _df(spark, 0, 800).repartitionByRange(8, "id").sortWithinPartitions("id"),
+        t,
+    )
+    before = V._snapshot(t, 1, with_stats=False)["files"]
+    rep: dict = {}
+    snap = V.compact(
+        spark, t, n_files=1, predicates=[("id", "<", 200)], report=rep
+    )
+    assert rep["files_total"] == 8 and rep["files_rewritten"] == 2
+    assert snap["n_files"] == 7  # 6 untouched + 1 compacted
+    assert len(set(snap["files"]) & set(before)) == 6
+    got = sorted(r["id"] for r in V.read_version(spark, t).collect())
+    assert got == list(range(800))
+    # a provably-no-match predicate is a no-op without a commit
+    snap2 = V.compact(spark, t, predicates=[("id", ">", 10_000)])
+    assert snap2["version"] == 2 and V.history(t)[-1]["version"] == 2
