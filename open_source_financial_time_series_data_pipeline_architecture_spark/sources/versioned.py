@@ -2166,21 +2166,35 @@ def restore(
 
 
 def history(table_dir: str) -> list[dict]:
-    """The table's commit log, oldest first (version/mode/file count).
-    O(1) per commit — segments carry their post-commit file count, so
-    no snapshot is reconstructed."""
+    """The table's commit log, oldest first — version/mode/file count
+    plus Delta-style operation metrics (files added/removed and rows
+    added, straight off each segment's own add/remove lists and footer
+    stats — the ops-plane numbers an ingest monitor alerts on). O(1)
+    per commit: segments carry their post-commit file count, so no
+    snapshot is reconstructed."""
     out = []
     for v in _list_versions(table_dir):
         seg = _read_segment(table_dir, v)
         n = seg.get("n_files")
         if n is None:  # legacy full manifest
             n = len(seg.get("files", []))
+        add = seg.get("add") or seg.get("files") or []
+        stats = seg.get("stats") or {}
+        if not add:
+            rows_added = 0  # metadata/config-only commit
+        elif all(f in stats for f in add):
+            rows_added = sum(stats[f]["rows"] for f in add)
+        else:  # stats not carried for every file (legacy manifests)
+            rows_added = None
         out.append(
             {
                 "version": v,
                 "mode": seg["mode"],
                 "n_files": n,
                 "ts": seg.get("ts"),
+                "files_added": len(add),
+                "files_removed": len(seg.get("remove") or []),
+                "rows_added": rows_added,
             }
         )
     return out

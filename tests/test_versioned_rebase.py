@@ -358,3 +358,22 @@ def test_optimize_where_compacts_only_matching_files(spark, tmp_path):
     # a provably-no-match predicate is a no-op without a commit
     snap2 = V.compact(spark, t, predicates=[("id", ">", 10_000)])
     assert snap2["version"] == 2 and V.history(t)[-1]["version"] == 2
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 100).coalesce(1), t)
+    V.commit(_df(spark, 100, 150).coalesce(1), t, mode="append")
+    V.merge(
+        spark,
+        t,
+        _df(spark, 0, 5).withColumn("v", F.lit(0).cast("long")),
+        keys=["id"],
+    )
+    V.add_constraint(spark, t, "id_nonneg", "id >= 0")
+    h = V.history(t)
+    assert [x["mode"] for x in h] == ["overwrite", "append", "merge", "metadata"]
+    assert h[0]["rows_added"] == 100 and h[0]["files_added"] == 1
+    assert h[1]["rows_added"] == 50 and h[1]["files_removed"] == 0
+    assert h[2]["rows_added"] == 100 and h[2]["files_removed"] == 1
+    assert h[3] == {**h[3], "files_added": 0, "files_removed": 0, "rows_added": 0}
