@@ -966,23 +966,65 @@ def _bpe_oracle() -> str:
     """The embedded merge table unrolled into nested replace() calls
     (functions/bpe.oracle_replace_chain) over the double-space symbol
     rendering — DuckDB re-runs the EXACT production chain, so the count
-    is tokenizer-identical, not approximate. Merges are data-
-    independent constants: they embed as literals (the repo's standard
-    WITNESS pattern)."""
+    is tokenizer-identical, not approximate. Merges and the 256-entry
+    byte alphabet are data-independent constants: they embed as
+    literals (the repo's standard WITNESS pattern).
+
+    BYTE-faithful on the tokenizer's WHOLE domain, not just the ASCII
+    fixture corpus (round-6 review repro: a per-CHARACTER render
+    diverged on 'café' and newline docs): each character expands to its
+    UTF-8 bytes arithmetically from the codepoint, every byte maps
+    through the same GPT-2 alphabet production uses, NULL text counts
+    like the empty string."""
     from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
 
-    render = (
-        "'  ' || regexp_replace(replace(p, ' ', 'Ġ'), '(.)', '\\1  ', 'g')"
+    alpha = "[" + ", ".join(
+        "'" + bpe.bytes_to_unicode()[b].replace("'", "''") + "'"
+        for b in range(256)
+    ) + "]"
+    chain = bpe.oracle_replace_chain(
+        "'  ' || string_agg(s, '  ' ORDER BY ci) || '  '"
     )
-    chain = bpe.oracle_replace_chain(render)
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(text, '{bpe.PRETOKEN_PATTERN}')) AS p
+         unnest(range(0, len(regexp_extract_all(coalesce(text, ''),
+                                                '{bpe.PRETOKEN_PATTERN}')))) AS pi,
+         unnest(regexp_extract_all(coalesce(text, ''),
+                                   '{bpe.PRETOKEN_PATTERN}')) AS p
   FROM documents
 ),
+chars AS (
+  SELECT doc_id, pi,
+         unnest(range(0, length(p))) AS ci,
+         unnest(string_split_regex(p, '')) AS c
+  FROM toks
+),
+syms AS (
+  -- one symbol per UTF-8 BYTE: codepoint -> byte sequence
+  -- arithmetically, each byte through the embedded GPT-2 alphabet
+  SELECT doc_id, pi, ci,
+         array_to_string(list_transform(
+           CASE
+             WHEN unicode(c) < 128 THEN [unicode(c)]
+             WHEN unicode(c) < 2048 THEN
+               [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+             WHEN unicode(c) < 65536 THEN
+               [224 + unicode(c) // 4096,
+                128 + (unicode(c) // 64) % 64,
+                128 + unicode(c) % 64]
+             ELSE
+               [240 + unicode(c) // 262144,
+                128 + (unicode(c) // 4096) % 64,
+                128 + (unicode(c) // 64) % 64,
+                128 + unicode(c) % 64]
+           END,
+           b -> {alpha}[b + 1]), '  ') AS s
+  FROM chars
+),
 enc AS (
-  SELECT doc_id, {chain} AS s FROM toks
+  SELECT doc_id, pi, {chain} AS s
+  FROM syms GROUP BY doc_id, pi
 ),
 agg AS (
   SELECT doc_id,
@@ -993,7 +1035,7 @@ agg AS (
 SELECT d.doc_id,
        CAST(coalesce(a.n_pretokens, 0) AS BIGINT) AS n_pretokens,
        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(strlen(d.text) AS BIGINT) AS n_bytes
+       CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_bytes
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 

@@ -1359,6 +1359,15 @@ def _publish_rewrite(
     ARCHITECTURE.md:12-15, where spurious whole-job failures under
     contention are the operational pain this removes)."""
     n_files, txn_map = base_n_files, base_txn
+    # `constraints` is the set the staged rows were VALIDATED against —
+    # the conflict check's yardstick on every rebase. What the rebased
+    # segment PUBLISHES is the winner's config: a segment carries table
+    # config whole, so republishing the loser's stale snapshot of it
+    # would silently revert a concurrent drop_constraint / bloom_cols
+    # change (round-6 review repro — commit()'s append retry adopts the
+    # winner's config for the same reason). Adopting is always safe:
+    # the check already proved head constraints ⊆ validated.
+    pub_constraints, pub_blooms = constraints, bloom_cols
     for attempt in range(rebase_retries + 1):
         seg = _segment(
             base + 1,
@@ -1368,8 +1377,8 @@ def _publish_rewrite(
             stats=staged_stats,
             schema_json=schema_json,
             txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
-            constraints=constraints,
-            bloom_cols=bloom_cols,
+            constraints=pub_constraints,
+            bloom_cols=pub_blooms,
             n_files=n_files - len(touched) + len(staged),
         )
         try:
@@ -1396,6 +1405,8 @@ def _publish_rewrite(
             base = new_head["version"]
             n_files = new_head["n_files"]
             txn_map = new_head.get("txn", {})
+            pub_constraints = new_head.get("constraints", {})
+            pub_blooms = new_head.get("bloom_cols")
             staged, staged_stats = _restage_names(
                 table_dir, staged, staged_stats, base + 1
             )
@@ -2069,10 +2080,12 @@ def compact(
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
     base = versions[-1]
-    m = _snapshot(table_dir, base, with_stats=False)
     if predicates:
-        touched, _ = _pruned_files(spark, table_dir, base, predicates)
+        # _pruned_files reconstructs (and returns) the snapshot it
+        # pruned against — reuse it rather than replaying the log twice
+        touched, m = _pruned_files(spark, table_dir, base, predicates)
     else:
+        m = _snapshot(table_dir, base, with_stats=False)
         touched = list(m["files"])
     if report is not None:
         report.update(

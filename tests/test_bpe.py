@@ -124,3 +124,45 @@ def test_spark_token_count_matches_local(spark):
         assert got[i]["n_pretokens"] == len(pres)
         assert got[i]["n_tokens"] == n_tok
         assert got[i]["n_bytes"] == len(t.encode())
+
+
+def test_generated_oracle_matches_production_on_hostile_domain():
+    """The driver-gate SQL must replay production BYTE-exactly beyond
+    the ASCII fixture corpus (round-6 review repro: a per-character
+    render diverged on 'café' and newline docs): non-ASCII 2/3/4-byte
+    UTF-8, newlines/tabs/CR, empty and NULL text."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    texts = [
+        "café table",
+        "line1\nline2",
+        "",
+        None,
+        "héllo wörld 12",
+        "汉字 test",
+        "🙂 ok",
+        "  double  spaces",
+        "tabs\tand\rcr",
+    ]
+    con = duckdb.connect()
+    con.register(
+        "docsrc", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM docsrc")
+    got = (
+        con.execute(entry_mod.oracle_sql()["bpe_token_count"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        t2 = "" if t is None else t
+        pres = bpe.pretokenize(t2)
+        n_tok = sum(len(bpe.encode(p, bpe.DEFAULT_MERGES)) for p in pres)
+        row = got.iloc[i]
+        assert row["n_pretokens"] == len(pres), t
+        assert row["n_tokens"] == n_tok, t
+        assert row["n_bytes"] == len(t2.encode()), t

@@ -377,3 +377,27 @@ def test_history_operation_metrics(spark, tmp_path):
     assert h[1]["rows_added"] == 50 and h[1]["files_removed"] == 0
     assert h[2]["rows_added"] == 100 and h[2]["files_removed"] == 1
     assert h[3] == {**h[3], "files_added": 0, "files_removed": 0, "rows_added": 0}
+
+
+def test_rebase_adopts_winner_config_not_stale_base(
+    spark, tmp_path, monkeypatch
+):
+    """Round-6 review repro: a rebased segment must publish the
+    WINNER's table config — republishing the loser's base snapshot of
+    it silently resurrected a concurrently dropped CHECK constraint
+    (segments carry config whole, so the latest one wins replay)."""
+    t = _two_file_table(spark, tmp_path)
+    V.add_constraint(spark, t, "v_nonneg", "v >= 0")  # v3
+    loser_src = _df(spark, 0, 5).withColumn("v", F.lit(20).cast("long"))
+    _inject_once(
+        monkeypatch, lambda: V.drop_constraint(t, "v_nonneg")  # wins v4
+    )
+    snap = V.merge(spark, t, loser_src, keys=["id"])  # rebases to v5
+    assert snap["version"] == 5
+    assert snap.get("constraints", {}) == {}  # NOT resurrected
+    # and the table accepts the rows the user legitimately un-constrained
+    V.commit(
+        _df(spark, 900, 905).withColumn("v", F.lit(-1).cast("long")).coalesce(1),
+        t,
+        mode="append",
+    )
