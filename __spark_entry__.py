@@ -27060,6 +27060,84 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "versioned_clone_fork",
+    oracle(
+        """
+SELECT 'clone' AS side, symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS min_price,
+       ROUND(max(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS max_price
+FROM trades WHERE symbol <> 'error' GROUP BY symbol
+UNION ALL
+SELECT 'source' AS side, symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(price), 6) AS min_price,
+       ROUND(max(price), 6) AS max_price
+FROM trades GROUP BY symbol
+"""
+    ),
+)
+def versioned_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation, end-to-end (round 6 — Delta's
+    zero-copy table fork): the canonical trades are committed and
+    Z-order-compacted, then CLONED by reference (zero bytes copied —
+    the clone's first commit lists the source's files by absolute
+    path). On the CLONE two merges run — double every 'click' price,
+    delete the 'error' symbol — each rewriting only the touched
+    referenced files locally (copy-on-write at file granularity,
+    merge pruning driven by the stats the clone inherited). The query
+    aggregates BOTH heads side-labeled; the oracle recomputes them
+    declaratively: the clone shows the merged state, the SOURCE must
+    still show the pristine one — any leak across the fork breaks one
+    of the two hashes. At 100 TB this is the dev/test fork primitive:
+    O(manifest) to create, experiments touch only what they rewrite."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        import os as _os
+
+        tr = _trades(spark, sf_dir)
+        src = _os.path.join(work, "src")
+        dst = _os.path.join(work, "fork")
+        V.commit(tr.repartition(8), src)
+        V.compact(spark, src, n_files=8, zorder_cols=["symbol", "price"])
+        # RELATIVE references: the whole bundle is renamed into place by
+        # the fixture protocol, which would orphan absolute refs
+        V.clone(src, dst, relative=True)
+        clicks = tr.filter(F.col("symbol") == "click").withColumn(
+            "price", F.col("price") * 2
+        )
+        V.merge(spark, dst, clicks, keys=["symbol", "trade_id"])
+        V.merge(
+            spark,
+            dst,
+            tr.filter(F.col("symbol") == "error"),
+            keys=["symbol", "trade_id"],
+            when_matched="delete",
+            when_not_matched="ignore",
+        )
+        # the bundle holds TWO tables in subdirs; satisfy the fixture
+        # helper's built-marker (it checks <work>/_versions)
+        _os.makedirs(_os.path.join(work, "_versions"), exist_ok=True)
+
+    work = _tmp_fixture_table(sf_dir, "fts_versioned_clone", build)
+    import os as _os
+
+    def agg(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("symbol").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min("price"), 6).alias("min_price"),
+            F.round(F.max("price"), 6).alias("max_price"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return agg(
+        V.read_version(spark, _os.path.join(work, "fork")), "clone"
+    ).unionByName(agg(V.read_version(spark, _os.path.join(work, "src")), "source"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -27122,6 +27200,7 @@ _DRIVER_WINDOW_DEBUT = [
     # byte-level BPE tokenizer — the driver proves them immediately
     "video_mjpeg_stats",
     "bpe_token_count",
+    "versioned_clone_fork",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one
     # more driver hash on the NEW code path closes the loop

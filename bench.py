@@ -171,9 +171,11 @@ BENCH_QUERIES = [
     "multimodal_gif_stats",
     "multimodal_g711_stats",
     "streaming_scd2_dimension",
-    # round-6: compressed video decode + tokenizer-exact counting
+    # round-6: compressed video decode, tokenizer-exact counting,
+    # zero-copy table forks
     "video_mjpeg_stats",
     "bpe_token_count",
+    "versioned_clone_fork",
 ]
 
 

@@ -1528,7 +1528,15 @@ def _read_files(
     added later surface NULLs, and no schema-inference listing runs."""
     schema = T.StructType.fromJson(json.loads(schema_json))
     data_dir = os.path.join(table_dir, _DATA)
-    paths = [os.path.join(data_dir, f) for f in files]
+    # a file entry is either a bare name in this table's data/ dir or a
+    # shallow-clone REFERENCE into another table's: absolute, or
+    # relative to this data dir ("../../src/data/f.parquet" — survives
+    # moving the common parent). normpath folds the ".." so the path
+    # handed to Spark is plain.
+    paths = [
+        f if os.path.isabs(f) else os.path.normpath(os.path.join(data_dir, f))
+        for f in files
+    ]
     return spark.read.schema(schema).parquet(*paths)
 
 
@@ -2178,6 +2186,68 @@ def restore(
     return _finish_commit(table_dir, base + 1)
 
 
+def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
+    new table whose first commit REFERENCES the source head's data
+    files by absolute path — zero bytes copied, O(manifest) cost at any
+    table size. The clone then evolves independently: appends/merges
+    stage new files under its OWN ``data/`` dir; a merge or DELETE that
+    touches a referenced file rewrites it locally and drops the
+    reference (copy-on-write at file granularity); the source never
+    sees any of it. Stats, schema, constraints, and bloom config carry
+    over, so data skipping works on the clone from the first read.
+
+    Caveat (same as Delta's): the clone holds no lease on the source —
+    a ``vacuum`` on the SOURCE can reclaim files the clone still
+    references once the source itself stops referencing them. Clone
+    for dev/test forks and short-lived experiments; for archival
+    independence, follow with ``compact`` on the clone (rewrites every
+    referenced file locally).
+
+    ``relative=True`` stores the references relative to the clone's
+    own data dir instead of absolute — the fork then survives the
+    common parent directory being renamed or remounted (the portability
+    trade Delta makes with relative log paths); absolute (the default)
+    survives the CLONE itself moving."""
+    versions = _list_versions(src_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {src_dir}")
+    if _list_versions(dst_dir):
+        raise FileExistsError(f"destination already a table: {dst_dir}")
+    src = _snapshot(src_dir, versions[-1], with_stats=True)
+    src_data = os.path.abspath(os.path.join(src_dir, _DATA))
+    dst_data = os.path.abspath(os.path.join(dst_dir, _DATA))
+
+    def _ref(f: str) -> str:
+        if os.path.isabs(f):
+            p = f
+        elif os.sep in f:  # already a relative reference (clone of a
+            # clone): resolve against the SOURCE's data dir first
+            p = os.path.normpath(os.path.join(src_data, f))
+        else:
+            p = os.path.join(src_data, f)
+        return os.path.relpath(p, dst_data) if relative else p
+
+    files = [_ref(f) for f in src["files"]]
+    stats = {_ref(f): s for f, s in (src.get("stats") or {}).items()}
+    os.makedirs(_versions_dir(dst_dir), exist_ok=True)
+    seg = _segment(
+        1,
+        "overwrite",
+        add=files,
+        stats=stats,
+        reset=True,
+        schema_json=src["schema"],
+        txn={},  # writer high-water marks do NOT carry: the clone is a
+        # different table; replaying a micro-batch into it must apply
+        constraints=src.get("constraints", {}),
+        bloom_cols=src.get("bloom_cols"),
+        n_files=len(files),
+    )
+    _publish(dst_dir, seg)
+    return _finish_commit(dst_dir, 1)
+
+
 def history(table_dir: str) -> list[dict]:
     """The table's commit log, oldest first — version/mode/file count
     plus Delta-style operation metrics (files added/removed and rows
@@ -2260,6 +2330,11 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 1, retention_s: float = 0.0) -> int:
         return vacuum(self.path, keep_last=keep_last, retention_s=retention_s)
+
+    def clone(self, dst_dir: str, relative: bool = False) -> "VersionedTable":
+        """Zero-copy SHALLOW CLONE of the head into ``dst_dir``."""
+        clone(self.path, dst_dir, relative=relative)
+        return VersionedTable(self.spark, dst_dir)
 
     def checkpoint(self, version: int | None = None) -> int:
         return checkpoint(self.path, version)

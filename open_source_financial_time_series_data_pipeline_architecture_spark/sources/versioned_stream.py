@@ -53,7 +53,9 @@ def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list
     out: list[tuple] = []
     data_dir = os.path.join(table_dir, V._DATA)
     for f in files:
-        tbl = pq.read_table(os.path.join(data_dir, f))
+        # bare name, or a shallow-clone reference (absolute / relative
+        # to data_dir) — same resolution as versioned._read_files
+        tbl = pq.read_table(os.path.normpath(os.path.join(data_dir, f)))
         # Spark writes INT96/NTZ-flavored timestamps that pyarrow
         # surfaces tz-naive (and ns-unit); Spark's ingest converter
         # requires tz-aware values. Session tz is UTC, so re-tagging as
