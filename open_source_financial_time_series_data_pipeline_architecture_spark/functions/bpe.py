@@ -191,6 +191,25 @@ def learn_merges(texts: Sequence[str], n_merges: int) -> list[tuple[str, str]]:
 DEFAULT_MERGES: list[tuple[str, str]] = learn_merges([SEED_CORPUS], N_MERGES)
 
 
+_UNICODE_BYTE = {c: b for b, c in _BYTE_MAP.items()}
+
+
+def decode(tokens: Sequence[str]) -> str:
+    """Invert ``encode``: token symbols → alphabet characters → UTF-8
+    bytes → text. Total on anything the encoder can emit; raises on a
+    character outside the byte alphabet (a corrupted token)."""
+    try:
+        data = bytes(_UNICODE_BYTE[ch] for tok in tokens for ch in tok)
+    except KeyError as exc:
+        raise ValueError(f"not a byte-alphabet token character: {exc}") from exc
+    return data.decode("utf-8")
+
+
+def decode_text(texts_tokens: Sequence[Sequence[str]]) -> str:
+    """Concatenate per-pretoken token lists back into the document."""
+    return "".join(decode(toks) for toks in texts_tokens)
+
+
 def rendered_token_count(s: str) -> int:
     """Symbols in a rendered string: k symbols carry 2(k+1) spaces."""
     return (len(s) - len(s.replace(" ", ""))) // 2 - 1

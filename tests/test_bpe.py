@@ -166,3 +166,26 @@ def test_generated_oracle_matches_production_on_hostile_domain():
         assert row["n_pretokens"] == len(pres), t
         assert row["n_tokens"] == n_tok, t
         assert row["n_bytes"] == len(t2.encode()), t
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(max_codepoint=0x2FFFF, exclude_categories=("Cs",)),
+        max_size=30,
+    )
+)
+def test_encode_decode_roundtrip_property(text):
+    """decode(encode(p)) == p for EVERY pretoken of arbitrary unicode
+    text — the tokenizer is lossless over its whole byte-level domain."""
+    toks_per_pre = [
+        bpe.encode(p, bpe.DEFAULT_MERGES) for p in bpe.pretokenize(text)
+    ]
+    assert bpe.decode_text(toks_per_pre) == text
+
+
+def test_decode_rejects_non_alphabet_characters():
+    import pytest
+
+    with pytest.raises(ValueError, match="byte-alphabet"):
+        bpe.decode([" "])  # raw space is never an alphabet character
