@@ -14200,7 +14200,9 @@ fit AS (
   FROM pts
 )
 SELECT CAST(n_points AS BIGINT) AS n_points,
-       ROUND(beta, 6) AS heaps_beta,
+       -- + 0.0 folds a sign-flipping -0.0 (parallel float summation
+       -- order makes a ~0 slope's sign nondeterministic at tiny SFs)
+       ROUND(beta, 6) + 0.0 AS heaps_beta,
        ROUND(exp(ln_k), 6) AS heaps_k
 FROM fit"""
 
@@ -14322,7 +14324,8 @@ def _heaps_fit(curve: DataFrame) -> DataFrame:
     )
     return fit.select(
         "n_points",
-        F.round("beta", 6).alias("heaps_beta"),
+        # + 0.0 folds -0.0 (see the oracle's matching normalizer)
+        (F.round("beta", 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp("ln_k"), 6).alias("heaps_k"),
     )
 
