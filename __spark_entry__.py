@@ -978,6 +978,22 @@ def _bpe_oracle() -> str:
     like the empty string."""
     from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
 
+    return f"""
+WITH {_bpe_counts_ctes()}
+SELECT d.doc_id,
+       CAST(coalesce(a.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_bytes
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _bpe_counts_ctes() -> str:
+    """The toks/chars/syms/enc/agg CTE chain computing per-doc
+    BYTE-faithful BPE token counts — shared by `bpe_token_count` and
+    `bpe_sequence_packing` so the two oracles can never drift."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
+
     alpha = "[" + ", ".join(
         "'" + bpe.bytes_to_unicode()[b].replace("'", "''") + "'"
         for b in range(256)
@@ -985,8 +1001,7 @@ def _bpe_oracle() -> str:
     chain = bpe.oracle_replace_chain(
         "'  ' || string_agg(s, '  ' ORDER BY ci) || '  '"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          unnest(range(0, len(regexp_extract_all(coalesce(text, ''),
                                                 '{bpe.PRETOKEN_PATTERN}')))) AS pi,
@@ -1031,13 +1046,55 @@ agg AS (
          count(*) AS n_pretokens,
          sum((length(s) - length(replace(s, ' ', ''))) // 2 - 1) AS n_tokens
   FROM enc GROUP BY doc_id
+)"""
+
+
+def _bpe_packing_oracle() -> str:
+    return f"""
+WITH {_bpe_counts_ctes()},
+base AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS token_offset
+  FROM base
 )
-SELECT d.doc_id,
-       CAST(coalesce(a.n_pretokens, 0) AS BIGINT) AS n_pretokens,
-       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_bytes
-FROM documents d LEFT JOIN agg a USING (doc_id)
+SELECT doc_id, source, n_tokens, token_offset,
+       token_offset // 512 AS seq_start,
+       (token_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_end,
+       (token_offset // 512)
+           <> ((token_offset + greatest(n_tokens, 1) - 1) // 512)
+           AS crosses_boundary
+FROM cum
 """
+
+
+@q("bpe_sequence_packing", _bpe_packing_oracle())
+def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-EXACT sequence packing (round 6 — the cross-plane
+    composition a pre-training pipeline actually runs): per-doc BPE
+    token counts from the real byte-level tokenizer feed the
+    concat-and-split packer, so every document's placement in fixed
+    512-token training sequences is computed against the budget the
+    training run enforces — not a whitespace approximation that
+    over/under-fills context windows. One map-only tokenize pass +
+    one window cumsum per corpus shard; the oracle recomputes the
+    byte-faithful token counts (the CTE chain shared verbatim with
+    bpe_token_count) and the same offset arithmetic."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions import bpe
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators import (
+        packing as PK,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe.token_count(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return PK.chunked_packing(docs, seq_len=512, counts=counts)
 
 
 @q("bpe_token_count", _bpe_oracle())
@@ -27203,6 +27260,7 @@ _DRIVER_WINDOW_DEBUT = [
     # byte-level BPE tokenizer — the driver proves them immediately
     "video_mjpeg_stats",
     "bpe_token_count",
+    "bpe_sequence_packing",
     "versioned_clone_fork",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one

@@ -50,6 +50,7 @@ def chunked_packing(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-split packing: one row per document with its token
     offset and the first/last training-sequence index it lands in.
@@ -57,30 +58,35 @@ def chunked_packing(
     ``seq_start = offset DIV seq_len``, ``seq_end = (offset + n_tokens
     - 1) DIV seq_len``; ``crosses_boundary`` marks documents split
     across two or more sequences (the loss-masking consumers care).
+    A zero-token document occupies one notional slot so seq_end never
+    underflows its own offset.
+
+    ``counts`` (optional): a pre-computed ``(id, shard, n_tokens)``
+    frame — pass tokenizer-exact counts (``functions.bpe.token_count``)
+    to pack against the budget the training run actually enforces;
+    default is the whitespace counter.
     """
     w = Window.partitionBy(shard_col).orderBy(id_col)
-    toks = with_token_counts(docs, text_col).select(
-        id_col, shard_col, "n_tokens"
-    )
+    toks = (
+        counts
+        if counts is not None
+        else with_token_counts(docs, text_col)
+    ).select(id_col, shard_col, "n_tokens")
     cum = toks.withColumn(
         "token_offset",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
     )
+    span = F.greatest(F.col("n_tokens"), F.lit(1))
+    seq_start = (F.col("token_offset") / seq_len).cast("long")
+    seq_end = ((F.col("token_offset") + span - 1) / seq_len).cast("long")
     return cum.select(
         id_col,
         shard_col,
         "n_tokens",
         "token_offset",
-        (F.col("token_offset") / seq_len).cast("long").alias("seq_start"),
-        (
-            (F.col("token_offset") + F.col("n_tokens") - 1) / seq_len
-        ).cast("long").alias("seq_end"),
-        (
-            (F.col("token_offset") / seq_len).cast("long")
-            != ((F.col("token_offset") + F.col("n_tokens") - 1) / seq_len).cast(
-                "long"
-            )
-        ).alias("crosses_boundary"),
+        seq_start.alias("seq_start"),
+        seq_end.alias("seq_end"),
+        (seq_start != seq_end).alias("crosses_boundary"),
     )
 
 
