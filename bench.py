@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     # zero-copy table forks
     "video_mjpeg_stats",
     "bpe_token_count",
+    "bpe_sequence_packing",
     "versioned_clone_fork",
 ]
 
