@@ -2328,8 +2328,18 @@ class VersionedTable:
     def restore(self, version: int) -> dict:
         return restore(self.path, version, self.spark)
 
-    def vacuum(self, keep_last: int = 1, retention_s: float = 0.0) -> int:
-        return vacuum(self.path, keep_last=keep_last, retention_s=retention_s)
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        retention_s: float = 0.0,
+        dry_run: bool = False,
+    ) -> int:
+        return vacuum(
+            self.path,
+            keep_last=keep_last,
+            retention_s=retention_s,
+            dry_run=dry_run,
+        )
 
     def clone(self, dst_dir: str, relative: bool = False) -> "VersionedTable":
         """Zero-copy SHALLOW CLONE of the head into ``dst_dir``."""
@@ -2424,11 +2434,19 @@ def _file_version_prefix(fname: str) -> int | None:
 
 
 def vacuum(
-    table_dir: str, keep_last: int = 1, retention_s: float = 0.0
+    table_dir: str,
+    keep_last: int = 1,
+    retention_s: float = 0.0,
+    dry_run: bool = False,
 ) -> int:
     """Drop commit segments older than the last ``keep_last`` versions
     and delete data files no surviving version references. Returns
     files deleted.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report how many
+    data files WOULD be deleted under the same rules, touching nothing
+    — no file removal, no segment drop, and no checkpoint roll (the
+    checkpoint is log mutation too).
 
     Log safety: before any segment is dropped, a CHECKPOINT is written
     at the oldest surviving version, so every kept version remains
@@ -2457,7 +2475,11 @@ def vacuum(
             table_dir, keep[0], keep[-1], start_files=base_files
         ):
             live.update(files)
-        if dropping_segments and keep[0] not in _list_checkpoints(table_dir):
+        if (
+            dropping_segments
+            and not dry_run
+            and keep[0] not in _list_checkpoints(table_dir)
+        ):
             # make the oldest kept version self-sufficient BEFORE its
             # predecessors disappear from the log
             _write_checkpoint(
@@ -2484,8 +2506,11 @@ def vacuum(
                     continue
             elif retention_s > 0 and age < retention_s:
                 continue
-            os.remove(path)
+            if not dry_run:
+                os.remove(path)
             deleted += 1
+    if dry_run:
+        return deleted
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(_versions_dir(table_dir), f"{v:08d}.json"))

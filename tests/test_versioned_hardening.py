@@ -279,3 +279,29 @@ def test_commit_retry_restages_file_names(spark, tmp_path, monkeypatch):
     # and vacuum finds nothing stale to fear
     assert V.vacuum(t, keep_last=3) == 0
     assert V.read_version(spark, t).count() == 25
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    """VACUUM DRY RUN (round 6): counts what a real vacuum would delete
+    — same rules, zero mutation (files, segments, checkpoints all
+    untouched; even the pre-drop checkpoint roll is skipped)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 50).withColumn("v", F.col("id") * 1.0)
+    V.commit(df.coalesce(1), t)
+    V.commit(df.coalesce(1), t, mode="overwrite")  # v1's file is garbage
+    V.commit(df.coalesce(1), t, mode="overwrite")
+    before_data = sorted(os.listdir(os.path.join(t, V._DATA)))
+    before_vers = V._list_versions(t)
+    before_ckpts = V._list_checkpoints(t)
+    n_dry = V.vacuum(t, keep_last=1, dry_run=True)
+    assert n_dry == 2  # v1 + v2 overwritten files
+    assert sorted(os.listdir(os.path.join(t, V._DATA))) == before_data
+    assert V._list_versions(t) == before_vers
+    assert V._list_checkpoints(t) == before_ckpts
+    # the real pass deletes exactly what the dry run promised
+    assert V.vacuum(t, keep_last=1) == n_dry
+    assert V.read_version(spark, t).count() == 50
