@@ -88,6 +88,8 @@ PROBE_QUERIES = [
     # round-6 debuts
     "video_mjpeg_stats",
     "bpe_token_count",
+    "bpe_sequence_packing",
+    "versioned_clone_fork",
 ]
 
 
