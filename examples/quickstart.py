@@ -102,6 +102,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "| rows at v1:", t.read(version=1).count(),
         "| history:", [(h["version"], h["mode"]) for h in t.history()],
     )
+    print("== zero-copy fork (SHALLOW CLONE, round 6) ==")
+    fork = t.clone(tempfile.mkdtemp(prefix="fts_quickstart_fork_"))
+    fork.delete_where([("symbol", "=", sym)])
+    print(
+        "   fork rows:", fork.read().count(),
+        "| source rows (untouched):", t.read().count(),
+    )
 
     spark.stop()
 
