@@ -27198,6 +27198,123 @@ def versioned_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(agg(V.read_version(spark, _os.path.join(work, "src")), "source"))
 
 
+@q(
+    "versioned_column_mapping",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS min_px,
+       ROUND(max(CASE WHEN symbol = 'click' THEN price * 2 ELSE price END), 6) AS max_px,
+       CAST(0 AS BIGINT) AS n_vol
+FROM trades
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING end-to-end (Delta's name-mode mapping; the
+    reference's Delta tables get rename/drop from Delta ≥ 2.x —
+    spark/batch_feature_calculation.py:61-65 is its storage layer):
+    the trades are committed, then THREE metadata-only ALTERs run —
+    ``price`` renamed to ``px`` (historical files untouched; the
+    mapping re-points the logical name), ``volume`` DROPPED, and a new
+    ``volume`` column re-ADDED (minted physical name → the old data
+    must NOT resurrect: every pre-existing row reads NULL) — followed
+    by a MERGE through the mapped read/write path that doubles every
+    'click' px. The aggregate proves all four semantics at once:
+    grouped counts (no rows lost to the ALTERs), min/max of the
+    post-merge renamed column, and ``n_vol = count(volume) = 0``
+    (non-resurrection). The oracle recomputes the same state from the
+    raw trades — column mapping is pure metadata, so the answer is
+    fully declarative."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        V.rename_column(work, "price", "px")
+        V.drop_column(work, "volume")
+        V.add_column(work, "volume", "double")
+        clicks = tr.filter(F.col("symbol") == "click").select(
+            "time",
+            "symbol",
+            (F.col("price") * 2).alias("px"),
+            "trade_id",
+            "side",
+            "bid",
+            "ask",
+            "source",
+            F.lit(None).cast("double").alias("volume"),
+        )
+        V.merge(spark, work, clicks, keys=["symbol", "trade_id"])
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_colmap", build)
+    return (
+        V.read_version(spark, table)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min("px"), 6).alias("min_px"),
+            F.round(F.max("px"), 6).alias("max_px"),
+            F.count("volume").cast("bigint").alias("n_vol"),
+        )
+    )
+
+
+@q(
+    "versioned_rename_time_travel",
+    oracle(
+        """
+SELECT 'head' AS side, symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(price), 6) AS min_px,
+       ROUND(max(price), 6) AS max_px
+FROM trades WHERE symbol <> 'error' GROUP BY symbol
+UNION ALL
+SELECT 'v1' AS side, symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(price), 6) AS min_px,
+       ROUND(max(price), 6) AS max_px
+FROM trades GROUP BY symbol
+"""
+    ),
+)
+def versioned_rename_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel ACROSS a rename: v1 commits the trades, v2 renames
+    ``price``→``px`` (metadata-only), v3 DELETEs the 'error' symbol
+    through the mapped DML path. Reading v1 surfaces the ORIGINAL
+    logical name (each snapshot carries its own mapping); the head
+    surfaces the renamed one over the very same unrewritten files. The
+    query aggregates both sides — the v1 leg aliases ``price`` and the
+    head leg ``px`` onto one output column, so a mapping bug on either
+    read path breaks the hash."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        V.rename_column(work, "price", "px")
+        V.delete_where(spark, work, [("symbol", "=", "error")])
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_rename_tt", build)
+
+    def agg(df: DataFrame, side: str, px: str) -> DataFrame:
+        return df.groupBy("symbol").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min(px), 6).alias("min_px"),
+            F.round(F.max(px), 6).alias("max_px"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return agg(V.read_version(spark, table), "head", "px").unionByName(
+        agg(V.read_version(spark, table, version=1), "v1", "price")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the vectorized PIT as-of retrieval at sf0.001."""
     return QUERIES["pit_features_asof"](spark, "/root/testdata/sf0.001")
@@ -27262,6 +27379,10 @@ _DRIVER_WINDOW_DEBUT = [
     "bpe_token_count",
     "bpe_sequence_packing",
     "versioned_clone_fork",
+    # r6 column mapping: rename/drop/add as metadata-only commits —
+    # both queries exercise the mapped read/write/DML paths
+    "versioned_column_mapping",
+    "versioned_rename_time_travel",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one
     # more driver hash on the NEW code path closes the loop

@@ -67,7 +67,11 @@ data feed (batch + streaming), OPTIMIZE with Z-order, MERGE INTO with
 file-level pruning, manifest min/max data skipping with a residual
 row filter (exact regardless of stats coverage), CHECK constraints,
 exactly-once txn high-water marks, RESTORE (constraint-revalidated),
-TIMESTAMP AS OF time travel, retention-windowed VACUUM.
+TIMESTAMP AS OF time travel, retention-windowed VACUUM, and (round 6)
+COLUMN MAPPING — rename/drop/add columns as metadata-only commits, no
+file rewrite at any table size (Delta's name-mode mapping: the files
+keep immutable PHYSICAL column names; the schema maps logical names
+onto them, so a rename is one tiny JSON segment even at 100 TB).
 """
 
 from __future__ import annotations
@@ -814,6 +818,7 @@ def _write_checkpoint(table_dir: str, snapshot: dict) -> None:
         "txn": snapshot.get("txn", {}),
         "constraints": snapshot.get("constraints", {}),
         "bloom_cols": snapshot.get("bloom_cols"),
+        "colmap": snapshot.get("colmap"),
     }
     tmpj = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
     with open(tmpj, "w") as f:
@@ -853,6 +858,7 @@ def _empty_state() -> dict:
         "txn": {},
         "constraints": {},
         "bloom_cols": None,
+        "colmap": None,
     }
 
 
@@ -904,6 +910,7 @@ def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
     state["txn"] = seg.get("txn", state["txn"])
     state["constraints"] = seg.get("constraints", {})
     state["bloom_cols"] = seg.get("bloom_cols")
+    state["colmap"] = seg.get("colmap")
 
 
 class _LazyStatsSnapshot(dict):
@@ -1007,6 +1014,7 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         state["txn"] = ck.get("txn", {})
         state["constraints"] = ck.get("constraints", {})
         state["bloom_cols"] = ck.get("bloom_cols")
+        state["colmap"] = ck.get("colmap")
         if with_stats:
             import pyarrow.parquet as pq
 
@@ -1039,6 +1047,8 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         out["constraints"] = state["constraints"]
     if state["bloom_cols"]:
         out["bloom_cols"] = state["bloom_cols"]
+    if state["colmap"]:
+        out["colmap"] = state["colmap"]
     if last.get("mode") == "merge":
         out["replaced"] = last.get("replaced", last.get("remove", []))
     return out
@@ -1062,6 +1072,17 @@ def _check_append_schema(
     allowed and backward-compatible)."""
     old = T.StructType.fromJson(json.loads(old_json))
     if old == new_schema:
+        return old_json
+    if len(old.fields) == len(new_schema.fields) and all(
+        o.name == n.name
+        and o.dataType == n.dataType
+        and (o.nullable or not n.nullable)
+        for o, n in zip(old.fields, new_schema.fields)
+    ):
+        # non-nullable rows into a nullable column is a strict subset —
+        # accept without evolution (an ALTER-added column is nullable;
+        # appended batches usually aren't). The converse (nullable rows
+        # into a required column) still routes through the checks.
         return old_json
     if not allow_evolution:
         raise SchemaMismatchError(
@@ -1103,6 +1124,226 @@ def _check_constraints(df: DataFrame, constraints: dict) -> None:
         )
 
 
+# -- column mapping (Delta's name-mode mapping: rename/drop are
+# metadata-only; files keep their PHYSICAL column names forever) ----------
+
+
+def _fresh_physical() -> str:
+    """A physical column name no past or future logical column can
+    collide with (Delta mints ``col-<uuid>`` the same way). Minted when
+    a NEW logical column appears on a mapped table — re-adding a
+    dropped column must NOT resurrect the old physical data."""
+    return f"col_{uuid.uuid4().hex[:12]}"
+
+
+def _to_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Project a LOGICAL DataFrame to the physical column names the
+    parquet files store. Identity when mapping is off."""
+    if not colmap:
+        return df
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
+def _phys_cols(cols: list[str] | None, colmap: dict | None) -> list[str] | None:
+    """Logical → physical for a column-name list (bloom filter config
+    reaches the parquet writer, which only knows physical names)."""
+    if not cols or not colmap:
+        return cols
+    return [colmap.get(c, c) for c in cols]
+
+
+def _phys_preds(
+    predicates: list[tuple] | None, colmap: dict | None
+) -> list[tuple] | None:
+    """Logical → physical for predicate triples. Footer stats and the
+    checkpoint stats parquet are keyed by PHYSICAL names, so every
+    prune/envelope check translates before touching them; the residual
+    ROW filter stays logical (it runs after the read-path aliasing)."""
+    if not predicates or not colmap:
+        return predicates
+    return [(colmap.get(c, c), op, v) for c, op, v in predicates]
+
+
+def _constraints_referencing(constraints: dict, col: str) -> list[str]:
+    """CHECK constraints whose expression mentions ``col`` as a word —
+    renaming/dropping out from under them would leave the table
+    unvalidatable (Delta blocks the ALTER the same way)."""
+    import re
+
+    pat = re.compile(rf"(?<!\w){re.escape(col)}(?!\w)", re.IGNORECASE)
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
+def _alter_metadata(table_dir: str, mutate, retries: int = 2) -> dict:
+    """Publish a metadata-only commit whose config is ``mutate(head)``
+    → ``(schema_json, colmap, bloom_cols)``. Retries on a lost CAS by
+    re-reading the head and re-running the mutation against it."""
+    for attempt in range(retries + 1):
+        versions = _list_versions(table_dir)
+        if not versions:
+            raise FileNotFoundError(f"no versions at {table_dir}")
+        base = versions[-1]
+        m = _snapshot(table_dir, base, with_stats=False)
+        schema_json, colmap, bloom_cols = mutate(m)
+        seg = _segment(
+            base + 1,
+            "metadata",
+            schema_json=schema_json,
+            txn=m.get("txn", {}),
+            constraints=m.get("constraints", {}),
+            bloom_cols=bloom_cols,
+            n_files=m["n_files"],
+            colmap=colmap,
+        )
+        try:
+            _publish(table_dir, seg)
+            return _finish_commit(table_dir, base + 1)
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+
+
+def enable_column_mapping(table_dir: str) -> dict:
+    """ALTER TABLE ... SET column mapping mode = 'name' (Delta's
+    upgrade path): existing columns map identically — their physical
+    names ARE their current names, so every already-written file stays
+    readable — and from here on renames/drops are metadata-only and new
+    columns get collision-proof minted physical names. Idempotent."""
+
+    def mutate(m: dict):
+        colmap = dict(m.get("colmap") or {})
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        for f in schema.fields:
+            colmap.setdefault(f.name, f.name)
+        return m["schema"], colmap, m.get("bloom_cols")
+
+    return _alter_metadata(table_dir, mutate)
+
+
+def rename_column(table_dir: str, old: str, new: str) -> dict:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only, NO file rewrite
+    at any table size: the logical name changes in the schema and the
+    column-mapping entry keeps pointing at the unchanged PHYSICAL name
+    (column mapping auto-enables on first rename). Old versions time-
+    travel under their old names; predicates and bloom config follow
+    the new name. Blocked while a CHECK constraint references the
+    column (same contract as Delta)."""
+
+    def mutate(m: dict):
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        refs = _constraints_referencing(m.get("constraints", {}), old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+        colmap = dict(m.get("colmap") or {})
+        for f in schema.fields:  # auto-enable mapping on first rename
+            colmap.setdefault(f.name, f.name)
+        colmap[new] = colmap.pop(old)
+        fields = [
+            T.StructField(
+                new if f.name == old else f.name, f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+        blooms = m.get("bloom_cols")
+        if blooms:
+            blooms = [new if c == old else c for c in blooms]
+        return T.StructType(fields).json(), colmap, blooms
+
+    return _alter_metadata(table_dir, mutate)
+
+
+def drop_column(table_dir: str, name: str) -> dict:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the physical data
+    stays in the files but no read path surfaces it (requires column
+    mapping so a later ``add_column`` of the same name cannot resurrect
+    it; auto-enables). Blocked while a CHECK constraint references the
+    column."""
+
+    def mutate(m: dict):
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        refs = _constraints_referencing(m.get("constraints", {}), name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint(s) {refs} "
+                "reference it — drop them first"
+            )
+        colmap = dict(m.get("colmap") or {})
+        for f in schema.fields:
+            colmap.setdefault(f.name, f.name)
+        colmap.pop(name, None)
+        fields = [f for f in schema.fields if f.name != name]
+        blooms = m.get("bloom_cols")
+        if blooms:
+            blooms = [c for c in blooms if c != name] or None
+        return T.StructType(fields).json(), colmap, blooms
+
+    return _alter_metadata(table_dir, mutate)
+
+
+_ADD_COLUMN_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def add_column(table_dir: str, name: str, dtype) -> dict:
+    """ALTER TABLE ... ADD COLUMN (nullable; existing rows read NULL —
+    the explicit-schema read path already surfaces missing columns as
+    NULL, so no file is touched). On a mapped table the new column gets
+    a MINTED physical name: re-adding a previously dropped column is a
+    fresh, empty column, never the old data resurrected. ``dtype`` is a
+    ``pyspark.sql.types.DataType`` or a simple type string."""
+    if isinstance(dtype, str):
+        try:
+            dt = _ADD_COLUMN_TYPES[dtype.strip().lower()]
+        except KeyError:
+            raise ValueError(
+                f"unsupported type string {dtype!r} — pass a DataType "
+                f"or one of {sorted(_ADD_COLUMN_TYPES)}"
+            )
+    elif isinstance(dtype, T.DataType):
+        dt = dtype
+    else:
+        raise TypeError(f"dtype: {dtype!r}")
+
+    def mutate(m: dict):
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column already exists: {name!r}")
+        colmap = m.get("colmap")
+        if colmap:
+            colmap = dict(colmap)
+            colmap[name] = _fresh_physical()
+        fields = list(schema.fields) + [T.StructField(name, dt, True)]
+        return T.StructType(fields).json(), colmap, m.get("bloom_cols")
+
+    return _alter_metadata(table_dir, mutate)
+
+
 def _segment(
     version: int,
     mode: str,
@@ -1116,10 +1357,11 @@ def _segment(
     constraints: dict,
     bloom_cols: list[str] | None,
     n_files: int,
+    colmap: dict | None = None,
 ) -> dict:
     """One incremental commit record. File payload is O(touched);
-    config (schema/txn/constraints/bloom) is tiny and carried whole so
-    any segment fully determines the table config."""
+    config (schema/txn/constraints/bloom/colmap) is tiny and carried
+    whole so any segment fully determines the table config."""
     seg = {
         "version": version,
         "mode": mode,
@@ -1140,6 +1382,8 @@ def _segment(
         seg["constraints"] = constraints
     if bloom_cols:
         seg["bloom_cols"] = bloom_cols
+    if colmap:
+        seg["colmap"] = colmap
     return seg
 
 
@@ -1158,7 +1402,10 @@ def add_constraint(
     m = _snapshot(table_dir, base, with_stats=False)
     cons = dict(m.get("constraints", {}))
     _check_constraints(
-        _read_files(spark, table_dir, m["files"], m["schema"]), {name: expr}
+        _read_files(
+            spark, table_dir, m["files"], m["schema"], m.get("colmap")
+        ),
+        {name: expr},
     )
     cons[name] = expr
     seg = _segment(
@@ -1252,6 +1499,7 @@ def _rebase_head_or_raise(
     read_predicates: list[tuple] | None,
     validated_constraints: dict,
     schema_json: str,
+    colmap: dict | None = None,
 ) -> dict:
     """Delta-style WriteSerializable conflict check for a rewrite commit
     that read version ``base`` and lost the publish race. Replays the
@@ -1321,6 +1569,12 @@ def _rebase_head_or_raise(
             "a concurrent commit evolved the table schema — re-run "
             "against the new head"
         )
+    if (new_head.get("colmap") or None) != (colmap or None):
+        raise RebaseConflictError(
+            "a concurrent commit changed the column mapping — the "
+            "staged files carry stale physical names; re-run against "
+            "the new head"
+        )
     validated = set(validated_constraints.items())
     if not set(new_head.get("constraints", {}).items()) <= validated:
         raise RebaseConflictError(
@@ -1348,6 +1602,7 @@ def _publish_rewrite(
     rebase_retries: int = 2,
     report: dict | None = None,
     mode: str = "merge",
+    colmap: dict | None = None,
 ) -> dict:
     """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
     rebase-on-conflict: on a lost CAS the staged output is republished
@@ -1380,6 +1635,7 @@ def _publish_rewrite(
             constraints=pub_constraints,
             bloom_cols=pub_blooms,
             n_files=n_files - len(touched) + len(staged),
+            colmap=colmap,
         )
         try:
             _publish(table_dir, seg)
@@ -1396,6 +1652,7 @@ def _publish_rewrite(
                 read_predicates,
                 constraints,
                 schema_json,
+                colmap,
             )
             if _txn_replayed(new_head, txn):
                 # the racing writer WAS our own replayed micro-batch
@@ -1455,8 +1712,27 @@ def commit(
     constraints = prior.get("constraints", {}) if prior else {}
     if constraints and mode != "optimize":  # optimize rewrites valid rows
         _check_constraints(df, constraints)
+    # column mapping: appends extend the prior map (new logical columns
+    # get MINTED physical names so a re-added dropped column never
+    # resurrects old data); overwrites keep the mapping for surviving
+    # logical names — the table stays in mapping mode once enabled
+    prior_colmap = prior.get("colmap") if prior else None
+    colmap = None
+    if prior_colmap:
+        if mode == "append":
+            colmap = dict(prior_colmap)
+            for fld in df.schema.fields:
+                if fld.name not in colmap:
+                    colmap[fld.name] = _fresh_physical()
+        else:
+            colmap = {
+                fld.name: prior_colmap.get(fld.name) or _fresh_physical()
+                for fld in df.schema.fields
+            }
     next_v = base + 1
-    staged = _stage_files(df, table_dir, next_v, bloom_cols)
+    staged = _stage_files(
+        _to_physical(df, colmap), table_dir, next_v, _phys_cols(bloom_cols, colmap)
+    )
     staged_stats = _collect_stats(table_dir, staged, spark=df.sparkSession)
 
     for attempt in range(retries + 1):
@@ -1484,6 +1760,7 @@ def commit(
             constraints=constraints,
             bloom_cols=bloom_cols,
             n_files=n_files,
+            colmap=colmap,
         )
         try:
             _publish(table_dir, seg)
@@ -1500,6 +1777,15 @@ def commit(
             )
             if _txn_replayed(prior, txn):  # the racing writer was our replay
                 return _lazy_snapshot(table_dir, base)
+            # the staged files were written under OUR mapping's physical
+            # names — a winner that changed the mapping mid-race makes
+            # them unpublishable without re-staging a new projection
+            new_cm = prior.get("colmap") if prior else None
+            if (new_cm or None) != (prior_colmap or None):
+                raise ConcurrentCommitError(
+                    "column mapping changed concurrently — the staged "
+                    "files carry stale physical names; re-run the commit"
+                )
             # the winner may have changed table config mid-race: adopt
             # its constraints (re-validating our rows against any new
             # ones) and its bloom columns, or the retry segment would
@@ -1521,11 +1807,22 @@ def commit(
 
 
 def _read_files(
-    spark: SparkSession, table_dir: str, files: list[str], schema_json: str
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    schema_json: str,
+    colmap: dict | None = None,
 ) -> DataFrame:
     """Read a file list under the given snapshot schema. The explicit
     schema is what makes evolution work: old files missing a column
-    added later surface NULLs, and no schema-inference listing runs."""
+    added later surface NULLs, and no schema-inference listing runs.
+
+    With column mapping the files store PHYSICAL names: the scan runs
+    under the physical schema (so footer pushdown/pruning still sees
+    the stored names) and ONE projection aliases back to the logical
+    names — a renamed column reads every historical file untouched; a
+    dropped-then-re-added column reads NULL (its minted physical name
+    exists in no old file)."""
     schema = T.StructType.fromJson(json.loads(schema_json))
     data_dir = os.path.join(table_dir, _DATA)
     # a file entry is either a bare name in this table's data/ dir or a
@@ -1537,7 +1834,19 @@ def _read_files(
         f if os.path.isabs(f) else os.path.normpath(os.path.join(data_dir, f))
         for f in files
     ]
-    return spark.read.schema(schema).parquet(*paths)
+    if not colmap:
+        return spark.read.schema(schema).parquet(*paths)
+    phys = [colmap.get(f.name, f.name) for f in schema.fields]
+    pschema = T.StructType(
+        [
+            T.StructField(p, f.dataType, f.nullable)
+            for p, f in zip(phys, schema.fields)
+        ]
+    )
+    df = spark.read.schema(pschema).parquet(*paths)
+    return df.select(
+        *[F.col(p).alias(f.name) for p, f in zip(phys, schema.fields)]
+    )
 
 
 def read_version(
@@ -1584,7 +1893,9 @@ def read_version(
         raise ValueError(f"version {v} not in {versions}")
     if not predicates:
         m = _snapshot(table_dir, v, with_stats=False)
-        return _read_files(spark, table_dir, m["files"], m["schema"])
+        return _read_files(
+            spark, table_dir, m["files"], m["schema"], m.get("colmap")
+        )
     files, m = _pruned_files(spark, table_dir, v, predicates)
     if prune_report is not None:
         prune_report.update(
@@ -1598,7 +1909,9 @@ def read_version(
             [T.StructField(f.name, f.dataType, True) for f in schema.fields]
         )
         return spark.createDataFrame([], nullable)
-    df = _read_files(spark, table_dir, files, m["schema"])
+    df = _read_files(spark, table_dir, files, m["schema"], m.get("colmap"))
+    # the residual row filter is LOGICAL — it runs after the read
+    # aliasing, so user predicates keep their user-facing names
     return _apply_predicates(df, predicates)
 
 
@@ -1612,8 +1925,10 @@ def _pruned_files(
     driver path (materialize the stats dict, python envelope checks) at
     small file counts and the distributed path (Spark filter over the
     checkpoint stats parquet + driver check of only the post-checkpoint
-    additions) at large ones."""
+    additions) at large ones. Predicates arrive LOGICAL and are
+    translated to the physical names the footer stats are keyed by."""
     m = _snapshot(table_dir, version, with_stats=False)
+    predicates = _phys_preds(predicates, m.get("colmap"))
     ckpts = [c for c in _list_checkpoints(table_dir) if c <= version]
     if len(m["files"]) >= DISTRIBUTED_PRUNE_MIN_FILES and ckpts:
         ck = ckpts[-1]
@@ -1666,9 +1981,12 @@ def read_changes(
     for v in (start_version, end):
         if v not in versions and v != 0:
             raise ValueError(f"version {v} not in {versions}")
-    schema_json = (
-        _snapshot(table_dir, end, with_stats=False)["schema"] if end else None
-    )
+    end_snap = _snapshot(table_dir, end, with_stats=False) if end else None
+    schema_json = end_snap["schema"] if end_snap else None
+    # every step reads under the END version's schema + mapping:
+    # physical names are immutable, so files written before a rename
+    # read correctly under the post-rename logical view
+    colmap = end_snap.get("colmap") if end_snap else None
 
     parts: list[DataFrame] = []
     for v, seg, files, prev_files in _walk_segments(table_dir, start_version, end):
@@ -1678,7 +1996,7 @@ def read_changes(
             new_files = [f for f in files if f not in seen]
             if new_files:
                 parts.append(
-                    _read_files(spark, table_dir, new_files, schema_json)
+                    _read_files(spark, table_dir, new_files, schema_json, colmap)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
@@ -1691,12 +2009,12 @@ def read_changes(
             new_files = [f for f in files if f not in seen]
             replaced = seg.get("replaced", seg.get("remove", []))
             cur = (
-                _read_files(spark, table_dir, new_files, schema_json)
+                _read_files(spark, table_dir, new_files, schema_json, colmap)
                 if new_files
                 else None
             )
             old = (
-                _read_files(spark, table_dir, replaced, schema_json)
+                _read_files(spark, table_dir, replaced, schema_json, colmap)
                 if replaced
                 else None
             )
@@ -1715,9 +2033,9 @@ def read_changes(
                     )
                 )
         else:  # overwrite: content diff against the previous snapshot
-            cur = _read_files(spark, table_dir, files, schema_json)
+            cur = _read_files(spark, table_dir, files, schema_json, colmap)
             if prev_files:
-                prev = _read_files(spark, table_dir, prev_files, schema_json)
+                prev = _read_files(spark, table_dir, prev_files, schema_json, colmap)
                 ins, dels = cur.exceptAll(prev), prev.exceptAll(cur)
             else:
                 ins, dels = cur, None
@@ -1874,7 +2192,9 @@ def merge(
     key_cols = [F.col(k) for k in keys]
     src_keys = source.select(*key_cols).distinct()
     if touched:
-        target = _read_files(spark, table_dir, touched, m["schema"])
+        target = _read_files(
+            spark, table_dir, touched, m["schema"], m.get("colmap")
+        )
         tgt_keys = target.select(*key_cols).distinct()
         if when_matched == "update":
             kept = target.join(src_keys, keys, "left_anti")
@@ -1910,8 +2230,14 @@ def merge(
         new_df = new_df.unionByName(p)
     _check_constraints(new_df, m.get("constraints"))
 
+    cm = m.get("colmap")
     next_v = base + 1
-    staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
+    staged = _stage_files(
+        _to_physical(new_df, cm),
+        table_dir,
+        next_v,
+        _phys_cols(m.get("bloom_cols"), cm),
+    )
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
     if report is not None:
         report.update(
@@ -1928,7 +2254,8 @@ def merge(
     # recompute); a genuine read/write overlap raises
     # RebaseConflictError. `preds` IS the merge's logical read set: any
     # row a winner added that could match the source's key envelope
-    # would have changed our match/insert decisions.
+    # would have changed our match/insert decisions. (Physical names —
+    # the rebase check tests them against winners' footer stats.)
     return _publish_rewrite(
         table_dir,
         base=base,
@@ -1937,13 +2264,14 @@ def merge(
         staged=staged,
         staged_stats=staged_stats,
         touched=touched,
-        read_predicates=preds or None,
+        read_predicates=_phys_preds(preds, cm) or None,
         schema_json=m["schema"],
         txn=txn,
         constraints=m.get("constraints", {}),
         bloom_cols=m.get("bloom_cols"),
         rebase_retries=rebase_retries,
         report=report,
+        colmap=cm,
     )
 
 
@@ -1975,11 +2303,18 @@ def _rewrite_where(
         )
     if not touched:  # provably nothing matches: no-op, no commit
         return m
-    target = _read_files(spark, table_dir, touched, m["schema"])
+    cm = m.get("colmap")
+    target = _read_files(spark, table_dir, touched, m["schema"], cm)
+    # transform + WHERE run on the LOGICAL frame (user-facing names)
     new_df = transform(target, _predicate_column(predicates))
     _check_constraints(new_df, m.get("constraints"))
     next_v = base + 1
-    staged = _stage_files(new_df, table_dir, next_v, m.get("bloom_cols"))
+    staged = _stage_files(
+        _to_physical(new_df, cm),
+        table_dir,
+        next_v,
+        _phys_cols(m.get("bloom_cols"), cm),
+    )
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
     return _publish_rewrite(
         table_dir,
@@ -1989,13 +2324,14 @@ def _rewrite_where(
         staged=staged,
         staged_stats=staged_stats,
         touched=touched,
-        read_predicates=predicates,
+        read_predicates=_phys_preds(predicates, cm),
         schema_json=m["schema"],
         txn=None,
         constraints=m.get("constraints", {}),
         bloom_cols=m.get("bloom_cols"),
         rebase_retries=rebase_retries,
         report=report,
+        colmap=cm,
     )
 
 
@@ -2101,7 +2437,8 @@ def compact(
         )
     if not touched:  # nothing can match: no-op, no commit
         return m
-    df = _read_files(spark, table_dir, touched, m["schema"])
+    cm = m.get("colmap")
+    df = _read_files(spark, table_dir, touched, m["schema"], cm)
     if zorder_cols:
         from open_source_financial_time_series_data_pipeline_architecture_spark.sources.zorder import (
             zvalue,
@@ -2115,7 +2452,12 @@ def compact(
         )
     else:
         df = df.repartition(n_files)
-    staged = _stage_files(df, table_dir, base + 1, m.get("bloom_cols"))
+    staged = _stage_files(
+        _to_physical(df, cm),
+        table_dir,
+        base + 1,
+        _phys_cols(m.get("bloom_cols"), cm),
+    )
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
     return _publish_rewrite(
         table_dir,
@@ -2133,6 +2475,7 @@ def compact(
         rebase_retries=rebase_retries,
         mode="optimize",
         report=report,
+        colmap=cm,
     )
 
 
@@ -2167,7 +2510,13 @@ def restore(
                 "against them (restore(table_dir, version, spark))"
             )
         _check_constraints(
-            _read_files(spark, table_dir, target["files"], target["schema"]),
+            _read_files(
+                spark,
+                table_dir,
+                target["files"],
+                target["schema"],
+                target.get("colmap"),
+            ),
             cons,
         )
     seg = _segment(
@@ -2181,6 +2530,10 @@ def restore(
         constraints=cons,
         bloom_cols=head.get("bloom_cols"),
         n_files=len(target["files"]),
+        # the restored files carry the TARGET's physical layout — its
+        # mapping must travel with them (restoring across a rename
+        # restores the old logical names too, exactly like Delta)
+        colmap=target.get("colmap"),
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -2243,6 +2596,7 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
         constraints=src.get("constraints", {}),
         bloom_cols=src.get("bloom_cols"),
         n_files=len(files),
+        colmap=src.get("colmap"),
     )
     _publish(dst_dir, seg)
     return _finish_commit(dst_dir, 1)
@@ -2354,6 +2708,19 @@ class VersionedTable:
 
     def drop_constraint(self, name: str) -> dict:
         return drop_constraint(self.path, name)
+
+    # -- column mapping (metadata-only ALTERs; no file rewrite) ----------
+    def enable_column_mapping(self) -> dict:
+        return enable_column_mapping(self.path)
+
+    def rename_column(self, old: str, new: str) -> dict:
+        return rename_column(self.path, old, new)
+
+    def drop_column(self, name: str) -> dict:
+        return drop_column(self.path, name)
+
+    def add_column(self, name: str, dtype) -> dict:
+        return add_column(self.path, name, dtype)
 
     # -- reads ----------------------------------------------------------
     def read(self, version: int | None = None, **kw) -> DataFrame:

@@ -46,6 +46,15 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.sources 
 _walk_segments = V._walk_segments
 
 
+def _phys_names(m: dict, struct: T.StructType) -> list[str]:
+    """The PHYSICAL (stored) column name for each schema field, in
+    schema order — identity without column mapping. A rename or drop
+    mid-stream changes the mapping; like Delta, the stream's schema is
+    fixed at query start, so restart the query after a mapping ALTER."""
+    colmap = m.get("colmap") or {}
+    return [colmap.get(f.name, f.name) for f in struct.fields]
+
+
 def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list[tuple]:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -238,8 +247,11 @@ class VersionedCDFDataSource(DataSource):
         )
 
     def simpleStreamReader(self, schema) -> VersionedCDFStreamReader:
-        names = [f.name for f in self._table_struct().fields]
-        return VersionedCDFStreamReader(self.options, names)
+        versions = V._list_versions(self.options["path"])
+        m = V._snapshot(self.options["path"], versions[-1], with_stats=False)
+        return VersionedCDFStreamReader(
+            self.options, _phys_names(m, self._table_struct())
+        )
 
 
 class VersionedTailDataSource(DataSource):
@@ -261,5 +273,8 @@ class VersionedTailDataSource(DataSource):
         return self._schema_struct()
 
     def simpleStreamReader(self, schema) -> VersionedTailStreamReader:
-        names = [f.name for f in self._schema_struct().fields]
-        return VersionedTailStreamReader(self.options, names)
+        versions = V._list_versions(self.options["path"])
+        m = V._snapshot(self.options["path"], versions[-1], with_stats=False)
+        return VersionedTailStreamReader(
+            self.options, _phys_names(m, self._schema_struct())
+        )
