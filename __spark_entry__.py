@@ -27265,6 +27265,64 @@ def versioned_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "versioned_deletion_vectors",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(price), 6) AS min_px,
+       ROUND(max(price), 6) AS max_px,
+       CAST(sum(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
+FROM trades
+WHERE symbol <> 'error' AND (side IS NULL OR side <> 'sell')
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS end-to-end (Delta's merge-on-read DELETE — the
+    storage feature that makes a GDPR point-delete O(matched rows)
+    instead of O(bytes rewritten); the reference's Delta tables,
+    spark/batch_feature_calculation.py:61-65, gain it from Delta 2.4):
+    the trades are committed and Z-ordered so per-file symbol envelopes
+    are tight, then TWO merge-on-read deletes run — the 'error' symbol
+    (file-pruned: only the files whose envelope can hold 'error' are
+    even scanned) and every 'sell' row — each writing only a tiny
+    (file, position) sidecar; NO data file is rewritten. The aggregate
+    reads the head snapshot through the DV anti-join; the oracle
+    recomputes the surviving rows declaratively (NULL side survives —
+    SQL DELETE removes only rows where the predicate is TRUE)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
+        V.delete_where(
+            spark, work, [("symbol", "=", "error")], merge_on_read=True
+        )
+        V.delete_where(
+            spark, work, [("side", "=", "sell")], merge_on_read=True
+        )
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_dv", build)
+    return (
+        V.read_version(spark, table)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min("price"), 6).alias("min_px"),
+            F.round(F.max("price"), 6).alias("max_px"),
+            F.sum(F.when(F.col("side") == "buy", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_buy"),
+        )
+    )
+
+
+@q(
     "versioned_rename_time_travel",
     oracle(
         """
@@ -27383,6 +27441,9 @@ _DRIVER_WINDOW_DEBUT = [
     # both queries exercise the mapped read/write/DML paths
     "versioned_column_mapping",
     "versioned_rename_time_travel",
+    # r6 deletion vectors: merge-on-read DELETE through the sidecar
+    # anti-join read path
+    "versioned_deletion_vectors",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one
     # more driver hash on the NEW code path closes the loop

@@ -54,7 +54,13 @@ Segment modes and their replay semantics:
   it read (so a concurrent append carries forward and the compaction
   REBASES instead of failing); pre-round-6 optimize segments carry
   ``reset`` and replay as overwrites of identical content.
-- ``metadata``: config-only (constraints); no file change.
+- ``metadata``: config-only (constraints / column-mapping ALTERs); no
+  file change.
+- ``dv`` (round 6): merge-on-read DELETE — ``dv_add`` maps a deletion-
+  vector sidecar parquet (rows of deleted ``(file basename, position)``
+  pairs) to the data files it covers. No data file changes; reads
+  anti-join the sidecars; a rewrite of a covered file drops its
+  entries; ``purge_dv`` folds vectors back into rewritten files.
 
 Legacy full-snapshot manifests (pre-round-5 tables, and the raw dict
 the CAS contention test publishes) replay as a reset+add of their
@@ -819,6 +825,7 @@ def _write_checkpoint(table_dir: str, snapshot: dict) -> None:
         "constraints": snapshot.get("constraints", {}),
         "bloom_cols": snapshot.get("bloom_cols"),
         "colmap": snapshot.get("colmap"),
+        "dv": snapshot.get("dv") or {},
     }
     tmpj = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
     with open(tmpj, "w") as f:
@@ -859,6 +866,7 @@ def _empty_state() -> dict:
         "constraints": {},
         "bloom_cols": None,
         "colmap": None,
+        "dv": {},
     }
 
 
@@ -886,17 +894,27 @@ def _walk_segments(
 def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
     if "files" in seg:  # legacy full-snapshot manifest
         state["files"] = list(seg["files"])
+        state["dv"] = {}
         if with_stats:
             state["stats"] = dict(seg.get("stats", {}))
     else:
         if seg.get("reset"):
             state["files"] = []
+            state["dv"] = {}
             if with_stats:
                 state["stats"] = {}
         rm = seg.get("remove") or []
         if rm:
             rms = set(rm)
             state["files"] = [f for f in state["files"] if f not in rms]
+            # a rewritten/compacted file takes its deletion-vector
+            # entries with it (the rewrite read the DV-applied rows);
+            # a DV whose covered files are all gone is fully purged
+            state["dv"] = {
+                d: kept
+                for d, cov in state.get("dv", {}).items()
+                if (kept := [f for f in cov if f not in rms])
+            }
             if with_stats:
                 for f in rm:
                     state["stats"].pop(f, None)
@@ -905,6 +923,10 @@ def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
             state["files"] = state["files"] + add
             if with_stats:
                 state["stats"].update(seg.get("stats", {}))
+        if seg.get("dv_add"):
+            dv = dict(state.get("dv", {}))
+            dv.update(seg["dv_add"])
+            state["dv"] = dv
     if seg.get("schema") is not None:
         state["schema"] = seg["schema"]
     state["txn"] = seg.get("txn", state["txn"])
@@ -1015,6 +1037,7 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         state["constraints"] = ck.get("constraints", {})
         state["bloom_cols"] = ck.get("bloom_cols")
         state["colmap"] = ck.get("colmap")
+        state["dv"] = ck.get("dv", {})
         if with_stats:
             import pyarrow.parquet as pq
 
@@ -1049,6 +1072,8 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         out["bloom_cols"] = state["bloom_cols"]
     if state["colmap"]:
         out["colmap"] = state["colmap"]
+    if state["dv"]:
+        out["dv"] = state["dv"]
     if last.get("mode") == "merge":
         out["replaced"] = last.get("replaced", last.get("remove", []))
     return out
@@ -1358,10 +1383,13 @@ def _segment(
     bloom_cols: list[str] | None,
     n_files: int,
     colmap: dict | None = None,
+    dv_add: dict | None = None,
 ) -> dict:
     """One incremental commit record. File payload is O(touched);
     config (schema/txn/constraints/bloom/colmap) is tiny and carried
-    whole so any segment fully determines the table config."""
+    whole so any segment fully determines the table config.
+    ``dv_add`` maps a deletion-vector sidecar file to the data files it
+    covers — a merge-on-read DELETE's entire footprint."""
     seg = {
         "version": version,
         "mode": mode,
@@ -1384,6 +1412,8 @@ def _segment(
         seg["bloom_cols"] = bloom_cols
     if colmap:
         seg["colmap"] = colmap
+    if dv_add:
+        seg["dv_add"] = dv_add
     return seg
 
 
@@ -1402,10 +1432,7 @@ def add_constraint(
     m = _snapshot(table_dir, base, with_stats=False)
     cons = dict(m.get("constraints", {}))
     _check_constraints(
-        _read_files(
-            spark, table_dir, m["files"], m["schema"], m.get("colmap")
-        ),
-        {name: expr},
+        _read_snapshot_files(spark, table_dir, m["files"], m), {name: expr}
     )
     cons[name] = expr
     seg = _segment(
@@ -1500,6 +1527,7 @@ def _rebase_head_or_raise(
     validated_constraints: dict,
     schema_json: str,
     colmap: dict | None = None,
+    loser_is_dv: bool = False,
 ) -> dict:
     """Delta-style WriteSerializable conflict check for a rewrite commit
     that read version ``base`` and lost the publish race. Replays the
@@ -1541,6 +1569,22 @@ def _rebase_head_or_raise(
                 f"{sorted(overlap)[0]!r}) — not serializable; re-run "
                 "against the new head"
             )
+        if seg.get("dv_add") and not loser_is_dv:
+            # a winner merge-on-read-DELETED rows inside a file this
+            # commit read-and-replaced: republishing our rewrite of
+            # that file would resurrect them. (A DV loser skips this —
+            # two DVs on one file stack: the reads union both.)
+            dv_cov = set()
+            for cov in seg["dv_add"].values():
+                dv_cov.update(cov)
+            overlap = touched_set.intersection(dv_cov)
+            if overlap:
+                raise RebaseConflictError(
+                    f"version {wv} deletion-vectored rows in "
+                    f"{len(overlap)} file(s) this commit rewrote (e.g. "
+                    f"{sorted(overlap)[0]!r}) — re-run against the new "
+                    "head"
+                )
         added = seg.get("add") or []
         if added and read_predicates != []:
             # read_predicates == [] is the PHYSICAL-rewrite marker
@@ -1603,6 +1647,7 @@ def _publish_rewrite(
     report: dict | None = None,
     mode: str = "merge",
     colmap: dict | None = None,
+    dv_covered: list[str] | None = None,
 ) -> dict:
     """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
     rebase-on-conflict: on a lost CAS the staged output is republished
@@ -1623,20 +1668,37 @@ def _publish_rewrite(
     # winner's config for the same reason). Adopting is always safe:
     # the check already proved head constraints ⊆ validated.
     pub_constraints, pub_blooms = constraints, bloom_cols
+    is_dv = dv_covered is not None
     for attempt in range(rebase_retries + 1):
-        seg = _segment(
-            base + 1,
-            mode,
-            add=staged,
-            remove=touched or None,
-            stats=staged_stats,
-            schema_json=schema_json,
-            txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
-            constraints=pub_constraints,
-            bloom_cols=pub_blooms,
-            n_files=n_files - len(touched) + len(staged),
-            colmap=colmap,
-        )
+        if is_dv:
+            # merge-on-read DELETE: the staged files are DV sidecars —
+            # no data file is added or removed; `touched` is only the
+            # commit's conflict-detection read set
+            seg = _segment(
+                base + 1,
+                "dv",
+                schema_json=schema_json,
+                txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
+                constraints=pub_constraints,
+                bloom_cols=pub_blooms,
+                n_files=n_files,
+                colmap=colmap,
+                dv_add={f: dv_covered for f in staged},
+            )
+        else:
+            seg = _segment(
+                base + 1,
+                mode,
+                add=staged,
+                remove=touched or None,
+                stats=staged_stats,
+                schema_json=schema_json,
+                txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
+                constraints=pub_constraints,
+                bloom_cols=pub_blooms,
+                n_files=n_files - len(touched) + len(staged),
+                colmap=colmap,
+            )
         try:
             _publish(table_dir, seg)
             if report is not None:
@@ -1653,6 +1715,7 @@ def _publish_rewrite(
                 constraints,
                 schema_json,
                 colmap,
+                loser_is_dv=is_dv,
             )
             if _txn_replayed(new_head, txn):
                 # the racing writer WAS our own replayed micro-batch
@@ -1812,10 +1875,16 @@ def _read_files(
     files: list[str],
     schema_json: str,
     colmap: dict | None = None,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Read a file list under the given snapshot schema. The explicit
     schema is what makes evolution work: old files missing a column
     added later surface NULLs, and no schema-inference listing runs.
+    ``with_meta`` appends ``__dv_file`` (the file's BASENAME — the
+    version-prefixed uuid names are globally unique, so the basename
+    identifies a file across shallow-clone path spellings) and
+    ``__dv_pos`` (the row's position in its file) — the row identity
+    deletion vectors are keyed by.
 
     With column mapping the files store PHYSICAL names: the scan runs
     under the physical schema (so footer pushdown/pruning still sees
@@ -1834,8 +1903,20 @@ def _read_files(
         f if os.path.isabs(f) else os.path.normpath(os.path.join(data_dir, f))
         for f in files
     ]
+    meta = (
+        [
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        ]
+        if with_meta
+        else []
+    )
     if not colmap:
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        if not meta:
+            return df
+        return df.select(*[F.col(f.name) for f in schema.fields], *meta)
     phys = [colmap.get(f.name, f.name) for f in schema.fields]
     pschema = T.StructType(
         [
@@ -1845,7 +1926,70 @@ def _read_files(
     )
     df = spark.read.schema(pschema).parquet(*paths)
     return df.select(
-        *[F.col(p).alias(f.name) for p, f in zip(phys, schema.fields)]
+        *[F.col(p).alias(f.name) for p, f in zip(phys, schema.fields)],
+        *meta,
+    )
+
+
+#: broadcast the deletion-vector anti-join side while the sidecars stay
+#: under this many bytes — beyond it (someone merge-on-read-deleted a
+#: large fraction of the table) fall back to a shuffled anti-join and
+#: let AQE plan it; correctness is identical either way
+_DV_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _resolve_data_path(table_dir: str, f: str) -> str:
+    """A manifest file entry → readable path (same bare-name /
+    clone-reference resolution as ``_read_files``)."""
+    data_dir = os.path.join(table_dir, _DATA)
+    return (
+        f if os.path.isabs(f) else os.path.normpath(os.path.join(data_dir, f))
+    )
+
+
+def _read_files_dv(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    schema_json: str,
+    colmap: dict | None,
+    dv: dict | None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Snapshot-faithful read of a file subset: column-mapping aliasing
+    plus the DELETION-VECTOR anti-join (merge-on-read DELETE): rows
+    whose (file basename, position) appears in a relevant DV sidecar
+    are filtered out. Only sidecars covering the requested files load —
+    a point read on an untouched partition never sees DV cost. With no
+    relevant DVs this IS ``_read_files`` (zero overhead on the common
+    path). ``keep_meta`` keeps the ``__dv_file``/``__dv_pos`` identity
+    columns on the result (the delete path needs them)."""
+    fs = set(files)
+    dvs = sorted(d for d, cov in (dv or {}).items() if fs.intersection(cov))
+    if not dvs:
+        return _read_files(
+            spark, table_dir, files, schema_json, colmap, with_meta=keep_meta
+        )
+    df = _read_files(
+        spark, table_dir, files, schema_json, colmap, with_meta=True
+    )
+    paths = [_resolve_data_path(table_dir, d) for d in dvs]
+    dvdf = spark.read.parquet(*paths).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    if sum(os.path.getsize(p) for p in paths) <= _DV_BROADCAST_MAX_BYTES:
+        dvdf = F.broadcast(dvdf)
+    out = df.join(dvdf, ["__dv_file", "__dv_pos"], "left_anti")
+    return out if keep_meta else out.drop("__dv_file", "__dv_pos")
+
+
+def _read_snapshot_files(
+    spark: SparkSession, table_dir: str, files: list[str], m: dict
+) -> DataFrame:
+    """The logical content of ``files`` under snapshot ``m`` — mapping
+    aliased, deletion vectors applied."""
+    return _read_files_dv(
+        spark, table_dir, files, m["schema"], m.get("colmap"), m.get("dv")
     )
 
 
@@ -1893,9 +2037,7 @@ def read_version(
         raise ValueError(f"version {v} not in {versions}")
     if not predicates:
         m = _snapshot(table_dir, v, with_stats=False)
-        return _read_files(
-            spark, table_dir, m["files"], m["schema"], m.get("colmap")
-        )
+        return _read_snapshot_files(spark, table_dir, m["files"], m)
     files, m = _pruned_files(spark, table_dir, v, predicates)
     if prune_report is not None:
         prune_report.update(
@@ -1909,7 +2051,7 @@ def read_version(
             [T.StructField(f.name, f.dataType, True) for f in schema.fields]
         )
         return spark.createDataFrame([], nullable)
-    df = _read_files(spark, table_dir, files, m["schema"], m.get("colmap"))
+    df = _read_snapshot_files(spark, table_dir, files, m)
     # the residual row filter is LOGICAL — it runs after the read
     # aliasing, so user predicates keep their user-facing names
     return _apply_predicates(df, predicates)
@@ -1988,9 +2130,38 @@ def read_changes(
     # read correctly under the post-rename logical view
     colmap = end_snap.get("colmap") if end_snap else None
 
+    # deletion-vector replay alongside the file walk: each step's OLD
+    # content reads under the dv state BEFORE the commit, so a rewrite
+    # of a vectored file diffs against what readers actually saw
+    dv_state: dict = (
+        dict(_snapshot(table_dir, start_version, with_stats=False).get("dv") or {})
+        if start_version
+        else {}
+    )
+
+    def _dv_step(seg: dict, prev: dict) -> dict:
+        nxt = dict(prev)
+        if "files" in seg or seg.get("reset"):
+            nxt = {}
+        rm = set(seg.get("remove") or [])
+        if rm:
+            nxt = {
+                d: kept
+                for d, cov in nxt.items()
+                if (kept := [f for f in cov if f not in rm])
+            }
+        nxt.update(seg.get("dv_add") or {})
+        return nxt
+
+    def _content(files_subset: list[str], dv: dict) -> DataFrame:
+        return _read_files_dv(
+            spark, table_dir, files_subset, schema_json, colmap, dv
+        )
+
     parts: list[DataFrame] = []
     for v, seg, files, prev_files in _walk_segments(table_dir, start_version, end):
         mode = seg["mode"]
+        prev_dv, dv_state = dv_state, _dv_step(seg, dv_state)
         if mode == "append":
             seen = set(prev_files)
             new_files = [f for f in files if f not in seen]
@@ -2002,6 +2173,33 @@ def read_changes(
                 )
         elif mode in ("optimize", "metadata"):
             pass  # logical no-op: same rows (fewer files / new config)
+        elif mode == "dv":
+            # merge-on-read DELETE: the change rows are exactly the
+            # sidecar's (file, pos) identities — O(covered files) reads,
+            # no diff needed
+            dv_add = seg.get("dv_add") or {}
+            covered = sorted({f for cov in dv_add.values() for f in cov})
+            live = set(prev_files)
+            covered = [f for f in covered if f in live]
+            if covered and dv_add:
+                rows = _read_files(
+                    spark, table_dir, covered, schema_json, colmap,
+                    with_meta=True,
+                )
+                dpaths = [
+                    _resolve_data_path(table_dir, d) for d in dv_add
+                ]
+                dvdf = spark.read.parquet(*dpaths).select(
+                    F.col("file").alias("__dv_file"),
+                    F.col("pos").alias("__dv_pos"),
+                )
+                dels = rows.join(
+                    F.broadcast(dvdf), ["__dv_file", "__dv_pos"], "left_semi"
+                ).drop("__dv_file", "__dv_pos")
+                parts.append(
+                    dels.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
         elif mode == "merge":
             # the segment names the replaced files — diff ONLY the
             # touched content (O(files the merge rewrote), not O(table))
@@ -2014,7 +2212,7 @@ def read_changes(
                 else None
             )
             old = (
-                _read_files(spark, table_dir, replaced, schema_json, colmap)
+                _content(replaced, prev_dv)
                 if replaced
                 else None
             )
@@ -2033,9 +2231,9 @@ def read_changes(
                     )
                 )
         else:  # overwrite: content diff against the previous snapshot
-            cur = _read_files(spark, table_dir, files, schema_json, colmap)
+            cur = _content(files, dv_state)
             if prev_files:
-                prev = _read_files(spark, table_dir, prev_files, schema_json, colmap)
+                prev = _content(prev_files, prev_dv)
                 ins, dels = cur.exceptAll(prev), prev.exceptAll(cur)
             else:
                 ins, dels = cur, None
@@ -2192,9 +2390,7 @@ def merge(
     key_cols = [F.col(k) for k in keys]
     src_keys = source.select(*key_cols).distinct()
     if touched:
-        target = _read_files(
-            spark, table_dir, touched, m["schema"], m.get("colmap")
-        )
+        target = _read_snapshot_files(spark, table_dir, touched, m)
         tgt_keys = target.select(*key_cols).distinct()
         if when_matched == "update":
             kept = target.join(src_keys, keys, "left_anti")
@@ -2304,7 +2500,7 @@ def _rewrite_where(
     if not touched:  # provably nothing matches: no-op, no commit
         return m
     cm = m.get("colmap")
-    target = _read_files(spark, table_dir, touched, m["schema"], cm)
+    target = _read_snapshot_files(spark, table_dir, touched, m)
     # transform + WHERE run on the LOGICAL frame (user-facing names)
     new_df = transform(target, _predicate_column(predicates))
     _check_constraints(new_df, m.get("constraints"))
@@ -2341,12 +2537,28 @@ def delete_where(
     predicates: list[tuple],
     report: dict | None = None,
     rebase_retries: int = 2,
+    merge_on_read: bool = False,
 ) -> dict:
     """DELETE FROM table WHERE <conjunction> (Delta's predicate
     delete): rows where the predicate is TRUE are removed; rows where
     it is FALSE or NULL survive. Only envelope-overlapping files are
     rewritten — deleting one symbol from a symbol-clustered table
-    rewrites that symbol's files, nothing else."""
+    rewrites that symbol's files, nothing else.
+
+    ``merge_on_read=True`` switches to DELETION VECTORS (Delta's
+    ``deletionVectors`` table feature): instead of rewriting the
+    matched files, the commit writes a tiny sidecar of deleted
+    (file, position) pairs and every read anti-joins it — the delete
+    is O(matched rows), not O(bytes in the touched files). At 100 TB
+    this is the difference between a GDPR point-delete costing a few
+    KB of sidecar and it rewriting a multi-GB file per matched row.
+    Reads stay exact; ``purge_dv`` (Delta's ``REORG ... APPLY
+    (PURGE)``) folds the vectors back into rewritten files when the
+    read-amplification is no longer worth it."""
+    if merge_on_read:
+        return _delete_where_dv(
+            spark, table_dir, predicates, report, rebase_retries
+        )
     return _rewrite_where(
         spark,
         table_dir,
@@ -2354,6 +2566,133 @@ def delete_where(
         lambda df, p: df.filter(~F.coalesce(p, F.lit(False))),
         report,
         rebase_retries,
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    report: dict | None = None,
+    rebase_retries: int = 2,
+) -> dict:
+    """Merge-on-read DELETE: prune to candidate files, compute the
+    matched rows' (file basename, position) identities — with existing
+    deletion vectors APPLIED, so re-deleting is a provable no-op — and
+    publish a ``dv``-mode commit whose only payload is the sidecar
+    parquet. No data file is read beyond the predicate scan and none is
+    rewritten."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _snapshot(table_dir, base, with_stats=False)
+    touched, _ = _pruned_files(spark, table_dir, base, predicates)
+    if report is not None:
+        report.update(
+            {"files_total": len(m["files"]), "files_covered": len(touched)}
+        )
+    if not touched:  # provably nothing matches: no-op, no commit
+        if report is not None:
+            report["rows_deleted"] = 0
+        return m
+    cm = m.get("colmap")
+    df = _read_files_dv(
+        spark, table_dir, touched, m["schema"], cm, m.get("dv"),
+        keep_meta=True,
+    )
+    hit = F.coalesce(_predicate_column(predicates), F.lit(False))
+    matched = df.filter(hit).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    next_v = base + 1
+    staged = _stage_files(matched, table_dir, next_v)
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    n_deleted = sum(staged_stats[f]["rows"] for f in staged)
+    if report is not None:
+        report["rows_deleted"] = n_deleted
+    if n_deleted == 0:  # stats said maybe, rows said no: no-op
+        data_dir = os.path.join(table_dir, _DATA)
+        for f in staged:
+            os.remove(os.path.join(data_dir, f))
+        return m
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=touched,
+        read_predicates=_phys_preds(predicates, cm),
+        schema_json=m["schema"],
+        txn=None,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        report=report,
+        colmap=cm,
+        dv_covered=touched,
+    )
+
+
+def purge_dv(
+    spark: SparkSession,
+    table_dir: str,
+    n_files: int = 1,
+    rebase_retries: int = 2,
+    report: dict | None = None,
+) -> dict:
+    """REORG TABLE ... APPLY (PURGE) (Delta): rewrite ONLY the files
+    carrying deletion-vector entries with the vectors applied, dropping
+    every sidecar — subsequent reads pay zero anti-join cost again.
+    Logically a no-op (the DV'd rows were already invisible), published
+    as an ``optimize`` commit so the change feed skips it; untouched
+    files carry forward implicitly."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _snapshot(table_dir, base, with_stats=False)
+    dv = m.get("dv") or {}
+    covered: set[str] = set()
+    for cov in dv.values():
+        covered.update(cov)
+    touched = sorted(covered)
+    if report is not None:
+        report.update(
+            {"files_total": len(m["files"]), "files_rewritten": len(touched)}
+        )
+    if not touched:  # no vectors anywhere: no-op, no commit
+        return m
+    cm = m.get("colmap")
+    df = _read_snapshot_files(spark, table_dir, touched, m).repartition(
+        n_files
+    )
+    staged = _stage_files(
+        _to_physical(df, cm),
+        table_dir,
+        base + 1,
+        _phys_cols(m.get("bloom_cols"), cm),
+    )
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=touched,
+        read_predicates=[],  # row-identical rewrite: adds never conflict
+        schema_json=m["schema"],
+        txn=None,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        mode="optimize",
+        report=report,
+        colmap=cm,
     )
 
 
@@ -2438,7 +2777,7 @@ def compact(
     if not touched:  # nothing can match: no-op, no commit
         return m
     cm = m.get("colmap")
-    df = _read_files(spark, table_dir, touched, m["schema"], cm)
+    df = _read_snapshot_files(spark, table_dir, touched, m)
     if zorder_cols:
         from open_source_financial_time_series_data_pipeline_architecture_spark.sources.zorder import (
             zvalue,
@@ -2510,13 +2849,7 @@ def restore(
                 "against them (restore(table_dir, version, spark))"
             )
         _check_constraints(
-            _read_files(
-                spark,
-                table_dir,
-                target["files"],
-                target["schema"],
-                target.get("colmap"),
-            ),
+            _read_snapshot_files(spark, table_dir, target["files"], target),
             cons,
         )
     seg = _segment(
@@ -2534,6 +2867,9 @@ def restore(
         # mapping must travel with them (restoring across a rename
         # restores the old logical names too, exactly like Delta)
         colmap=target.get("colmap"),
+        # ... and so must its deletion vectors, or the restore would
+        # resurrect the rows they had merge-on-read-deleted
+        dv_add=target.get("dv"),
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -2583,6 +2919,13 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
 
     files = [_ref(f) for f in src["files"]]
     stats = {_ref(f): s for f, s in (src.get("stats") or {}).items()}
+    # deletion-vector sidecars are file references like any other: the
+    # clone re-points both the sidecar and its covered-file entries
+    # (the sidecar's CONTENT is basename-keyed, so it reads unchanged)
+    dv = {
+        _ref(d): [_ref(f) for f in cov]
+        for d, cov in (src.get("dv") or {}).items()
+    }
     os.makedirs(_versions_dir(dst_dir), exist_ok=True)
     seg = _segment(
         1,
@@ -2597,6 +2940,7 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
         bloom_cols=src.get("bloom_cols"),
         n_files=len(files),
         colmap=src.get("colmap"),
+        dv_add=dv or None,
     )
     _publish(dst_dir, seg)
     return _finish_commit(dst_dir, 1)
@@ -2678,6 +3022,11 @@ class VersionedTable:
         **kw,
     ) -> dict:
         return compact(self.spark, self.path, n_files, zorder_cols, **kw)
+
+    def purge_dv(self, n_files: int = 1, **kw) -> dict:
+        """REORG ... APPLY (PURGE): fold deletion vectors into
+        rewritten files."""
+        return purge_dv(self.spark, self.path, n_files, **kw)
 
     def restore(self, version: int) -> dict:
         return restore(self.path, version, self.spark)
@@ -2836,12 +3185,17 @@ def vacuum(
     live: set[str] = set()
     if keep:
         # ONE incremental walk covers every kept version's file set
-        base_files = _snapshot(table_dir, keep[0], with_stats=False)["files"]
+        base_snap = _snapshot(table_dir, keep[0], with_stats=False)
+        base_files = base_snap["files"]
         live.update(base_files)
-        for _, _, files, _ in _walk_segments(
+        # deletion-vector sidecars referenced by ANY kept version are
+        # as live as the data files they cover
+        live.update(base_snap.get("dv") or {})
+        for _, seg, files, _ in _walk_segments(
             table_dir, keep[0], keep[-1], start_files=base_files
         ):
             live.update(files)
+            live.update(seg.get("dv_add") or {})
         if (
             dropping_segments
             and not dry_run

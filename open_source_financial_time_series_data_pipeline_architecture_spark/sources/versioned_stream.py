@@ -55,7 +55,45 @@ def _phys_names(m: dict, struct: T.StructType) -> list[str]:
     return [colmap.get(f.name, f.name) for f in struct.fields]
 
 
-def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list[tuple]:
+def _dv_step(seg: dict, prev: dict) -> dict:
+    """Replay one segment's deletion-vector effect (mirrors
+    ``versioned._apply_segment``): reset clears, removes clean covered
+    lists, ``dv_add`` stacks."""
+    nxt = dict(prev)
+    if "files" in seg or seg.get("reset"):
+        nxt = {}
+    rm = set(seg.get("remove") or [])
+    if rm:
+        nxt = {
+            d: kept
+            for d, cov in nxt.items()
+            if (kept := [f for f in cov if f not in rm])
+        }
+    nxt.update(seg.get("dv_add") or {})
+    return nxt
+
+
+def _dv_positions(table_dir: str, dv_files) -> dict[str, set[int]]:
+    """Load deletion-vector sidecars → {data file BASENAME: deleted
+    positions}. Driver-side pyarrow, like every read in this tail
+    source."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(table_dir, V._DATA)
+    out: dict[str, set[int]] = {}
+    for d in dv_files:
+        tbl = pq.read_table(os.path.normpath(os.path.join(data_dir, d)))
+        for rec in tbl.to_pylist():
+            out.setdefault(rec["file"], set()).add(rec["pos"])
+    return out
+
+
+def _rows_from_files(
+    table_dir: str,
+    files: list[str],
+    names: list[str],
+    dv_pos: dict[str, set[int]] | None = None,
+) -> list[tuple]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -65,6 +103,7 @@ def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list
         # bare name, or a shallow-clone reference (absolute / relative
         # to data_dir) — same resolution as versioned._read_files
         tbl = pq.read_table(os.path.normpath(os.path.join(data_dir, f)))
+        dead = (dv_pos or {}).get(os.path.basename(f)) or ()
         # Spark writes INT96/NTZ-flavored timestamps that pyarrow
         # surfaces tz-naive (and ns-unit); Spark's ingest converter
         # requires tz-aware values. Session tz is UTC, so re-tagging as
@@ -79,7 +118,9 @@ def _rows_from_files(table_dir: str, files: list[str], names: list[str]) -> list
             fields.append(fld)
         tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
         cols = set(tbl.column_names)
-        for rec in tbl.to_pylist():
+        for pos, rec in enumerate(tbl.to_pylist()):
+            if pos in dead:  # deletion-vectored row
+                continue
             # manifest-schema order; columns added later read as None
             out.append(tuple(rec[n] if n in cols else None for n in names))
     return out
@@ -108,15 +149,25 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
         out: list[tuple] = []
+        dv: dict = (
+            dict(
+                V._snapshot(self.table_dir, lo, with_stats=False).get("dv")
+                or {}
+            )
+            if lo
+            else {}
+        )
         for v, seg, files, prev_files in _walk_segments(self.table_dir, lo, hi):
             mode = seg["mode"]
+            dv = _dv_step(seg, dv)
             if mode == "append":
                 seen = set(prev_files)
                 new = [f for f in files if f not in seen]
+                # files added THIS commit cannot be deletion-vectored yet
                 out.extend(_rows_from_files(self.table_dir, new, self.names))
             elif mode in ("optimize", "metadata"):
                 pass
-            else:  # overwrite/merge: the snapshot changed in place
+            else:  # overwrite/merge/dv: the snapshot changed in place
                 if self.on_overwrite == "fail":
                     raise RuntimeError(
                         f"version {v} is a {mode}; streaming tail "
@@ -125,18 +176,31 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
                     )
                 if self.on_overwrite == "snapshot":
                     out.extend(
-                        _rows_from_files(self.table_dir, files, self.names)
+                        _rows_from_files(
+                            self.table_dir,
+                            files,
+                            self.names,
+                            _dv_positions(self.table_dir, list(dv))
+                            if dv
+                            else None,
+                        )
                     )
         return out
 
 
 def _multiset_diff(
-    table_dir: str, old_files: list[str], new_files: list[str], names: list[str]
+    table_dir: str,
+    old_files: list[str],
+    new_files: list[str],
+    names: list[str],
+    old_dv: dict[str, set[int]] | None = None,
+    new_dv: dict[str, set[int]] | None = None,
 ) -> tuple[list[tuple], list[tuple]]:
     """(inserts, deletes) between two file sets as a MULTISET diff —
     identical rows cancel pairwise (exceptAll semantics), so a rewrite
-    that reproduces a row bit-identically emits nothing for it. List
-    columns are tupled for hashing."""
+    that reproduces a row bit-identically emits nothing for it. Each
+    side reads under its own deletion-vector state. List columns are
+    tupled for hashing."""
     from collections import Counter
 
     def _freeze(v):
@@ -149,11 +213,42 @@ def _multiset_diff(
     def _key(row: tuple) -> tuple:
         return tuple(_freeze(v) for v in row)
 
-    old = Counter(_key(r) for r in _rows_from_files(table_dir, old_files, names))
-    new = Counter(_key(r) for r in _rows_from_files(table_dir, new_files, names))
+    old = Counter(
+        _key(r) for r in _rows_from_files(table_dir, old_files, names, old_dv)
+    )
+    new = Counter(
+        _key(r) for r in _rows_from_files(table_dir, new_files, names, new_dv)
+    )
     ins = [k for k, n in (new - old).items() for _ in range(n)]
     dels = [k for k, n in (old - new).items() for _ in range(n)]
     return ins, dels
+
+
+def _rows_at_positions(
+    table_dir: str,
+    files: list[str],
+    names: list[str],
+    pos: dict[str, set[int]],
+) -> list[tuple]:
+    """The rows AT the given (file basename → positions) — the inverse
+    selection of ``_rows_from_files``'s dv skip; a dv commit's delete
+    feed."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    data_dir = os.path.join(table_dir, V._DATA)
+    for f in files:
+        want = pos.get(os.path.basename(f))
+        if not want:
+            continue
+        tbl = pq.read_table(os.path.normpath(os.path.join(data_dir, f)))
+        cols = set(tbl.column_names)
+        for i, rec in enumerate(tbl.to_pylist()):
+            if i in want:
+                out.append(
+                    tuple(rec[n] if n in cols else None for n in names)
+                )
+    return out
 
 
 class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
@@ -189,8 +284,17 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
         def _emit(rows, kind: str, v: int):
             out.extend(tuple(r) + (kind, v) for r in rows)
 
+        dv: dict = (
+            dict(
+                V._snapshot(self.table_dir, lo, with_stats=False).get("dv")
+                or {}
+            )
+            if lo
+            else {}
+        )
         for v, seg, files, prev_files in _walk_segments(self.table_dir, lo, hi):
             mode = seg["mode"]
+            prev_dv, dv = dv, _dv_step(seg, dv)
             if mode == "append":
                 seen = set(prev_files)
                 new = [f for f in files if f not in seen]
@@ -201,18 +305,52 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
                 )
             elif mode in ("optimize", "metadata"):
                 pass
+            elif mode == "dv":
+                # merge-on-read DELETE: the sidecar's positions ARE the
+                # delete feed (the sidecar records only newly-deleted
+                # rows, so no diff is needed)
+                dv_add = seg.get("dv_add") or {}
+                covered = sorted(
+                    {f for cov in dv_add.values() for f in cov}
+                    & set(prev_files)
+                )
+                _emit(
+                    _rows_at_positions(
+                        self.table_dir,
+                        covered,
+                        self.names,
+                        _dv_positions(self.table_dir, list(dv_add)),
+                    ),
+                    "delete",
+                    v,
+                )
             elif mode == "merge":
                 seen = set(prev_files)
                 new = [f for f in files if f not in seen]
                 replaced = seg.get("replaced", seg.get("remove", []))
                 ins, dels = _multiset_diff(
-                    self.table_dir, replaced, new, self.names
+                    self.table_dir,
+                    replaced,
+                    new,
+                    self.names,
+                    old_dv=_dv_positions(self.table_dir, list(prev_dv))
+                    if prev_dv
+                    else None,
                 )
                 _emit(ins, "insert", v)
                 _emit(dels, "delete", v)
             else:  # overwrite: full snapshot diff
                 ins, dels = _multiset_diff(
-                    self.table_dir, prev_files, files, self.names
+                    self.table_dir,
+                    prev_files,
+                    files,
+                    self.names,
+                    old_dv=_dv_positions(self.table_dir, list(prev_dv))
+                    if prev_dv
+                    else None,
+                    new_dv=_dv_positions(self.table_dir, list(dv))
+                    if dv
+                    else None,
                 )
                 _emit(ins, "insert", v)
                 _emit(dels, "delete", v)
