@@ -1700,6 +1700,136 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _pq_witness_oracle(m: int = 8, kk: int = 16, k: int = 5) -> str:
+    """Oracle for the REAL pq_encode→pq_topk ADC pipeline with an
+    SQL-selectable codebook (the md5-ordered init vectors' subspace
+    slices — the Lloyd trainer is the one genuinely non-SQL step; the
+    trained path stays covered by ann_pq_topk's recall test). Every
+    float reduction on the Spark side is an explicit LEFT FOLD (see
+    pq_topk) so the SQL list_reduce chain reproduces it bit-exactly:
+    subspace L2 argmin (ties → lowest codeword ordinal), per-subspace
+    dot LUT, reconstruction norm from codeword norms, one division,
+    ROUND 6."""
+    sub = 64 // m
+
+    def fold(expr: str, n: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {n + 1}), i -> {expr}),"
+            " (p, q) -> p + q)"
+        )
+
+    l2 = fold("(va[i] - vb[i]) * (va[i] - vb[i])", sub)
+    dot_s = fold("va[i] * vb[i]", sub)
+    dot_full = fold("v[i] * v[i]", 64)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT v AS cv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS ord
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {kk}
+),
+subs AS (SELECT unnest(range(0, {m})) AS j),
+sc AS (
+  SELECT ord, j, list_slice(cv, j * {sub} + 1, (j + 1) * {sub}) AS c
+  FROM cent, subs
+),
+-- per (vector, subspace): nearest codeword by L2, first-min ties
+asgn AS (
+  SELECT vec_id, j, ord AS code, c FROM (
+    SELECT e.vec_id, s.j, s.ord, s.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id, s.j
+             ORDER BY (SELECT {l2} FROM (SELECT
+                 list_slice(e.v, s.j * {sub} + 1, (s.j + 1) * {sub}) AS va,
+                 s.c AS vb)) ASC, s.ord ASC) AS rn
+    FROM e, sc s
+  ) WHERE rn = 1
+),
+qs AS (
+  SELECT e.vec_id AS query_id, subs.j,
+         list_slice(e.v, subs.j * {sub} + 1, (subs.j + 1) * {sub}) AS qv
+  FROM e, subs WHERE e.vec_id % 499 = 0
+),
+qn AS (
+  SELECT vec_id AS query_id, sqrt({dot_full}) AS qnorm
+  FROM e WHERE vec_id % 499 = 0
+),
+per AS (
+  SELECT a.vec_id, q.query_id, a.j,
+         (SELECT {dot_s} FROM (SELECT q.qv AS va, a.c AS vb)) AS dj,
+         (SELECT {dot_s} FROM (SELECT a.c AS va, a.c AS vb)) AS n2j
+  FROM asgn a JOIN qs q ON a.j = q.j
+),
+agg AS (
+  SELECT vec_id, query_id,
+         list_reduce(list(dj ORDER BY j), (p, q) -> p + q) AS dots,
+         sqrt(list_reduce(list(n2j ORDER BY j), (p, q) -> p + q)) AS rnorm
+  FROM per GROUP BY vec_id, query_id
+),
+ranked AS (
+  SELECT a.query_id, a.vec_id,
+         ROUND(a.dots / (a.rnorm * qn.qnorm), 6) AS cosine_adc,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY ROUND(a.dots / (a.rnorm * qn.qnorm), 6) DESC,
+                    a.vec_id ASC) AS rank
+  FROM agg a JOIN qn ON a.query_id = qn.query_id
+)
+SELECT query_id, vec_id, cosine_adc, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_pq_witness", _pq_witness_oracle())
+def ann_pq_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py pq_encode + pq_topk — PRODUCT
+    QUANTIZATION ADC (the 4th ANN leg next to brute force/LSH/IVF;
+    replaces pgvector's ivfflat at the compression operating point the
+    reference cannot reach: 8 codes per 64-dim vector): the REAL
+    encode→LUT→gather pipeline pinned value-exact by SQL with the
+    codebook as the md5-ordered init vectors' subspace slices. Every
+    reduction is a left fold on both sides (numpy length-8 sums are
+    sequential; query norms/LUTs computed fold-form in pq_topk), so
+    the hash pins the arithmetic, not just the shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(16)
+        .collect()
+    )
+    books = [
+        [list(r["v"])[j * 8 : (j + 1) * 8] for r in init] for j in range(8)
+    ]
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.pq_topk(queries_df, emb, books, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate k-NN with TRAINED codebooks (rows-only: the
+    per-subspace Lloyd trainer is iterative, not SQL-expressible;
+    recall@5 vs exact kNN pinned in tests/test_pq.py). m=16 subspaces
+    × 16 codewords = 16 bytes per 64-dim vector — the in-RAM-index
+    operating point at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_codebooks(emb, m=16, k=16, iters=3)
+    queries_df = emb.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.pq_topk(queries_df, emb, books, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Relational / ops-plane coverage (SURVEY §2.3 J4-J5, §2.7 O1, §2.8 U1)
 # --------------------------------------------------------------------------
@@ -27444,6 +27574,8 @@ _DRIVER_WINDOW_DEBUT = [
     # r6 deletion vectors: merge-on-read DELETE through the sidecar
     # anti-join read path
     "versioned_deletion_vectors",
+    # r6 product quantization: the 4th ANN leg, ADC arithmetic pinned
+    "ann_pq_witness",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one
     # more driver hash on the NEW code path closes the loop

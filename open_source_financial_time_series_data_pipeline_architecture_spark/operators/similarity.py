@@ -705,3 +705,228 @@ def embedding_contamination(
         "nearest_bench_id",
         (F.col("max_cosine") >= threshold).alias("is_leaked"),
     )
+
+
+# -- product quantization (PQ / ADC) ----------------------------------------
+#
+# The fourth leg of the ANN family (brute force / LSH / IVF / PQ — the
+# FAISS-canonical quartet): each d-dim vector splits into `m` subspaces
+# with a k-entry L2 codebook per subspace, so the corpus compresses to
+# m small codes per vector (m·log2(k) bits instead of d·64) and a query
+# scores a vector by LOOKUP — one m×k table of subspace dot products per
+# query, built once, then sum-of-m-gathers per corpus code word
+# (asymmetric distance computation). At 100 TB this is the form where
+# the "index" fits in RAM: 64-dim float64 → 8 bytes/vector at m=8,k=16.
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks (the PQ trainer), m×k×(d/m).
+
+    Same deterministic shape as ``kmeans_centroids``: init from the k
+    corpus vectors with the smallest xxhash64(id, seed) (their
+    subspace slices seed every subquantizer), then each Lloyd
+    iteration is ONE Arrow-batched pass that assigns ALL m subspaces
+    and emits per-partition partial sums — ≤ m·k rows per partition
+    back to the driver; the corpus never shuffles. Ties in the argmin
+    take the FIRST minimum (lowest code), matching the SQL witness's
+    ``ORDER BY dist ASC, ord ASC`` rule."""
+    import numpy as np
+
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    d = len(vecs.select("v").first()["v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    init = (
+        vecs.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    books = np.array(
+        [
+            [list(r["v"])[j * sub : (j + 1) * sub] for r in init]
+            for j in range(m)
+        ]
+    )  # m × k × sub
+
+    for _ in range(iters):
+        cb = books.copy()
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["v"].to_numpy())
+                rows = []
+                for j in range(m):
+                    x = mat[:, j * sub : (j + 1) * sub]
+                    d2 = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    a = d2.argmin(axis=1)
+                    for c in range(len(cb[j])):
+                        msk = a == c
+                        if msk.any():
+                            rows.append(
+                                (
+                                    j,
+                                    c,
+                                    int(msk.sum()),
+                                    x[msk].sum(axis=0).tolist(),
+                                )
+                            )
+                yield pd.DataFrame(rows, columns=["j", "c", "n", "s"])
+
+        parts = vecs.select("v").mapInPandas(
+            partials, "j int, c int, n long, s array<double>"
+        ).collect()
+        sums: dict = {}
+        counts: dict = {}
+        for r in parts:
+            key = (r["j"], r["c"])
+            sums[key] = sums.get(key, 0) + np.array(r["s"])
+            counts[key] = counts.get(key, 0) + r["n"]
+        for j in range(m):
+            for c in range(k):
+                if counts.get((j, c)):
+                    books[j][c] = sums[(j, c)] / counts[(j, c)]
+    vecs.unpersist()
+    return [[[float(x) for x in c] for c in books[j]] for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its m nearest-codeword indices (L2 per
+    subspace, first-min ties). One Arrow-batched pass, no shuffle —
+    the corpus compresses to (id, codes array<int>)."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)
+    m, _, sub = cb.shape
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__pq_id": pdf["__pq_id"], "codes": list(codes.tolist())}
+            )
+
+    return df.select(
+        F.col(id_col).alias("__pq_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(enc, f"__pq_id {id_type}, codes array<int>").select(
+        F.col("__pq_id").alias(id_col), "codes"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate k-NN by asymmetric distance computation: the
+    query matrix (small by contract, like ``knn_join_vectorized``) is
+    collected once; per query a m×k LUT of subspace dot products is
+    precomputed; each corpus vector then costs m table gathers — no
+    d-dim arithmetic touches the corpus at query time, and the scan
+    reads only the (id, codes) encoding. Scores are the reconstructed
+    cosine: ``Σⱼ q̂ⱼ·c(codeⱼ) / (|q|·|x̂|)`` with ``|x̂|`` exact from the
+    per-codeword norms (subspaces are an orthogonal decomposition).
+    Output contract matches the family: (cosine_adc rounded 6, ties by
+    id), rank ≤ k."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks)
+    m, _, sub = cb.shape
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = [r[query_id] for r in q_rows]
+    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # query norms as an explicit LEFT FOLD (not np.linalg.norm/BLAS):
+    # the SQL witness left-folds list_reduce the same 64 terms, and the
+    # query set is contract-small so the python loop is free
+    import functools
+
+    q_norm = np.asarray(
+        [
+            (lambda s: s if s else 1.0)(
+                functools.reduce(lambda a, b: a + b, (row * row).tolist())
+            )
+            for row in q_mat
+        ]
+    )
+    q_norm = np.sqrt(q_norm)
+    # LUT (m × k × Q): subspace-dot of every query against every
+    # codeword. Elementwise-multiply-then-sequential-sum (length-8
+    # reductions stay left-to-right in numpy) rather than BLAS matmul,
+    # so each LUT entry is bit-identical to the witness's left fold
+    lut = np.stack(
+        [
+            (
+                q_mat[:, j * sub : (j + 1) * sub][:, None, :]
+                * cb[j][None, :, :]
+            ).sum(axis=2)
+            for j in range(m)
+        ]
+    ).transpose(0, 2, 1)
+    n2 = (cb * cb).sum(axis=2)  # m × k codeword norms²
+    jj = np.arange(m)
+
+    codes_df = pq_encode(corpus, codebooks, corpus_id, vec_col)
+
+    @pandas_udf("array<double>")
+    def score_all(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        if len(c) == 0:
+            return pd.Series([], dtype=object)
+        dots = lut[jj[None, :], c, :].sum(axis=1)  # n × Q
+        rnorm = np.sqrt(n2[jj[None, :], c].sum(axis=1))
+        rnorm[rnorm == 0.0] = 1.0
+        sims = dots / (rnorm[:, None] * q_norm[None, :])
+        return pd.Series(list(np.round(sims, 6)))
+
+    scored = codes_df.select(
+        F.col(corpus_id), score_all(F.col("codes")).alias("__s")
+    ).select(corpus_id, F.posexplode("__s").alias("__qi", "cosine_adc"))
+    qmap = F.array(*[F.lit(i) for i in q_ids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("__qi") + 1).alias(query_id),
+        corpus_id,
+        "cosine_adc",
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_adc").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
