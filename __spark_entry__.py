@@ -27453,6 +27453,70 @@ def versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "versioned_merge_dimension_sync",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(CASE WHEN symbol IN ('click', 'view') AND price > 0
+                      THEN price * 2 ELSE price END), 6) AS min_px,
+       ROUND(max(CASE WHEN symbol IN ('click', 'view') AND price > 0
+                      THEN price * 2 ELSE price END), 6) AS max_px,
+       ROUND(sum(volume), 6) AS sum_volume
+FROM trades
+WHERE symbol <> 'error'
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_merge_dimension_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Delta MERGE surface in one dimension-sync statement
+    (Delta 2.3's whenNotMatchedBySource + conditional clauses +
+    partial UPDATE SET — the shape a warehouse uses to mirror an
+    upstream dimension; reference spark/batch_feature_calculation.py:
+    61-65 is the MERGE call site these clauses extend): the source is
+    the refreshed click/view slice with doubled prices; the merge SETs
+    only ``price`` (volume and every other column keep their TARGET
+    values), guarded by ``when_matched_condition='src_price > price'``
+    (false exactly when price ≤ 0 — those rows stay untouched), and
+    ``when_not_matched_by_source='delete'`` scoped to the 'error'
+    symbol removes retired keys. The oracle rebuilds the synced state
+    declaratively."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        src = tr.filter(F.col("symbol").isin("click", "view")).withColumn(
+            "price", F.col("price") * 2
+        )
+        V.merge(
+            spark,
+            work,
+            src,
+            keys=["symbol", "trade_id"],
+            set_exprs={"price": F.col("src_price")},
+            when_matched_condition="src_price > price",
+            when_not_matched_by_source="delete",
+            when_not_matched_by_source_condition="symbol = 'error'",
+        )
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_dimsync", build)
+    return (
+        V.read_version(spark, table)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min("price"), 6).alias("min_px"),
+            F.round(F.max("price"), 6).alias("max_px"),
+            F.round(F.sum("volume"), 6).alias("sum_volume"),
+        )
+    )
+
+
+@q(
     "versioned_rename_time_travel",
     oracle(
         """
@@ -27576,6 +27640,9 @@ _DRIVER_WINDOW_DEBUT = [
     "versioned_deletion_vectors",
     # r6 product quantization: the 4th ANN leg, ADC arithmetic pinned
     "ann_pq_witness",
+    # r6 full MERGE surface: conditional clauses + partial SET +
+    # whenNotMatchedBySource in one dimension-sync statement
+    "versioned_merge_dimension_sync",
     # r6 changed implementation (same pinned semantics): the JPEG
     # entropy decode was rewritten table-driven + batched-IDCT — one
     # more driver hash on the NEW code path closes the loop

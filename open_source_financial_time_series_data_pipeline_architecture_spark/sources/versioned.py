@@ -2275,6 +2275,10 @@ def merge(
     report: dict | None = None,
     txn: tuple[str, int] | None = None,
     rebase_retries: int = 2,
+    set_exprs: dict | None = None,
+    when_matched_condition=None,
+    when_not_matched_by_source: str = "ignore",
+    when_not_matched_by_source_condition=None,
 ) -> dict:
     """MERGE INTO the versioned table (Delta's upsert primitive —
     reference spark/batch_feature_calculation.py:61-65 relies on it):
@@ -2301,11 +2305,52 @@ def merge(
     Multiple source rows with the same key would make the update
     non-deterministic — rejected up front, exactly as Delta's
     "multiple source rows matched" error. Pass a dict as ``report``
-    to observe files_total/files_rewritten/rows_written."""
+    to observe files_total/files_rewritten/rows_written.
+
+    Advanced clauses (Delta's full MERGE surface):
+
+    - ``set_exprs`` (with ``when_matched='update'``): partial ``UPDATE
+      SET col = expr`` — listed columns get the expression, every
+      other column keeps its TARGET value (not the source row). The
+      expressions evaluate over the matched pair: target columns under
+      their own names, source columns as ``src_<name>``.
+    - ``when_matched_condition``: extra ``AND`` predicate (str or
+      Column, same namespace) — key-matched rows where it is FALSE or
+      NULL are left untouched, exactly Delta's conditional clause.
+    - ``when_not_matched_by_source='delete'`` (+ optional condition
+      over target columns): target rows whose key has NO source row
+      are deleted — the dimension-sync clause (Delta 2.3's
+      ``whenNotMatchedBySource``). NB this makes the merge read EVERY
+      file (any file may hold unmatched rows), so file-level pruning
+      is off for that run — the honest cost of full-table sync
+      semantics; scope it with the condition when possible.
+
+    Semantics note: the advanced matched path preserves target-row
+    multiplicity (each duplicate-key target row is updated in place);
+    the default whole-row path replaces all duplicates with the single
+    source row, as before."""
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched: {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched: {when_not_matched!r}")
+    if when_not_matched_by_source not in ("ignore", "delete"):
+        raise ValueError(
+            f"when_not_matched_by_source: {when_not_matched_by_source!r}"
+        )
+    if set_exprs and when_matched != "update":
+        raise ValueError("set_exprs requires when_matched='update'")
+    if when_matched_condition is not None and when_matched == "ignore":
+        raise ValueError(
+            "when_matched_condition is meaningless with "
+            "when_matched='ignore'"
+        )
+    advanced_matched = (
+        set_exprs is not None or when_matched_condition is not None
+    )
+    by_source_delete = when_not_matched_by_source == "delete"
+
+    def _cond(c):
+        return F.expr(c) if isinstance(c, str) else c
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -2364,9 +2409,11 @@ def merge(
         *[_env_col(F.min, k).alias(f"lo_{k}") for k in keys],
         *[_env_col(F.max, k).alias(f"hi_{k}") for k in keys],
     ).first()
-    if env["__n"] == 0:  # empty source: provable no-op (an all-NULL
-        # key column is NOT empty — its rows never match and still
-        # insert under when_not_matched='insert')
+    if env["__n"] == 0 and not by_source_delete:
+        # empty source: provable no-op (an all-NULL key column is NOT
+        # empty — its rows never match and still insert under
+        # when_not_matched='insert'). Under by-source DELETE an empty
+        # source is anything but a no-op: every target row is unmatched.
         if report is not None:
             report.update(
                 {
@@ -2380,7 +2427,11 @@ def merge(
     for k in keys:
         if env[f"lo_{k}"] is not None:
             preds += [(k, ">=", env[f"lo_{k}"]), (k, "<=", env[f"hi_{k}"])]
-    if preds:
+    if by_source_delete:
+        # any file may hold by-source-unmatched rows: whole-table read
+        preds = []
+        touched = list(m["files"])
+    elif preds:
         # scale-aware: at large file counts this prunes via the
         # checkpoint stats parquet instead of a driver stats dict
         touched, _ = _pruned_files(spark, table_dir, base, preds)
@@ -2389,10 +2440,69 @@ def merge(
 
     key_cols = [F.col(k) for k in keys]
     src_keys = source.select(*key_cols).distinct()
+    non_keys = [f.name for f in schema.fields if f.name not in keys]
+    if set_exprs and not set(set_exprs) <= set(non_keys):
+        raise ValueError(
+            f"set_exprs may only SET non-key columns; got "
+            f"{sorted(set(set_exprs) - set(non_keys))}"
+        )
+    bcond = (
+        F.coalesce(_cond(when_not_matched_by_source_condition), F.lit(False))
+        if when_not_matched_by_source_condition is not None
+        else F.lit(True)
+    )
     if touched:
         target = _read_snapshot_files(spark, table_dir, touched, m)
         tgt_keys = target.select(*key_cols).distinct()
-        if when_matched == "update":
+        if advanced_matched:
+            # one LEFT join pairs each target row with its source match
+            # (source columns exposed as src_<name> for the SET/condition
+            # namespace); multiplicity of duplicate-key target rows is
+            # preserved — each is updated in place
+            clash = [c for c in non_keys if f"src_{c}" in schema.fieldNames()]
+            if clash:
+                raise ValueError(
+                    f"column names collide with the src_ namespace: {clash}"
+                )
+            src_pref = source.select(
+                *key_cols,
+                *[F.col(c).alias(f"src_{c}") for c in non_keys],
+                F.lit(True).alias("__src_hit"),
+            )
+            joined = target.join(src_pref, keys, "left")
+            matched = F.coalesce(F.col("__src_hit"), F.lit(False))
+            m_hit = matched & (
+                F.coalesce(_cond(when_matched_condition), F.lit(False))
+                if when_matched_condition is not None
+                else F.lit(True)
+            )
+            drop = F.lit(False)
+            if when_matched == "delete":
+                drop = drop | m_hit
+            if by_source_delete:
+                drop = drop | (~matched & bcond)
+            frame = joined.filter(~drop)
+            if when_matched == "update":
+
+                def _set_val(c: str):
+                    if set_exprs is not None:
+                        v = set_exprs.get(c)
+                        return _cond(v) if v is not None else F.col(c)
+                    return F.col(f"src_{c}")  # whole-row replace
+
+                kept = frame.select(
+                    *key_cols,
+                    *[
+                        F.when(m_hit, _set_val(c))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in non_keys
+                    ],
+                )
+            else:
+                kept = frame.select(*[F.col(f.name) for f in schema.fields])
+            updated = None
+        elif when_matched == "update":
             kept = target.join(src_keys, keys, "left_anti")
             updated = source.join(tgt_keys, keys, "left_semi")
         elif when_matched == "delete":
@@ -2400,6 +2510,13 @@ def merge(
             updated = None
         else:  # ignore
             kept, updated = target, None
+        if by_source_delete and not advanced_matched:
+            if when_matched == "ignore":
+                kept = target.join(src_keys, keys, "left_semi").unionByName(
+                    target.join(src_keys, keys, "left_anti").filter(~bcond)
+                )
+            else:  # kept is exactly the by-source-unmatched rows
+                kept = kept.filter(~bcond)
         inserts = (
             source.join(tgt_keys, keys, "left_anti")
             if when_not_matched == "insert"
