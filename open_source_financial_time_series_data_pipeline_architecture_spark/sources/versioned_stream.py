@@ -132,6 +132,11 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
         self.on_overwrite = options.get("on_overwrite", "fail")
         if self.on_overwrite not in ("fail", "snapshot", "skip"):
             raise ValueError(f"on_overwrite: {self.on_overwrite!r}")
+        # Delta's maxFilesPerTrigger analog at our offset granularity:
+        # cap how many COMMITS one micro-batch may drain, so a replay
+        # from version 0 of a long-lived table becomes many bounded
+        # batches instead of one unbounded one
+        self.max_commits = int(options.get("max_commits_per_batch", 0))
         self.names = names
 
     def initialOffset(self):
@@ -140,6 +145,8 @@ class VersionedTailStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         versions = V._list_versions(self.table_dir)
         head = versions[-1] if versions else 0
+        if self.max_commits > 0:
+            head = min(head, start["v"] + self.max_commits)
         if head <= start["v"]:
             return [], {"v": start["v"]}
         return self._rows(start["v"], head), {"v": head}
@@ -263,6 +270,7 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options, names: list[str]):
         self.table_dir = options["path"]
         self.start_version = int(options.get("start_version", 0))
+        self.max_commits = int(options.get("max_commits_per_batch", 0))
         self.names = names  # table columns; change columns appended
 
     def initialOffset(self):
@@ -271,6 +279,8 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         versions = V._list_versions(self.table_dir)
         head = versions[-1] if versions else 0
+        if self.max_commits > 0:
+            head = min(head, start["v"] + self.max_commits)
         if head <= start["v"]:
             return [], {"v": start["v"]}
         return self._rows(start["v"], head), {"v": head}

@@ -269,3 +269,50 @@ def test_dv_with_column_mapping(spark, tmp_path):
     assert set(got) == set(range(5, 10)) | set(range(100, 110))
     V.purge_dv(spark, t)
     assert {r["id"] for r in V.read_version(spark, t).collect()} == set(got)
+
+
+def test_tail_rate_limit_bounds_batches(spark, tmp_path):
+    """max_commits_per_batch (Delta's maxFilesPerTrigger analog at our
+    commit-offset granularity): each read() call advances at most the
+    cap, the batches tile the log with no gap or overlap, and their
+    union is exactly the unlimited read. Tested at the reader contract
+    level — the trigger loop above it (processingTime/availableNow)
+    just calls read() repeatedly."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+        VersionedCDFStreamReader,
+        VersionedTailStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    for k in range(6):
+        V.commit(
+            _df(spark, k * 10, k * 10 + 10).coalesce(1), t, mode="append"
+        )
+
+    def drain(reader):
+        off, batches = reader.initialOffset(), []
+        while True:
+            rows, nxt = reader.read(off)
+            if nxt == off:
+                return batches
+            batches.append((nxt["v"] - off["v"], rows))
+            off = nxt
+
+    tail = VersionedTailStreamReader(
+        {"path": t, "max_commits_per_batch": "2"}, ["id", "v"]
+    )
+    batches = drain(tail)
+    assert [s for s, _ in batches] == [2, 2, 2]  # bounded, tiling
+    ids = [r[0] for _, rows in batches for r in rows]
+    assert sorted(ids) == list(range(60))
+
+    cdf = VersionedCDFStreamReader(
+        {"path": t, "max_commits_per_batch": "4"}, ["id", "v"]
+    )
+    batches = drain(cdf)
+    assert [s for s, _ in batches] == [4, 2]
+    ids = [r[0] for _, rows in batches for r in rows]
+    assert sorted(ids) == list(range(60))
+    # unlimited reader agrees with the tiled union
+    full = VersionedTailStreamReader({"path": t}, ["id", "v"])
+    assert len(drain(full)) == 1
