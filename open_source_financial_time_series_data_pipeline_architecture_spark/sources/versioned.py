@@ -1384,6 +1384,7 @@ def _segment(
     n_files: int,
     colmap: dict | None = None,
     dv_add: dict | None = None,
+    user_metadata: str | None = None,
 ) -> dict:
     """One incremental commit record. File payload is O(touched);
     config (schema/txn/constraints/bloom/colmap) is tiny and carried
@@ -1414,6 +1415,8 @@ def _segment(
         seg["colmap"] = colmap
     if dv_add:
         seg["dv_add"] = dv_add
+    if user_metadata is not None:
+        seg["user_metadata"] = str(user_metadata)
     return seg
 
 
@@ -1742,6 +1745,7 @@ def commit(
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
+    user_metadata: str | None = None,
 ) -> dict:
     """Write ``df`` as the next version. ``mode='overwrite'`` resets
     the table to just this write; ``mode='append'`` adds files to the
@@ -1755,6 +1759,10 @@ def commit(
     ``expected_base`` is set the commit instead FAILS with
     ``ConcurrentCommitError`` if the head moved — the compare-and-swap
     contract rewrite commits (compaction) need.
+
+    ``user_metadata`` (Delta's commitInfo.userMetadata): a free-form
+    audit tag recorded on the segment and surfaced by ``history()`` —
+    "backfill 2026-01", the orchestrator run id, the ticket number.
     """
     if mode not in ("overwrite", "append", "optimize"):
         raise ValueError(f"mode: {mode!r}")
@@ -1824,6 +1832,7 @@ def commit(
             bloom_cols=bloom_cols,
             n_files=n_files,
             colmap=colmap,
+            user_metadata=user_metadata,
         )
         try:
             _publish(table_dir, seg)
@@ -2855,6 +2864,8 @@ def compact(
     rebase_retries: int = 2,
     predicates: list[tuple] | None = None,
     report: dict | None = None,
+    target_file_bytes: int | None = None,
+    min_file_bytes: int | None = None,
 ) -> dict:
     """OPTIMIZE [WHERE]: rewrite the head snapshot's files — ALL of
     them, or with ``predicates`` only the files whose stat envelopes
@@ -2866,6 +2877,18 @@ def compact(
     change feed skips it), physically the small-file fix. NB the
     predicate selects FILES, not rows — every row of a selected file is
     rewritten, so the result is always row-identical.
+
+    Size-aware mode (Delta's real OPTIMIZE behavior — at 100 TB,
+    re-rewriting already-right-sized files is the dominant waste):
+    ``target_file_bytes`` bin-packs the selected bytes into
+    ``ceil(bytes/target)`` output files (overriding ``n_files``), and
+    ``min_file_bytes`` (default ``target/2`` when a target is set)
+    restricts the candidate set to files SMALLER than it — a steady
+    ingest's daily compaction touches only the new small files, never
+    the archive. A lone undersized file is left alone (nothing to
+    coalesce it with). Z-order is a CLUSTERING rewrite, so it
+    intentionally ignores ``min_file_bytes`` and rewrites every
+    selected file.
 
     Concurrency (round 6 — Delta's OPTIMIZE contract): the segment is
     INCREMENTAL (remove = the files the compaction read, add = the
@@ -2887,6 +2910,26 @@ def compact(
     else:
         m = _snapshot(table_dir, base, with_stats=False)
         touched = list(m["files"])
+    if target_file_bytes is not None and not zorder_cols:
+        floor_b = (
+            min_file_bytes
+            if min_file_bytes is not None
+            else target_file_bytes // 2
+        )
+        sizes = {
+            f: os.path.getsize(_resolve_data_path(table_dir, f))
+            for f in touched
+        }
+        touched = [f for f in touched if sizes[f] < floor_b]
+        if len(touched) < 2:
+            touched = []  # a lone small file has nothing to coalesce with
+        else:
+            import math
+
+            n_files = max(
+                1,
+                math.ceil(sum(sizes[f] for f in touched) / target_file_bytes),
+            )
     if report is not None:
         report.update(
             {"files_total": len(m["files"]), "files_rewritten": len(touched)}
@@ -3084,17 +3127,18 @@ def history(table_dir: str) -> list[dict]:
             rows_added = sum(stats[f]["rows"] for f in add)
         else:  # stats not carried for every file (legacy manifests)
             rows_added = None
-        out.append(
-            {
-                "version": v,
-                "mode": seg["mode"],
-                "n_files": n,
-                "ts": seg.get("ts"),
-                "files_added": len(add),
-                "files_removed": len(seg.get("remove") or []),
-                "rows_added": rows_added,
-            }
-        )
+        entry = {
+            "version": v,
+            "mode": seg["mode"],
+            "n_files": n,
+            "ts": seg.get("ts"),
+            "files_added": len(add),
+            "files_removed": len(seg.get("remove") or []),
+            "rows_added": rows_added,
+        }
+        if seg.get("user_metadata") is not None:
+            entry["user_metadata"] = seg["user_metadata"]
+        out.append(entry)
     return out
 
 
