@@ -69,8 +69,11 @@ the CAS contention test publishes) replay as a reset+add of their
 Feature set (mirroring the public Delta Lake features the reference's
 spark/batch_feature_calculation.py:61-65 relies on): put-if-absent
 commits, schema enforcement + backward-compatible evolution, change
-data feed (batch + streaming), OPTIMIZE with Z-order, MERGE INTO with
-file-level pruning, manifest min/max data skipping with a residual
+data feed (batch + streaming, commit-rate-limitable), OPTIMIZE with
+Z-order and size-aware bin-packing, MERGE INTO with file-level pruning
+and the full clause surface (conditional matched actions, partial SET,
+whenNotMatchedBySource), DELETION VECTORS (merge-on-read DELETE +
+REORG APPLY PURGE), manifest min/max data skipping with a residual
 row filter (exact regardless of stats coverage), CHECK constraints,
 exactly-once txn high-water marks, RESTORE (constraint-revalidated),
 TIMESTAMP AS OF time travel, retention-windowed VACUUM, and (round 6)
