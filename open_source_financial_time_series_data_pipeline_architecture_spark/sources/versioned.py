@@ -2205,8 +2205,15 @@ def read_changes(
                     F.col("file").alias("__dv_file"),
                     F.col("pos").alias("__dv_pos"),
                 )
+                # same size guard as the read path: broadcast small
+                # sidecars, let a pathological mass-delete shuffle
+                if (
+                    sum(os.path.getsize(p) for p in dpaths)
+                    <= _DV_BROADCAST_MAX_BYTES
+                ):
+                    dvdf = F.broadcast(dvdf)
                 dels = rows.join(
-                    F.broadcast(dvdf), ["__dv_file", "__dv_pos"], "left_semi"
+                    dvdf, ["__dv_file", "__dv_pos"], "left_semi"
                 ).drop("__dv_file", "__dv_pos")
                 parts.append(
                     dels.withColumn("_change_type", F.lit("delete"))
