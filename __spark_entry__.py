@@ -27453,6 +27453,70 @@ def versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "versioned_dv_update",
+    oracle(
+        """
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(min(CASE WHEN side = 'sell' THEN price * 2 ELSE price END), 6) AS min_px,
+       ROUND(max(CASE WHEN side = 'sell' THEN price * 2 ELSE price END), 6) AS max_px,
+       ROUND(sum(CASE WHEN side = 'sell' THEN volume + 1 ELSE volume END), 6) AS sum_vol
+FROM trades
+WHERE symbol <> 'error'
+GROUP BY symbol
+"""
+    ),
+)
+def versioned_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via DELETION VECTORS (Delta's DV-backed
+    UPDATE, the feature that makes a point-update O(matched rows); the
+    reference's Delta tables, spark/batch_feature_calculation.py:61-65,
+    gain it from Delta 3.x): the trades are committed and Z-ordered,
+    the 'error' symbol is merge-on-read DELETED (a prior vector the
+    update must respect — never resurrect a dead row as an updated
+    copy), then ONE DV-backed UPDATE doubles price and bumps volume for
+    every 'sell' row: the commit writes a (file, position) sidecar over
+    the old rows plus a small append of their rewritten copies — NO
+    data file is rewritten. Both SET expressions evaluate against the
+    ORIGINAL row (SQL UPDATE semantics). The aggregate reads the head
+    through the stacked-vector anti-join; the oracle rebuilds the same
+    state declaratively (NULL side rows pass through untouched)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        V.commit(tr.repartition(8), work)
+        V.compact(spark, work, n_files=8, zorder_cols=["symbol", "price"])
+        V.delete_where(
+            spark, work, [("symbol", "=", "error")], merge_on_read=True
+        )
+        V.update_where(
+            spark,
+            work,
+            [("side", "=", "sell")],
+            {
+                "price": F.col("price") * 2,
+                "volume": F.col("volume") + 1,
+            },
+            merge_on_read=True,
+        )
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_dv_update", build)
+    return (
+        V.read_version(spark, table)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.min("price"), 6).alias("min_px"),
+            F.round(F.max("price"), 6).alias("max_px"),
+            F.round(F.sum("volume"), 6).alias("sum_vol"),
+        )
+    )
+
+
+@q(
     "versioned_merge_dimension_sync",
     oracle(
         """
@@ -27636,8 +27700,10 @@ _DRIVER_WINDOW_DEBUT = [
     "versioned_column_mapping",
     "versioned_rename_time_travel",
     # r6 deletion vectors: merge-on-read DELETE through the sidecar
-    # anti-join read path
+    # anti-join read path, and the DV-backed UPDATE (sidecar + append
+    # in one commit) landed in the round-6 continuation
     "versioned_deletion_vectors",
+    "versioned_dv_update",
     # r6 product quantization: the 4th ANN leg, ADC arithmetic pinned
     "ann_pq_witness",
     # r6 full MERGE surface: conditional clauses + partial SET +

@@ -1653,6 +1653,7 @@ def _publish_rewrite(
     report: dict | None = None,
     mode: str = "merge",
     colmap: dict | None = None,
+    dv_staged: list[str] | None = None,
     dv_covered: list[str] | None = None,
 ) -> dict:
     """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
@@ -1674,22 +1675,26 @@ def _publish_rewrite(
     # winner's config for the same reason). Adopting is always safe:
     # the check already proved head constraints ⊆ validated.
     pub_constraints, pub_blooms = constraints, bloom_cols
-    is_dv = dv_covered is not None
+    is_dv = dv_staged is not None
     for attempt in range(rebase_retries + 1):
         if is_dv:
-            # merge-on-read DELETE: the staged files are DV sidecars —
-            # no data file is added or removed; `touched` is only the
-            # commit's conflict-detection read set
+            # merge-on-read DELETE/UPDATE: ``dv_staged`` holds the DV
+            # sidecars, ``staged`` the (possibly empty) data-file adds
+            # an UPDATE appends alongside its vectors; no data file is
+            # removed — `touched` is only the conflict-detection read
+            # set
             seg = _segment(
                 base + 1,
                 "dv",
+                add=staged or None,
+                stats=staged_stats or None,
                 schema_json=schema_json,
                 txn={**txn_map, **({txn[0]: int(txn[1])} if txn else {})},
                 constraints=pub_constraints,
                 bloom_cols=pub_blooms,
-                n_files=n_files,
+                n_files=n_files + len(staged),
                 colmap=colmap,
-                dv_add={f: dv_covered for f in staged},
+                dv_add={f: dv_covered for f in dv_staged},
             )
         else:
             seg = _segment(
@@ -1721,7 +1726,11 @@ def _publish_rewrite(
                 constraints,
                 schema_json,
                 colmap,
-                loser_is_dv=is_dv,
+                # only a pure merge-on-read DELETE may stack on a
+                # winner's DVs; an UPDATE (dv + adds) computed its new
+                # rows from rows a winning DV may have deleted since —
+                # republishing would resurrect them as updated copies
+                loser_is_dv=is_dv and not staged,
             )
             if _txn_replayed(new_head, txn):
                 # the racing writer WAS our own replayed micro-batch
@@ -1736,6 +1745,13 @@ def _publish_rewrite(
             staged, staged_stats = _restage_names(
                 table_dir, staged, staged_stats, base + 1
             )
+            if dv_staged:
+                dv_staged, _ = _restage_names(
+                    table_dir,
+                    dv_staged,
+                    {f: None for f in dv_staged},
+                    base + 1,
+                )
 
 
 def commit(
@@ -2186,9 +2202,18 @@ def read_changes(
         elif mode in ("optimize", "metadata"):
             pass  # logical no-op: same rows (fewer files / new config)
         elif mode == "dv":
-            # merge-on-read DELETE: the change rows are exactly the
-            # sidecar's (file, pos) identities — O(covered files) reads,
-            # no diff needed
+            # merge-on-read DELETE/UPDATE: the delete rows are exactly
+            # the sidecar's (file, pos) identities — O(covered files)
+            # reads, no diff needed; an UPDATE's rewritten copies are
+            # the segment's added files, emitted as inserts
+            seen = set(prev_files)
+            upd_files = [f for f in files if f not in seen]
+            if upd_files:
+                parts.append(
+                    _read_files(spark, table_dir, upd_files, schema_json, colmap)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
             dv_add = seg.get("dv_add") or {}
             covered = sorted({f for cov in dv_add.values() for f in cov})
             live = set(prev_files)
@@ -2742,14 +2767,14 @@ def _delete_where_dv(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
     next_v = base + 1
-    staged = _stage_files(matched, table_dir, next_v)
-    staged_stats = _collect_stats(table_dir, staged, spark=spark)
-    n_deleted = sum(staged_stats[f]["rows"] for f in staged)
+    dv_staged = _stage_files(matched, table_dir, next_v)
+    dv_stats = _collect_stats(table_dir, dv_staged, spark=spark)
+    n_deleted = sum(dv_stats[f]["rows"] for f in dv_staged)
     if report is not None:
         report["rows_deleted"] = n_deleted
     if n_deleted == 0:  # stats said maybe, rows said no: no-op
         data_dir = os.path.join(table_dir, _DATA)
-        for f in staged:
+        for f in dv_staged:
             os.remove(os.path.join(data_dir, f))
         return m
     return _publish_rewrite(
@@ -2757,8 +2782,8 @@ def _delete_where_dv(
         base=base,
         base_n_files=len(m["files"]),
         base_txn=m.get("txn", {}),
-        staged=staged,
-        staged_stats=staged_stats,
+        staged=[],
+        staged_stats={},
         touched=touched,
         read_predicates=_phys_preds(predicates, cm),
         schema_json=m["schema"],
@@ -2768,6 +2793,7 @@ def _delete_where_dv(
         rebase_retries=rebase_retries,
         report=report,
         colmap=cm,
+        dv_staged=dv_staged,
         dv_covered=touched,
     )
 
@@ -2832,7 +2858,7 @@ def purge_dv(
     )
 
 
-def update_where(
+def _update_where_dv(
     spark: SparkSession,
     table_dir: str,
     predicates: list[tuple],
@@ -2840,12 +2866,124 @@ def update_where(
     report: dict | None = None,
     rebase_retries: int = 2,
 ) -> dict:
+    """Merge-on-read UPDATE (Delta's deletion-vector-backed UPDATE):
+    one commit deletion-vectors the matched rows' (file, position)
+    identities AND appends their rewritten copies as new data files —
+    O(matched rows), never O(bytes in the touched files). A 100 TB
+    table whose update hits 100 rows spread over 100 multi-GB files
+    writes one tiny sidecar plus ~100 rows of parquet instead of
+    rewriting every touched file. Set expressions follow SQL UPDATE
+    semantics (all evaluate against the ORIGINAL row) and are cast back
+    to the table's column types; existing vectors are applied first, so
+    an already-deleted row is never resurrected as an updated copy."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _snapshot(table_dir, base, with_stats=False)
+    touched, _ = _pruned_files(spark, table_dir, base, predicates)
+    if report is not None:
+        report.update(
+            {"files_total": len(m["files"]), "files_covered": len(touched)}
+        )
+    if not touched:  # provably nothing matches: no-op, no commit
+        if report is not None:
+            report["rows_updated"] = 0
+        return m
+    cm = m.get("colmap")
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    df = _read_files_dv(
+        spark, table_dir, touched, m["schema"], cm, m.get("dv"),
+        keep_meta=True,
+    )
+    matched = df.filter(
+        F.coalesce(_predicate_column(predicates), F.lit(False))
+    )
+    next_v = base + 1
+    dv_staged = _stage_files(
+        matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        ),
+        table_dir,
+        next_v,
+    )
+    dv_stats = _collect_stats(table_dir, dv_staged, spark=spark)
+    n_updated = sum(dv_stats[f]["rows"] for f in dv_staged)
+    if report is not None:
+        report["rows_updated"] = n_updated
+    data_dir = os.path.join(table_dir, _DATA)
+    if n_updated == 0:  # stats said maybe, rows said no: no-op
+        for f in dv_staged:
+            os.remove(os.path.join(data_dir, f))
+        return m
+    # the rewritten copies: ONE select so every SET expression sees the
+    # ORIGINAL row (SQL UPDATE semantics); cast back to the table type —
+    # these files coexist with unrewritten ones, so type drift would
+    # corrupt the shared scan schema
+    new_rows = matched.select(
+        *[
+            (
+                set_exprs[f.name].cast(f.dataType).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    _check_constraints(new_rows, m.get("constraints"))
+    staged = _stage_files(
+        _to_physical(new_rows, cm),
+        table_dir,
+        next_v,
+        _phys_cols(m.get("bloom_cols"), cm),
+    )
+    staged_stats = _collect_stats(table_dir, staged, spark=spark)
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=staged,
+        staged_stats=staged_stats,
+        touched=touched,
+        read_predicates=_phys_preds(predicates, cm),
+        schema_json=m["schema"],
+        txn=None,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        report=report,
+        colmap=cm,
+        dv_staged=dv_staged,
+        dv_covered=touched,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    set_exprs: dict,
+    report: dict | None = None,
+    rebase_retries: int = 2,
+    merge_on_read: bool = False,
+) -> dict:
     """UPDATE table SET col=expr, ... WHERE <conjunction> (Delta's
     predicate update): matching rows get each ``set_exprs`` column
     replaced (Column expressions over the row), non-matching rows pass
     through byte-identical. File pruning as in ``delete_where``. The
     updated columns must keep their types — the commit re-applies the
-    table schema order and a type drift fails the parquet write."""
+    table schema order and a type drift fails the parquet write.
+
+    ``merge_on_read=True`` switches to the DELETION-VECTOR form: the
+    matched rows are vectored out and their updated copies appended in
+    the same commit — O(matched rows) instead of O(bytes in touched
+    files); see ``_update_where_dv``. ``purge_dv`` folds the vectors
+    back in later."""
+    if merge_on_read:
+        return _update_where_dv(
+            spark, table_dir, predicates, set_exprs, report, rebase_retries
+        )
     def _tx(df: DataFrame, p):
         # ONE select so every SET expression and the WHERE predicate
         # evaluate against the ORIGINAL row (SQL UPDATE semantics) —

@@ -316,9 +316,19 @@ class VersionedCDFStreamReader(SimpleDataSourceStreamReader):
             elif mode in ("optimize", "metadata"):
                 pass
             elif mode == "dv":
-                # merge-on-read DELETE: the sidecar's positions ARE the
-                # delete feed (the sidecar records only newly-deleted
-                # rows, so no diff is needed)
+                # merge-on-read DELETE/UPDATE: the sidecar's positions
+                # ARE the delete feed (the sidecar records only
+                # newly-deleted rows, so no diff is needed); an
+                # UPDATE's rewritten copies are the segment's added
+                # files — the insert feed
+                seen = set(prev_files)
+                new = [f for f in files if f not in seen]
+                if new:
+                    _emit(
+                        _rows_from_files(self.table_dir, new, self.names),
+                        "insert",
+                        v,
+                    )
                 dv_add = seg.get("dv_add") or {}
                 covered = sorted(
                     {f for cov in dv_add.values() for f in cov}

@@ -316,3 +316,213 @@ def test_tail_rate_limit_bounds_batches(spark, tmp_path):
     # unlimited reader agrees with the tiled union
     full = VersionedTailStreamReader({"path": t}, ["id", "v"])
     assert len(drain(full)) == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read UPDATE: one commit = deletion vector over the old rows
+# + an append of their rewritten copies (Delta's DV-backed UPDATE)
+
+
+def test_dv_update_no_rewrite_and_exact_reads(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    before = _data_files(t)
+    rep: dict = {}
+    snap = V.update_where(
+        spark,
+        t,
+        [("id", "<", 3)],
+        {"v": F.col("v") + 1},
+        merge_on_read=True,
+        report=rep,
+    )
+    assert snap["mode"] == "dv"
+    assert rep["rows_updated"] == 3
+    assert rep["files_covered"] == 1  # envelope pruning still applies
+    # every original data file survives untouched
+    assert before <= _data_files(t)
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 20
+    assert {got[i] for i in range(3)} == {1, 11, 21}
+    assert got[5] == 50 and got[105] == 1050
+    # dtype preserved (cast back to the table type)
+    assert dict(V.read_version(spark, t).dtypes)["v"] == "bigint"
+    # time travel to the pre-update version sees the original values
+    old = {r["id"]: r["v"] for r in V.read_version(spark, t, version=2).collect()}
+    assert old[0] == 0 and old[2] == 20
+
+
+def test_dv_update_set_sees_original_row(spark, tmp_path):
+    # both SET expressions must evaluate against the ORIGINAL row —
+    # chained application would let the second read the first's output
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 4).select(
+        F.col("id"), F.col("id").alias("a"), (F.col("id") * 100).alias("b")
+    )
+    V.commit(df.coalesce(1), t)
+    V.update_where(
+        spark,
+        t,
+        [("id", ">=", 2)],
+        {"a": F.col("b"), "b": F.col("a")},  # swap
+        merge_on_read=True,
+    )
+    got = {r["id"]: (r["a"], r["b"]) for r in V.read_version(spark, t).collect()}
+    assert got[2] == (200, 2) and got[3] == (300, 3)
+    assert got[0] == (0, 0) and got[1] == (1, 100)
+
+
+def test_dv_update_respects_prior_vectors(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    V.delete_where(spark, t, [("id", "<", 2)], merge_on_read=True)
+    rep: dict = {}
+    V.update_where(
+        spark,
+        t,
+        [("id", "<", 5)],
+        {"v": F.lit(-1)},
+        merge_on_read=True,
+        report=rep,
+    )
+    # rows 0,1 are already dead: only 2,3,4 update — never resurrected
+    assert rep["rows_updated"] == 3
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 18 and 0 not in got and 1 not in got
+    assert got[2] == got[4] == -1 and got[5] == 50
+
+
+def test_dv_update_cdf_batch_and_stream(spark, tmp_path):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.streaming.bridge import (
+        run_available_now,
+    )
+
+    t = _two_file_table(spark, tmp_path)
+    V.update_where(
+        spark, t, [("id", "=", 7)], {"v": F.lit(-7)}, merge_on_read=True
+    )
+    ch = V.read_changes(spark, t, 2).collect()
+    assert {(r["id"], r["v"], r["_change_type"], r["_commit_version"]) for r in ch} == {
+        (7, 70, "delete", 3),
+        (7, -7, "insert", 3),
+    }
+    tbl = V.VersionedTable(spark, t)
+    cdf = run_available_now(tbl.stream_cdf(start_version=2), output_mode="append")
+    rows = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    }
+    assert rows == {(7, 70, "delete", 3), (7, -7, "insert", 3)}
+
+
+def test_dv_update_purge_and_compact_fold_vectors(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    V.update_where(
+        spark, t, [("id", "<", 3)], {"v": F.lit(-1)}, merge_on_read=True
+    )
+    rep: dict = {}
+    snap = V.purge_dv(spark, t, report=rep)
+    assert not snap.get("dv")
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 20 and got[0] == got[2] == -1 and got[5] == 50
+    t2 = _two_file_table(spark, tmp_path / "b")
+    V.update_where(
+        spark, t2, [("id", "<", 3)], {"v": F.lit(-1)}, merge_on_read=True
+    )
+    snap2 = V.compact(spark, t2, n_files=1)
+    assert not snap2.get("dv")
+    got2 = {r["id"]: r["v"] for r in V.read_version(spark, t2).collect()}
+    assert len(got2) == 20 and got2[1] == -1 and got2[105] == 1050
+
+
+def test_dv_update_noop_paths(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    head = V._list_versions(t)[-1]
+    rep: dict = {}
+    # provably nothing matches: pruned to zero files, no commit
+    V.update_where(
+        spark, t, [("id", ">", 10**6)], {"v": F.lit(0)},
+        merge_on_read=True, report=rep,
+    )
+    assert rep["rows_updated"] == 0 and rep["files_covered"] == 0
+    assert V._list_versions(t)[-1] == head
+    # stats said maybe, rows said no: still no commit
+    rep2: dict = {}
+    V.update_where(
+        spark, t, [("id", "=", 55)], {"v": F.lit(0)},
+        merge_on_read=True, report=rep2,
+    )
+    assert rep2["rows_updated"] == 0
+    assert V._list_versions(t)[-1] == head
+
+
+def test_dv_update_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    t = _two_file_table(spark, tmp_path)
+    orig = V._publish
+    state = {"armed": True}
+
+    def patched(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == "dv":
+            state["armed"] = False
+            V.commit(_df(spark, 500, 505).coalesce(1), t, mode="append")
+        return orig(table_dir, seg, publisher)
+
+    monkeypatch.setattr(V, "_publish", patched)
+    rep: dict = {}
+    snap = V.update_where(
+        spark, t, [("id", "<", 3)], {"v": F.lit(-1)},
+        merge_on_read=True, report=rep,
+    )
+    assert rep["rebases"] == 1 and snap["mode"] == "dv"
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert set(got) == set(range(10)) | set(range(100, 110)) | set(range(500, 505))
+    assert got[0] == -1 and got[500] == 5000
+
+
+def test_dv_update_loser_conflicts_with_winner_dv(spark, tmp_path, monkeypatch):
+    # an UPDATE loser may NOT stack on a winner's deletion vector over
+    # its covered files: its rewritten copies were computed from rows
+    # the winner may have deleted since (resurrection risk)
+    t = _two_file_table(spark, tmp_path)
+    orig = V._publish
+    state = {"armed": True}
+
+    def patched(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == "dv" and seg.get("add"):
+            state["armed"] = False
+            V.delete_where(spark, t, [("id", "=", 7)], merge_on_read=True)
+        return orig(table_dir, seg, publisher)
+
+    monkeypatch.setattr(V, "_publish", patched)
+    with pytest.raises(V.RebaseConflictError):
+        V.update_where(
+            spark, t, [("id", "<", 5)], {"v": F.lit(-1)}, merge_on_read=True
+        )
+
+
+def test_dv_update_constraints_enforced(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    V.add_constraint(spark, t, "v_nonneg", "v >= 0")
+    head = V._list_versions(t)[-1]
+    with pytest.raises(V.ConstraintViolationError):
+        V.update_where(
+            spark, t, [("id", "<", 3)], {"v": F.lit(-1)}, merge_on_read=True
+        )
+    assert V._list_versions(t)[-1] == head
+    assert V.read_version(spark, t).count() == 20
+
+
+def test_dv_update_with_column_mapping(spark, tmp_path):
+    t = _two_file_table(spark, tmp_path)
+    V.rename_column(t, "v", "value")
+    V.update_where(
+        spark,
+        t,
+        [("value", "<", 30)],
+        {"value": F.col("value") * -1},
+        merge_on_read=True,
+    )
+    got = {r["id"]: r["value"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 20 and got[1] == -10 and got[2] == -20 and got[5] == 50
+    V.purge_dv(spark, t)
+    assert {
+        r["id"]: r["value"] for r in V.read_version(spark, t).collect()
+    } == got
