@@ -1,0 +1,218 @@
+"""Continuous aggregates (TimescaleDB's centerpiece, reference
+sql/timescaledb_schema.sql:44-65): invalidation-driven incremental
+refresh of a materialized time-bucket aggregate over the versioned
+table — the CDF is the invalidation log, only dirty buckets recompute,
+and the result MERGEs into the (versioned) materialized store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources.cagg import (
+    ContinuousAggregate,
+)
+
+T0 = 1_700_000_000  # epoch anchor
+
+
+def _rows(spark, lo, hi, step=37, px_mult=1.5):
+    return spark.range(lo, hi).select(
+        F.timestamp_seconds(F.lit(T0) + F.col("id") * step).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sym"),
+        (F.col("id") * px_mult).alias("px"),
+    )
+
+
+def _cagg(spark, base, agg, bucket=60):
+    return ContinuousAggregate(
+        spark,
+        base,
+        agg,
+        time_col="ts",
+        bucket_seconds=bucket,
+        group_cols=["sym"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_px": F.sum("px"),
+            "max_px": F.max("px"),
+        },
+    )
+
+
+def _full(spark, base, bucket=60):
+    """The declarative truth: one full aggregation of the base head."""
+    return (
+        V.read_version(spark, base)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(
+                F.floor(F.col("ts").cast("double") / bucket).cast("long")
+                * bucket
+            ),
+        )
+        .groupBy("bucket_start", "sym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("px").alias("sum_px"),
+            F.max("px").alias("max_px"),
+        )
+    )
+
+
+def _sorted_pdf(df):
+    return (
+        df.toPandas()
+        .sort_values(["bucket_start", "sym"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_matches_full(spark, ca, base):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(ca.read()), _sorted_pdf(_full(spark, base))
+    )
+
+
+def test_refresh_equals_full_recompute_across_dml(spark, tmp_path):
+    """Appends, merge-on-read DELETE and UPDATE, and copy-on-write
+    UPDATE all flow through the CDF into the invalidation set; after
+    refresh the materialized rows equal a from-scratch aggregation."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    _assert_matches_full(spark, ca, base)
+
+    V.commit(_rows(spark, 100, 150).repartition(2), base, mode="append")
+    V.delete_where(spark, base, [("sym", "=", "2")], merge_on_read=True)
+    V.update_where(
+        spark, base, [("sym", "=", "1")], {"px": F.col("px") * 2},
+        merge_on_read=True,
+    )
+    rep: dict = {}
+    ca.refresh(report=rep)
+    assert rep["refreshed"] and rep["buckets_dirty"] > 0
+    # deleting every 'sym'=2 row emptied that symbol's buckets — they
+    # must leave the materialized table
+    assert rep["buckets_deleted"] > 0
+    _assert_matches_full(spark, ca, base)
+    assert ca.read().filter(F.col("sym") == "2").count() == 0
+
+    # copy-on-write UPDATE dirties too
+    V.update_where(spark, base, [("sym", "=", "0")], {"px": F.lit(0.0)})
+    ca.refresh()
+    _assert_matches_full(spark, ca, base)
+
+
+def test_refresh_reads_only_dirty_window(spark, tmp_path):
+    """The 100 TB contract: a refresh after a small recent append
+    prunes the base scan to the dirty time window via manifest min/max
+    skipping — old files are never read."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    # time-clustered files (the hypertable layout): tight ts envelopes
+    big = _rows(spark, 0, 4000).repartitionByRange(8, "ts")
+    V.commit(big, base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    # append one small recent slice
+    V.commit(_rows(spark, 4000, 4040).coalesce(1), base, mode="append")
+    rep: dict = {}
+    ca.refresh(report=rep)
+    assert rep["base_files_read"] < rep["base_files_total"]
+    assert rep["base_files_read"] <= 2  # the tail file + the append
+    _assert_matches_full(spark, ca, base)
+
+
+def test_refresh_noop_and_idempotent_replay(spark, tmp_path):
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    V.commit(_rows(spark, 60, 90).coalesce(1), base, mode="append")
+    ca.refresh()
+    head = V._list_versions(agg)[-1]
+    # nothing new: no-op, no commit
+    rep: dict = {}
+    ca.refresh(report=rep)
+    assert rep["refreshed"] is False
+    assert V._list_versions(agg)[-1] == head
+    # crash replay: re-running the SAME range (stale high-water) must
+    # converge to the same table — recompute-and-merge is pure
+    import unittest.mock as mock
+
+    with mock.patch.object(ca, "last_refreshed_version", return_value=1):
+        ca.refresh()
+    _assert_matches_full(spark, ca, base)
+
+
+def test_metadata_only_commits_dirty_nothing(spark, tmp_path):
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    V.add_constraint(spark, base, "px_known", "px IS NOT NULL")
+    V.compact(spark, base, n_files=1)  # optimize: logical no-op
+    rep: dict = {}
+    ca.refresh(report=rep)
+    assert rep["refreshed"] and rep["buckets_dirty"] == 0
+    _assert_matches_full(spark, ca, base)
+    # the high-water advanced: the next refresh skips those segments
+    rep2: dict = {}
+    ca.refresh(report=rep2)
+    assert rep2["refreshed"] is False
+
+
+def test_realtime_read_is_exact_without_refresh(spark, tmp_path):
+    import pandas as pd
+
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 80).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    V.commit(_rows(spark, 80, 120).coalesce(1), base, mode="append")
+    V.delete_where(spark, base, [("sym", "=", "1")], merge_on_read=True)
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base))
+    )
+    # the materialized store itself is UNCHANGED (no refresh ran)
+    assert ca.last_refreshed_version() == 1
+    assert ca.read().filter(F.col("sym") == "1").count() > 0
+
+
+def test_create_required_and_key_collision_rejected(spark, tmp_path):
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 10).coalesce(1), base)
+    ca = _cagg(spark, base, agg)
+    with pytest.raises(FileNotFoundError):
+        ca.refresh()
+    with pytest.raises(ValueError):
+        ContinuousAggregate(
+            spark, base, agg, time_col="ts", bucket_seconds=60,
+            group_cols=["sym"], aggs={"sym": F.count(F.lit(1))},
+        )
+    with pytest.raises(ValueError):
+        ContinuousAggregate(
+            spark, base, agg, time_col="ts", bucket_seconds=60,
+            group_cols=["sym"], aggs={},
+        )
+
+
+def test_agg_store_is_versioned_and_time_travels(spark, tmp_path):
+    """The materialized store is a versioned table: each refresh is a
+    commit, so yesterday's aggregate view is one time-travel away."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    v1 = V._list_versions(agg)[-1]
+    before = _sorted_pdf(ca.read())
+    V.commit(_rows(spark, 60, 90).coalesce(1), base, mode="append")
+    ca.refresh()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sorted_pdf(ca.read(version=v1)), before)
+    assert ca.read().count() > len(before)
