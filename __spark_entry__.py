@@ -27516,6 +27516,67 @@ def versioned_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "versioned_generated_columns",
+    oracle(
+        """
+SELECT CAST(time AS DATE) AS trade_date,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(sum(price * volume), 6) AS sum_notional
+FROM trades
+GROUP BY 1, 2
+"""
+    ),
+)
+def versioned_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS end-to-end (Delta's ``GENERATED ALWAYS AS
+    (expr)``; the reference's Delta tables, spark/
+    batch_feature_calculation.py:61-65, declare these for partition
+    derivation): the table is created with ``trade_date = CAST(time AS
+    DATE)`` and ``notional = price * volume`` declared, holding the
+    first half of the trades — the SECOND half is appended WITHOUT
+    either column and the engine computes them server-side (a supplied
+    mismatching value is rejected by the reserved CHECK constraint,
+    pinned in tests). The aggregate groups by the materialized
+    generated columns; the oracle recomputes both expressions from the
+    raw trades — equality proves compute-on-write matches the
+    declaration on every row of both write paths. The stats envelopes
+    on ``trade_date`` give Delta's generated-column file pruning for
+    free (plan-tested in test_versioned_generated.py)."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def build(work: str) -> None:
+        tr = _trades(spark, sf_dir)
+        lo, hi = tr.agg(F.min("time"), F.max("time")).first()
+        cut = lo + (hi - lo) / 2
+        V.commit(
+            tr.filter(F.col("time") <= cut).repartitionByRange(4, "time"),
+            work,
+            generated={
+                "trade_date": "CAST(time AS DATE)",
+                "notional": "price * volume",
+            },
+        )
+        V.commit(
+            tr.filter(F.col("time") > cut).repartitionByRange(4, "time"),
+            work,
+            mode="append",
+        )
+
+    table = _tmp_fixture_table(sf_dir, "fts_versioned_gen", build)
+    return (
+        V.read_version(spark, table)
+        .groupBy("trade_date", "symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.sum("notional"), 6).alias("sum_notional"),
+        )
+    )
+
+
 def _cagg_fixture(spark: SparkSession, sf_dir: str, name: str, mutate):
     """Shared continuous-aggregate fixture: the fixture table IS the
     materialized aggregate; its base (versioned trades) lives in a
@@ -27865,6 +27926,9 @@ _DRIVER_WINDOW_DEBUT = [
     # the versioned table (the reference's 11 Smart-DB caggs)
     "continuous_aggregate_refresh",
     "continuous_aggregate_realtime",
+    # r6 continuation: GENERATED ALWAYS AS columns (compute-on-write +
+    # reserved-constraint validation + stats-envelope pruning)
+    "versioned_generated_columns",
     # r6 product quantization: the 4th ANN leg, ADC arithmetic pinned
     "ann_pq_witness",
     # r6 full MERGE surface: conditional clauses + partial SET +

@@ -1152,6 +1152,52 @@ def _check_constraints(df: DataFrame, constraints: dict) -> None:
         )
 
 
+# -- generated columns (Delta's GENERATED ALWAYS AS (expr)) ---------------
+#
+# Stored as reserved CHECK constraints ``__gen__<col>: col <=> (expr)``,
+# which buys the whole lifecycle for free: every write path (append,
+# MERGE, DML rewrite, DV update) validates them through
+# `_check_constraints`, rebases adopt the winner's set, rename/drop of a
+# referenced source column is blocked by `_constraints_referencing`, and
+# checkpoints/clone/restore carry them with the rest of the config. The
+# only added behavior is COMPUTE-IF-ABSENT in `commit` — an append that
+# omits the column gets it evaluated server-side, exactly Delta. The
+# 100 TB payoff is Delta's generated-column pruning without a planner
+# rule: stats envelopes cover the materialized column, so a predicate on
+# `trade_date` skips files even though the raw table only has `time`.
+
+_GEN_PREFIX = "__gen__"
+
+
+def _gen_constraint(name: str, expr: str) -> str:
+    """The stored CHECK body for a generated column: null-safe equality
+    between the column and its generation expression."""
+    return f"{name} <=> ({expr})"
+
+
+def generated_columns(constraints: dict | None) -> dict[str, str]:
+    """{column: generation expression} recovered from the reserved
+    constraint entries (the stored body is constructed by
+    ``_gen_constraint``, so the slice below is exact, not a parse)."""
+    out: dict[str, str] = {}
+    for cname, body in (constraints or {}).items():
+        if cname.startswith(_GEN_PREFIX):
+            col = cname[len(_GEN_PREFIX):]
+            out[col] = body[len(col) + 6 : -1]
+    return out
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Compute-if-absent: a write that omits a generated column gets it
+    evaluated from the same incoming row (Delta's write-path
+    generation); a write that supplies it is validated downstream by
+    the reserved CHECK constraint."""
+    for col, expr in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
 # -- column mapping (Delta's name-mode mapping: rename/drop are
 # metadata-only; files keep their PHYSICAL column names forever) ----------
 
@@ -1431,6 +1477,12 @@ def add_constraint(
     contract as Delta), then publishes a metadata-only commit carrying
     the constraint. Every later commit/merge/update validates its
     incoming rows against it."""
+    if name.startswith(_GEN_PREFIX):
+        raise ValueError(
+            f"constraint names starting with {_GEN_PREFIX!r} are "
+            "reserved for generated columns — declare those via "
+            "commit(generated={...})"
+        )
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -1449,6 +1501,10 @@ def add_constraint(
         constraints=cons,
         bloom_cols=m.get("bloom_cols"),
         n_files=m["n_files"],
+        # a segment carries table config WHOLE — omitting the column
+        # mapping here silently wiped it on mapped tables (every
+        # renamed column read NULL after an ADD CONSTRAINT)
+        colmap=m.get("colmap"),
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -1471,6 +1527,7 @@ def drop_constraint(table_dir: str, name: str) -> dict:
         constraints=cons,
         bloom_cols=m.get("bloom_cols"),
         n_files=m["n_files"],
+        colmap=m.get("colmap"),  # carry the mapping (see add_constraint)
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -1765,6 +1822,7 @@ def commit(
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
     user_metadata: str | None = None,
+    generated: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as the next version. ``mode='overwrite'`` resets
     the table to just this write; ``mode='append'`` adds files to the
@@ -1782,6 +1840,14 @@ def commit(
     ``user_metadata`` (Delta's commitInfo.userMetadata): a free-form
     audit tag recorded on the segment and surfaced by ``history()`` —
     "backfill 2026-01", the orchestrator run id, the ticket number.
+
+    ``generated`` (Delta's ``GENERATED ALWAYS AS (expr)``) declares
+    generation expressions at table creation / overwrite:
+    ``{"trade_date": "CAST(time AS DATE)"}``. Every later write
+    computes an omitted generated column server-side and VALIDATES a
+    supplied one (reserved CHECK constraint) — so the column's stats
+    envelopes are always truthful and predicates on it prune files,
+    Delta's generated-column partition pruning without a planner rule.
     """
     if mode not in ("overwrite", "append", "optimize"):
         raise ValueError(f"mode: {mode!r}")
@@ -1800,6 +1866,21 @@ def commit(
     if bloom_cols is None and prior is not None:
         bloom_cols = prior.get("bloom_cols")
     constraints = prior.get("constraints", {}) if prior else {}
+    if generated:
+        # generation expressions are declared at creation/overwrite,
+        # Delta's contract — existing rows never backfill silently
+        if mode == "append" and prior is not None:
+            raise ValueError(
+                "generated columns are declared at table creation or "
+                "overwrite, not on append (Delta's GENERATED ALWAYS AS "
+                "contract)"
+            )
+        constraints = dict(constraints)
+        for col, expr in generated.items():
+            constraints[f"{_GEN_PREFIX}{col}"] = _gen_constraint(col, expr)
+    gen = generated_columns(constraints)
+    if gen and mode != "optimize":
+        df = _apply_generated(df, gen)
     if constraints and mode != "optimize":  # optimize rewrites valid rows
         _check_constraints(df, constraints)
     # column mapping: appends extend the prior map (new logical columns
@@ -3363,6 +3444,12 @@ class VersionedTable:
 
     def add_constraint(self, name: str, expr: str) -> dict:
         return add_constraint(self.spark, self.path, name, expr)
+
+    def generated_columns(self) -> dict[str, str]:
+        """{column: generation expression} currently declared."""
+        versions = _list_versions(self.path)
+        m = _snapshot(self.path, versions[-1], with_stats=False)
+        return generated_columns(m.get("constraints"))
 
     def drop_constraint(self, name: str) -> dict:
         return drop_constraint(self.path, name)

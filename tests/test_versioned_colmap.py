@@ -262,3 +262,21 @@ def test_streaming_tail_reads_physical_names(spark, tmp_path):
     )
     got = {r["id"]: r["value"] for r in out.collect()}
     assert got == {i: i * 10 for i in range(5)}
+
+
+def test_constraint_alters_preserve_column_mapping(spark, tmp_path):
+    """Regression: add_constraint/drop_constraint publish metadata
+    segments — omitting the colmap there silently WIPED the mapping and
+    every renamed column read NULL afterwards (config is carried whole
+    per segment; a metadata commit must re-state all of it)."""
+    t = str(tmp_path / "tbl")
+    V.commit(
+        spark.range(0, 5).withColumn("v", F.col("id") * 10).coalesce(1), t
+    )
+    V.rename_column(t, "v", "value")
+    V.add_constraint(spark, t, "v_ok", "value >= 0")
+    got = {r["id"]: r["value"] for r in V.read_version(spark, t).collect()}
+    assert got == {i: i * 10 for i in range(5)}
+    V.drop_constraint(t, "v_ok")
+    got = {r["id"]: r["value"] for r in V.read_version(spark, t).collect()}
+    assert got == {i: i * 10 for i in range(5)}
