@@ -27686,6 +27686,59 @@ def continuous_aggregate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "streaming_continuous_aggregate",
+    oracle(
+        """
+SELECT to_timestamp(CAST(floor(epoch(time) / 60) * 60 AS BIGINT))::TIMESTAMP AS bucket,
+       symbol,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       ROUND(sum(volume), 6) AS sum_vol,
+       ROUND(min(price), 6) AS min_px,
+       ROUND(max(price), 6) AS max_px
+FROM trades
+WHERE side IS NULL OR side <> 'sell'
+GROUP BY 1, 2
+"""
+    ),
+)
+def streaming_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-AGGREGATE REFRESH POLICY as a REAL Structured
+    Streaming job (TimescaleDB's ``add_continuous_aggregate_policy``,
+    reference sql/timescaledb_schema.sql:60-65 — the scheduler that
+    keeps all 11 Smart-DB caggs current): after ``create()`` the base
+    gets an append and a merge-on-read DELETE of every 'sell' row; an
+    ``availableNow`` policy job then follows the base's COMMIT-LOG TICK
+    STREAM (``versioned_commits`` — one metadata row per commit, no
+    data read) and runs one invalidation-driven ``refresh()`` per
+    micro-batch through a real checkpoint. The materialized store must
+    equal the oracle's from-scratch aggregation of the final base
+    state (NULL-side rows survive the DELETE, per SQL)."""
+    import tempfile as _tempfile
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import (
+        versioned as V,
+    )
+
+    def mutate(ca, base: str) -> None:
+        V.delete_where(
+            spark, base, [("side", "=", "sell")], merge_on_read=True
+        )
+        ck = _tempfile.mkdtemp(prefix="fts_cagg_policy_ck_")
+        q = ca.refresh_policy_writer(ck).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    ca, _ = _cagg_fixture(spark, sf_dir, "fts_cagg_policy", mutate)
+    return ca.read().select(
+        "bucket",
+        "symbol",
+        F.col("n_trades").cast("bigint").alias("n_trades"),
+        F.round("sum_vol", 6).alias("sum_vol"),
+        F.round("min_px", 6).alias("min_px"),
+        F.round("max_px", 6).alias("max_px"),
+    )
+
+
+@q(
     "continuous_aggregate_realtime",
     oracle(
         """
@@ -27926,6 +27979,7 @@ _DRIVER_WINDOW_DEBUT = [
     # the versioned table (the reference's 11 Smart-DB caggs)
     "continuous_aggregate_refresh",
     "continuous_aggregate_realtime",
+    "streaming_continuous_aggregate",
     # r6 continuation: GENERATED ALWAYS AS columns (compute-on-write +
     # reserved-constraint validation + stats-envelope pruning)
     "versioned_generated_columns",

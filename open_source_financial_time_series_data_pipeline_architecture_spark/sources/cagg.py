@@ -285,6 +285,30 @@ class ContinuousAggregate:
         finally:
             dirty.unpersist()
 
+    # -- refresh policy ------------------------------------------------
+
+    def refresh_policy_writer(self, checkpoint_dir: str):
+        """TimescaleDB's ``add_continuous_aggregate_policy`` as a
+        Structured Streaming job: follow the BASE table's commit-log
+        tick stream (one metadata row per commit — no data read) and
+        run one ``refresh()`` per micro-batch. The caller picks the
+        cadence: ``.trigger(processingTime='5 minutes').start()`` is
+        the standing policy; ``.trigger(availableNow=True)`` is a
+        catch-up run. Safe under replay/overlap: refresh() reads its
+        own high-water from the agg table's txn map and is a no-op
+        when nothing advanced."""
+        ticks = V.VersionedTable(self.spark, self.base_dir).stream_commits()
+
+        def _tick(batch_df, _bid):
+            # the tick content is irrelevant — the refresh reads the
+            # commit log directly; an empty batch still costs nothing
+            self.refresh()
+
+        return (
+            ticks.writeStream.foreachBatch(_tick)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+
     # -- reads ---------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

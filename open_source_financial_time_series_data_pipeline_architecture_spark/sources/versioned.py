@@ -3525,6 +3525,22 @@ class VersionedTable:
             .load()
         )
 
+    def stream_commits(self, **options) -> DataFrame:
+        """The commit-log TICK stream (one metadata row per commit —
+        version/mode/ts/n_files/user_metadata; no data file is read).
+        Drives refresh policies and ops monitoring."""
+        from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+            VersionedCommitsDataSource,
+        )
+
+        self._register(VersionedCommitsDataSource)
+        reader = self.spark.readStream.format("versioned_commits").option(
+            "path", self.path
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
     def stream_sink(self, app_id: str, keys: list[str] | None = None, **kw):
         """foreachBatch handler: exactly-once append/merge into this
         table (sinks.foreach_batch_versioned)."""

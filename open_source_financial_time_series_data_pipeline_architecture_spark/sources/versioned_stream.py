@@ -436,3 +436,68 @@ class VersionedTailDataSource(DataSource):
         return VersionedTailStreamReader(
             self.options, _phys_names(m, self._schema_struct())
         )
+
+
+class VersionedCommitsStreamReader(SimpleDataSourceStreamReader):
+    """One row PER COMMIT of the commit log — a metadata tick stream
+    (no data file is ever read): (version, mode, ts, n_files,
+    user_metadata). The near-free signal driving refresh policies and
+    ops monitoring; offsets are the version numbers themselves."""
+
+    def __init__(self, options):
+        self.table_dir = options["path"]
+        self.max_commits = int(options.get("max_commits_per_batch", 0))
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def read(self, start: dict):
+        versions = V._list_versions(self.table_dir)
+        head = versions[-1] if versions else 0
+        if self.max_commits > 0:
+            head = min(head, start["v"] + self.max_commits)
+        if head <= start["v"]:
+            return [], {"v": start["v"]}
+        return self._rows(start["v"], head), {"v": head}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["v"], end["v"])
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for v in V._list_versions(self.table_dir):
+            if lo < v <= hi:
+                seg = V._read_segment(self.table_dir, v)
+                out.append(
+                    (
+                        v,
+                        seg.get("mode", "overwrite"),
+                        float(seg.get("ts", 0.0)),
+                        int(seg.get("n_files", 0)),
+                        seg.get("user_metadata"),
+                    )
+                )
+        return out
+
+
+class VersionedCommitsDataSource(DataSource):
+    """``spark.readStream.format("versioned_commits").option("path", t)``
+    after registration — the commit-log tick stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_commits"
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("mode", T.StringType(), False),
+                T.StructField("commit_ts", T.DoubleType(), False),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("user_metadata", T.StringType(), True),
+            ]
+        )
+
+    def simpleStreamReader(self, schema) -> VersionedCommitsStreamReader:
+        return VersionedCommitsStreamReader(self.options)

@@ -216,3 +216,44 @@ def test_agg_store_is_versioned_and_time_travels(spark, tmp_path):
 
     pd.testing.assert_frame_equal(_sorted_pdf(ca.read(version=v1)), before)
     assert ca.read().count() > len(before)
+
+
+def test_commit_tick_stream_and_refresh_policy(spark, tmp_path):
+    """The versioned_commits tick source emits one metadata row per
+    commit (no data read), and the refresh policy job built on it keeps
+    the aggregate current — TimescaleDB's
+    add_continuous_aggregate_policy as a streaming job."""
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.versioned_stream import (
+        VersionedCommitsStreamReader,
+    )
+
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    V.commit(_rows(spark, 60, 90).coalesce(1), base, mode="append")
+    V.delete_where(spark, base, [("sym", "=", "0")], merge_on_read=True)
+
+    # reader contract: one tick per commit, modes faithful
+    r = VersionedCommitsStreamReader({"path": base})
+    rows, off = r.read(r.initialOffset())
+    assert off == {"v": 3}
+    assert [(t[0], t[1]) for t in rows] == [
+        (1, "overwrite"),
+        (2, "append"),
+        (3, "dv"),
+    ]
+
+    # the policy job: availableNow catch-up refresh
+    ck = str(tmp_path / "ck")
+    q = ca.refresh_policy_writer(ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    _assert_matches_full(spark, ca, base)
+    assert ca.last_refreshed_version() == 3
+
+    # more base commits; the SAME checkpoint resumes past seen ticks
+    V.commit(_rows(spark, 90, 120).coalesce(1), base, mode="append")
+    q = ca.refresh_policy_writer(ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    _assert_matches_full(spark, ca, base)
+    assert ca.last_refreshed_version() == 4
