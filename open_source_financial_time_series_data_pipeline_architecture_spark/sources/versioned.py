@@ -828,6 +828,7 @@ def _write_checkpoint(table_dir: str, snapshot: dict) -> None:
         "constraints": snapshot.get("constraints", {}),
         "bloom_cols": snapshot.get("bloom_cols"),
         "colmap": snapshot.get("colmap"),
+        "identity": snapshot.get("identity"),
         "dv": snapshot.get("dv") or {},
     }
     tmpj = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.json")
@@ -869,6 +870,7 @@ def _empty_state() -> dict:
         "constraints": {},
         "bloom_cols": None,
         "colmap": None,
+        "identity": None,
         "dv": {},
     }
 
@@ -936,6 +938,7 @@ def _apply_segment(state: dict, seg: dict, with_stats: bool) -> None:
     state["constraints"] = seg.get("constraints", {})
     state["bloom_cols"] = seg.get("bloom_cols")
     state["colmap"] = seg.get("colmap")
+    state["identity"] = seg.get("identity")
 
 
 class _LazyStatsSnapshot(dict):
@@ -1040,6 +1043,7 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         state["constraints"] = ck.get("constraints", {})
         state["bloom_cols"] = ck.get("bloom_cols")
         state["colmap"] = ck.get("colmap")
+        state["identity"] = ck.get("identity")
         state["dv"] = ck.get("dv", {})
         if with_stats:
             import pyarrow.parquet as pq
@@ -1075,6 +1079,8 @@ def _snapshot(table_dir: str, version: int, *, with_stats: bool = True) -> dict:
         out["bloom_cols"] = state["bloom_cols"]
     if state["colmap"]:
         out["colmap"] = state["colmap"]
+    if state["identity"]:
+        out["identity"] = state["identity"]
     if state["dv"]:
         out["dv"] = state["dv"]
     if last.get("mode") == "merge":
@@ -1198,6 +1204,79 @@ def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
     return df
 
 
+# -- identity columns (Delta's GENERATED BY DEFAULT AS IDENTITY) ----------
+#
+# Config ``identity: {col: {"start": s, "step": k, "next": n}}`` is
+# carried whole per segment like the rest of the table config; ``next``
+# is the high-water the NEXT assignment starts from, advanced by every
+# commit that assigns (Delta's identity high watermark — monotonic,
+# never rolled back by restore). Writes that OMIT the column get
+# engine-assigned values; writes that supply it pass through unchanged
+# (BY DEFAULT semantics — the caller owns uniqueness for explicit
+# values, exactly Delta). Values are unique and increase within a
+# commit but may have gaps across commits/retries.
+
+
+def _assign_identity(df: DataFrame, idcfg: dict) -> tuple[DataFrame, dict, bool]:
+    """Assign engine-generated values for every identity column ABSENT
+    from ``df``. Distributed and shuffle-free: one count aggregate
+    yields per-partition row counts, the driver turns them into
+    disjoint offset ranges (a few ints — metadata, not data), and one
+    Arrow-batched mapInPandas writes ``next + (offset + i) * step``
+    per row. ``df`` is persisted to pin partition identity between the
+    two passes — the caller unpersists after its write job. Returns
+    (assigned df, advanced config, whether df was persisted)."""
+    missing = [c for c in idcfg if c not in df.columns]
+    if not missing:
+        return df, idcfg, False
+    import pandas as pd
+
+    df = df.persist()
+    pid = "__identity_pid"
+    with_pid = df.withColumn(pid, F.spark_partition_id())
+    counts = {
+        r[pid]: r["cnt"]
+        for r in with_pid.groupBy(pid)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for p in sorted(counts):
+        offsets[p] = total
+        total += counts[p]
+    cfg = {c: dict(v) for c, v in idcfg.items()}
+    starts = {c: int(cfg[c]["next"]) for c in missing}
+    steps = {c: int(cfg[c].get("step", 1)) for c in missing}
+    for c in missing:
+        cfg[c]["next"] = starts[c] + total * steps[c]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType(), False) for c in missing]
+    )
+
+    def gen(iterator):
+        seen = 0
+        part = None
+        for pdf in iterator:
+            n = len(pdf)
+            if n:
+                part = int(pdf[pid].iloc[0])
+                base = offsets[part] + seen
+                for c in missing:
+                    pdf[c] = pd.array(
+                        [starts[c] + (base + i) * steps[c] for i in range(n)],
+                        dtype="int64",
+                    )
+                seen += n
+            else:
+                for c in missing:
+                    pdf[c] = pd.array([], dtype="int64")
+            yield pdf.drop(columns=[pid])
+
+    return with_pid.mapInPandas(gen, out_schema), cfg, True
+
+
 # -- column mapping (Delta's name-mode mapping: rename/drop are
 # metadata-only; files keep their PHYSICAL column names forever) ----------
 
@@ -1270,6 +1349,7 @@ def _alter_metadata(table_dir: str, mutate, retries: int = 2) -> dict:
             bloom_cols=bloom_cols,
             n_files=m["n_files"],
             colmap=colmap,
+            identity=m.get("identity"),
         )
         try:
             _publish(table_dir, seg)
@@ -1434,6 +1514,7 @@ def _segment(
     colmap: dict | None = None,
     dv_add: dict | None = None,
     user_metadata: str | None = None,
+    identity: dict | None = None,
 ) -> dict:
     """One incremental commit record. File payload is O(touched);
     config (schema/txn/constraints/bloom/colmap) is tiny and carried
@@ -1464,6 +1545,8 @@ def _segment(
         seg["colmap"] = colmap
     if dv_add:
         seg["dv_add"] = dv_add
+    if identity:
+        seg["identity"] = identity
     if user_metadata is not None:
         seg["user_metadata"] = str(user_metadata)
     return seg
@@ -1505,6 +1588,7 @@ def add_constraint(
         # mapping here silently wiped it on mapped tables (every
         # renamed column read NULL after an ADD CONSTRAINT)
         colmap=m.get("colmap"),
+        identity=m.get("identity"),
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -1528,6 +1612,7 @@ def drop_constraint(table_dir: str, name: str) -> dict:
         bloom_cols=m.get("bloom_cols"),
         n_files=m["n_files"],
         colmap=m.get("colmap"),  # carry the mapping (see add_constraint)
+        identity=m.get("identity"),
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -1712,6 +1797,7 @@ def _publish_rewrite(
     colmap: dict | None = None,
     dv_staged: list[str] | None = None,
     dv_covered: list[str] | None = None,
+    identity: dict | None = None,
 ) -> dict:
     """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
     rebase-on-conflict: on a lost CAS the staged output is republished
@@ -1732,6 +1818,7 @@ def _publish_rewrite(
     # winner's config for the same reason). Adopting is always safe:
     # the check already proved head constraints ⊆ validated.
     pub_constraints, pub_blooms = constraints, bloom_cols
+    pub_identity = identity
     is_dv = dv_staged is not None
     for attempt in range(rebase_retries + 1):
         if is_dv:
@@ -1752,6 +1839,7 @@ def _publish_rewrite(
                 n_files=n_files + len(staged),
                 colmap=colmap,
                 dv_add={f: dv_covered for f in dv_staged},
+                identity=pub_identity,
             )
         else:
             seg = _segment(
@@ -1766,6 +1854,7 @@ def _publish_rewrite(
                 bloom_cols=pub_blooms,
                 n_files=n_files - len(touched) + len(staged),
                 colmap=colmap,
+                identity=pub_identity,
             )
         try:
             _publish(table_dir, seg)
@@ -1799,6 +1888,10 @@ def _publish_rewrite(
             txn_map = new_head.get("txn", {})
             pub_constraints = new_head.get("constraints", {})
             pub_blooms = new_head.get("bloom_cols")
+            # identity high-water is config too: republishing the
+            # loser's stale snapshot would roll back ids a winning
+            # append already consumed
+            pub_identity = new_head.get("identity")
             staged, staged_stats = _restage_names(
                 table_dir, staged, staged_stats, base + 1
             )
@@ -1823,6 +1916,7 @@ def commit(
     bloom_cols: list[str] | None = None,
     user_metadata: str | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict | None = None,
 ) -> dict:
     """Write ``df`` as the next version. ``mode='overwrite'`` resets
     the table to just this write; ``mode='append'`` adds files to the
@@ -1848,6 +1942,17 @@ def commit(
     supplied one (reserved CHECK constraint) — so the column's stats
     envelopes are always truthful and predicates on it prune files,
     Delta's generated-column partition pruning without a planner rule.
+
+    ``identity`` (Delta's ``GENERATED BY DEFAULT AS IDENTITY``)
+    declares surrogate-key columns at creation / overwrite:
+    ``{"row_id": {"start": 1, "step": 1}}``. A write that OMITS the
+    column gets engine-assigned values (distributed, shuffle-free:
+    per-partition disjoint ranges off one count aggregate); a write
+    that supplies it passes through unchanged — the caller owns
+    uniqueness for explicit values, exactly Delta. The high-water
+    (``next``) is table config: it advances with every assigning
+    commit, survives restore/clone, and a lost commit race whose
+    winner consumed values triggers an automatic REASSIGN + restage.
     """
     if mode not in ("overwrite", "append", "optimize"):
         raise ValueError(f"mode: {mode!r}")
@@ -1878,6 +1983,29 @@ def commit(
         constraints = dict(constraints)
         for col, expr in generated.items():
             constraints[f"{_GEN_PREFIX}{col}"] = _gen_constraint(col, expr)
+    idcfg = dict(prior.get("identity") or {}) if prior else {}
+    if identity:
+        if mode == "append" and prior is not None:
+            raise ValueError(
+                "identity columns are declared at table creation or "
+                "overwrite, not on append (Delta's IDENTITY contract)"
+            )
+        for col, spec in identity.items():
+            prev_id = idcfg.get(col)
+            start = int(spec.get("start", 1))
+            idcfg[col] = {
+                "start": start,
+                "step": int(spec.get("step", 1)),
+                # the high-water survives a re-declaring overwrite —
+                # identity values never repeat over a table's lifetime
+                "next": int(prev_id["next"]) if prev_id else start,
+            }
+    df_pre_identity, id_handle, assigned_from = df, None, None
+    if idcfg and mode != "optimize":
+        assigned_from = {c: int(v["next"]) for c, v in idcfg.items()}
+        df, idcfg, _persisted = _assign_identity(df, idcfg)
+        if _persisted:
+            id_handle = df_pre_identity
     gen = generated_columns(constraints)
     if gen and mode != "optimize":
         df = _apply_generated(df, gen)
@@ -1905,6 +2033,9 @@ def commit(
         _to_physical(df, colmap), table_dir, next_v, _phys_cols(bloom_cols, colmap)
     )
     staged_stats = _collect_stats(table_dir, staged, spark=df.sparkSession)
+    if id_handle is not None:
+        id_handle.unpersist()
+        id_handle = None
 
     for attempt in range(retries + 1):
         schema_json = df.schema.json()
@@ -1933,6 +2064,7 @@ def commit(
             n_files=n_files,
             colmap=colmap,
             user_metadata=user_metadata,
+            identity=idcfg or None,
         )
         try:
             _publish(table_dir, seg)
@@ -1969,6 +2101,50 @@ def commit(
                 constraints = new_cons
             if prior is not None and prior.get("bloom_cols"):
                 bloom_cols = prior["bloom_cols"]
+            new_idcfg = dict(prior.get("identity") or {}) if prior else {}
+            if identity:
+                for col, spec in identity.items():
+                    prev_id = new_idcfg.get(col)
+                    start = int(spec.get("start", 1))
+                    new_idcfg[col] = {
+                        "start": start,
+                        "step": int(spec.get("step", 1)),
+                        "next": int(prev_id["next"]) if prev_id else start,
+                    }
+            if assigned_from is not None and {
+                c: int(new_idcfg.get(c, {}).get("next", -1))
+                for c in assigned_from
+            } != assigned_from:
+                # the winner consumed identity values: our staged rows
+                # carry colliding ids — reassign from the NEW
+                # high-water and restage (the one case where a lost
+                # append race cannot reuse its staged parquet)
+                data_dir = os.path.join(table_dir, _DATA)
+                for f in staged:
+                    os.remove(os.path.join(data_dir, f))
+                assigned_from = {
+                    c: int(v["next"]) for c, v in new_idcfg.items()
+                }
+                df, idcfg, _persisted = _assign_identity(
+                    df_pre_identity, new_idcfg
+                )
+                if gen:
+                    df = _apply_generated(df, gen)
+                if constraints and mode != "optimize":
+                    _check_constraints(df, constraints)
+                staged = _stage_files(
+                    _to_physical(df, colmap),
+                    table_dir,
+                    base + 1,
+                    _phys_cols(bloom_cols, colmap),
+                )
+                staged_stats = _collect_stats(
+                    table_dir, staged, spark=df.sparkSession
+                )
+                if _persisted:
+                    df_pre_identity.unpersist()
+            else:
+                idcfg = new_idcfg
             next_v = base + 1
             # keep the staged files' version prefix == the version they
             # will be published under (vacuum's in-flight guard relies
@@ -2710,6 +2886,7 @@ def merge(
         rebase_retries=rebase_retries,
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
     )
 
 
@@ -2770,6 +2947,7 @@ def _rewrite_where(
         rebase_retries=rebase_retries,
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
     )
 
 
@@ -2874,6 +3052,7 @@ def _delete_where_dv(
         rebase_retries=rebase_retries,
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
         dv_staged=dv_staged,
         dv_covered=touched,
     )
@@ -2936,6 +3115,7 @@ def purge_dv(
         mode="optimize",
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
     )
 
 
@@ -3035,6 +3215,7 @@ def _update_where_dv(
         rebase_retries=rebase_retries,
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
         dv_staged=dv_staged,
         dv_covered=touched,
     )
@@ -3204,6 +3385,7 @@ def compact(
         mode="optimize",
         report=report,
         colmap=cm,
+        identity=m.get("identity"),
     )
 
 
@@ -3256,6 +3438,10 @@ def restore(
         # mapping must travel with them (restoring across a rename
         # restores the old logical names too, exactly like Delta)
         colmap=target.get("colmap"),
+        # identity high-water NEVER rolls back (Delta's contract):
+        # a restore followed by appends must not re-issue ids that
+        # post-target commits already handed out
+        identity=head.get("identity") or target.get("identity"),
         # ... and so must its deletion vectors, or the restore would
         # resurrect the rows they had merge-on-read-deleted
         dv_add=target.get("dv"),
@@ -3329,6 +3515,7 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
         bloom_cols=src.get("bloom_cols"),
         n_files=len(files),
         colmap=src.get("colmap"),
+        identity=src.get("identity"),
         dv_add=dv or None,
     )
     _publish(dst_dir, seg)
