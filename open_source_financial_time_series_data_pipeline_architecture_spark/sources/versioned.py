@@ -3522,6 +3522,111 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
     return _finish_commit(dst_dir, 1)
 
 
+def convert_to_versioned(
+    spark: SparkSession, parquet_dir: str, table_dir: str | None = None
+) -> dict:
+    """CONVERT TO DELTA's analog: adopt an EXISTING flat directory of
+    parquet files as version 1 of a versioned table — zero bytes
+    copied or moved at any size. The first segment simply REFERENCES
+    the files in place (the same relative-reference mechanism shallow
+    clones use), footer stats are collected so data skipping works from
+    the first read, and every later append/merge/OPTIMIZE stages new
+    files under the table's own ``data/`` dir. In-place by default
+    (``table_dir`` = the parquet dir itself — the log lands next to the
+    data, exactly Delta); pass a separate ``table_dir`` to keep the
+    originals untouched elsewhere.
+
+    Scope (same as Delta's CONVERT without a partition schema): a FLAT
+    directory — hive-partitioned layouts (``col=value`` subdirs) carry
+    values in paths, not footers, and are rejected. After a later
+    ``compact()`` materializes references into ``data/``, the original
+    files become unreferenced; they are OUTSIDE ``data/`` so vacuum
+    never touches them — reclaim them manually if no other reader
+    needs them."""
+    table_dir = table_dir or parquet_dir
+    if _list_versions(table_dir):
+        raise FileExistsError(f"already a versioned table: {table_dir}")
+    for entry in os.listdir(parquet_dir):
+        if "=" in entry and os.path.isdir(os.path.join(parquet_dir, entry)):
+            raise ValueError(
+                "hive-partitioned layout (col=value subdirs) — partition "
+                "values live in paths, not footers; rewrite through "
+                "commit() instead of converting in place"
+            )
+    names = sorted(
+        f
+        for f in os.listdir(parquet_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not names:
+        raise FileNotFoundError(f"no parquet files in {parquet_dir}")
+    data_dir = os.path.abspath(os.path.join(table_dir, _DATA))
+    # the references traverse data/.. — the dir must exist for POSIX
+    # path resolution (appends need it anyway)
+    os.makedirs(data_dir, exist_ok=True)
+    refs = [
+        os.path.relpath(os.path.join(os.path.abspath(parquet_dir), f), data_dir)
+        for f in names
+    ]
+    schema = spark.read.parquet(
+        *[os.path.join(parquet_dir, f) for f in names]
+    ).schema
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    stats = _collect_stats(table_dir, refs, spark=spark)
+    seg = _segment(
+        1,
+        "overwrite",
+        add=refs,
+        stats=stats,
+        reset=True,
+        schema_json=schema.json(),
+        txn={},
+        constraints={},
+        bloom_cols=None,
+        n_files=len(refs),
+    )
+    _publish(table_dir, seg)
+    return _finish_commit(table_dir, 1)
+
+
+def detail(table_dir: str) -> dict:
+    """DESCRIBE DETAIL: one ops-plane summary of the head snapshot —
+    version, file/row/byte counts, and which table features are in use
+    (the checklist a migration or support ticket starts from)."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    m = _snapshot(table_dir, versions[-1], with_stats=True)
+    stats = m.get("stats") or {}
+    size = 0
+    for f in m["files"]:
+        try:
+            size += os.path.getsize(_resolve_data_path(table_dir, f))
+        except OSError:
+            pass
+    gen = generated_columns(m.get("constraints"))
+    return {
+        "version": m["version"],
+        "n_files": len(m["files"]),
+        "n_rows": sum(s.get("rows", 0) for s in stats.values()) or None,
+        "size_bytes": size,
+        "schema": m["schema"],
+        "checkpoints": _list_checkpoints(table_dir),
+        "features": {
+            "constraints": sorted(
+                c
+                for c in (m.get("constraints") or {})
+                if not c.startswith(_GEN_PREFIX)
+            ),
+            "generated_columns": sorted(gen),
+            "identity_columns": sorted(m.get("identity") or {}),
+            "column_mapping": bool(m.get("colmap")),
+            "deletion_vectors": bool(m.get("dv")),
+            "bloom_cols": m.get("bloom_cols") or [],
+        },
+    }
+
+
 def history(table_dir: str) -> list[dict]:
     """The table's commit log, oldest first — version/mode/file count
     plus Delta-style operation metrics (files added/removed and rows
@@ -3637,6 +3742,10 @@ class VersionedTable:
         versions = _list_versions(self.path)
         m = _snapshot(self.path, versions[-1], with_stats=False)
         return generated_columns(m.get("constraints"))
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: head-snapshot summary + feature checklist."""
+        return detail(self.path)
 
     def drop_constraint(self, name: str) -> dict:
         return drop_constraint(self.path, name)

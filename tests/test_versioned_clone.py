@@ -148,3 +148,94 @@ def test_relative_clone_survives_parent_rename(spark, tmp_path):
     assert {
         r["v"] for r in V.read_version(spark, str(final / "src")).collect()
     } == {i * 10 for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO versioned (Delta's CONVERT TO DELTA): adopt an existing
+# flat parquet directory in place — zero copy, references like a clone
+
+
+def test_convert_in_place_zero_copy(spark, tmp_path):
+    import os
+
+    plain = str(tmp_path / "plain")
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id", "id * 1.5 AS v")
+        .repartitionByRange(4, "id")  # tight per-file id envelopes
+    )
+    df.write.parquet(plain)
+    before = sorted(os.listdir(plain))
+    snap = V.convert_to_versioned(spark, plain)
+    # nothing moved or copied: the original files are untouched and the
+    # table's own data/ dir holds no data yet
+    assert sorted(f for f in os.listdir(plain) if f in before) == before
+    got = V.read_version(spark, plain)
+    assert got.count() == 100
+    assert {r["id"] for r in got.collect()} == set(range(100))
+    # footer stats were collected: predicates prune the adopted files
+    rep: dict = {}
+    V.read_version(spark, plain, predicates=[("id", "=", 5)], prune_report=rep)
+    assert rep["files_kept"] < rep["files_total"]
+    # the table evolves normally from here
+    V.commit(
+        spark.range(100, 110).selectExpr("id", "id * 1.5 AS v").coalesce(1),
+        plain,
+        mode="append",
+    )
+    assert V.read_version(spark, plain).count() == 110
+    # compact materializes everything into data/; reads stay exact
+    V.compact(spark, plain, n_files=2)
+    assert V.read_version(spark, plain).count() == 110
+    # conversion is one-shot
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        V.convert_to_versioned(spark, plain)
+
+
+def test_convert_rejects_hive_partitions_and_empty(spark, tmp_path):
+    import os
+
+    part = str(tmp_path / "part")
+    (
+        spark.range(0, 10)
+        .selectExpr("id", "id % 2 AS p", "id * 1.5 AS v")
+        .write.partitionBy("p")
+        .parquet(part)
+    )
+    with pytest.raises(ValueError):
+        V.convert_to_versioned(spark, part)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        V.convert_to_versioned(spark, empty)
+
+
+def test_detail_reports_features(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.commit(
+        spark.range(0, 20).selectExpr("id", "id * 1.5 AS v").repartition(2),
+        t,
+        generated={"id2": "id * 2"},
+        identity={"rid": {"start": 1, "step": 1}},
+    )
+    # renaming a generated SOURCE column is blocked (the reserved
+    # constraint references it) — rename the untracked one instead
+    V.rename_column(t, "v", "value")
+    V.delete_where(spark, t, [("id", "=", 3)], merge_on_read=True)
+    V.add_constraint(spark, t, "value_known", "value IS NOT NULL")
+    d = V.detail(t)
+    assert d["n_rows"] == 20  # stats count raw rows (DV applies at read)
+    assert d["n_files"] >= 2 and d["size_bytes"] > 0
+    assert d["features"] == {
+        "constraints": ["value_known"],
+        "generated_columns": ["id2"],
+        "identity_columns": ["rid"],
+        "column_mapping": True,
+        "deletion_vectors": True,
+        "bloom_cols": [],
+    }
+    assert V.VersionedTable(spark, t).detail()["version"] == d["version"]
