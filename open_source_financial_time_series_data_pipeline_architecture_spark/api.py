@@ -61,6 +61,17 @@ class Engine:
 
         return VersionedTable(self.spark, path)
 
+    def continuous_aggregate(self, base_path: str, agg_path: str, **kw):
+        """A TimescaleDB-style continuous aggregate over the versioned
+        table at ``base_path``, materialized at ``agg_path`` — the
+        reference's 11 Smart-DB features are exactly these
+        (sql/timescaledb_schema.sql:44-65). kwargs: time_col,
+        bucket_seconds, group_cols, aggs; see sources/cagg.py for
+        create()/refresh()/read_realtime()/refresh_policy_writer()."""
+        from .sources.cagg import ContinuousAggregate
+
+        return ContinuousAggregate(self.spark, base_path, agg_path, **kw)
+
     # -- features -----------------------------------------------------
     def feature(self, name: str) -> DataFrame:
         if name not in self._feature_cache:

@@ -81,3 +81,32 @@ def test_quickstart_example_runs(spark):
     sym = eng.trades().select("symbol").first()["symbol"]
     snap = eng.pit_snapshot(sym, as_of="2024-01-08T00:00:00")
     assert snap.count() >= 0
+
+
+def test_engine_continuous_aggregate_facade(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.api import Engine
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+
+    base = str(tmp_path / "b")
+    V.commit(
+        spark.range(0, 50).select(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 30).alias("ts"),
+            (F.col("id") % 2).cast("string").alias("sym"),
+            (F.col("id") * 1.0).alias("px"),
+        ),
+        base,
+    )
+    eng = Engine.__new__(Engine)  # facade methods only need .spark
+    eng.spark = spark
+    ca = eng.continuous_aggregate(
+        base,
+        str(tmp_path / "a"),
+        time_col="ts",
+        bucket_seconds=60,
+        group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    ca.create()
+    assert ca.read().agg(F.sum("n")).first()[0] == 50
