@@ -177,6 +177,15 @@ BENCH_QUERIES = [
     "bpe_token_count",
     "bpe_sequence_packing",
     "versioned_clone_fork",
+    # round-6 continuation: merge-on-read UPDATE, continuous
+    # aggregates (+policy job), generated/identity columns, in-place
+    # parquet adoption
+    "versioned_dv_update",
+    "continuous_aggregate_refresh",
+    "streaming_continuous_aggregate",
+    "versioned_generated_columns",
+    "versioned_identity_columns",
+    "versioned_convert_in_place",
 ]
 
 
