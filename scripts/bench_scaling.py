@@ -90,6 +90,11 @@ PROBE_QUERIES = [
     "bpe_token_count",
     "bpe_sequence_packing",
     "versioned_clone_fork",
+    # round-6 continuation: invalidation-refresh cagg, merge-on-read
+    # UPDATE, shuffle-free identity assignment
+    "continuous_aggregate_refresh",
+    "versioned_dv_update",
+    "versioned_identity_columns",
 ]
 
 
