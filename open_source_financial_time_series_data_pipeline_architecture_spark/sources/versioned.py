@@ -3837,6 +3837,55 @@ class VersionedTable:
             reader = reader.option(k, v)
         return reader.load()
 
+    def compaction_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        small_file_bytes: int = 32 << 20,
+        min_small_files: int = 8,
+        target_file_bytes: int = 128 << 20,
+    ):
+        """AUTO-COMPACTION as a maintenance policy job (Databricks
+        auto-optimize / Delta's scheduled OPTIMIZE): follow this
+        table's commit-log tick stream and, whenever the head holds at
+        least ``min_small_files`` files under ``small_file_bytes``,
+        run ONE size-aware ``compact`` (candidates restricted to the
+        small files — the archive is never re-rewritten). The probe is
+        an O(n_files) driver-side size walk (metadata, ~µs per file);
+        the compaction itself is incremental and rebases over racing
+        appends. The policy's own optimize commit ticks once more and
+        finds nothing small — it converges. ``.trigger(processingTime=
+        '10 minutes').start()`` = the standing nightly-compaction
+        analog; ``availableNow`` = one catch-up sweep."""
+        ticks = self.stream_commits()
+
+        def _tick(batch_df, _bid):
+            versions = _list_versions(self.path)
+            if not versions:
+                return
+            m = _snapshot(self.path, versions[-1], with_stats=False)
+            small = 0
+            for f in m["files"]:
+                try:
+                    if (
+                        os.path.getsize(_resolve_data_path(self.path, f))
+                        < small_file_bytes
+                    ):
+                        small += 1
+                except OSError:
+                    pass
+            if small >= min_small_files:
+                compact(
+                    self.spark,
+                    self.path,
+                    target_file_bytes=target_file_bytes,
+                    min_file_bytes=small_file_bytes,
+                )
+
+        return ticks.writeStream.foreachBatch(_tick).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
     def stream_sink(self, app_id: str, keys: list[str] | None = None, **kw):
         """foreachBatch handler: exactly-once append/merge into this
         table (sinks.foreach_batch_versioned)."""

@@ -239,3 +239,63 @@ def test_detail_reports_features(spark, tmp_path):
         "bloom_cols": [],
     }
     assert V.VersionedTable(spark, t).detail()["version"] == d["version"]
+
+
+def test_compaction_policy_job(spark, tmp_path):
+    """The auto-compaction maintenance policy: many tiny appends trip
+    the small-file threshold, ONE size-aware compact runs, content is
+    untouched, the big-file archive is never rewritten, and the policy
+    converges (its own optimize tick finds nothing small)."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    # one "archive" file big enough to stay above the small threshold
+    V.commit(
+        spark.range(0, 20000).selectExpr(
+            "id", "repeat(uuid(), 8) AS pad"
+        ).coalesce(1),
+        t,
+    )
+    big = V.detail(t)["n_files"]
+    assert big == 1
+    for k in range(10):  # tiny appends
+        V.commit(
+            spark.range(100000 + k, 100001 + k).selectExpr(
+                "id", "'x' AS pad"
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    tbl = V.VersionedTable(spark, t)
+    before_rows = V.read_version(spark, t).count()
+    archive = {
+        f
+        for f in V._snapshot(t, 1, with_stats=False)["files"]
+    }
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.compaction_policy_writer(
+            ck, small_file_bytes=1 << 20, min_small_files=8
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    d = V.detail(t)
+    assert d["n_files"] == 2  # archive + one compacted file
+    head_files = set(
+        V._snapshot(t, V._list_versions(t)[-1], with_stats=False)["files"]
+    )
+    assert archive <= head_files  # the big file was never rewritten
+    assert V.read_version(spark, t).count() == before_rows
+    head = V._list_versions(t)[-1]
+    # converged: a second availableNow pass compacts nothing
+    q = (
+        tbl.compaction_policy_writer(
+            str(tmp_path / "ck2"), small_file_bytes=1 << 20, min_small_files=8
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert V._list_versions(t)[-1] == head
