@@ -2580,6 +2580,7 @@ def merge(
     when_matched_condition=None,
     when_not_matched_by_source: str = "ignore",
     when_not_matched_by_source_condition=None,
+    allow_evolution: bool = False,
 ) -> dict:
     """MERGE INTO the versioned table (Delta's upsert primitive —
     reference spark/batch_feature_calculation.py:61-65 relies on it):
@@ -2673,10 +2674,47 @@ def merge(
     if [(f.name, f.dataType) for f in source.schema.fields] != [
         (f.name, f.dataType) for f in schema.fields
     ]:
-        raise SchemaMismatchError(
-            "merge source schema differs from table schema: "
-            f"table={schema.simpleString()} source={source.schema.simpleString()}"
+        # MERGE schema evolution (Delta's schema.autoMerge): with
+        # allow_evolution, a source carrying every table column at its
+        # type PLUS new columns evolves the table — new columns join
+        # the schema nullable, historical files read NULL for them,
+        # kept/updated target rows pass through with NULL until a
+        # later write fills them. Anything else is still a mismatch.
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        tbl_names = {f.name for f in schema.fields}
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in tbl_names
+        ]
+        ok = (
+            allow_evolution
+            and new_fields
+            and all(
+                src_types.get(f.name) == f.dataType for f in schema.fields
+            )
+            and len(src_types) == len(schema.fields) + len(new_fields)
         )
+        if not ok:
+            raise SchemaMismatchError(
+                "merge source schema differs from table schema"
+                + (
+                    ""
+                    if allow_evolution
+                    else " (pass allow_evolution=True to add new columns)"
+                )
+                + f": table={schema.simpleString()} "
+                f"source={source.schema.simpleString()}"
+            )
+        schema = T.StructType(list(schema.fields) + new_fields)
+        cm_evolved = m.get("colmap")
+        if cm_evolved:
+            # mapped table: mint physical names for the new columns
+            cm_evolved = dict(cm_evolved)
+            for f in new_fields:
+                cm_evolved[f.name] = _fresh_physical()
+        m = {**m, "schema": schema.json(), "colmap": cm_evolved}
+        source = source.select(*[f.name for f in schema.fields])
     nn = F.lit(True)
     for k in keys:
         nn = nn & F.col(k).isNotNull()

@@ -186,3 +186,73 @@ def test_advanced_merge_composes_with_colmap_and_dv(spark, tmp_path):
     got = {r["id"]: r["value"] for r in V.read_version(spark, t).collect()}
     # 0,1 deleted by-source; 9 was already dv-deleted (not resurrected)
     assert got == {2: 20, 3: -1, 4: -1, 5: -1, 6: 60, 7: 70, 8: 80}
+
+
+# ---------------------------------------------------------------------------
+# MERGE schema evolution (Delta's spark.databricks.delta.schema.autoMerge)
+
+
+def test_merge_schema_evolution_adds_columns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 10).coalesce(1), t)
+    src = _df(spark, 5, 15).withColumn("tag", F.lit("new").cast("string"))
+    # without the flag: rejected, message points at it
+    with pytest.raises(V.SchemaMismatchError, match="allow_evolution"):
+        V.merge(spark, t, src, keys=["id"])
+    V.merge(spark, t, src, keys=["id"], allow_evolution=True)
+    got = {r["id"]: r["tag"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 15
+    assert all(got[i] == "new" for i in range(5, 15))  # updated+inserted
+    assert all(got[i] is None for i in range(5))  # kept rows read NULL
+    # historical version still reads under ITS schema (no tag column)
+    assert "tag" not in V.read_version(spark, t, version=1).columns
+    # later appends must now carry (or evolve into) the new schema
+    nxt = _df(spark, 20, 22).withColumn("tag", F.lit(None).cast("string"))
+    V.commit(nxt.coalesce(1), t, mode="append")
+    assert V.read_version(spark, t).count() == 17
+
+
+def test_merge_evolution_rejects_type_change_and_missing_cols(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 5).coalesce(1), t)
+    # a type drift on an EXISTING column is never evolution
+    bad = spark.range(0, 2).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(V.SchemaMismatchError):
+        V.merge(spark, t, bad, keys=["id"], allow_evolution=True)
+    # dropping a table column from the source is never evolution
+    with pytest.raises(V.SchemaMismatchError):
+        V.merge(
+            spark,
+            t,
+            spark.range(0, 2).select("id"),
+            keys=["id"],
+            allow_evolution=True,
+        )
+
+
+def test_merge_evolution_with_column_mapping_and_cdf(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 6).coalesce(1), t)
+    V.rename_column(t, "v", "value")
+    src = (
+        _df(spark, 3, 8)
+        .withColumnRenamed("v", "value")
+        .withColumn("extra", (F.col("id") * 100).cast("long"))
+    )
+    V.merge(spark, t, src, keys=["id"], allow_evolution=True)
+    m = V._snapshot(t, V._list_versions(t)[-1], with_stats=False)
+    # the new column got a MINTED physical name on the mapped table
+    assert m["colmap"]["extra"].startswith("col_")
+    got = {r["id"]: (r["value"], r["extra"]) for r in V.read_version(spark, t).collect()}
+    assert len(got) == 8 and got[7] == (70, 700) and got[0] == (0, None)
+    # the change feed reads every step under the END schema
+    ch = V.read_changes(spark, t, 0)
+    assert "extra" in ch.columns
+    ins = {
+        r["id"]
+        for r in ch.collect()
+        if r["_change_type"] == "insert" and r["extra"] is not None
+    }
+    assert ins == {3, 4, 5, 6, 7}
