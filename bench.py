@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "versioned_generated_columns",
     "versioned_identity_columns",
     "versioned_convert_in_place",
+    "versioned_merge_schema_evolution",
 ]
 
 
