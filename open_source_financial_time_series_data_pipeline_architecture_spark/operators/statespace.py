@@ -143,3 +143,62 @@ def dtw_pair_distances(
         " dtw_dist double, euclidean_l1 double"
     )
     return aligned_pairs.groupBy(ka, kb).applyInPandas(compute, out_schema)
+
+
+def holt_linear(
+    trades: DataFrame,
+    alpha: float = 0.5,
+    one_minus_alpha: float = 0.5,
+    beta: float = 0.3,
+    one_minus_beta: float = 0.7,
+    key_col: str = "symbol",
+    value_col: str = "price",
+    order_cols: tuple[str, ...] = ("time", "trade_id"),
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing per key:
+    level ``l_t = α·y_t + (1−α)·(l_{t−1}+b_{t−1})``, trend
+    ``b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}``, one-step-ahead forecast
+    ``l_t + b_t``. Seed: l₁ = y₁, b₁ = 0. The same deliberate-
+    sequential budget as the Kalman/EWM recurrences: ONE shuffle on the
+    key, Arrow-batched applyInPandas, everything else built-in.
+
+    Witness-parity contract: the complements (1−α), (1−β) are passed as
+    EXPLICIT literals, never computed — ``1.0 − 0.3`` is
+    0.7000000000000001 in binary, and the DuckDB oracle unrolls the
+    identical recurrence with the same literal 0.7, so computing the
+    complement on either side breaks bit-parity. The reduce is a left
+    fold — identical to DuckDB ``list_reduce`` ordered by
+    ``order_cols``."""
+    cols = [*order_cols, key_col, value_col]
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
+        level = None
+        trend = 0.0
+        levels, trends, fcs = [], [], []
+        for y in pdf[value_col].to_numpy():
+            y = float(y)
+            if level is None:
+                level, trend = y, 0.0
+            else:
+                prev = level
+                level = alpha * y + one_minus_alpha * (prev + trend)
+                trend = beta * (level - prev) + one_minus_beta * trend
+            levels.append(level)
+            trends.append(trend)
+            fcs.append(level + trend)
+        pdf["hw_level"] = levels
+        pdf["hw_trend"] = trends
+        pdf["hw_forecast"] = fcs
+        return pdf[cols + ["hw_level", "hw_trend", "hw_forecast"]]
+
+    projected = trades.select(*cols)
+    out_schema = T.StructType(
+        list(projected.schema.fields)
+        + [
+            T.StructField("hw_level", T.DoubleType()),
+            T.StructField("hw_trend", T.DoubleType()),
+            T.StructField("hw_forecast", T.DoubleType()),
+        ]
+    )
+    return projected.groupBy(key_col).applyInPandas(compute, out_schema)
