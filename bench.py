@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "versioned_identity_columns",
     "versioned_convert_in_place",
     "versioned_merge_schema_evolution",
+    "holt_linear_level",
+    "volume_periodogram",
 ]
 
 
