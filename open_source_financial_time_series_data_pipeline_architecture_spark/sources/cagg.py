@@ -118,9 +118,15 @@ class ContinuousAggregate:
         return [self.bucket_col, *self.group_cols]
 
     def _aggregate(self, rows: DataFrame) -> DataFrame:
-        """bucket + group + the user aggregates, over base-table rows."""
+        """bucket + group + the user aggregates, over base-table rows.
+        Rows with a NULL time are excluded on EVERY path (create,
+        refresh, realtime): a NULL bucket key can never be semi-joined,
+        merged, or deleted (SQL NULL-key semantics), so a NULL-bucket
+        row materialized once would be unmaintainable forever — better
+        to state the contract: the aggregate covers timestamped rows."""
         return (
-            rows.withColumn(self.bucket_col, self._bucket(self.time_col))
+            rows.filter(F.col(self.time_col).isNotNull())
+            .withColumn(self.bucket_col, self._bucket(self.time_col))
             .groupBy(*self._keys())
             .agg(*[c.alias(n) for n, c in self.aggs.items()])
         )
@@ -156,7 +162,8 @@ class ContinuousAggregate:
         feed (inserts AND deletes both dirty their bucket)."""
         ch = V.read_changes(self.spark, self.base_dir, last, head)
         return (
-            ch.withColumn(self.bucket_col, self._bucket(self.time_col))
+            ch.filter(F.col(self.time_col).isNotNull())
+            .withColumn(self.bucket_col, self._bucket(self.time_col))
             .select(*self._keys())
             .distinct()
         )

@@ -257,3 +257,44 @@ def test_commit_tick_stream_and_refresh_policy(spark, tmp_path):
     q.awaitTermination()
     _assert_matches_full(spark, ca, base)
     assert ca.last_refreshed_version() == 4
+
+
+def test_null_time_rows_are_excluded_everywhere(spark, tmp_path):
+    """A NULL bucket key can never be semi-joined, merged, or deleted
+    (SQL NULL-key semantics) — so NULL-time rows are excluded from the
+    aggregate on EVERY path, or a once-materialized NULL-bucket row
+    would be unmaintainable forever."""
+    from pyspark.sql import types as T
+
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    good = _rows(spark, 0, 40)
+    nulls = spark.createDataFrame(
+        [(None, "0", 1.0), (None, "1", 2.0)],
+        T.StructType(
+            [
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField("sym", T.StringType(), True),
+                T.StructField("px", T.DoubleType(), True),
+            ]
+        ),
+    )
+    V.commit(good.unionByName(nulls).coalesce(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    assert ca.read().filter(F.col("bucket_start").isNull()).count() == 0
+    assert ca.read().agg(F.sum("n")).first()[0] == 40
+    # appends carrying more NULL-time rows dirty nothing extra
+    V.commit(
+        _rows(spark, 40, 60).unionByName(nulls).coalesce(1),
+        base,
+        mode="append",
+    )
+    rep: dict = {}
+    ca.refresh(report=rep)
+    assert ca.read().filter(F.col("bucket_start").isNull()).count() == 0
+    assert ca.read().agg(F.sum("n")).first()[0] == 60
+    # realtime path too
+    V.commit(_rows(spark, 60, 70).unionByName(nulls).coalesce(1), base, mode="append")
+    rt = ca.read_realtime()
+    assert rt.filter(F.col("bucket_start").isNull()).count() == 0
+    assert rt.agg(F.sum("n")).first()[0] == 70
