@@ -526,3 +526,30 @@ def test_dv_update_with_column_mapping(spark, tmp_path):
     assert {
         r["id"]: r["value"] for r in V.read_version(spark, t).collect()
     } == got
+
+
+def test_dv_update_rebases_over_disjoint_winner_dv(spark, tmp_path, monkeypatch):
+    """The permissive side of the UPDATE-loser rule: a winner's
+    deletion vector over files the update did NOT touch is no
+    conflict — the rebase republishes and both effects land."""
+    t = _two_file_table(spark, tmp_path)  # file A: ids 0-9, file B: 100-109
+    orig = V._publish
+    state = {"armed": True}
+
+    def patched(table_dir, seg, publisher=None):
+        if state["armed"] and seg.get("mode") == "dv" and seg.get("add"):
+            state["armed"] = False
+            # winner dv-deletes in file B; the update covers file A only
+            V.delete_where(spark, t, [("id", "=", 105)], merge_on_read=True)
+        return orig(table_dir, seg, publisher)
+
+    monkeypatch.setattr(V, "_publish", patched)
+    rep: dict = {}
+    V.update_where(
+        spark, t, [("id", "<", 3)], {"v": F.lit(-1)},
+        merge_on_read=True, report=rep,
+    )
+    assert rep["rebases"] == 1
+    got = {r["id"]: r["v"] for r in V.read_version(spark, t).collect()}
+    assert len(got) == 19 and 105 not in got
+    assert got[0] == got[2] == -1 and got[5] == 50
