@@ -298,3 +298,51 @@ def test_null_time_rows_are_excluded_everywhere(spark, tmp_path):
     rt = ca.read_realtime()
     assert rt.filter(F.col("bucket_start").isNull()).count() == 0
     assert rt.agg(F.sum("n")).first()[0] == 70
+
+
+def test_refresh_property_random_dml_sequences(spark, tmp_path):
+    """Property: for ANY sequence of appends / copy-on-write updates /
+    merge-on-read deletes / merge-on-read updates / compactions, an
+    incremental refresh after each step leaves the materialized table
+    equal to a from-scratch aggregation of the base head. Deterministic
+    pseudo-random op sequence (seeded) — the cheap exhaustive sweep a
+    single-shape test can't give."""
+    import random
+
+    rng = random.Random(1729)
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 80).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    nxt = 80
+    for step in range(12):
+        op = rng.choice(["append", "update", "mor_delete", "mor_update", "compact"])
+        if op == "append":
+            n = rng.randint(1, 30)
+            V.commit(_rows(spark, nxt, nxt + n).coalesce(1), base, mode="append")
+            nxt += n
+        elif op == "update":
+            s = str(rng.randint(0, 2))
+            V.update_where(
+                spark, base, [("sym", "=", s)], {"px": F.col("px") + 1.0}
+            )
+        elif op == "mor_delete":
+            lo = rng.randint(0, nxt)
+            V.delete_where(
+                spark, base,
+                [("px", ">=", lo * 1.5), ("px", "<", (lo + 10) * 1.5)],
+                merge_on_read=True,
+            )
+        elif op == "mor_update":
+            s = str(rng.randint(0, 2))
+            V.update_where(
+                spark, base, [("sym", "=", s)], {"px": F.col("px") * 1.5},
+                merge_on_read=True,
+            )
+        else:
+            V.compact(spark, base, n_files=2)
+        if rng.random() < 0.7:  # sometimes batch several ops per refresh
+            ca.refresh()
+            _assert_matches_full(spark, ca, base)
+    ca.refresh()
+    _assert_matches_full(spark, ca, base)
