@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "versioned_merge_schema_evolution",
     "holt_linear_level",
     "volume_periodogram",
+    "seasonal_decomposition",
 ]
 
 
