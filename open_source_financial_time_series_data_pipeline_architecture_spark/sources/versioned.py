@@ -1345,11 +1345,8 @@ def _alter_metadata(table_dir: str, mutate, retries: int = 2) -> dict:
             "metadata",
             schema_json=schema_json,
             txn=m.get("txn", {}),
-            constraints=m.get("constraints", {}),
-            bloom_cols=bloom_cols,
             n_files=m["n_files"],
-            colmap=colmap,
-            identity=m.get("identity"),
+            **{**_carry_config(m), "bloom_cols": bloom_cols, "colmap": colmap},
         )
         try:
             _publish(table_dir, seg)
@@ -1498,6 +1495,24 @@ def add_column(table_dir: str, name: str, dtype) -> dict:
     return _alter_metadata(table_dir, mutate)
 
 
+# Table config a segment must carry WHOLE (any segment fully
+# determines the table config — see _segment's docstring). When adding
+# a config key: add it HERE and to _segment's signature; every call
+# site that spreads _carry_config(snapshot) then keeps carrying it.
+# History: add_constraint/drop_constraint once omitted `colmap` and
+# every renamed column silently read NULL after an ADD CONSTRAINT.
+_CONFIG_KEYS = ("constraints", "bloom_cols", "colmap", "identity")
+
+
+def _carry_config(m: dict) -> dict:
+    """``_segment()`` kwargs carrying snapshot ``m``'s table config
+    whole. Call sites that deliberately CHANGE a key override it:
+    ``_segment(..., **{**_carry_config(m), "constraints": cons})``."""
+    cfg = {k: m.get(k) for k in _CONFIG_KEYS}
+    cfg["constraints"] = cfg["constraints"] or {}
+    return cfg
+
+
 def _segment(
     version: int,
     mode: str,
@@ -1581,14 +1596,8 @@ def add_constraint(
         "metadata",
         schema_json=m["schema"],
         txn=m.get("txn", {}),
-        constraints=cons,
-        bloom_cols=m.get("bloom_cols"),
         n_files=m["n_files"],
-        # a segment carries table config WHOLE — omitting the column
-        # mapping here silently wiped it on mapped tables (every
-        # renamed column read NULL after an ADD CONSTRAINT)
-        colmap=m.get("colmap"),
-        identity=m.get("identity"),
+        **{**_carry_config(m), "constraints": cons},
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -1608,11 +1617,8 @@ def drop_constraint(table_dir: str, name: str) -> dict:
         "metadata",
         schema_json=m["schema"],
         txn=m.get("txn", {}),
-        constraints=cons,
-        bloom_cols=m.get("bloom_cols"),
         n_files=m["n_files"],
-        colmap=m.get("colmap"),  # carry the mapping (see add_constraint)
-        identity=m.get("identity"),
+        **{**_carry_config(m), "constraints": cons},
     )
     _publish(table_dir, seg)
     return _finish_commit(table_dir, base + 1)
@@ -3469,17 +3475,18 @@ def restore(
         reset=True,
         schema_json=target["schema"],
         txn=head.get("txn", {}),  # writer high-water marks survive
-        constraints=cons,
-        bloom_cols=head.get("bloom_cols"),
         n_files=len(target["files"]),
-        # the restored files carry the TARGET's physical layout — its
-        # mapping must travel with them (restoring across a rename
-        # restores the old logical names too, exactly like Delta)
-        colmap=target.get("colmap"),
-        # identity high-water NEVER rolls back (Delta's contract):
-        # a restore followed by appends must not re-issue ids that
-        # post-target commits already handed out
-        identity=head.get("identity") or target.get("identity"),
+        **{
+            **_carry_config(head),
+            # the restored files carry the TARGET's physical layout —
+            # its mapping must travel with them (restoring across a
+            # rename restores the old logical names too, like Delta)
+            "colmap": target.get("colmap"),
+            # identity high-water NEVER rolls back (Delta's contract):
+            # a restore followed by appends must not re-issue ids that
+            # post-target commits already handed out
+            "identity": head.get("identity") or target.get("identity"),
+        },
         # ... and so must its deletion vectors, or the restore would
         # resurrect the rows they had merge-on-read-deleted
         dv_add=target.get("dv"),
@@ -3549,12 +3556,9 @@ def clone(src_dir: str, dst_dir: str, relative: bool = False) -> dict:
         schema_json=src["schema"],
         txn={},  # writer high-water marks do NOT carry: the clone is a
         # different table; replaying a micro-batch into it must apply
-        constraints=src.get("constraints", {}),
-        bloom_cols=src.get("bloom_cols"),
         n_files=len(files),
-        colmap=src.get("colmap"),
-        identity=src.get("identity"),
         dv_add=dv or None,
+        **_carry_config(src),
     )
     _publish(dst_dir, seg)
     return _finish_commit(dst_dir, 1)

@@ -305,3 +305,89 @@ def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
     # the real pass deletes exactly what the dry run promised
     assert V.vacuum(t, keep_last=1) == n_dry
     assert V.read_version(spark, t).count() == 50
+
+
+# -- 6. metadata-only commits carry EVERY config key (r7 hardening) ------
+# The r6 bug class: add_constraint/drop_constraint omitted `colmap` and
+# every renamed column silently read NULL after an ADD CONSTRAINT. All
+# metadata-only publishers now spread `_carry_config(head)`; this test
+# is parameterized over every metadata op AND asserts over the full
+# `_CONFIG_KEYS` list, so a future config key added to _carry_config is
+# automatically covered (and a key added to _segment but NOT to
+# _carry_config fails the setup's non-vacuous guard when it's exercised
+# here).
+
+
+def _all_config_table(spark, tmp_path):
+    """A table with EVERY config key non-trivially populated:
+    constraints (a CHECK + a generated column's reserved constraint),
+    bloom_cols, colmap (mapping enabled + one rename), identity."""
+    t = str(tmp_path / "cfg_tbl")
+    df = (
+        spark.range(0, 10)
+        .withColumn("v", F.col("id") * 1.0)
+        .withColumn("w", F.col("id") + 1)
+    )
+    V.commit(
+        df.coalesce(1),
+        t,
+        bloom_cols=["v"],
+        identity={"row_id": {"start": 100, "step": 1}},
+        generated={"g": "v * 2"},
+    )
+    V.add_constraint(spark, t, "chk_v", "v >= 0")
+    V.enable_column_mapping(t)
+    V.rename_column(t, "w", "w_renamed")
+    return t
+
+
+_META_OPS = {
+    # op name -> (callable(spark, t), config keys the op MEANS to change)
+    "add_constraint": (
+        lambda spark, t: V.add_constraint(spark, t, "extra", "v < 1e9"),
+        {"constraints"},
+    ),
+    "drop_constraint": (
+        lambda spark, t: V.drop_constraint(t, "chk_v"),
+        {"constraints"},
+    ),
+    "rename_column": (
+        lambda spark, t: V.rename_column(t, "w_renamed", "w2"),
+        {"colmap"},
+    ),
+    "add_column": (
+        lambda spark, t: V.add_column(t, "z", "double"),
+        {"colmap"},
+    ),
+    "enable_column_mapping": (  # idempotent re-run: nothing changes
+        lambda spark, t: V.enable_column_mapping(t),
+        set(),
+    ),
+}
+
+
+@pytest.mark.parametrize("op_name", sorted(_META_OPS))
+def test_metadata_commit_preserves_every_config_key(
+    spark, tmp_path, op_name
+):
+    t = _all_config_table(spark, tmp_path)
+    head = V._list_versions(t)[-1]
+    before = V._snapshot(t, head, with_stats=False)
+    # non-vacuous: every carried config key is actually populated
+    for k in V._CONFIG_KEYS:
+        assert before.get(k), f"setup left config key {k!r} empty"
+    assert any(n.startswith(V._GEN_PREFIX) for n in before["constraints"])
+
+    op, changed = _META_OPS[op_name]
+    op(spark, t)
+    after = V._snapshot(t, V._list_versions(t)[-1], with_stats=False)
+    for k in V._CONFIG_KEYS:
+        if k in changed:
+            continue
+        assert after.get(k) == before.get(k), (
+            f"metadata op {op_name!r} silently changed config {k!r}: "
+            f"{before.get(k)!r} -> {after.get(k)!r}"
+        )
+    # and the mapped read still resolves every logical column
+    cols = set(V.read_version(spark, t).columns)
+    assert {"id", "v", "g", "row_id"} <= cols
