@@ -238,29 +238,8 @@ class ContinuousAggregate:
             if n_dirty == 0:
                 # optimize/metadata-only commits: nothing to recompute,
                 # but advance the high-water so the next refresh does
-                # not re-walk these segments — a zero-row append
-                # carries the txn mark (a MERGE with an empty source
-                # provably touches nothing and publishes no commit).
-                # Built from the STORED schema: a parquet read would
-                # relax non-nullable aggregate columns to nullable and
-                # fail the append check.
-                import json as _json
-
-                from pyspark.sql import types as _T
-
-                agg_head = V._list_versions(self.agg_dir)[-1]
-                stored = V._snapshot(
-                    self.agg_dir, agg_head, with_stats=False
-                )["schema"]
-                empty = self.spark.createDataFrame(
-                    [], _T.StructType.fromJson(_json.loads(stored))
-                )
-                return V.commit(
-                    empty,
-                    self.agg_dir,
-                    mode="append",
-                    txn=(self.app_id, head),
-                )
+                # not re-walk these segments.
+                return self._advance_highwater(head)
             fresh = self._recompute(dirty, head, n_dirty, report)
             # buckets whose rows were ALL deleted produce no recomputed
             # row — they must leave the materialized table
@@ -282,6 +261,14 @@ class ContinuousAggregate:
                     when_matched="delete",
                     when_not_matched="ignore",
                 )
+            if n_dead == n_dirty:
+                # EVERY dirty bucket emptied (a restore/overwrite that
+                # dropped a whole load): `fresh` is empty and a MERGE
+                # with an empty source publishes nothing — the txn
+                # high-water must land via the zero-row append instead,
+                # or every later refresh re-walks these segments
+                # forever (found by the policy-across-restore test).
+                return self._advance_highwater(head)
             return V.merge(
                 self.spark,
                 self.agg_dir,
@@ -291,6 +278,28 @@ class ContinuousAggregate:
             )
         finally:
             dirty.unpersist()
+
+    def _advance_highwater(self, head: int) -> dict:
+        """Record base version ``head`` as consumed without publishing
+        any data: a zero-row append carrying the txn mark (a MERGE with
+        an empty source provably touches nothing and publishes no
+        commit). Built from the STORED schema: a parquet read would
+        relax non-nullable aggregate columns to nullable and fail the
+        append check."""
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        agg_head = V._list_versions(self.agg_dir)[-1]
+        stored = V._snapshot(self.agg_dir, agg_head, with_stats=False)[
+            "schema"
+        ]
+        empty = self.spark.createDataFrame(
+            [], _T.StructType.fromJson(_json.loads(stored))
+        )
+        return V.commit(
+            empty, self.agg_dir, mode="append", txn=(self.app_id, head)
+        )
 
     # -- refresh policy ------------------------------------------------
 

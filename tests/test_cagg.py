@@ -259,6 +259,34 @@ def test_commit_tick_stream_and_refresh_policy(spark, tmp_path):
     assert ca.last_refreshed_version() == 4
 
 
+def test_refresh_policy_catches_up_across_restore(spark, tmp_path):
+    """A reference user restores a bad load while a standing refresh
+    policy runs: the restore is an ordinary overwrite-mode commit, the
+    tick source emits it, and the policy's catch-up refresh converges
+    the aggregate back to the restored content — including deleting
+    buckets that only existed in the abandoned head."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)  # v1 (good)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    ck = str(tmp_path / "ck")
+    # v2: the "bad load" — far-future buckets + doubled prices
+    V.commit(
+        _rows(spark, 500, 560, px_mult=9.0).coalesce(1), base, mode="append"
+    )
+    q = ca.refresh_policy_writer(ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    _assert_matches_full(spark, ca, base)
+    n_bad = ca.read().count()
+    # v3: RESTORE to v1 under the same standing policy checkpoint
+    V.restore(base, 1, spark)
+    q = ca.refresh_policy_writer(ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    _assert_matches_full(spark, ca, base)
+    assert ca.last_refreshed_version() == 3
+    assert ca.read().count() < n_bad  # the bad load's buckets left
+
+
 def test_null_time_rows_are_excluded_everywhere(spark, tmp_path):
     """A NULL bucket key can never be semi-joined, merged, or deleted
     (SQL NULL-key semantics) — so NULL-time rows are excluded from the
@@ -302,11 +330,16 @@ def test_null_time_rows_are_excluded_everywhere(spark, tmp_path):
 
 def test_refresh_property_random_dml_sequences(spark, tmp_path):
     """Property: for ANY sequence of appends / copy-on-write updates /
-    merge-on-read deletes / merge-on-read updates / compactions, an
-    incremental refresh after each step leaves the materialized table
-    equal to a from-scratch aggregation of the base head. Deterministic
-    pseudo-random op sequence (seeded) — the cheap exhaustive sweep a
-    single-shape test can't give."""
+    merge-on-read deletes / merge-on-read updates / compactions /
+    overwrites / restores, an incremental refresh after each step
+    leaves the materialized table equal to a from-scratch aggregation
+    of the base head. Deterministic pseudo-random op sequence (seeded)
+    — the cheap exhaustive sweep a single-shape test can't give.
+    Overwrite and restore are the whole-snapshot-diff path through the
+    CDF (versioned_stream diffs resets as delete-all + insert-all), so
+    they dirty every surviving bucket — the reference analog is a CA
+    refresh after a backfill/correction load
+    (sql/timescaledb_schema.sql:60-65)."""
     import random
 
     rng = random.Random(1729)
@@ -315,8 +348,18 @@ def test_refresh_property_random_dml_sequences(spark, tmp_path):
     ca = _cagg(spark, base, agg)
     ca.create()
     nxt = 80
-    for step in range(12):
-        op = rng.choice(["append", "update", "mor_delete", "mor_update", "compact"])
+    for step in range(14):
+        op = rng.choice(
+            [
+                "append",
+                "update",
+                "mor_delete",
+                "mor_update",
+                "compact",
+                "overwrite",
+                "restore",
+            ]
+        )
         if op == "append":
             n = rng.randint(1, 30)
             V.commit(_rows(spark, nxt, nxt + n).coalesce(1), base, mode="append")
@@ -339,6 +382,18 @@ def test_refresh_property_random_dml_sequences(spark, tmp_path):
                 spark, base, [("sym", "=", s)], {"px": F.col("px") * 1.5},
                 merge_on_read=True,
             )
+        elif op == "overwrite":
+            # a correction/backfill load replacing the whole table
+            n = rng.randint(20, 60)
+            V.commit(
+                _rows(spark, nxt, nxt + n, px_mult=2.5).coalesce(1),
+                base,
+                mode="overwrite",
+            )
+            nxt += n
+        elif op == "restore":
+            vs = V._list_versions(base)
+            V.restore(base, rng.choice(vs[:-1] or vs), spark)
         else:
             V.compact(spark, base, n_files=2)
         if rng.random() < 0.7:  # sometimes batch several ops per refresh
