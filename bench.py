@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "holt_linear_level",
     "volume_periodogram",
     "seasonal_decomposition",
+    # round 7: hierarchical cagg (1m store → 5m rollup via its CDF)
+    "continuous_aggregate_hierarchy",
 ]
 
 

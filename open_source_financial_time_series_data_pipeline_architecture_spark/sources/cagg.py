@@ -101,6 +101,86 @@ class ContinuousAggregate:
         self.aggs = dict(aggs)
         self.bucket_col = bucket_col
         self.app_id = app_id or f"cagg:{os.path.basename(agg_dir)}"
+        #: set by on_cagg() — the parent aggregate in a hierarchy
+        self.parent: "ContinuousAggregate | None" = None
+
+    @classmethod
+    def on_cagg(
+        cls,
+        parent: "ContinuousAggregate",
+        agg_dir: str,
+        *,
+        bucket_seconds: int,
+        aggs: dict,
+        group_cols: list[str] | None = None,
+        bucket_col: str | None = None,
+        app_id: str | None = None,
+    ) -> "ContinuousAggregate":
+        """HIERARCHICAL continuous aggregate (TimescaleDB's
+        cagg-on-cagg — the 1m→5m→1h bar-rollup family, reference
+        sql/timescaledb_schema.sql:44-57,162-178): the child's base IS
+        the parent's materialized store. That store is itself a
+        versioned table with a change feed, so the invalidation
+        plumbing is IDENTICAL — a parent refresh that merges new 1m
+        buckets (or delete-merges emptied ones) produces CDF rows, and
+        the child's refresh reads exactly those to find its dirty 5m
+        buckets. Nothing ever re-reads the raw base table at the
+        child's level.
+
+        Contracts (the same ones TimescaleDB imposes):
+        - ``bucket_seconds`` must be a whole multiple of the parent's —
+          otherwise a child bucket would split a parent bucket and the
+          rollup would be unanswerable from parent partials;
+        - ``aggs`` must be expressed over the parent's PARTIALS
+          (counts/sums re-sum, min/max re-min/re-max, avg = sum/count
+          carried as two partials) — combinability is the user's
+          declaration, exactly like a TimescaleDB hierarchical cagg;
+        - ``group_cols`` must be a subset of the parent's (a column the
+          parent aggregated away cannot reappear);
+        - the child's view of the world is the parent's MATERIALIZED
+          store: refresh the parent first (``refresh_hierarchy()``) for
+          end-to-end freshness. ``read_realtime()`` on the child is
+          exact w.r.t. the parent store's head, not the raw base —
+          TimescaleDB's ``materialized_only`` caveat for hierarchies.
+        """
+        if bucket_seconds % parent.bucket_seconds != 0:
+            raise ValueError(
+                f"child bucket ({bucket_seconds}s) must be a whole "
+                f"multiple of the parent bucket ({parent.bucket_seconds}s)"
+            )
+        gcols = parent.group_cols if group_cols is None else list(group_cols)
+        extra = set(gcols) - set(parent.group_cols)
+        if extra:
+            raise ValueError(
+                f"child group_cols not in the parent aggregate: {extra}"
+            )
+        child = cls(
+            parent.spark,
+            parent.agg_dir,
+            agg_dir,
+            time_col=parent.bucket_col,
+            bucket_seconds=bucket_seconds,
+            group_cols=gcols,
+            aggs=aggs,
+            bucket_col=bucket_col or parent.bucket_col,
+            app_id=app_id,
+        )
+        child.parent = parent
+        return child
+
+    def refresh_hierarchy(self, reports: list | None = None) -> dict:
+        """Refresh the whole ancestor chain base-most first, then this
+        aggregate — one invalidation-driven refresh per level, each
+        reading only the level below's change feed. ``reports`` (a
+        list, optional) collects one refresh report dict per level,
+        root first."""
+        if self.parent is not None:
+            self.parent.refresh_hierarchy(reports)
+        rep: dict | None = None if reports is None else {}
+        out = self.refresh(report=rep)
+        if reports is not None:
+            reports.append(rep)
+        return out
 
     # -- bucketing ---------------------------------------------------
 

@@ -401,3 +401,134 @@ def test_refresh_property_random_dml_sequences(spark, tmp_path):
             _assert_matches_full(spark, ca, base)
     ca.refresh()
     _assert_matches_full(spark, ca, base)
+
+
+# -- hierarchical caggs (TimescaleDB cagg-on-cagg, r7) --------------------
+
+
+def _full_rollup(spark, base, bucket):
+    """From-scratch truth for the child: bucket the RAW base at the
+    child grain (combinable aggs only, so this equals rolling up the
+    parent partials)."""
+    return (
+        V.read_version(spark, base)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(
+                F.floor(F.col("ts").cast("double") / bucket).cast("long")
+                * bucket
+            ),
+        )
+        .groupBy("bucket_start", "sym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("px").alias("sum_px"),
+            F.max("px").alias("max_px"),
+        )
+    )
+
+
+def _child(spark, parent, cagg_dir, bucket=300):
+    return ContinuousAggregate.on_cagg(
+        parent,
+        cagg_dir,
+        bucket_seconds=bucket,
+        aggs={
+            "n": F.sum("n"),  # count partials re-SUM
+            "sum_px": F.sum("sum_px"),
+            "max_px": F.max("max_px"),
+        },
+    )
+
+
+def test_hierarchical_cagg_propagates_base_dml(spark, tmp_path):
+    """base → 1m cagg → 5m cagg: base DML (append + merge-on-read
+    delete that empties whole symbols) propagates through BOTH levels
+    on refresh_hierarchy(), and the child equals a from-scratch 5m
+    aggregation of the raw base head. The child's refresh reads only
+    the PARENT STORE's change feed — pinned via its report."""
+    base = str(tmp_path / "base")
+    agg1, agg5 = str(tmp_path / "agg1m"), str(tmp_path / "agg5m")
+    V.commit(_rows(spark, 0, 300).repartitionByRange(4, "ts"), base)
+    p = _cagg(spark, base, agg1)
+    p.create()
+    c = _child(spark, p, agg5)
+    c.create()
+    pd_eq = __import__("pandas").testing.assert_frame_equal
+    pd_eq(_sorted_pdf(c.read()), _sorted_pdf(_full_rollup(spark, base, 300)))
+
+    # base DML: append new time range + delete a whole symbol
+    V.commit(_rows(spark, 300, 420).coalesce(1), base, mode="append")
+    V.delete_where(spark, base, [("sym", "=", "1")], merge_on_read=True)
+    reports: list = []
+    c.refresh_hierarchy(reports)
+    assert len(reports) == 2  # parent then child
+    assert reports[0]["refreshed"] and reports[1]["refreshed"]
+    assert reports[1]["buckets_deleted"] > 0  # sym=1 left level 2 too
+    pd_eq(_sorted_pdf(c.read()), _sorted_pdf(_full_rollup(spark, base, 300)))
+    assert c.read().filter(F.col("sym") == "1").count() == 0
+
+    # idempotent: nothing advanced → second run is a no-op at each level
+    reports2: list = []
+    c.refresh_hierarchy(reports2)
+    assert not reports2[1].get("buckets_dirty")
+    pd_eq(_sorted_pdf(c.read()), _sorted_pdf(_full_rollup(spark, base, 300)))
+
+
+def test_hierarchical_cagg_validation(spark, tmp_path):
+    base = str(tmp_path / "base")
+    V.commit(_rows(spark, 0, 10).coalesce(1), base)
+    p = _cagg(spark, base, str(tmp_path / "agg1m"))
+    with pytest.raises(ValueError, match="whole .*multiple"):
+        ContinuousAggregate.on_cagg(
+            p, str(tmp_path / "bad"), bucket_seconds=90, aggs={"n": F.sum("n")}
+        )
+    with pytest.raises(ValueError, match="group_cols"):
+        ContinuousAggregate.on_cagg(
+            p,
+            str(tmp_path / "bad2"),
+            bucket_seconds=300,
+            group_cols=["sym", "px"],
+            aggs={"n": F.sum("n")},
+        )
+
+
+def test_hierarchical_cagg_random_dml_convergence(spark, tmp_path):
+    """The two-level analog of the DML property test: any op sequence
+    on the raw base converges through the chain."""
+    import random
+
+    rng = random.Random(31337)
+    base = str(tmp_path / "base")
+    V.commit(_rows(spark, 0, 120).repartition(2), base)
+    p = _cagg(spark, base, str(tmp_path / "agg1m"))
+    p.create()
+    c = _child(spark, p, str(tmp_path / "agg5m"))
+    c.create()
+    nxt = 120
+    pd_eq = __import__("pandas").testing.assert_frame_equal
+    for _ in range(6):
+        op = rng.choice(["append", "mor_delete", "update", "restore"])
+        if op == "append":
+            n = rng.randint(5, 40)
+            V.commit(_rows(spark, nxt, nxt + n).coalesce(1), base, mode="append")
+            nxt += n
+        elif op == "mor_delete":
+            lo = rng.randint(0, nxt)
+            V.delete_where(
+                spark, base,
+                [("px", ">=", lo * 1.5), ("px", "<", (lo + 15) * 1.5)],
+                merge_on_read=True,
+            )
+        elif op == "update":
+            s = str(rng.randint(0, 2))
+            V.update_where(
+                spark, base, [("sym", "=", s)], {"px": F.col("px") + 0.25}
+            )
+        else:
+            vs = V._list_versions(base)
+            V.restore(base, rng.choice(vs[:-1] or vs), spark)
+        c.refresh_hierarchy()
+        pd_eq(
+            _sorted_pdf(c.read()), _sorted_pdf(_full_rollup(spark, base, 300))
+        )
