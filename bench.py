@@ -191,7 +191,9 @@ BENCH_QUERIES = [
     "volume_periodogram",
     "seasonal_decomposition",
     # round 7: hierarchical cagg (1m store → 5m rollup via its CDF)
+    # + windowed refresh with pending invalidations (policy offsets)
     "continuous_aggregate_hierarchy",
+    "continuous_aggregate_windowed_refresh",
 ]
 
 

@@ -61,6 +61,44 @@ from open_source_financial_time_series_data_pipeline_architecture_spark.sources 
 #: back to a shuffled join rather than a driver-sized broadcast
 _DIRTY_BROADCAST_MAX_KEYS = 100_000
 
+#: above this many distinct out-of-window dirty buckets, store their
+#: min/max ENVELOPE as one pending range instead of collecting every
+#: epoch to the driver — over-invalidation is always safe here
+#: (recompute-not-decrement), unbounded collects are not
+_PENDING_COLLECT_MAX = 10_000
+
+
+def _coalesce_ranges(ranges: list) -> list[list[int]]:
+    """Sort and merge overlapping/adjacent [lo, hi) epoch ranges."""
+    out: list[list[int]] = []
+    for lo, hi in sorted([int(r[0]), int(r[1])] for r in ranges):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def _clip_ranges(
+    ranges: list, ws: int | None, we: int | None, inside: bool
+) -> list[list[int]]:
+    """The parts of [lo, hi) ranges inside (or outside) window
+    [ws, we) — None bounds are unbounded."""
+    lo_b = ws if ws is not None else -(2**62)
+    hi_b = we if we is not None else 2**62
+    out: list[list[int]] = []
+    for lo, hi in ranges:
+        if inside:
+            lo2, hi2 = max(lo, lo_b), min(hi, hi_b)
+            if lo2 < hi2:
+                out.append([lo2, hi2])
+        else:
+            if lo < lo_b:
+                out.append([lo, min(hi, lo_b)])
+            if hi > hi_b:
+                out.append([max(lo, hi_b), hi])
+    return _coalesce_ranges(out)
+
 
 class ContinuousAggregate:
     """An incrementally-refreshed time-bucketed aggregate of a
@@ -289,37 +327,104 @@ class ContinuousAggregate:
             .agg(*[c.alias(n) for n, c in self.aggs.items()])
         )
 
-    def refresh(self, report: dict | None = None) -> dict:
+    def refresh(
+        self,
+        report: dict | None = None,
+        *,
+        window_start=None,
+        window_end=None,
+    ) -> dict:
         """One invalidation-driven refresh: CDF since the last consumed
         base version → dirty keys → recompute those buckets → MERGE
         into the materialized table (+ delete buckets that emptied).
         Idempotent under replay — recompute-and-merge of the same range
         is a pure function of the base snapshot; the base version
         high-water lands in the agg table's txn map with the merge.
-        Returns the agg table's head snapshot."""
+        Returns the agg table's head snapshot.
+
+        ``window_start`` / ``window_end`` scope the refresh to buckets
+        with ``bucket_start`` in ``[window_start, window_end)`` —
+        TimescaleDB's ``refresh_continuous_aggregate(start, end)`` /
+        policy ``start_offset``/``end_offset`` (the reference's own
+        policy calls, sql/timescaledb_schema.sql:60-65). Bounds are
+        epoch seconds or datetimes (naive = UTC), floored to the bucket
+        grid; ``None`` is unbounded. Dirty buckets OUTSIDE the window
+        are NOT lost: they persist as PENDING INVALIDATION RANGES
+        (TimescaleDB's materialization invalidation log) in the agg
+        table's commit ``user_metadata`` — transactional with the
+        refresh itself — and materialize when a later refresh window
+        covers them; ``read_realtime()`` treats them as dirty
+        meanwhile. The version high-water always advances to ``head``:
+        the pending ranges, not the watermark, carry what remains."""
         last = self.last_refreshed_version()
         versions = V._list_versions(self.base_dir)
         head = versions[-1]
+        ws, we = self._win_bounds(window_start, window_end)
+        pending = self._pending_ranges()
+        pend_in = _clip_ranges(pending, ws, we, inside=True)
+        pend_out = _clip_ranges(pending, ws, we, inside=False)
         if report is not None:
             report.update({"from_version": last, "to_version": head})
-        if head <= last:
+        if head <= last and not pend_in:
             if report is not None:
                 report["refreshed"] = False
             return V._snapshot(
                 self.agg_dir, V._list_versions(self.agg_dir)[-1],
                 with_stats=False,
             )
-        dirty = self._dirty_keys(last, head).persist()
+        b = self.bucket_seconds
+        new_out: list[list[int]] = []
+        cdf_in = None
+        if head > last:
+            cdf = self._dirty_keys(last, head)
+            if ws is not None or we is not None:
+                ep = F.col(self.bucket_col).cast("double").cast("long")
+                in_cond = F.lit(True)
+                if ws is not None:
+                    in_cond = in_cond & (ep >= ws)
+                if we is not None:
+                    in_cond = in_cond & (ep < we)
+                out_df = (
+                    cdf.filter(~in_cond).select(ep.alias("e")).distinct()
+                )
+                n_out = out_df.count()
+                if n_out > _PENDING_COLLECT_MAX:
+                    lo, hi = out_df.agg(F.min("e"), F.max("e")).first()
+                    new_out = [[int(lo), int(hi) + b]]
+                elif n_out:
+                    new_out = _coalesce_ranges(
+                        [[r[0], r[0] + b] for r in out_df.collect()]
+                    )
+                cdf_in = cdf.filter(in_cond)
+            else:
+                cdf_in = cdf
+        new_pending = _coalesce_ranges(pend_out + new_out)
+        meta = self._pending_meta(new_pending, pending)
+        # this refresh's txn mark: only when the base head advanced —
+        # a pure pending-range drain at an unchanged head must not be
+        # swallowed by the exactly-once replay check
+        txn = (self.app_id, head) if head > last else None
+
+        dirty = cdf_in
+        if pend_in:
+            in_range = self._keys_in_ranges(pend_in, head)
+            dirty = (
+                in_range if dirty is None
+                else dirty.unionByName(in_range).distinct()
+            )
+        dirty = dirty.persist()
         try:
             n_dirty = dirty.count()
             if report is not None:
                 report["buckets_dirty"] = n_dirty
                 report["refreshed"] = True
+                report["pending_after"] = len(new_pending)
             if n_dirty == 0:
-                # optimize/metadata-only commits: nothing to recompute,
-                # but advance the high-water so the next refresh does
-                # not re-walk these segments.
-                return self._advance_highwater(head)
+                # optimize/metadata-only commits (or pending ranges
+                # whose content vanished everywhere): nothing to
+                # recompute, but advance the high-water / pending state
+                # so the next refresh does not re-walk these segments.
+                return self._advance_highwater(head, txn, meta)
             fresh = self._recompute(dirty, head, n_dirty, report)
             # buckets whose rows were ALL deleted produce no recomputed
             # row — they must leave the materialized table
@@ -348,29 +453,141 @@ class ContinuousAggregate:
                 # high-water must land via the zero-row append instead,
                 # or every later refresh re-walks these segments
                 # forever (found by the policy-across-restore test).
-                return self._advance_highwater(head)
+                return self._advance_highwater(head, txn, meta)
             return V.merge(
                 self.spark,
                 self.agg_dir,
                 fresh,
                 keys=self._keys(),
-                txn=(self.app_id, head),
+                txn=txn,
+                user_metadata=meta,
             )
         finally:
             dirty.unpersist()
 
-    def _advance_highwater(self, head: int) -> dict:
-        """Record base version ``head`` as consumed without publishing
-        any data: a zero-row append carrying the txn mark (a MERGE with
-        an empty source provably touches nothing and publishes no
-        commit). Built from the STORED schema: a parquet read would
-        relax non-nullable aggregate columns to nullable and fail the
-        append check."""
+    # -- windowed refresh / pending invalidations ----------------------
+
+    def _win_bounds(self, window_start, window_end):
+        """Normalize window bounds to bucket-grid-floored epoch seconds
+        (int) or None. Accepts epoch numbers or datetimes (naive=UTC)."""
+        import calendar
+        import math
+
+        b = self.bucket_seconds
+
+        def _ep(x):
+            if x is None:
+                return None
+            if isinstance(x, (int, float)):
+                e = float(x)
+            elif isinstance(x, datetime.datetime):
+                e = (
+                    x.timestamp()
+                    if x.tzinfo is not None
+                    else calendar.timegm(x.timetuple())
+                    + x.microsecond / 1e6
+                )
+            else:
+                raise TypeError(
+                    f"window bound must be epoch seconds or datetime, "
+                    f"got {type(x).__name__}"
+                )
+            return int(math.floor(e / b)) * b
+
+        ws, we = _ep(window_start), _ep(window_end)
+        if ws is not None and we is not None and ws >= we:
+            raise ValueError("window_start must be before window_end")
+        return ws, we
+
+    def _pending_ranges(self) -> list[list[int]]:
+        """The persisted pending-invalidation ranges: the most recent
+        agg-store commit whose user_metadata carries ``cagg_pending``
+        (this aggregate's app_id namespaces the key, so several caggs
+        could share a store dir without clashing)."""
+        import json as _json
+
+        key = f"cagg_pending:{self.app_id}"
+        for v in reversed(V._list_versions(self.agg_dir)):
+            um = V._read_segment(self.agg_dir, v).get("user_metadata")
+            if not um:
+                continue
+            try:
+                d = _json.loads(um)
+            except ValueError:
+                continue
+            if isinstance(d, dict) and key in d:
+                return _coalesce_ranges(d[key])
+        return []
+
+    def _pending_meta(
+        self, new_pending: list[list[int]], old_pending: list[list[int]]
+    ) -> str | None:
+        """user_metadata recording the new pending state — only when
+        there is state to record or clear (ordinary unwindowed refresh
+        histories stay metadata-free)."""
+        import json as _json
+
+        if not new_pending and not old_pending:
+            return None
+        return _json.dumps({f"cagg_pending:{self.app_id}": new_pending})
+
+    def _keys_in_ranges(self, ranges: list[list[int]], head: int) -> DataFrame:
+        """ALL (bucket, group...) keys living in the given epoch ranges
+        — in the base at ``head`` (inserts/updates) plus in the
+        materialized store (so buckets whose rows vanished get delete-
+        detected). Range-scoped pending refreshes recompute whole
+        regions, TimescaleDB-style, because per-key invalidation detail
+        was deliberately dropped when the range was deferred."""
+        import functools
+        import operator
+
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        rows = V.read_version(
+            self.spark,
+            self.base_dir,
+            version=head,
+            predicates=[
+                (
+                    self.time_col,
+                    ">=",
+                    datetime.datetime.utcfromtimestamp(lo),
+                ),
+                (self.time_col, "<", datetime.datetime.utcfromtimestamp(hi)),
+            ],
+        )
+        ep = F.col(self.bucket_col).cast("double").cast("long")
+        in_ranges = functools.reduce(
+            operator.or_, [(ep >= r0) & (ep < r1) for r0, r1 in ranges]
+        )
+        base_keys = (
+            rows.filter(F.col(self.time_col).isNotNull())
+            .withColumn(self.bucket_col, self._bucket(self.time_col))
+            .filter(in_ranges)
+            .select(*self._keys())
+            .distinct()
+        )
+        mat_keys = (
+            self.read().filter(in_ranges).select(*self._keys()).distinct()
+        )
+        return base_keys.unionByName(mat_keys).distinct()
+
+    def _advance_highwater(
+        self, head: int, txn, meta: str | None = None
+    ) -> dict:
+        """Record base version ``head`` as consumed (and/or the new
+        pending-invalidation state) without publishing any data: a
+        zero-row append carrying the txn mark (a MERGE with an empty
+        source provably touches nothing and publishes no commit). Built
+        from the STORED schema: a parquet read would relax non-nullable
+        aggregate columns to nullable and fail the append check."""
         import json as _json
 
         from pyspark.sql import types as _T
 
         agg_head = V._list_versions(self.agg_dir)[-1]
+        if txn is None and meta is None:
+            return V._snapshot(self.agg_dir, agg_head, with_stats=False)
         stored = V._snapshot(self.agg_dir, agg_head, with_stats=False)[
             "schema"
         ]
@@ -378,12 +595,23 @@ class ContinuousAggregate:
             [], _T.StructType.fromJson(_json.loads(stored))
         )
         return V.commit(
-            empty, self.agg_dir, mode="append", txn=(self.app_id, head)
+            empty,
+            self.agg_dir,
+            mode="append",
+            txn=txn,
+            user_metadata=meta,
         )
 
     # -- refresh policy ------------------------------------------------
 
-    def refresh_policy_writer(self, checkpoint_dir: str):
+    def refresh_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        start_offset: int | None = None,
+        end_offset: int | None = None,
+        now_fn=None,
+    ):
         """TimescaleDB's ``add_continuous_aggregate_policy`` as a
         Structured Streaming job: follow the BASE table's commit-log
         tick stream (one metadata row per commit — no data read) and
@@ -392,13 +620,32 @@ class ContinuousAggregate:
         the standing policy; ``.trigger(availableNow=True)`` is a
         catch-up run. Safe under replay/overlap: refresh() reads its
         own high-water from the agg table's txn map and is a no-op
-        when nothing advanced."""
+        when nothing advanced.
+
+        ``start_offset``/``end_offset`` (seconds) are the reference's
+        own policy parameters (sql/timescaledb_schema.sql:60-65:
+        ``start_offset => INTERVAL '1 hour', end_offset => INTERVAL
+        '1 minute'``): each tick refreshes the window
+        ``[now − start_offset, now − end_offset)`` — the end offset
+        keeps the hot, still-mutating tail OUT of the materialized
+        store (real-time reads serve it), the start offset bounds how
+        far back a tick looks; out-of-window invalidations persist as
+        pending ranges. ``now_fn`` injects the clock (tests)."""
+        import time as _time
+
         ticks = V.VersionedTable(self.spark, self.base_dir).stream_commits()
 
         def _tick(batch_df, _bid):
             # the tick content is irrelevant — the refresh reads the
             # commit log directly; an empty batch still costs nothing
-            self.refresh()
+            kw = {}
+            if start_offset is not None or end_offset is not None:
+                now = (now_fn or _time.time)()
+                if start_offset is not None:
+                    kw["window_start"] = now - start_offset
+                if end_offset is not None:
+                    kw["window_end"] = now - end_offset
+            self.refresh(**kw)
 
         return (
             ticks.writeStream.foreachBatch(_tick)
@@ -417,13 +664,24 @@ class ContinuousAggregate:
         bucket UNION an on-the-fly recompute of the buckets dirtied by
         base commits since the last refresh. The unrefreshed tail is
         aggregated per read; everything older is served from the
-        materialized store."""
+        materialized store. PENDING invalidation ranges (deferred by a
+        windowed refresh) count as dirty too — realtime stays exact
+        while a policy's start/end offsets hold buckets back."""
         last = self.last_refreshed_version()
         head = V._list_versions(self.base_dir)[-1]
         mat = self.read()
-        if head <= last:
+        pending = self._pending_ranges()
+        if head <= last and not pending:
             return mat
-        dirty = self._dirty_keys(last, head)
+        dirty = (
+            self._dirty_keys(last, head)
+            if head > last
+            else mat.select(*self._keys()).limit(0)
+        )
+        if pending:
+            dirty = dirty.unionByName(
+                self._keys_in_ranges(pending, head)
+            ).distinct()
         n_dirty = dirty.count()  # bounds the broadcast decision
         if n_dirty == 0:
             return mat

@@ -1804,6 +1804,7 @@ def _publish_rewrite(
     dv_staged: list[str] | None = None,
     dv_covered: list[str] | None = None,
     identity: dict | None = None,
+    user_metadata: str | None = None,
 ) -> dict:
     """Publish a rewrite ('merge'- or 'optimize'-mode) commit with automatic
     rebase-on-conflict: on a lost CAS the staged output is republished
@@ -1846,6 +1847,7 @@ def _publish_rewrite(
                 colmap=colmap,
                 dv_add={f: dv_covered for f in dv_staged},
                 identity=pub_identity,
+                user_metadata=user_metadata,
             )
         else:
             seg = _segment(
@@ -1861,6 +1863,7 @@ def _publish_rewrite(
                 n_files=n_files - len(touched) + len(staged),
                 colmap=colmap,
                 identity=pub_identity,
+                user_metadata=user_metadata,
             )
         try:
             _publish(table_dir, seg)
@@ -2587,6 +2590,7 @@ def merge(
     when_not_matched_by_source: str = "ignore",
     when_not_matched_by_source_condition=None,
     allow_evolution: bool = False,
+    user_metadata: str | None = None,
 ) -> dict:
     """MERGE INTO the versioned table (Delta's upsert primitive —
     reference spark/batch_feature_calculation.py:61-65 relies on it):
@@ -2931,6 +2935,7 @@ def merge(
         report=report,
         colmap=cm,
         identity=m.get("identity"),
+        user_metadata=user_metadata,
     )
 
 

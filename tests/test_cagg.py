@@ -532,3 +532,120 @@ def test_hierarchical_cagg_random_dml_convergence(spark, tmp_path):
         pd_eq(
             _sorted_pdf(c.read()), _sorted_pdf(_full_rollup(spark, base, 300))
         )
+
+
+# -- windowed refresh / policy offsets (r7) -------------------------------
+# TimescaleDB's refresh_continuous_aggregate(start, end) and policy
+# start_offset/end_offset — the reference's own policy calls
+# (sql/timescaledb_schema.sql:60-65). Out-of-window invalidations
+# persist as pending ranges in the agg store's commit user_metadata and
+# materialize when a later window covers them; realtime treats them as
+# dirty meanwhile.
+
+
+def test_windowed_refresh_defers_and_later_drains(spark, tmp_path):
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    # two disjoint dirtied regions: an OLD backfill and a RECENT append
+    V.commit(_rows(spark, 100, 140).coalesce(1), base, mode="append")  # recent
+    V.update_where(  # old region: px bumped → old buckets dirty
+        spark, base, [("px", "<", 30.0)], {"px": F.col("px") + 1000.0}
+    )
+    recent_start = T0 + 100 * 37
+    rep: dict = {}
+    ca.refresh(report=rep, window_start=recent_start)
+    assert rep["refreshed"] and rep["pending_after"] > 0
+    # recent buckets materialized; old buckets STALE in the store
+    assert ca.read().filter(F.col("max_px") > 900).count() == 0  # stale
+    got_recent = ca.read().filter(
+        F.col("bucket_start") >= F.timestamp_seconds(F.lit(recent_start))
+    )
+    assert got_recent.count() > 0
+    # realtime is EXACT anyway: pending ranges count as dirty
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base))
+    )
+    # the high-water DID advance (pending carries the rest)
+    assert ca.last_refreshed_version() == V._list_versions(base)[-1]
+    rep_noop: dict = {}
+    ca.refresh(report=rep_noop, window_start=recent_start)
+    assert rep_noop["refreshed"] is False  # nothing new in-window
+    # an unwindowed refresh drains the pending ranges
+    rep2: dict = {}
+    ca.refresh(report=rep2)
+    assert rep2["refreshed"] and rep2["pending_after"] == 0
+    _assert_matches_full(spark, ca, base)
+    assert ca._pending_ranges() == []
+
+
+def test_windowed_refresh_pending_delete_propagates(spark, tmp_path):
+    """Deletes deferred by the window still delete their buckets when
+    the pending range finally refreshes (keys_in_ranges includes the
+    MATERIALIZED side)."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    n0 = ca.read().count()
+    # delete EVERY row of the old half (empties whole buckets)
+    V.delete_where(
+        spark, base, [("px", "<", 50 * 1.5)], merge_on_read=True
+    )
+    far_future = T0 + 10**7
+    ca.refresh(window_start=far_future)  # nothing in-window
+    assert ca.read().count() == n0  # store untouched, all pending
+    pd_eq = __import__("pandas").testing.assert_frame_equal
+    pd_eq(_sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base)))
+    ca.refresh()  # drain
+    _assert_matches_full(spark, ca, base)
+    assert ca.read().count() < n0
+
+
+def test_policy_offsets_hold_back_hot_tail(spark, tmp_path):
+    """end_offset keeps the hot tail out of the store; a later tick
+    (clock advanced) materializes it."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 60).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    data_end = T0 + 60 * 37
+    V.commit(_rows(spark, 60, 120).coalesce(1), base, mode="append")
+    clock = {"now": data_end + 600}
+    ck = str(tmp_path / "ck")
+    w = ca.refresh_policy_writer(
+        ck,
+        start_offset=10**6,
+        end_offset=900,  # hold back the last 15 min before "now"
+        now_fn=lambda: clock["now"],
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    held = ca._pending_ranges()
+    assert held, "hot tail should be pending"
+    # the appended rows all land beyond now − end_offset, so NONE of
+    # their buckets reached the store (create()-time buckets stay — the
+    # window governs refreshes, like TimescaleDB's WITH DATA create)
+    assert (
+        ca.read()
+        .filter(
+            F.col("bucket_start") >= F.timestamp_seconds(F.lit(data_end))
+        )
+        .count()
+        == 0
+    )
+    pd_eq = __import__("pandas").testing.assert_frame_equal
+    pd_eq(_sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base)))
+    # clock advances past the tail; a new base commit ticks the policy
+    clock["now"] = data_end + 10**5
+    V.commit(_rows(spark, 120, 121).coalesce(1), base, mode="append")
+    q = ca.refresh_policy_writer(
+        ck, start_offset=10**6, end_offset=900,
+        now_fn=lambda: clock["now"],
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    _assert_matches_full(spark, ca, base)
+    assert ca._pending_ranges() == []
