@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     # + windowed refresh with pending invalidations (policy offsets)
     "continuous_aggregate_hierarchy",
     "continuous_aggregate_windowed_refresh",
+    "versioned_retention_policy",
+    "continuous_aggregate_outlives_retention",
 ]
 
 

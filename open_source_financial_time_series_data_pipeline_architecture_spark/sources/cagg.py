@@ -124,6 +124,7 @@ class ContinuousAggregate:
         aggs: dict,
         bucket_col: str = "bucket_start",
         app_id: str | None = None,
+        ignore_retention: bool = True,
     ):
         if not aggs:
             raise ValueError("aggs must name at least one aggregate")
@@ -139,6 +140,12 @@ class ContinuousAggregate:
         self.aggs = dict(aggs)
         self.bucket_col = bucket_col
         self.app_id = app_id or f"cagg:{os.path.basename(agg_dir)}"
+        #: TimescaleDB semantics (default): ``drop_chunks`` retention
+        #: commits on the base do NOT invalidate the aggregate — the
+        #: materialized history outlives the raw data it summarized.
+        #: False opts into strict base-mirroring (retention deletes
+        #: un-materialize their buckets like any other delete).
+        self.ignore_retention = ignore_retention
         #: set by on_cagg() — the parent aggregate in a hierarchy
         self.parent: "ContinuousAggregate | None" = None
 
@@ -274,11 +281,33 @@ class ContinuousAggregate:
             )
         return v
 
+    def _retention_versions(self, last: int, head: int) -> set[int]:
+        """Base commits in (last, head] carrying RETENTION_METADATA —
+        drop_chunks commits the invalidation walk skips when
+        ``ignore_retention`` (never read, not read-then-filtered)."""
+        if not self.ignore_retention:
+            return set()
+        return {
+            v
+            for v in V._list_versions(self.base_dir)
+            if last < v <= head
+            and V._read_segment(self.base_dir, v).get("user_metadata")
+            == V.RETENTION_METADATA
+        }
+
     def _dirty_keys(self, last: int, head: int) -> DataFrame:
         """The distinct (bucket, group...) keys touched by base commits
         in (last, head] — the invalidation set, straight off the change
-        feed (inserts AND deletes both dirty their bucket)."""
-        ch = V.read_changes(self.spark, self.base_dir, last, head)
+        feed (inserts AND deletes both dirty their bucket). Retention
+        commits are skipped under ``ignore_retention`` (TimescaleDB:
+        aggregates outlive dropped raw chunks)."""
+        ch = V.read_changes(
+            self.spark,
+            self.base_dir,
+            last,
+            head,
+            skip_versions=self._retention_versions(last, head),
+        )
         return (
             ch.filter(F.col(self.time_col).isNotNull())
             .withColumn(self.bucket_col, self._bucket(self.time_col))

@@ -516,6 +516,40 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
     return True
 
 
+def _file_must_match(stats: dict | None, predicates: list[tuple]) -> bool:
+    """Envelope test for whole-file operations: True ONLY when the file
+    provably contains NO row violating the conjunction — the dual of
+    ``_file_may_match``. Missing/partial stats → False (never drop what
+    you cannot prove). A zero-row file vacuously matches. Any NULL in a
+    predicated column fails (NULL satisfies no comparison)."""
+    if not stats:
+        return False
+    rows = stats.get("rows", 0)
+    if rows == 0:
+        return True
+    cols = stats.get("cols", {})
+    for col, op, val in predicates:
+        s = cols.get(col)
+        if s is None or s.get("nulls", 1) > 0:
+            return False
+        lo, hi = s.get("min"), s.get("max")
+        if lo is None or hi is None:
+            return False
+        k = _stat_key(val)
+        if k is None or isinstance(k, str) != isinstance(lo, str):
+            return False
+        ok = {
+            "<": hi < k,
+            "<=": hi <= k,
+            ">": lo > k,
+            ">=": lo >= k,
+            "=": lo == k == hi,
+        }.get(op, False)
+        if not ok:
+            return False
+    return True
+
+
 def prune_files(manifest: dict, predicates: list[tuple]) -> tuple[list[str], dict]:
     """File-level data skipping: the subset of the snapshot's files
     whose min/max envelopes may satisfy ALL ``predicates`` (conjunctive
@@ -2395,11 +2429,18 @@ def read_changes(
     table_dir: str,
     start_version: int,
     end_version: int | None = None,
+    skip_versions: set[int] | None = None,
 ) -> DataFrame:
     """Change data feed: the row-level delta that took the table from
     ``start_version`` to ``end_version`` (head when None), as the
     table's columns plus ``_change_type`` ('insert'/'delete') and
     ``_commit_version``.
+
+    ``skip_versions``: commits to treat as logical no-ops — the
+    CALLER's declaration that it does not consume those changes (e.g. a
+    continuous aggregate skipping ``drop_chunks`` retention commits,
+    whose deletes must not un-materialize history). Skipped commits are
+    never read at all, not read-then-filtered.
 
     Cost model (the 100 TB contract): an **append** step is O(its new
     files) — read straight off the segment's ``add`` list; an
@@ -2456,6 +2497,8 @@ def read_changes(
     for v, seg, files, prev_files in _walk_segments(table_dir, start_version, end):
         mode = seg["mode"]
         prev_dv, dv_state = dv_state, _dv_step(seg, dv_state)
+        if skip_versions and v in skip_versions:
+            continue
         if mode == "append":
             seen = set(prev_files)
             new_files = [f for f in files if f not in seen]
@@ -3438,6 +3481,90 @@ def compact(
     )
 
 
+#: user_metadata marker on drop_chunks commits — continuous aggregates
+#: read it to SKIP retention commits during invalidation (TimescaleDB:
+#: dropping raw chunks never invalidates the aggregates built on them)
+RETENTION_METADATA = '{"op": "drop_chunks"}'
+
+
+def drop_chunks(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    report: dict | None = None,
+    rebase_retries: int = 2,
+) -> dict:
+    """TimescaleDB ``drop_chunks`` / ``add_retention_policy``'s action
+    (the hypertable-retention companion of the reference's continuous-
+    aggregate policies): REMOVE whole files ("chunks") whose stats
+    envelope proves EVERY row matches ``predicates`` — a MANIFEST-ONLY
+    commit. No data file is read, rewritten, or copied: at 100 TB,
+    expiring a year of raw ticks is O(files) driver work plus one
+    O(touched) commit; ``vacuum`` reclaims the bytes later.
+
+    Chunk-granular, exactly TimescaleDB's contract: a file the cutoff
+    only PARTLY covers stays whole (its young rows protect its old
+    ones until the whole chunk ages out) — use ``delete_where`` for
+    row-exact deletion. The hypertable layout (``repartitionByRange``
+    on the time column at write, or Z-order) keeps chunk envelopes
+    tight so at most one file per boundary straddles.
+
+    The commit is an ordinary remove-only merge commit, so time travel,
+    CDF (the dropped rows appear as deletes), restore, and clone all
+    stay honest — but it carries ``RETENTION_METADATA``, which
+    continuous aggregates use to NOT invalidate themselves (aggregates
+    outlive the raw data they summarized, TimescaleDB's
+    data-retention-with-caggs pattern). Concurrent appends never
+    conflict (``read_predicates=[]``): a late row landing in the
+    expired range simply ages out on the next policy run."""
+    if not predicates:
+        raise ValueError(
+            "drop_chunks needs predicates (the retention cutoff) — "
+            "to drop everything use commit(mode='overwrite') explicitly"
+        )
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    base = versions[-1]
+    m = _snapshot(table_dir, base, with_stats=True)
+    cm = m.get("colmap")
+    pp = _phys_preds(predicates, cm)
+    stats = m.get("stats") or {}
+    drop = [f for f in m["files"] if _file_must_match(stats.get(f), pp)]
+    if report is not None:
+        report.update(
+            {
+                "files_total": len(m["files"]),
+                "files_dropped": len(drop),
+                "rows_dropped": sum(
+                    (stats.get(f) or {}).get("rows", 0) for f in drop
+                ),
+            }
+        )
+    if not drop:  # nothing wholly expired: no-op, no commit
+        return m
+    return _publish_rewrite(
+        table_dir,
+        base=base,
+        base_n_files=len(m["files"]),
+        base_txn=m.get("txn", {}),
+        staged=[],
+        staged_stats={},
+        touched=drop,
+        read_predicates=[],  # whole-chunk drop: concurrent adds never
+        # conflict; only a rewrite of a dropped file does
+        schema_json=m["schema"],
+        txn=None,
+        constraints=m.get("constraints", {}),
+        bloom_cols=m.get("bloom_cols"),
+        rebase_retries=rebase_retries,
+        report=report,
+        colmap=cm,
+        identity=m.get("identity"),
+        user_metadata=RETENTION_METADATA,
+    )
+
+
 def restore(
     table_dir: str, version: int, spark: SparkSession | None = None
 ) -> dict:
@@ -3928,6 +4055,53 @@ class VersionedTable:
                     target_file_bytes=target_file_bytes,
                     min_file_bytes=small_file_bytes,
                 )
+
+        return ticks.writeStream.foreachBatch(_tick).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
+    def drop_chunks(self, predicates: list[tuple], **kw) -> dict:
+        """TimescaleDB drop_chunks: manifest-only whole-file retention
+        (module-level ``drop_chunks``)."""
+        return drop_chunks(self.spark, self.path, predicates, **kw)
+
+    def retention_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        time_col: str,
+        older_than: float,
+        now_fn=None,
+    ):
+        """TimescaleDB's ``add_retention_policy`` as a maintenance
+        policy job (the companion of the reference's
+        ``add_continuous_aggregate_policy`` calls): follow this table's
+        commit-log tick stream and ``drop_chunks`` everything wholly
+        older than ``now − older_than`` seconds on each tick. The
+        drop is manifest-only and never conflicts with appends, and its
+        own commit ticks once more and finds nothing expired — it
+        converges. Pair with a vacuum schedule to reclaim bytes, and
+        with caggs freely: retention commits carry RETENTION_METADATA,
+        so aggregates keep their history. ``now_fn`` injects the clock
+        (tests)."""
+        import datetime as _dt
+        import time as _time
+
+        ticks = self.stream_commits()
+
+        def _tick(batch_df, _bid):
+            cutoff = (now_fn or _time.time)() - older_than
+            drop_chunks(
+                self.spark,
+                self.path,
+                [
+                    (
+                        time_col,
+                        "<",
+                        _dt.datetime.utcfromtimestamp(cutoff),
+                    )
+                ],
+            )
 
         return ticks.writeStream.foreachBatch(_tick).option(
             "checkpointLocation", checkpoint_dir
