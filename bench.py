@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "continuous_aggregate_windowed_refresh",
     "versioned_retention_policy",
     "continuous_aggregate_outlives_retention",
+    "continuous_aggregate_sketch_rollup_witness",
+    "continuous_aggregate_hll_rollup",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Mergeable sketch partials for continuous aggregates.
+
+TimescaleDB Toolkit's headline pattern (``hyperloglog``/
+``approx_count_distinct`` and ``percentile_agg`` INSIDE a continuous
+aggregate): the cagg materializes a per-bucket SKETCH STATE instead of
+a final number, a coarser rollup (cagg-on-cagg) MERGES the partials,
+and the estimate is computed at read time. That is what makes
+approximate aggregates hierarchical: a plain ``approx_count_distinct``
+result cannot be re-combined, its sketch can.
+
+Two families, same calling convention as any other cagg agg
+(``aggs={"col": <partial>}`` at the finest level,
+``aggs={"col": <merge>}`` on the rollup, ``<estimate>`` in the read
+projection):
+
+- **HLL (production)**: Spark's native Apache DataSketches
+  HyperLogLog — ``hll_partial`` / ``hll_merge`` are JVM-side
+  aggregates producing a compact ``binary`` state (rsd-bounded error
+  at ANY cardinality; the partial never exceeds ~2^lgK bytes
+  regardless of group size). Not SQL-reproducible in DuckDB → the
+  driver query over it is rows-only, witnessed by the KMV family
+  below (same plane, hash-exact).
+- **KMV (witness)**: K-Minimum-Values (Bar-Yossef et al. 2002, the
+  order-statistics ancestor of HLL) over md5 — both engines hash
+  bit-identically, so partial, merge, and estimator arithmetic are
+  all DuckDB-checkable. The partial is the k smallest distinct md5
+  digests (a sorted ``array<string>``; hex sorts lexicographically ==
+  numerically); the union of per-bucket k-smallest sets re-topped to
+  k IS the k-smallest of the union (the KMV mergeability theorem —
+  which is also why the oracle can skip the hierarchy and compute the
+  k-th smallest over raw rows directly). Scale note: ``collect_set``
+  materializes the group's distinct hash set before the slice, so the
+  witness form is for bounded-cardinality buckets; the HLL form is
+  the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_partial",
+    "hll_merge",
+    "hll_estimate",
+    "kmv_partial",
+    "kmv_merge",
+    "kmv_estimate",
+]
+
+
+def hll_partial(col: str | Column, lg_k: int = 12) -> Column:
+    """Per-group HyperLogLog sketch state (binary, mergeable)."""
+    return F.hll_sketch_agg(col, F.lit(lg_k))
+
+
+def hll_merge(col: str | Column, allow_different_lgk: bool = False) -> Column:
+    """Union of HLL partials (the rollup aggregate). The boolean is
+    Spark's ``allowDifferentLgConfigK`` — leave False so a mixed-lgK
+    store is an error, not a silent precision downgrade."""
+    return F.hll_union_agg(col, F.lit(allow_different_lgk))
+
+
+def hll_estimate(col: str | Column) -> Column:
+    """Distinct-count estimate from an HLL state (read-time)."""
+    return F.hll_sketch_estimate(col)
+
+
+def kmv_partial(col: str | Column, k: int = 64) -> Column:
+    """The k smallest distinct md5 digests of ``col`` in the group —
+    a sorted ``array<string>`` partial. ``col`` should already be a
+    string (hash the same bytes the oracle hashes)."""
+    return F.slice(F.array_sort(F.collect_set(F.md5(col))), 1, k)
+
+
+def kmv_merge(col: str | Column, k: int = 64) -> Column:
+    """Re-combine KMV partials: k smallest of the deduplicated union
+    (== the k smallest over all underlying values, by mergeability)."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))),
+        1,
+        k,
+    )
+
+
+def kmv_estimate(col: str | Column, k: int = 64) -> Column:
+    """Distinct-count estimate from a KMV partial: ``(k−1)/u_k`` with
+    ``u_k`` the k-th smallest digest mapped to [0,1) via its first 8
+    hex chars; exact ``|partial|`` when the group held fewer than k
+    distinct values (the partial IS the distinct set then)."""
+    c = F.col(col) if isinstance(col, str) else col
+    u_k = F.conv(F.substring(F.element_at(c, k), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    return F.when(F.size(c) < k, F.size(c).cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1)) / u_k).cast("long")
+    )

@@ -1,0 +1,112 @@
+"""Sketch partials inside continuous aggregates (round 7 —
+TimescaleDB Toolkit's hyperloglog-in-a-cagg pattern): the cagg
+materializes mergeable sketch STATE, the hierarchical rollup merges
+partials, the estimate happens at read time."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import sketches as S
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources.cagg import (
+    ContinuousAggregate,
+)
+
+T0 = 1_700_000_000
+
+
+def _rows(spark, lo, hi):
+    # uid repeats (id % 97) so distinct-per-bucket < row count
+    return spark.range(lo, hi).select(
+        F.timestamp_seconds(F.lit(T0) + F.col("id") * 7).alias("ts"),
+        (F.col("id") % 2).cast("string").alias("sym"),
+        (F.col("id") % 97).cast("string").alias("uid"),
+    )
+
+
+def test_kmv_merge_equals_direct_partial(spark):
+    """Mergeability: k-smallest of the union of per-part k-smallest
+    sets == k-smallest over all rows (bit-identical arrays)."""
+    df = _rows(spark, 0, 500)
+    direct = df.groupBy("sym").agg(S.kmv_partial("uid", k=16).alias("s"))
+    two_level = (
+        df.withColumn("part", (F.col("ts").cast("long") % 5))
+        .groupBy("sym", "part")
+        .agg(S.kmv_partial("uid", k=16).alias("s"))
+        .groupBy("sym")
+        .agg(S.kmv_merge("s", k=16).alias("s"))
+    )
+    a = {r["sym"]: r["s"] for r in direct.collect()}
+    b = {r["sym"]: r["s"] for r in two_level.collect()}
+    assert a == b
+
+
+def test_kmv_estimate_exact_below_k_and_close_above(spark):
+    df = _rows(spark, 0, 2000)  # 97 distinct uids per sym (roughly)
+    est = (
+        df.groupBy("sym")
+        .agg(
+            S.kmv_partial("uid", k=16).alias("s"),
+            F.count_distinct("uid").alias("exact"),
+        )
+        .select("sym", "exact", S.kmv_estimate("s", k=16).alias("est"))
+        .collect()
+    )
+    for r in est:
+        assert r["exact"] > 16
+        # KMV with k=16 has ~1/sqrt(k-2) ≈ 27% rsd; generous band
+        assert 0.4 * r["exact"] <= r["est"] <= 2.5 * r["exact"]
+    small = (
+        spark.createDataFrame([("a", "x"), ("a", "y"), ("a", "x")], "g string, v string")
+        .groupBy("g")
+        .agg(S.kmv_partial("v", k=16).alias("s"))
+        .select(S.kmv_estimate("s", k=16).alias("est"))
+        .first()
+    )
+    assert small["est"] == 2  # below k: the partial IS the distinct set
+
+
+def test_hll_partials_through_hierarchical_cagg(spark, tmp_path):
+    """Binary HLL state lives in the materialized store, survives
+    MERGE/CDF refresh plumbing, re-merges through a cagg-on-cagg
+    rollup, and estimates within HLL error of the exact count."""
+    base = str(tmp_path / "base")
+    V.commit(_rows(spark, 0, 1500).repartitionByRange(3, "ts"), base)
+    parent = ContinuousAggregate(
+        spark, base, str(tmp_path / "agg1m"),
+        time_col="ts", bucket_seconds=60, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1)), "hll": S.hll_partial("uid")},
+    )
+    parent.create()
+    child = ContinuousAggregate.on_cagg(
+        parent, str(tmp_path / "agg5m"), bucket_seconds=300,
+        aggs={"n": F.sum("n"), "hll": S.hll_merge("hll")},
+    )
+    child.create()
+    # DML propagates: append more rows, then refresh the chain
+    V.commit(_rows(spark, 1500, 2500).coalesce(1), base, mode="append")
+    child.refresh_hierarchy()
+    got = (
+        child.read()
+        .select(
+            "bucket_start", "sym", "n",
+            S.hll_estimate("hll").alias("est"),
+        )
+    )
+    exact = (
+        V.read_version(spark, base)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(
+                (F.floor(F.col("ts").cast("double") / 300) * 300).cast("long")
+            ),
+        )
+        .groupBy("bucket_start", "sym")
+        .agg(F.count_distinct("uid").alias("exact"))
+    )
+    joined = got.join(exact, ["bucket_start", "sym"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["est"] - r["exact"]) <= max(2, 0.1 * r["exact"]), r
