@@ -46,6 +46,9 @@ __all__ = [
     "kmv_partial",
     "kmv_merge",
     "kmv_estimate",
+    "hist_partial",
+    "hist_merge",
+    "hist_percentile",
 ]
 
 
@@ -94,4 +97,77 @@ def kmv_estimate(col: str | Column, k: int = 64) -> Column:
     ) / F.lit(4294967296.0)
     return F.when(F.size(c) < k, F.size(c).cast("long")).otherwise(
         F.floor(F.lit(float(k - 1)) / u_k).cast("long")
+    )
+
+
+# -- fixed-grid histogram percentiles (percentile_agg analog) -----------
+#
+# TimescaleDB Toolkit's ``percentile_agg``/uddsketch pattern with an
+# EXACTLY-combinable state: per-bucket bin counts over a fixed grid.
+# Merge is elementwise addition (associative, commutative, loss-free),
+# so two-level rollups equal the direct aggregation BIT-EXACTLY — and
+# every step (binning, cumulative walk, edge arithmetic) is plain
+# integer/double arithmetic DuckDB reproduces, so the driver query over
+# it is hash-exact with no separate witness. Resolution is the grid
+# step; values outside [lo, hi) clamp to the edge bins; NULLs count
+# nowhere.
+
+
+def _bin_index(col: str | Column, lo: float, hi: float, nbins: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    w = (hi - lo) / nbins
+    raw = F.floor((c - F.lit(lo)) / F.lit(w))
+    return F.least(
+        F.lit(nbins - 1), F.greatest(F.lit(0), raw.cast("int"))
+    )
+
+
+def hist_partial(
+    col: str | Column, lo: float, hi: float, nbins: int
+) -> Column:
+    """Per-group fixed-grid histogram partial: ``array<long>`` of bin
+    counts (one aggregate expression per bin — keep nbins ≤ ~256)."""
+    idx = _bin_index(col, lo, hi, nbins)
+    return F.array(
+        *[
+            F.sum(F.when(idx == i, 1).otherwise(0)).cast("long")
+            for i in range(nbins)
+        ]
+    )
+
+
+def hist_merge(col: str | Column, nbins: int) -> Column:
+    """Re-combine histogram partials: elementwise sum (exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(nbins)])
+    return F.aggregate(
+        F.collect_list(c),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def hist_percentile(
+    col: str | Column, q: float, lo: float, hi: float, nbins: int
+) -> Column:
+    """Grid-percentile estimate from a histogram partial: the LOWER
+    EDGE of the first bin whose cumulative count reaches ``q × total``
+    — resolution = one grid step, deterministic, and reproducible in
+    SQL (cumulative window over per-bin counts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    add = lambda a, x: a + x  # noqa: E731
+    total = F.aggregate(c, F.lit(0).cast("long"), add)
+    idxs = F.sequence(F.lit(0), F.lit(nbins - 1))
+    chosen = F.array_min(
+        F.filter(
+            idxs,
+            lambda i: F.aggregate(
+                F.slice(c, 1, i + 1), F.lit(0).cast("long"), add
+            )
+            >= F.lit(q) * total,
+        )
+    )
+    w = (hi - lo) / nbins
+    return F.when(
+        total > 0, F.lit(lo) + chosen.cast("double") * F.lit(w)
     )

@@ -110,3 +110,109 @@ def test_hll_partials_through_hierarchical_cagg(spark, tmp_path):
     assert joined
     for r in joined:
         assert abs(r["est"] - r["exact"]) <= max(2, 0.1 * r["exact"]), r
+
+
+def test_hist_merge_is_exact_and_two_level_equals_direct(spark):
+    df = _rows(spark, 0, 800).withColumn(
+        "px", (F.col("uid").cast("double") * 3.3) % 100.0
+    )
+    direct = df.groupBy("sym").agg(
+        S.hist_partial("px", 0.0, 100.0, 32).alias("h")
+    )
+    two = (
+        df.withColumn("part", F.col("ts").cast("long") % 4)
+        .groupBy("sym", "part")
+        .agg(S.hist_partial("px", 0.0, 100.0, 32).alias("h"))
+        .groupBy("sym")
+        .agg(S.hist_merge("h", 32).alias("h"))
+    )
+    a = {r["sym"]: r["h"] for r in direct.collect()}
+    b = {r["sym"]: r["h"] for r in two.collect()}
+    assert a == b
+    for h in a.values():
+        assert sum(h) == 400  # every non-null row binned exactly once
+
+
+def test_hist_percentile_matches_grid_walk(spark):
+    import math
+
+    vals = [1.0, 5.0, 5.5, 9.9, 20.0, 35.0, 99.0, -3.0, 250.0]  # clamps
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = (
+        df.agg(S.hist_partial("x", 0.0, 100.0, 10).alias("h"))
+        .select(
+            S.hist_percentile("h", 0.5, 0.0, 100.0, 10).alias("p50"),
+            S.hist_percentile("h", 0.95, 0.0, 100.0, 10).alias("p95"),
+        )
+        .first()
+    )
+    # manual walk: bins (width 10) counts: [-3→0, 1→0, 5,5.5→0, 9.9→0,
+    # 20→2, 35→3, 99→9, 250→9] → bin counts idx0:4(+clamped -3 → 5)...
+    counts = [0] * 10
+    for v in vals:
+        counts[min(9, max(0, math.floor(v / 10.0)))] += 1
+    def walk(q):
+        tot = sum(counts)
+        cum = 0
+        for i, c in enumerate(counts):
+            cum += c
+            if cum >= q * tot:
+                return i * 10.0
+    assert got["p50"] == walk(0.5)
+    assert got["p95"] == walk(0.95)
+
+
+def test_hist_percentile_through_hierarchical_cagg(spark, tmp_path):
+    """Histogram partials are EXACTLY combinable: the 5m rollup's
+    percentile equals the one computed from a direct 5m aggregation of
+    the raw rows — bit-identical, not banded."""
+    base = str(tmp_path / "base")
+    rows = _rows(spark, 0, 1200).withColumn(
+        "px", (F.col("uid").cast("double") * 7.7) % 64.0
+    )
+    V.commit(rows.repartitionByRange(3, "ts"), base)
+    parent = ContinuousAggregate(
+        spark, base, str(tmp_path / "agg1m"),
+        time_col="ts", bucket_seconds=60, group_cols=["sym"],
+        aggs={"h": S.hist_partial("px", 0.0, 64.0, 32)},
+    )
+    parent.create()
+    child = ContinuousAggregate.on_cagg(
+        parent, str(tmp_path / "agg5m"), bucket_seconds=300,
+        aggs={"h": S.hist_merge("h", 32)},
+    )
+    child.create()
+    V.commit(
+        _rows(spark, 1200, 1600)
+        .withColumn("px", (F.col("uid").cast("double") * 7.7) % 64.0)
+        .coalesce(1),
+        base,
+        mode="append",
+    )
+    child.refresh_hierarchy()
+    got = child.read().select(
+        "bucket_start", "sym",
+        S.hist_percentile("h", 0.5, 0.0, 64.0, 32).alias("p50"),
+    )
+    direct = (
+        V.read_version(spark, base)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(
+                (F.floor(F.col("ts").cast("double") / 300) * 300).cast("long")
+            ),
+        )
+        .groupBy("bucket_start", "sym")
+        .agg(S.hist_partial("px", 0.0, 64.0, 32).alias("h"))
+        .select(
+            "bucket_start", "sym",
+            S.hist_percentile("h", 0.5, 0.0, 64.0, 32).alias("p50"),
+        )
+    )
+    import pandas as pd
+
+    key = ["bucket_start", "sym"]
+    pd.testing.assert_frame_equal(
+        got.toPandas().sort_values(key).reset_index(drop=True),
+        direct.toPandas().sort_values(key).reset_index(drop=True),
+    )
