@@ -649,3 +649,58 @@ def test_policy_offsets_hold_back_hot_tail(spark, tmp_path):
     q.awaitTermination()
     _assert_matches_full(spark, ca, base)
     assert ca._pending_ranges() == []
+
+
+def test_windowed_refresh_property_random_sequences(spark, tmp_path):
+    """Property: under ANY interleaving of DML and windowed/unwindowed
+    refreshes, (a) read_realtime() is ALWAYS exact (pending ranges
+    count as dirty), and (b) a final unwindowed refresh converges the
+    store to the full recompute with no pending left."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260816)
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 80).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    nxt = 80
+    t_lo, t_hi = T0, T0 + 80 * 37
+    for step in range(8):
+        op = rng.choice(["append", "mor_delete", "update"])
+        if op == "append":
+            n = rng.randint(5, 30)
+            V.commit(_rows(spark, nxt, nxt + n).coalesce(1), base, mode="append")
+            nxt += n
+            t_hi = T0 + nxt * 37
+        elif op == "mor_delete":
+            lo = rng.randint(0, nxt)
+            V.delete_where(
+                spark, base,
+                [("px", ">=", lo * 1.5), ("px", "<", (lo + 12) * 1.5)],
+                merge_on_read=True,
+            )
+        else:
+            s = str(rng.randint(0, 2))
+            V.update_where(
+                spark, base, [("sym", "=", s)], {"px": F.col("px") + 0.5}
+            )
+        if rng.random() < 0.8:
+            kind = rng.choice(["full", "start", "end", "band"])
+            kw = {}
+            a = rng.randint(t_lo, t_hi)
+            b = rng.randint(t_lo, t_hi)
+            if kind == "start":
+                kw = {"window_start": a}
+            elif kind == "end":
+                kw = {"window_end": a}
+            elif kind == "band" and abs(a - b) >= 60:
+                kw = {"window_start": min(a, b), "window_end": max(a, b)}
+            ca.refresh(**kw)
+        pd.testing.assert_frame_equal(
+            _sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base))
+        )
+    ca.refresh()  # unwindowed drain
+    assert ca._pending_ranges() == []
+    _assert_matches_full(spark, ca, base)
