@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "continuous_aggregate_sketch_rollup_witness",
     "continuous_aggregate_hll_rollup",
     "continuous_aggregate_percentile_rollup",
+    "continuous_aggregate_gapfill",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 def gapfill_locf(
     df: DataFrame,
-    key: str,
+    key: str | list[str],
     ts_col: str,
     value_cols: list[str],
     step_seconds: int = 60,
@@ -30,22 +30,24 @@ def gapfill_locf(
     """Densify `df` to one row per (key, step bucket) between each
     key's min and max `ts_col`, carrying each value column forward
     across the introduced gaps. Adds `is_gap` marking synthesized rows.
+    ``key`` may be one column or a composite list.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
     # explicit presence marker: a source row whose FIRST value column is
     # NULL is still a real observation — inferring is_gap from value
     # nullity would mislabel it and LOCF would silently overwrite it
     src = df.withColumn("__present", F.lit(True))
-    bounds = df.groupBy(key).agg(
+    bounds = df.groupBy(*keys).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )
     grid = bounds.select(
-        key,
+        *keys,
         F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(ts_col),
     )
-    joined = grid.join(src, [key, ts_col], "left")
+    joined = grid.join(src, [*keys, ts_col], "left")
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )

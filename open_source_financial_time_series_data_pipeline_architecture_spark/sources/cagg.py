@@ -687,6 +687,30 @@ class ContinuousAggregate:
         """The materialized aggregate as of its last refresh."""
         return V.read_version(self.spark, self.agg_dir, version=version)
 
+    def read_gapfilled(
+        self,
+        value_cols: list[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """TimescaleDB ``time_bucket_gapfill`` + ``locf`` over the
+        materialized store: one row per (group, bucket) on the dense
+        bucket grid between each group's min and max materialized
+        bucket. ``value_cols`` (default: none) are carried forward
+        across the synthesized gap rows; other aggregate columns stay
+        NULL there. Adds ``is_gap``. The grid is |groups| × |buckets|
+        rows — the answer's own cardinality, nothing bigger."""
+        from open_source_financial_time_series_data_pipeline_architecture_spark.operators.gapfill import (
+            gapfill_locf,
+        )
+
+        return gapfill_locf(
+            self.read(version),
+            key=self.group_cols,
+            ts_col=self.bucket_col,
+            value_cols=list(value_cols or []),
+            step_seconds=self.bucket_seconds,
+        )
+
     def read_realtime(self) -> DataFrame:
         """TimescaleDB real-time continuous aggregate: exact current
         results WITHOUT refreshing — materialized rows for every clean
