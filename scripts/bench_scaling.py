@@ -95,6 +95,14 @@ PROBE_QUERIES = [
     "continuous_aggregate_refresh",
     "versioned_dv_update",
     "versioned_identity_columns",
+    # round-7 debuts: hierarchical cagg, windowed refresh + pending
+    # invalidations, manifest-only retention, sketch partials, gapfill
+    "continuous_aggregate_hierarchy",
+    "continuous_aggregate_windowed_refresh",
+    "versioned_retention_policy",
+    "continuous_aggregate_sketch_rollup_witness",
+    "continuous_aggregate_percentile_rollup",
+    "continuous_aggregate_gapfill",
 ]
 
 

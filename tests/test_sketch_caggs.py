@@ -216,3 +216,23 @@ def test_hist_percentile_through_hierarchical_cagg(spark, tmp_path):
         got.toPandas().sort_values(key).reset_index(drop=True),
         direct.toPandas().sort_values(key).reset_index(drop=True),
     )
+
+
+def test_with_hist_percentiles_matches_column_form(spark):
+    """The DataFrame (hot-path) form computes the same chosen bin and
+    edge as the nested-fold column form — bit-identical columns."""
+    df = (
+        _rows(spark, 0, 600)
+        .withColumn("px", (F.col("uid").cast("double") * 5.1) % 80.0)
+        .groupBy("sym")
+        .agg(S.hist_partial("px", 0.0, 80.0, 16).alias("h"))
+    )
+    a = df.select(
+        "sym",
+        S.hist_percentile("h", 0.5, 0.0, 80.0, 16).alias("p50"),
+        S.hist_percentile("h", 0.9, 0.0, 80.0, 16).alias("p90"),
+    )
+    b = S.with_hist_percentiles(
+        df, "h", {"p50": 0.5, "p90": 0.9}, 0.0, 80.0, 16
+    ).select("sym", "p50", "p90")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
