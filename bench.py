@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "continuous_aggregate_hll_rollup",
     "continuous_aggregate_percentile_rollup",
     "continuous_aggregate_gapfill",
+    "continuous_aggregate_realtime_cascade",
 ]
 
 

@@ -711,7 +711,39 @@ class ContinuousAggregate:
             step_seconds=self.bucket_seconds,
         )
 
-    def read_realtime(self) -> DataFrame:
+    def _realtime_dirty_keys(self, cascade: bool) -> DataFrame | None:
+        """Everything currently unmaterialized at THIS level: keys
+        dirtied by base commits past the high-water, pending ranges a
+        windowed refresh deferred, and — under ``cascade`` — the parent
+        level's own unmaterialized keys re-bucketed to this grid (a raw
+        row the parent has not materialized yet is invisible in this
+        level's CDF, but its bucket is still stale here)."""
+        last = self.last_refreshed_version()
+        head = V._list_versions(self.base_dir)[-1]
+        pending = self._pending_ranges()
+        parts: list[DataFrame] = []
+        if head > last:
+            parts.append(self._dirty_keys(last, head))
+        if pending:
+            parts.append(self._keys_in_ranges(pending, head))
+        if cascade and self.parent is not None:
+            up = self.parent._realtime_dirty_keys(True)
+            if up is not None:
+                # parent keys arrive under this level's time_col name
+                # (the parent's bucket_col); re-bucket to this grid
+                parts.append(
+                    up.withColumn(
+                        self.bucket_col, self._bucket(self.time_col)
+                    ).select(*self._keys())
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def read_realtime(self, cascade: bool = False) -> DataFrame:
         """TimescaleDB real-time continuous aggregate: exact current
         results WITHOUT refreshing — materialized rows for every clean
         bucket UNION an on-the-fly recompute of the buckets dirtied by
@@ -719,29 +751,38 @@ class ContinuousAggregate:
         aggregated per read; everything older is served from the
         materialized store. PENDING invalidation ranges (deferred by a
         windowed refresh) count as dirty too — realtime stays exact
-        while a policy's start/end offsets hold buckets back."""
-        last = self.last_refreshed_version()
-        head = V._list_versions(self.base_dir)[-1]
+        while a policy's start/end offsets hold buckets back.
+
+        ``cascade=True`` (hierarchies): exact w.r.t. the RAW base, not
+        just the parent's store — the recompute frame is the parent's
+        own ``read_realtime(cascade=True)`` and the dirty set includes
+        the parent's unmaterialized keys re-bucketed to this grid.
+        TimescaleDB forbids real-time hierarchical caggs outright
+        (materialized_only); this composes them instead. Costs one
+        realtime evaluation per ancestor level per read."""
         mat = self.read()
-        pending = self._pending_ranges()
-        if head <= last and not pending:
+        dirty = self._realtime_dirty_keys(cascade)
+        if dirty is None:
             return mat
-        dirty = (
-            self._dirty_keys(last, head)
-            if head > last
-            else mat.select(*self._keys()).limit(0)
-        )
-        if pending:
-            dirty = dirty.unionByName(
-                self._keys_in_ranges(pending, head)
-            ).distinct()
         n_dirty = dirty.count()  # bounds the broadcast decision
         if n_dirty == 0:
             return mat
-        fresh = self._recompute(dirty, head, n_dirty, None)
+        head = V._list_versions(self.base_dir)[-1]
         side = (
             F.broadcast(dirty)
             if n_dirty <= _DIRTY_BROADCAST_MAX_KEYS
             else dirty
         )
+        if cascade and self.parent is not None:
+            frame = self.parent.read_realtime(cascade=True)
+            scoped = (
+                frame.filter(F.col(self.time_col).isNotNull())
+                .withColumn(self.bucket_col, self._bucket(self.time_col))
+                .join(side, self._keys(), "left_semi")
+            )
+            fresh = scoped.groupBy(*self._keys()).agg(
+                *[c.alias(n) for n, c in self.aggs.items()]
+            )
+        else:
+            fresh = self._recompute(dirty, head, n_dirty, None)
         return mat.join(side, self._keys(), "left_anti").unionByName(fresh)

@@ -704,3 +704,55 @@ def test_windowed_refresh_property_random_sequences(spark, tmp_path):
     ca.refresh()  # unwindowed drain
     assert ca._pending_ranges() == []
     _assert_matches_full(spark, ca, base)
+
+
+def test_hierarchical_realtime_cascade_exact_vs_raw_base(spark, tmp_path):
+    """read_realtime(cascade=True) on a 2-level chain is exact w.r.t.
+    the RAW base with NO refresh anywhere — the recompute frame is the
+    parent's own realtime and the parent's unmaterialized keys
+    re-bucket into this level's dirty set. (TimescaleDB forbids this
+    composition outright; here it is exact.)"""
+    import pandas as pd
+
+    base = str(tmp_path / "base")
+    V.commit(_rows(spark, 0, 200).repartition(2), base)
+    p = _cagg(spark, base, str(tmp_path / "agg1m"))
+    p.create()
+    c = _child(spark, p, str(tmp_path / "agg5m"))
+    c.create()
+    # base DML with NO refresh at either level
+    V.commit(_rows(spark, 200, 320).coalesce(1), base, mode="append")
+    V.delete_where(spark, base, [("sym", "=", "2")], merge_on_read=True)
+    V.update_where(spark, base, [("sym", "=", "0")], {"px": F.col("px") + 9.0})
+    # non-cascade realtime sees only the parent STORE (stale)
+    assert c.last_refreshed_version() == 1 and p.last_refreshed_version() == 1
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(c.read_realtime(cascade=True)),
+        _sorted_pdf(_full_rollup(spark, base, 300)),
+    )
+    # and with a PARTIAL refresh state (parent refreshed, child not)
+    p.refresh()
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(c.read_realtime(cascade=True)),
+        _sorted_pdf(_full_rollup(spark, base, 300)),
+    )
+    # default (non-cascade) semantics unchanged: exact vs parent STORE
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(c.read_realtime()),
+        _sorted_pdf(
+            p.read()
+            .withColumn(
+                "bucket_start",
+                F.timestamp_seconds(
+                    (F.floor(F.col("bucket_start").cast("double") / 300) * 300)
+                    .cast("long")
+                ),
+            )
+            .groupBy("bucket_start", "sym")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_px").alias("sum_px"),
+                F.max("max_px").alias("max_px"),
+            )
+        ),
+    )
