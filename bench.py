@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "continuous_aggregate_percentile_rollup",
     "continuous_aggregate_gapfill",
     "continuous_aggregate_realtime_cascade",
+    "dedup_clusters_md5",
 ]
 
 

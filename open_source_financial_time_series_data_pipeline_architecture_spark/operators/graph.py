@@ -1,0 +1,117 @@
+"""Distributed connected components — duplicate-CLUSTER formation.
+
+Pair enumerators (MinHash/SimHash LSH, embedding blocking, entity
+linkage) emit EDGES; a curation pipeline needs the CLUSTERS those edges
+imply, then keeps one canonical document per cluster. This is the
+pair→cluster step rebuilt Spark-first: iterative min-label propagation
+with POINTER JUMPING, entirely in DataFrame joins/aggregations.
+
+Per round, every vertex takes the minimum label among itself and its
+neighbors (one hop), then compresses paths by adopting its label's
+label (label tables self-join — Wyllie's pointer jumping). Hop alone
+needs O(diameter) rounds; with jumping the label graph's depth roughly
+halves per round, so convergence is O(log D) rounds — and near-dup
+clusters have tiny diameters anyway (a dup cluster is usually a dense
+blob, not a path). Each round is two shuffles on the edge/vertex key;
+nothing is ever collected to the driver except the 1-row convergence
+probe. This is the standard map-reduce CC recipe (Kiveris et al. 2014
+"Connected Components in MapReduce and Beyond" — large-star/small-star
+is the same idea with a different union order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex incident to ``edges``; the
+    component id is the MINIMUM vertex id in the component (canonical —
+    "keep the smallest doc_id" is the usual dedup survivor rule).
+    Deterministic; raises if ``max_iter`` rounds do not converge
+    (log-diameter rounds suffice, so 25 covers any real graph)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        # lineage TRUNCATION, not just caching: every round's plan would
+        # otherwise embed all previous rounds' join trees and Catalyst
+        # planning time grows exponentially with iterations — the
+        # standard iterative-algorithm failure mode. localCheckpoint
+        # materializes to executor-local storage and cuts the lineage.
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(
+                F.col("id").alias("t"), F.col("label").alias("nl")
+            ),
+            "t",
+        ).select(F.col("s").alias("id"), F.col("nl").alias("label"))
+        hop = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # pointer jumping: label ← label(label); labels are always
+        # vertex ids (mins of vertex ids), so the lookup hits.
+        # Neutral key names on the lookup side: projecting `id AS
+        # label` over the same frame trips the analyzer's self-join
+        # disambiguation ("key not found" on complex inputs).
+        lookup = hop.select(
+            F.col("id").alias("__k"), F.col("label").alias("__v")
+        )
+        jumped = (
+            hop.join(lookup, F.col("label") == F.col("__k"), "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__v"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id, cluster_size, is_canonical):
+    the cluster id is the smallest member id (the survivor the usual
+    keep-first rule retains); every other member is a drop candidate."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
