@@ -103,6 +103,8 @@ PROBE_QUERIES = [
     "continuous_aggregate_sketch_rollup_witness",
     "continuous_aggregate_percentile_rollup",
     "continuous_aggregate_gapfill",
+    "continuous_aggregate_realtime_cascade",
+    "dedup_clusters_md5",
 ]
 
 
