@@ -4107,6 +4107,30 @@ class VersionedTable:
             "checkpointLocation", checkpoint_dir
         )
 
+    def vacuum_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        keep_last: int = 10,
+        retention_s: float = 0.0,
+    ):
+        """Scheduled VACUUM as a maintenance policy job (Delta's
+        VACUUM on a schedule — the third housekeeping leg next to
+        ``compaction_policy_writer`` and ``retention_policy_writer``):
+        follow this table's commit-log tick stream and reclaim files
+        unreferenced by the last ``keep_last`` versions. vacuum()
+        itself never deletes in-flight staged files or anything inside
+        the retention window, and deleting garbage publishes NO commit
+        — the policy converges trivially (no tick feedback loop)."""
+        ticks = self.stream_commits()
+
+        def _tick(batch_df, _bid):
+            vacuum(self.path, keep_last=keep_last, retention_s=retention_s)
+
+        return ticks.writeStream.foreachBatch(_tick).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
     def stream_sink(self, app_id: str, keys: list[str] | None = None, **kw):
         """foreachBatch handler: exactly-once append/merge into this
         table (sinks.foreach_batch_versioned)."""

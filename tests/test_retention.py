@@ -165,3 +165,30 @@ def test_retention_policy_writer_converges(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination()
     assert V._list_versions(base)[-1] == head
+
+
+def test_vacuum_policy_writer(spark, tmp_path):
+    """The scheduled-VACUUM leg: overwrites leave garbage, the policy
+    job reclaims it, content intact, and (unlike compact/retention) the
+    vacuum publishes no commit — no tick feedback."""
+    import os
+
+    base = str(tmp_path / "base")
+    df = _rows(spark, 0, 40).coalesce(1)
+    V.commit(df, base)
+    V.commit(df, base, mode="overwrite")
+    V.commit(df, base, mode="overwrite")
+    data_dir = os.path.join(base, V._DATA)
+    n_before = len(os.listdir(data_dir))
+    head = V._list_versions(base)[-1]
+    tbl = V.VersionedTable(spark, base)
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.vacuum_policy_writer(ck, keep_last=1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(os.listdir(data_dir)) < n_before
+    assert V._list_versions(base)[-1] == head  # no commit published
+    assert V.read_version(spark, base).count() == 40
