@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "continuous_aggregate_gapfill",
     "continuous_aggregate_realtime_cascade",
     "dedup_clusters_md5",
+    "cms_word_topk_witness",
 ]
 
 

@@ -50,6 +50,9 @@ __all__ = [
     "hist_merge",
     "hist_percentile",
     "with_hist_percentiles",
+    "cms_partial",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 
@@ -228,3 +231,61 @@ def with_hist_percentiles(
             ),
         )
     return out.drop("__hist_cums", "__hist_total")
+
+
+# -- count-min sketch (frequency / heavy hitters) ------------------------
+#
+# The third sketch leg (distinct = HLL/KMV, percentile = histogram,
+# FREQUENCY = count-min): d salted-md5 hash rows × w counters, stored
+# flat as array<long> of length d·w. Merge is elementwise addition
+# (exact-combinable, like the histogram — hist_merge works verbatim);
+# the point estimate for a value is the MIN over its d counters, which
+# NEVER underestimates (Cormode & Muthukrishnan 2005) and overestimates
+# by at most ε·N with ε = e/w at the usual confidence. md5 salting
+# makes every step reproducible in DuckDB, so the witness is
+# hash-exact. At 100 TB: word/entity frequencies come from map-side
+# partials merged into d·w longs — no global shuffle on the value key.
+
+
+def _cms_bucket(col: str | Column, j: int, w: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), c)), 1, 8), 16, 10)
+        .cast("long")
+        % w
+    )
+
+
+def cms_partial(col: str | Column, d: int = 4, w: int = 64) -> Column:
+    """Per-group count-min partial: flat ``array<long>`` of d·w
+    counters (one aggregate expression per counter — keep d·w ≤ ~512).
+    NULL values count nowhere."""
+    buckets = [_cms_bucket(col, j, w) for j in range(d)]
+    return F.array(
+        *[
+            F.sum(F.when(buckets[j] == b, 1).otherwise(0)).cast("long")
+            for j in range(d)
+            for b in range(w)
+        ]
+    )
+
+
+def cms_merge(col: str | Column, d: int = 4, w: int = 64) -> Column:
+    """Re-combine count-min partials: elementwise sum (exact)."""
+    return hist_merge(col, d * w)
+
+
+def cms_estimate(
+    sketch: Column, value: str | Column, d: int = 4, w: int = 64
+) -> Column:
+    """Point frequency estimate for ``value``: min over the d counters
+    it hashes to. Never below the true count; collisions only inflate."""
+    return F.least(
+        *[
+            F.get(
+                sketch,
+                (F.lit(j * w) + _cms_bucket(value, j, w)).cast("int"),
+            )
+            for j in range(d)
+        ]
+    )

@@ -236,3 +236,28 @@ def test_with_hist_percentiles_matches_column_form(spark):
         df, "h", {"p50": 0.5, "p90": 0.9}, 0.0, 80.0, 16
     ).select("sym", "p50", "p90")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cms_never_underestimates_and_merge_exact(spark):
+    df = _rows(spark, 0, 3000)  # uid = id % 97: known exact counts
+    direct = df.agg(S.cms_partial("uid", d=4, w=32).alias("s"))
+    two = (
+        df.withColumn("part", F.col("ts").cast("long") % 5)
+        .groupBy("part")
+        .agg(S.cms_partial("uid", d=4, w=32).alias("s"))
+        .agg(S.cms_merge("s", d=4, w=32).alias("s"))
+    )
+    assert direct.first()["s"] == two.first()["s"]  # merge is exact
+    exact = {
+        r["uid"]: r["n"]
+        for r in df.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est_df = (
+        df.select("uid").distinct()
+        .crossJoin(F.broadcast(direct))
+        .select("uid", S.cms_estimate(F.col("s"), "uid", d=4, w=32).alias("est"))
+    )
+    n_total = sum(exact.values())
+    for r in est_df.collect():
+        assert r["est"] >= exact[r["uid"]]  # CMS never underestimates
+        assert r["est"] <= exact[r["uid"]] + n_total  # sanity ceiling
