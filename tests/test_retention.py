@@ -192,3 +192,35 @@ def test_vacuum_policy_writer(spark, tmp_path):
     assert len(os.listdir(data_dir)) < n_before
     assert V._list_versions(base)[-1] == head  # no commit published
     assert V.read_version(spark, base).count() == 40
+
+
+def test_file_must_match_conservatism():
+    """The drop-eligibility test must never claim 'provably all rows
+    match' on missing/partial evidence — the dual of _file_may_match's
+    never-wrongly-prune contract."""
+    m = V._file_must_match
+    # no stats / empty → not droppable; zero rows → vacuously droppable
+    assert m(None, [("x", "<", 5)]) is False
+    assert m({}, [("x", "<", 5)]) is False
+    assert m({"rows": 0}, [("x", "<", 5)]) is True
+    ok = {"rows": 10, "cols": {"x": {"min": 1, "max": 4, "nulls": 0}}}
+    assert m(ok, [("x", "<", 5)]) is True
+    assert m(ok, [("x", "<", 4)]) is False  # max == 4 not provably < 4
+    assert m(ok, [("x", "<=", 4)]) is True
+    assert m(ok, [("x", ">", 0)]) is True
+    assert m(ok, [("x", ">=", 2)]) is False
+    # any NULL in a predicated column blocks the drop
+    nulls = {"rows": 10, "cols": {"x": {"min": 1, "max": 4, "nulls": 1}}}
+    assert m(nulls, [("x", "<", 5)]) is False
+    # column absent from stats → blocks
+    assert m(ok, [("y", "<", 5)]) is False
+    # 'in' and unknown ops can never be proven by an envelope
+    assert m(ok, [("x", "in", [1, 2, 3, 4])]) is False
+    # kind mismatch (string predicate vs numeric envelope) → blocks
+    assert m(ok, [("x", "<", "zzz")]) is False
+    # '=' needs a degenerate envelope
+    point = {"rows": 3, "cols": {"x": {"min": 7, "max": 7, "nulls": 0}}}
+    assert m(point, [("x", "=", 7)]) is True
+    assert m(ok, [("x", "=", 3)]) is False
+    # conjunction: every triple must be proven
+    assert m(ok, [("x", "<", 5), ("x", ">", 2)]) is False
