@@ -224,3 +224,21 @@ def test_file_must_match_conservatism():
     assert m(ok, [("x", "=", 3)]) is False
     # conjunction: every triple must be proven
     assert m(ok, [("x", "<", 5), ("x", ">", 2)]) is False
+
+
+def test_drop_chunks_on_column_mapped_table(spark, tmp_path):
+    """Retention predicates are LOGICAL names; stats are keyed by
+    PHYSICAL names — drop_chunks must translate through the column
+    mapping (the r6 bug class was exactly this kind of silent miss)."""
+    t = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), t)
+    V.enable_column_mapping(t)
+    V.rename_column(t, "ts", "event_time")
+    rep: dict = {}
+    V.drop_chunks(
+        spark, t, [("event_time", "<", _ts(T0 + 50 * 60))], report=rep
+    )
+    assert rep["files_dropped"] == 2  # both wholly-old chunks
+    got = V.read_version(spark, t)
+    assert got.count() == 50
+    assert got.filter(F.col("event_time") < _ts(T0 + 50 * 60)).count() == 0
