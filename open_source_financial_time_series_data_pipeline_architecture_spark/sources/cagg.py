@@ -460,8 +460,13 @@ class ContinuousAggregate:
             dead_keys = dirty.join(fresh, self._keys(), "left_anti")
             dead = dead_keys
             for name in self.aggs:  # align schema for the delete-merge
+                # cast through the exact DataType object, not its string
+                # form: "array<string>" parses with containsNull=true,
+                # which silently differs from a collect_set-produced
+                # containsNull=false column and fails the merge schema
+                # check the first time a DELETE empties a sketch bucket
                 dead = dead.withColumn(
-                    name, F.lit(None).cast(dict(fresh.dtypes)[name])
+                    name, F.lit(None).cast(fresh.schema[name].dataType)
                 )
             n_dead = dead.count()
             if report is not None:

@@ -261,3 +261,51 @@ def test_cms_never_underestimates_and_merge_exact(spark):
     for r in est_df.collect():
         assert r["est"] >= exact[r["uid"]]  # CMS never underestimates
         assert r["est"] <= exact[r["uid"]] + n_total  # sanity ceiling
+
+
+def test_sketch_partials_survive_deletes_through_hierarchy(spark, tmp_path):
+    """Sketches cannot be DECREMENTED — recompute-not-decrement is what
+    makes them legal cagg aggs. A merge-on-read DELETE must leave the
+    rolled-up KMV and histogram partials equal to a from-scratch
+    aggregation of the surviving rows (bit-identical arrays)."""
+    base = str(tmp_path / "base")
+    rows = _rows(spark, 0, 1000).withColumn(
+        "px", (F.col("uid").cast("double") * 7.7) % 64.0
+    )
+    V.commit(rows.repartitionByRange(3, "ts"), base)
+    parent = ContinuousAggregate(
+        spark, base, str(tmp_path / "agg1m"),
+        time_col="ts", bucket_seconds=60, group_cols=["sym"],
+        aggs={
+            "kmv": S.kmv_partial("uid", k=8),
+            "h": S.hist_partial("px", 0.0, 64.0, 16),
+        },
+    )
+    parent.create()
+    child = ContinuousAggregate.on_cagg(
+        parent, str(tmp_path / "agg5m"), bucket_seconds=300,
+        aggs={"kmv": S.kmv_merge("kmv", k=8), "h": S.hist_merge("h", 16)},
+    )
+    child.create()
+    V.delete_where(spark, base, [("sym", "=", "1")], merge_on_read=True)
+    V.delete_where(spark, base, [("px", "<", 10.0)], merge_on_read=True)
+    child.refresh_hierarchy()
+    direct = (
+        V.read_version(spark, base)
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(
+                (F.floor(F.col("ts").cast("double") / 300) * 300).cast("long")
+            ),
+        )
+        .groupBy("bucket_start", "sym")
+        .agg(
+            S.kmv_partial("uid", k=8).alias("kmv"),
+            S.hist_partial("px", 0.0, 64.0, 16).alias("h"),
+        )
+    )
+    key = lambda r: (r["bucket_start"], r["sym"])  # noqa: E731
+    got = {key(r): (r["kmv"], r["h"]) for r in child.read().collect()}
+    exp = {key(r): (r["kmv"], r["h"]) for r in direct.collect()}
+    assert got == exp
+    assert child.read().filter(F.col("sym") == "1").count() == 0
