@@ -148,6 +148,12 @@ class ContinuousAggregate:
         self.ignore_retention = ignore_retention
         #: set by on_cagg() — the parent aggregate in a hierarchy
         self.parent: "ContinuousAggregate | None" = None
+        #: head-version-memoized commit-log scans (_scan_user_meta):
+        #: pending-invalidation state on the agg store, retention
+        #: horizon on the base — each refresh/read pays only the
+        #: commits that landed since the previous call
+        self._pending_cache: dict = {}
+        self._retention_cache: dict = {}
 
     @classmethod
     def on_cagg(
@@ -291,9 +297,95 @@ class ContinuousAggregate:
             v
             for v in V._list_versions(self.base_dir)
             if last < v <= head
-            and V._read_segment(self.base_dir, v).get("user_metadata")
-            == V.RETENTION_METADATA
+            and V.is_retention_metadata(
+                V._read_segment(self.base_dir, v).get("user_metadata")
+            )
         }
+
+    def _base_retention_horizon(self) -> float | None:
+        """The base table's retention horizon for ``time_col`` (epoch
+        seconds): the largest cutoff any ``drop_chunks`` commit
+        recorded. Buckets wholly below it can no longer be re-derived
+        (their raw rows are gone), so under ``ignore_retention`` the
+        refresh/realtime paths refuse to treat them as dirty — the
+        materialized history stands as final, TimescaleDB's
+        aggregates-outlive-raw contract made safe even when a policy
+        window or pending range reaches below the horizon. Cached by
+        head version: each call walks only the commits that landed
+        since the last one (never re-pays history)."""
+
+        def _extract(um):
+            return V.retention_horizon_from_metadata(um, self.time_col)
+
+        def _combine(old, new):
+            return new if old is None else max(old, new)
+
+        return self._scan_user_meta(
+            self.base_dir,
+            self._retention_cache,
+            _extract,
+            _combine,
+            first_only=False,  # horizons need not be monotone across
+            # manual drop_chunks calls — fold EVERY unseen commit's
+            # cutoff through max, never just the newest
+        )
+
+    def _horizon_grid(self) -> int | None:
+        """The retention horizon rounded UP to the bucket grid: a
+        bucket the cutoff lands inside may have lost some of its rows
+        (a chunk wholly below the cutoff can hold part of a straddling
+        bucket), so it is unrefreshable too — only buckets that start
+        at or after the ceiling are provably intact."""
+        hz = self._base_retention_horizon()
+        if hz is None:
+            return None
+        import math
+
+        b = self.bucket_seconds
+        return int(math.ceil(hz / b)) * b
+
+    def _scan_user_meta(
+        self,
+        table_dir: str,
+        cache: dict,
+        extract,
+        combine,
+        first_only: bool = True,
+    ) -> object:
+        """Newest-wins backward commit-log scan for user_metadata state,
+        memoized by head version: repeated calls cost O(commits since
+        the last call), not O(history) — the repo's O(touched) contract
+        (round-8 fix: a store that never carried the key used to re-walk
+        its ENTIRE log on every refresh/read_realtime). ``extract(um)``
+        returns a value or None; ``combine(cached, found)`` merges a
+        newly found value with the cached one (newest-wins states pass
+        ``lambda old, new: new``; monotone ones pass max)."""
+        versions = V._list_versions(table_dir)
+        if not versions:
+            return cache.get("val")
+        head = versions[-1]
+        floor = cache.get("head")
+        if floor is not None and head <= floor:
+            return cache.get("val")
+        found = None
+        for v in reversed(versions):
+            if floor is not None and v <= floor:
+                break
+            um = V._read_segment(table_dir, v).get("user_metadata")
+            if not um:
+                continue
+            val = extract(um)
+            if val is None:
+                continue
+            if first_only:  # newest-wins state: the first backward hit
+                found = val
+                break
+            # fold semantics: an older unseen commit may still dominate
+            found = val if found is None else combine(found, val)
+        cache["head"] = head
+        if found is not None:
+            cache["val"] = combine(cache.get("val"), found)
+        return cache.get("val")
 
     def _dirty_keys(self, last: int, head: int) -> DataFrame:
         """The distinct (bucket, group...) keys touched by base commits
@@ -390,6 +482,18 @@ class ContinuousAggregate:
         head = versions[-1]
         ws, we = self._win_bounds(window_start, window_end)
         pending = self._pending_ranges()
+        if self.ignore_retention:
+            # retention guard (round 8): a pending range whose raw rows
+            # were drop_chunks-expired would recompute from an EMPTY
+            # base and delete-merge its materialized history away (the
+            # TimescaleDB policy-window-below-retention foot-gun).
+            # Clip pending at the base's recorded horizon — those
+            # buckets' materialized values stand as final; the clipped
+            # state is what gets re-persisted below. ignore_retention=
+            # False is the escape hatch (strict base-mirroring).
+            hz = self._horizon_grid()
+            if hz is not None:
+                pending = _clip_ranges(pending, hz, None, inside=True)
         pend_in = _clip_ranges(pending, ws, we, inside=True)
         pend_out = _clip_ranges(pending, ws, we, inside=False)
         if report is not None:
@@ -418,8 +522,28 @@ class ContinuousAggregate:
                 )
                 n_out = out_df.count()
                 if n_out > _PENDING_COLLECT_MAX:
-                    lo, hi = out_df.agg(F.min("e"), F.max("e")).first()
-                    new_out = [[int(lo), int(hi) + b]]
+                    # collapse PER SIDE of the window — one envelope
+                    # spanning both sides would also cover the region
+                    # this very refresh just materialized, re-dirtying
+                    # it for the next covering refresh (round-8 fix)
+                    e = F.col("e")
+                    sides = []
+                    if ws is not None:
+                        sides.append(F.when(e < ws, e))
+                    if we is not None:
+                        sides.append(F.when(e >= we, e))
+                    row = out_df.agg(
+                        *[
+                            a
+                            for s in sides
+                            for a in (F.min(s), F.max(s))
+                        ]
+                    ).first()
+                    new_out = [
+                        [int(row[i]), int(row[i + 1]) + b]
+                        for i in range(0, len(row), 2)
+                        if row[i] is not None
+                    ]
                 elif n_out:
                     new_out = _coalesce_ranges(
                         [[r[0], r[0] + b] for r in out_df.collect()]
@@ -537,32 +661,42 @@ class ContinuousAggregate:
         """The persisted pending-invalidation ranges: the most recent
         agg-store commit whose user_metadata carries ``cagg_pending``
         (this aggregate's app_id namespaces the key, so several caggs
-        could share a store dir without clashing)."""
+        could share a store dir without clashing). Memoized by head
+        version (``_scan_user_meta``) AND every refresh commit now
+        restates the key — even as ``[]`` — so the backward walk stops
+        at the last refresh instead of re-reading a year of history on
+        every refresh()/read_realtime() (round-8 O(touched) fix)."""
         import json as _json
 
         key = f"cagg_pending:{self.app_id}"
-        for v in reversed(V._list_versions(self.agg_dir)):
-            um = V._read_segment(self.agg_dir, v).get("user_metadata")
-            if not um:
-                continue
+
+        def _extract(um):
             try:
                 d = _json.loads(um)
             except ValueError:
-                continue
+                return None
             if isinstance(d, dict) and key in d:
-                return _coalesce_ranges(d[key])
-        return []
+                return _coalesce_ranges(d[key])  # [] = "present, empty"
+            return None
+
+        val = self._scan_user_meta(
+            self.agg_dir,
+            self._pending_cache,
+            _extract,
+            lambda old, new: new,  # newest commit's state wins outright
+        )
+        return [list(r) for r in val] if val else []
 
     def _pending_meta(
         self, new_pending: list[list[int]], old_pending: list[list[int]]
-    ) -> str | None:
-        """user_metadata recording the new pending state — only when
-        there is state to record or clear (ordinary unwindowed refresh
-        histories stay metadata-free)."""
+    ) -> str:
+        """user_metadata recording the new pending state. ALWAYS
+        restated — an explicit ``[]`` on every refresh commit bounds
+        ``_pending_ranges``'s backward walk at the most recent refresh
+        (and keeps the state alive across a vacuum that drops the
+        commit that last carried it)."""
         import json as _json
 
-        if not new_pending and not old_pending:
-            return None
         return _json.dumps({f"cagg_pending:{self.app_id}": new_pending})
 
     def _keys_in_ranges(self, ranges: list[list[int]], head: int) -> DataFrame:
@@ -726,6 +860,13 @@ class ContinuousAggregate:
         last = self.last_refreshed_version()
         head = V._list_versions(self.base_dir)[-1]
         pending = self._pending_ranges()
+        if pending and self.ignore_retention:
+            # same retention guard as refresh(): a pending bucket whose
+            # raw rows aged out must SERVE its materialized value, not
+            # recompute (empty) over a dropped base
+            hz = self._horizon_grid()
+            if hz is not None:
+                pending = _clip_ranges(pending, hz, None, inside=True)
         parts: list[DataFrame] = []
         if head > last:
             parts.append(self._dirty_keys(last, head))

@@ -285,6 +285,7 @@ def _stage_files(
     table_dir: str,
     next_v: int,
     bloom_cols: list[str] | None = None,
+    write_options: dict | None = None,
 ) -> list[str]:
     """Write ``df``'s parquet files under ``data/`` with version-
     prefixed uuid-unique names — invisible until a segment lists
@@ -309,6 +310,8 @@ def _stage_files(
         writer = df.write.mode("overwrite")
         for c in bloom_cols or []:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
         writer.parquet(scratch)
     finally:
         conf.set(key, old) if old else conf.unset(key)
@@ -3368,6 +3371,9 @@ def compact(
     report: dict | None = None,
     target_file_bytes: int | None = None,
     min_file_bytes: int | None = None,
+    codec: str | None = None,
+    codec_level: int | None = None,
+    only_files: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE [WHERE]: rewrite the head snapshot's files — ALL of
     them, or with ``predicates`` only the files whose stat envelopes
@@ -3412,6 +3418,12 @@ def compact(
     else:
         m = _snapshot(table_dir, base, with_stats=False)
         touched = list(m["files"])
+    if only_files is not None:
+        # caller-chosen candidate set (compression policy: the cold,
+        # wrong-codec files it proved via _file_must_match + footers) —
+        # intersected with the head so a racing rewrite can't resurrect
+        keep = set(only_files)
+        touched = [f for f in touched if f in keep]
     if target_file_bytes is not None and not zorder_cols:
         floor_b = (
             min_file_bytes
@@ -3453,11 +3465,20 @@ def compact(
         )
     else:
         df = df.repartition(n_files)
+    wopts: dict = {}
+    if codec is not None:
+        wopts["compression"] = codec
+        if codec_level is not None:
+            # parquet-mr writer property (zstd and brotli honor it)
+            wopts[f"parquet.compression.codec.{codec}.level"] = str(
+                codec_level
+            )
     staged = _stage_files(
         _to_physical(df, cm),
         table_dir,
         base + 1,
         _phys_cols(m.get("bloom_cols"), cm),
+        write_options=wopts or None,
     )
     staged_stats = _collect_stats(table_dir, staged, spark=spark)
     return _publish_rewrite(
@@ -3485,6 +3506,59 @@ def compact(
 #: read it to SKIP retention commits during invalidation (TimescaleDB:
 #: dropping raw chunks never invalidates the aggregates built on them)
 RETENTION_METADATA = '{"op": "drop_chunks"}'
+
+
+def is_retention_metadata(um) -> bool:
+    """True for any drop_chunks commit's user_metadata — both the
+    legacy bare marker and the round-8 form that also records the
+    retention horizon (``{"op": "drop_chunks", "horizon": {...}}``)."""
+    if not um:
+        return False
+    if um == RETENTION_METADATA:
+        return True
+    try:
+        d = json.loads(um)
+    except ValueError:
+        return False
+    return isinstance(d, dict) and d.get("op") == "drop_chunks"
+
+
+def retention_horizon_metadata(predicates: list[tuple]) -> str:
+    """drop_chunks user_metadata carrying the cutoffs: for every
+    ``(col, "<"|"<=", value)`` predicate whose value is a timestamp or
+    number, record ``horizon[col] = epoch_seconds`` — continuous
+    aggregates read it to refuse re-deriving buckets whose raw rows
+    were retention-expired (the TimescaleDB policy-window-below-
+    retention-horizon foot-gun, made safe by default here)."""
+    import datetime as _dt
+
+    horizon: dict[str, float] = {}
+    for col, op, val in predicates:
+        if op not in ("<", "<="):
+            continue
+        if isinstance(val, _dt.datetime):
+            e = (
+                val.timestamp()
+                if val.tzinfo is not None
+                else val.replace(tzinfo=_dt.timezone.utc).timestamp()
+            )
+        elif isinstance(val, (int, float)) and not isinstance(val, bool):
+            e = float(val)
+        else:
+            continue
+        horizon[col] = max(e, horizon.get(col, e))
+    return json.dumps({"op": "drop_chunks", "horizon": horizon})
+
+
+def retention_horizon_from_metadata(um, col: str) -> float | None:
+    """The recorded retention cutoff (epoch seconds) for ``col`` in a
+    drop_chunks commit's user_metadata — None for the legacy marker or
+    a commit that never cut on ``col``."""
+    if not is_retention_metadata(um) or um == RETENTION_METADATA:
+        return None
+    h = json.loads(um).get("horizon") or {}
+    v = h.get(col)
+    return float(v) if v is not None else None
 
 
 def drop_chunks(
@@ -3561,8 +3635,71 @@ def drop_chunks(
         report=report,
         colmap=cm,
         identity=m.get("identity"),
-        user_metadata=RETENTION_METADATA,
+        user_metadata=retention_horizon_metadata(predicates),
     )
+
+
+def file_compression(table_dir: str, files: list[str]) -> dict[str, dict]:
+    """Per-file parquet compression facts straight from the footers
+    (metadata-only reads — no data pages touched): ``{file: {"codec":
+    str, "bytes": int, "uncompressed_bytes": int}}``. The codec is the
+    first column chunk's (Spark writes one codec per file); a zero-row
+    file reports ``"none"``. Missing files are skipped (a vacuumed
+    clone ref)."""
+    import pyarrow.parquet as _pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        path = _resolve_data_path(table_dir, f)
+        try:
+            md = _pq.ParquetFile(path).metadata
+        except Exception:
+            continue
+        codec, comp, uncomp = "none", 0, 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                codec = str(c.compression).lower()
+                comp += c.total_compressed_size
+                uncomp += c.total_uncompressed_size
+        out[f] = {
+            "codec": codec,
+            "bytes": comp,
+            "uncompressed_bytes": uncomp,
+        }
+    return out
+
+
+def compression_stats(table_dir: str, version: int | None = None) -> dict:
+    """The health-dashboard compression summary the reference publishes
+    as a hypertable metric (src/observability/health_dashboard.py:
+    119,331 — ``compression_ratio``): per-codec file/row-group byte
+    totals over a snapshot's files plus the overall uncompressed:
+    compressed ratio. O(files) footer reads, no data pages."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    m = _snapshot(table_dir, version or versions[-1], with_stats=False)
+    per = file_compression(table_dir, m["files"])
+    by_codec: dict[str, dict] = {}
+    for info in per.values():
+        d = by_codec.setdefault(
+            info["codec"],
+            {"n_files": 0, "bytes": 0, "uncompressed_bytes": 0},
+        )
+        d["n_files"] += 1
+        d["bytes"] += info["bytes"]
+        d["uncompressed_bytes"] += info["uncompressed_bytes"]
+    comp = sum(d["bytes"] for d in by_codec.values())
+    uncomp = sum(d["uncompressed_bytes"] for d in by_codec.values())
+    return {
+        "version": m["version"],
+        "codecs": by_codec,
+        "bytes": comp,
+        "uncompressed_bytes": uncomp,
+        "compression_ratio": round(uncomp / comp, 4) if comp else None,
+    }
 
 
 def restore(
@@ -4101,6 +4238,102 @@ class VersionedTable:
                         _dt.datetime.utcfromtimestamp(cutoff),
                     )
                 ],
+            )
+
+        return ticks.writeStream.foreachBatch(_tick).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
+    def compression_stats(self, version: int | None = None) -> dict:
+        """Per-codec byte totals + overall compression ratio (the
+        reference's hypertable ``compression_ratio`` health metric)."""
+        return compression_stats(self.path, version)
+
+    def compression_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        time_col: str,
+        older_than: float,
+        codec: str = "zstd",
+        codec_level: int | None = None,
+        target_file_bytes: int = 128 << 20,
+        now_fn=None,
+    ):
+        """TimescaleDB's ``add_compression_policy`` as a maintenance
+        policy job (the columnar-compression leg next to compaction /
+        retention / vacuum — the reference's hypertables imply it and
+        its health dashboard publishes ``compression_ratio``,
+        src/observability/health_dashboard.py:119,331): follow this
+        table's commit-log tick stream and, on each tick, rewrite the
+        COLD files — those whose stats envelope PROVES every row is
+        older than ``now − older_than`` (``_file_must_match``, the
+        drop_chunks eligibility dual) — with the archival ``codec``
+        (zstd by default; ``codec_level`` maps to the parquet-mr
+        ``parquet.compression.codec.zstd.level`` writer property).
+
+        Converges: the candidate set is cold ∧ wrong-codec (footer
+        metadata read, no data pages), so an already-converted file is
+        never touched again and the policy's own optimize commit finds
+        nothing to do on the next tick. Newly cold files are bin-packed
+        into ``ceil(bytes / target_file_bytes)`` outputs — each tick
+        rewrites only what just aged past the boundary, never the
+        archive. The rewrite is an ordinary ``compact`` (optimize)
+        commit: row-identical, CDF-invisible, rebases over racing
+        appends. Hot files keep the ingest codec (snappy) for cheap
+        reads; the cold archive trades CPU for bytes — exactly
+        TimescaleDB's compress-after-age contract."""
+        import math as _math
+        import time as _time
+
+        ticks = self.stream_commits()
+
+        def _tick(batch_df, _bid):
+            versions = _list_versions(self.path)
+            if not versions:
+                return
+            m = _snapshot(self.path, versions[-1], with_stats=True)
+            stats = m.get("stats") or {}
+            cutoff = (now_fn or _time.time)() - older_than
+            import datetime as _dt
+
+            pred = [
+                (
+                    time_col,
+                    "<",
+                    _dt.datetime.utcfromtimestamp(cutoff),
+                )
+            ]
+            pp = _phys_preds(pred, m.get("colmap"))
+            cold = [
+                f
+                for f in m["files"]
+                if _file_must_match(stats.get(f), pp)
+            ]
+            if not cold:
+                return
+            footers = file_compression(self.path, cold)
+            need = [
+                f
+                for f in cold
+                if footers.get(f, {}).get("codec") not in (codec, "none")
+            ]
+            if not need:
+                return
+            n_files = max(
+                1,
+                _math.ceil(
+                    sum(footers[f]["bytes"] for f in need)
+                    / target_file_bytes
+                ),
+            )
+            compact(
+                self.spark,
+                self.path,
+                n_files=n_files,
+                codec=codec,
+                codec_level=codec_level,
+                only_files=need,
             )
 
         return ticks.writeStream.foreachBatch(_tick).option(

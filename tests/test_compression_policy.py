@@ -1,0 +1,158 @@
+"""Columnar compression policy (round 8): TimescaleDB's
+``add_compression_policy`` rebuilt as a scheduled OPTIMIZE-with-codec
+job over the commit tick stream — age-based zstd rewrite of provably
+cold chunks, snappy kept on the hot ingest path, convergence by
+construction (candidates = cold ∧ wrong-codec), and the reference's
+``compression_ratio`` health metric served from parquet footers
+(reference src/observability/health_dashboard.py:119,331)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.sources import versioned as V
+
+T0 = 1_700_000_000
+
+
+def _rows(spark, lo, hi, step=60):
+    return spark.range(lo, hi).select(
+        F.timestamp_seconds(F.lit(T0) + F.col("id") * step).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("sym"),
+        (F.col("id") * 1.5).alias("px"),
+    )
+
+
+def _codecs(table_dir):
+    m = V._snapshot(table_dir, V._list_versions(table_dir)[-1], with_stats=False)
+    return V.file_compression(table_dir, m["files"])
+
+
+def test_compression_policy_rewrites_cold_only_and_converges(
+    spark, tmp_path
+):
+    base = str(tmp_path / "tbl")
+    # 4 time-clustered chunks; the clock makes the older two cold
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    before = (
+        V.read_version(spark, base)
+        .orderBy("ts", "sym")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert {i["codec"] for i in _codecs(base).values()} == {"snappy"}
+    tbl = V.VersionedTable(spark, base)
+    clock = {"now": T0 + 100 * 60}
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.compression_policy_writer(
+            ck,
+            time_col="ts",
+            older_than=50 * 60,  # the first two chunks are wholly older
+            codec="zstd",
+            codec_level=9,
+            now_fn=lambda: clock["now"],
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_codec: dict = {}
+    for info in _codecs(base).values():
+        by_codec.setdefault(info["codec"], 0)
+        by_codec[info["codec"]] += 1
+    # cold chunks → one zstd rewrite (bin-packed); hot chunks untouched
+    assert by_codec.get("zstd", 0) >= 1
+    assert by_codec.get("snappy", 0) == 2
+    # row-identical (an optimize commit is logically a no-op)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        V.read_version(spark, base)
+        .orderBy("ts", "sym")
+        .toPandas()
+        .reset_index(drop=True),
+        before,
+    )
+    # the ratio metric sees both codecs and a sane overall ratio
+    cs = tbl.compression_stats()
+    assert set(cs["codecs"]) == {"zstd", "snappy"}
+    assert cs["compression_ratio"] and cs["compression_ratio"] > 0
+    # convergence: the policy's own optimize commit ticked once more
+    # during availableNow already; an explicit second run adds nothing
+    head = V._list_versions(base)[-1]
+    q = (
+        tbl.compression_policy_writer(
+            ck,
+            time_col="ts",
+            older_than=50 * 60,
+            codec="zstd",
+            now_fn=lambda: clock["now"],
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert V._list_versions(base)[-1] == head
+
+
+def test_compression_policy_picks_up_newly_cold(spark, tmp_path):
+    """The clock advances → yesterday's hot chunk ages past the
+    boundary and ONLY it is rewritten (the archive stays untouched —
+    its codec already matches)."""
+    base = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    tbl = V.VersionedTable(spark, base)
+    clock = {"now": T0 + 100 * 60}
+    ck = str(tmp_path / "ck")
+
+    def _run():
+        q = (
+            tbl.compression_policy_writer(
+                ck,
+                time_col="ts",
+                older_than=50 * 60,
+                codec="zstd",
+                now_fn=lambda: clock["now"],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    archive = {
+        f for f, i in _codecs(base).items() if i["codec"] == "zstd"
+    }
+    assert archive
+    clock["now"] += 25 * 60  # one more chunk ages out
+    V.commit(  # any commit ticks the policy
+        _rows(spark, 100, 101).coalesce(1), base, mode="append"
+    )
+    _run()
+    now = _codecs(base)
+    # the old archive files were NOT rewritten again
+    assert archive <= set(now)
+    # and at least one more file converted
+    assert sum(1 for i in now.values() if i["codec"] == "zstd") > len(
+        archive
+    )
+
+
+def test_compact_codec_and_only_files(spark, tmp_path):
+    """compact(codec=...) rewrites with the requested codec;
+    only_files restricts the rewrite set file-granularly."""
+    base = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 40).repartitionByRange(2, "ts"), base)
+    m = V._snapshot(base, V._list_versions(base)[-1], with_stats=False)
+    target = sorted(m["files"])[:1]
+    rep: dict = {}
+    V.compact(
+        spark, base, n_files=1, codec="zstd", only_files=target, report=rep
+    )
+    assert rep["files_rewritten"] == 1
+    codecs = sorted(i["codec"] for i in _codecs(base).values())
+    assert codecs == ["snappy", "zstd"]
+    assert V.read_version(spark, base).count() == 40

@@ -242,3 +242,155 @@ def test_drop_chunks_on_column_mapped_table(spark, tmp_path):
     got = V.read_version(spark, t)
     assert got.count() == 50
     assert got.filter(F.col("event_time") < _ts(T0 + 50 * 60)).count() == 0
+
+
+# -- round 8: the retention↔refresh foot-gun, guarded by default ----------
+# TimescaleDB docs trap: a cagg policy window (or deferred pending
+# range) reaching below the retention horizon recomputes those buckets
+# from an EMPTY base and delete-merges the materialized history away.
+# Here drop_chunks records its cutoff in the commit metadata and the
+# cagg clips pending invalidations at the horizon (bucket-grid-ceiled),
+# so the safe thing is the default; ignore_retention=False opts back
+# into strict base-mirroring.
+
+
+def test_pending_below_horizon_does_not_unmaterialize(spark, tmp_path):
+    import pandas as pd
+
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1)), "sum_px": F.sum("px")},
+    )
+    ca.create()
+    old_half = (
+        ca.read()
+        .filter(F.col("bucket_start") < _ts(T0 + 2800))
+        .toPandas()
+        .sort_values(["bucket_start", "sym"])
+        .reset_index(drop=True)
+    )
+    assert len(old_half) > 0
+    # dirty EVERY bucket, then refresh only the recent half → the old
+    # half defers as a pending range
+    V.update_where(spark, base, [("px", ">=", 0.0)],
+                   {"px": F.col("px") + 1.0})
+    ca.refresh(window_start=T0 + 2800)
+    assert ca._pending_ranges(), "old half should be pending"
+    # retention expires the old half's raw rows (original AND updated)
+    rep: dict = {}
+    V.drop_chunks(spark, base, [("ts", "<", _ts(T0 + 2800))], report=rep)
+    assert rep["files_dropped"] >= 1
+    # realtime must SERVE the materialized old buckets, not recompute
+    # them (empty) over the dropped base
+    rt_old = (
+        ca.read_realtime()
+        .filter(F.col("bucket_start") < _ts(T0 + 2800))
+        .toPandas()
+        .sort_values(["bucket_start", "sym"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rt_old, old_half)
+    # a covering (unwindowed) refresh drains pending WITHOUT deleting
+    # the below-horizon history
+    rep2: dict = {}
+    ca.refresh(report=rep2)
+    assert rep2.get("buckets_deleted", 0) == 0
+    assert ca._pending_ranges() == []
+    got_old = (
+        ca.read()
+        .filter(F.col("bucket_start") < _ts(T0 + 2800))
+        .toPandas()
+        .sort_values(["bucket_start", "sym"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_old, old_half)
+
+
+def test_pending_below_horizon_escape_hatch_mirrors(spark, tmp_path):
+    """ignore_retention=False keeps the old destructive-but-mirroring
+    behavior: the drained pending range sees the dropped base and
+    un-materializes its buckets."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1))},
+        ignore_retention=False,
+    )
+    ca.create()
+    V.update_where(spark, base, [("px", ">=", 0.0)],
+                   {"px": F.col("px") + 1.0})
+    ca.refresh(window_start=T0 + 2800)
+    assert ca._pending_ranges()
+    V.drop_chunks(spark, base, [("ts", "<", _ts(T0 + 2800))])
+    ca.refresh()  # drain — strict mirroring deletes the dead buckets
+    assert ca._pending_ranges() == []
+    assert (
+        ca.read().filter(F.col("bucket_start") < _ts(T0 + 1000)).count()
+        == 0
+    )
+
+
+def test_retention_horizon_metadata_roundtrip():
+    import datetime
+
+    um = V.retention_horizon_metadata(
+        [("ts", "<", datetime.datetime.utcfromtimestamp(T0)),
+         ("other", ">=", 5), ("lvl", "<", 3.5)]
+    )
+    assert V.is_retention_metadata(um)
+    assert V.is_retention_metadata(V.RETENTION_METADATA)  # legacy form
+    assert not V.is_retention_metadata('{"op": "compress"}')
+    assert not V.is_retention_metadata(None)
+    assert V.retention_horizon_from_metadata(um, "ts") == float(T0)
+    assert V.retention_horizon_from_metadata(um, "lvl") == 3.5
+    assert V.retention_horizon_from_metadata(um, "other") is None  # >= op
+    assert V.retention_horizon_from_metadata(
+        V.RETENTION_METADATA, "ts"
+    ) is None
+
+
+def test_pending_scan_is_bounded_by_cache(spark, tmp_path, monkeypatch):
+    """_pending_ranges / _base_retention_horizon walk only the commits
+    that landed since the previous call — never the whole history
+    (round-8 O(touched) fix for the commit-log re-walk)."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 40).coalesce(1), base)
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    ca.create()
+    for lo in range(40, 70, 10):  # a few more base commits
+        V.commit(_rows(spark, lo, lo + 10).coalesce(1), base, mode="append")
+    ca.refresh()
+    ca._pending_ranges()
+    ca._base_retention_horizon()
+    calls: list = []
+    real = V._read_segment
+    monkeypatch.setattr(
+        V, "_read_segment",
+        lambda d, v: calls.append((d, v)) or real(d, v),
+    )
+    # heads unchanged → NO segment reads at all
+    assert ca._pending_ranges() == []
+    assert ca._base_retention_horizon() is None
+    assert calls == []
+    # one new commit → exactly the new segment is read (the commit
+    # itself replays the log; only count the horizon scan's reads)
+    V.commit(_rows(spark, 70, 80).coalesce(1), base, mode="append")
+    new_head = V._list_versions(base)[-1]
+    calls.clear()
+    ca._base_retention_horizon()
+    assert calls == [(base, new_head)]
+    # every refresh commit restates the pending key, so a FRESH
+    # instance's first walk stops at the last refresh commit
+    head_um = V._read_segment(agg, V._list_versions(agg)[-1]).get(
+        "user_metadata"
+    )
+    assert head_um and "cagg_pending" in head_um
