@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     "continuous_aggregate_realtime_cascade",
     "dedup_clusters_md5",
     "cms_word_topk_witness",
+    # round 8: compression policy (cold-tier zstd rewrite + footer
+    # ratio) and the full pair→cluster→canonical curation loop
+    "versioned_compression_policy",
+    "corpus_dedup_canonical",
 ]
 
 

@@ -256,14 +256,34 @@ def _cms_bucket(col: str | Column, j: int, w: int) -> Column:
     )
 
 
-def cms_partial(col: str | Column, d: int = 4, w: int = 64) -> Column:
+def cms_partial(
+    col: str | Column,
+    d: int = 4,
+    w: int = 64,
+    weight: str | Column | None = None,
+) -> Column:
     """Per-group count-min partial: flat ``array<long>`` of d·w
     counters (one aggregate expression per counter — keep d·w ≤ ~512).
-    NULL values count nowhere."""
+    NULL values count nowhere. ``weight`` counts each row that many
+    times (integer column) — feed PRE-AGGREGATED (value, count) rows
+    so the md5 family evaluates once per distinct value, not per
+    occurrence.
+
+    Embedding the bucket expression in all d·w update expressions is
+    deliberate: whole-stage codegen's subexpression elimination
+    evaluates each salted md5 once per row (measured round 8: the
+    embedded form beat an explicit pre-projection 4.7s vs 5.6s on 2M
+    rows × d·w=256 — the HOF-lambda re-evaluation hazard does NOT
+    apply to aggregate update expressions)."""
     buckets = [_cms_bucket(col, j, w) for j in range(d)]
+    inc = (
+        F.lit(1)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
     return F.array(
         *[
-            F.sum(F.when(buckets[j] == b, 1).otherwise(0)).cast("long")
+            F.sum(F.when(buckets[j] == b, inc).otherwise(0)).cast("long")
             for j in range(d)
             for b in range(w)
         ]
