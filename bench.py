@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     # ratio) and the full pair→cluster→canonical curation loop
     "versioned_compression_policy",
     "corpus_dedup_canonical",
+    "continuous_aggregate_join",
 ]
 
 

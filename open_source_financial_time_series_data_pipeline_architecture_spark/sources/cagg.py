@@ -125,6 +125,7 @@ class ContinuousAggregate:
         bucket_col: str = "bucket_start",
         app_id: str | None = None,
         ignore_retention: bool = True,
+        enrich=None,
     ):
         if not aggs:
             raise ValueError("aggs must name at least one aggregate")
@@ -146,6 +147,18 @@ class ContinuousAggregate:
         #: False opts into strict base-mirroring (retention deletes
         #: un-materialize their buckets like any other delete).
         self.ignore_retention = ignore_retention
+        #: CAGG WITH JOINS (TimescaleDB 2.10+): ``enrich`` is a
+        #: callable applied to RAW BASE ROWS on every read path
+        #: (create, refresh recompute, invalidation keying, realtime)
+        #: before bucketing — the canonical use is a broadcast
+        #: equi-join onto a dimension table so ``group_cols``/``aggs``
+        #: can reference dimension columns. TimescaleDB's contract
+        #: carries over exactly: invalidation tracks ONLY the
+        #: hypertable (base CDF); a dimension change does NOT dirty
+        #: existing buckets — the next refresh of a dirty bucket sees
+        #: the CURRENT dimension (call refresh over a window to force
+        #: re-enrichment after a dim change).
+        self.enrich = enrich
         #: set by on_cagg() — the parent aggregate in a hierarchy
         self.parent: "ContinuousAggregate | None" = None
         #: head-version-memoized commit-log scans (_scan_user_meta):
@@ -248,6 +261,12 @@ class ContinuousAggregate:
     def _keys(self) -> list[str]:
         return [self.bucket_col, *self.group_cols]
 
+    def _enriched(self, rows: DataFrame) -> DataFrame:
+        """Raw base rows through the optional JOIN enrichment — the one
+        seam every base-reading path shares, so dimension columns exist
+        wherever group keys are computed."""
+        return self.enrich(rows) if self.enrich is not None else rows
+
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         """bucket + group + the user aggregates, over base-table rows.
         Rows with a NULL time are excluded on EVERY path (create,
@@ -256,7 +275,8 @@ class ContinuousAggregate:
         row materialized once would be unmaintainable forever — better
         to state the contract: the aggregate covers timestamped rows."""
         return (
-            rows.filter(F.col(self.time_col).isNotNull())
+            self._enriched(rows)
+            .filter(F.col(self.time_col).isNotNull())
             .withColumn(self.bucket_col, self._bucket(self.time_col))
             .groupBy(*self._keys())
             .agg(*[c.alias(n) for n, c in self.aggs.items()])
@@ -401,7 +421,8 @@ class ContinuousAggregate:
             skip_versions=self._retention_versions(last, head),
         )
         return (
-            ch.filter(F.col(self.time_col).isNotNull())
+            self._enriched(ch)
+            .filter(F.col(self.time_col).isNotNull())
             .withColumn(self.bucket_col, self._bucket(self.time_col))
             .select(*self._keys())
             .distinct()
@@ -440,7 +461,8 @@ class ContinuousAggregate:
             else dirty
         )
         scoped = (
-            rows.withColumn(self.bucket_col, self._bucket(self.time_col))
+            self._enriched(rows)
+            .withColumn(self.bucket_col, self._bucket(self.time_col))
             .join(side, self._keys(), "left_semi")
         )
         return (
@@ -454,6 +476,7 @@ class ContinuousAggregate:
         *,
         window_start=None,
         window_end=None,
+        force: bool = False,
     ) -> dict:
         """One invalidation-driven refresh: CDF since the last consumed
         base version → dirty keys → recompute those buckets → MERGE
@@ -476,12 +499,25 @@ class ContinuousAggregate:
         refresh itself — and materialize when a later refresh window
         covers them; ``read_realtime()`` treats them as dirty
         meanwhile. The version high-water always advances to ``head``:
-        the pending ranges, not the watermark, carry what remains."""
+        the pending ranges, not the watermark, carry what remains.
+
+        ``force=True`` (TimescaleDB 2.13's ``refresh_continuous_
+        aggregate(..., force => true)``): re-materialize EVERY bucket
+        in the window — base keys AND already-materialized keys — even
+        if nothing invalidated them. The one way to re-derive buckets
+        whose group keys no longer flow from the base: after a
+        dimension change under an ``enrich`` join (stale sectors), or
+        after editing the aggregate definition. An unbounded force
+        refresh covers the union of the base's and the store's time
+        envelopes (manifest stats, no data scan), so orphaned
+        materialized keys delete-detect too. The retention guard still
+        applies: below-horizon buckets keep their history."""
         last = self.last_refreshed_version()
         versions = V._list_versions(self.base_dir)
         head = versions[-1]
         ws, we = self._win_bounds(window_start, window_end)
         pending = self._pending_ranges()
+        hz = None
         if self.ignore_retention:
             # retention guard (round 8): a pending range whose raw rows
             # were drop_chunks-expired would recompute from an EMPTY
@@ -496,6 +532,15 @@ class ContinuousAggregate:
                 pending = _clip_ranges(pending, hz, None, inside=True)
         pend_in = _clip_ranges(pending, ws, we, inside=True)
         pend_out = _clip_ranges(pending, ws, we, inside=False)
+        if force:
+            # forced re-materialization: fold the whole in-window
+            # envelope (base ∪ store, manifest stats — no data scan)
+            # into the range-scoped dirty set; _keys_in_ranges already
+            # unions BASE and MATERIALIZED keys, so stale group keys
+            # that no longer derive from the base delete-detect too
+            env = self._force_envelope(ws, we, hz)
+            if env:
+                pend_in = _coalesce_ranges(pend_in + env)
         if report is not None:
             report.update({"from_version": last, "to_version": head})
         if head <= last and not pend_in:
@@ -729,7 +774,8 @@ class ContinuousAggregate:
             operator.or_, [(ep >= r0) & (ep < r1) for r0, r1 in ranges]
         )
         base_keys = (
-            rows.filter(F.col(self.time_col).isNotNull())
+            self._enriched(rows)
+            .filter(F.col(self.time_col).isNotNull())
             .withColumn(self.bucket_col, self._bucket(self.time_col))
             .filter(in_ranges)
             .select(*self._keys())
@@ -739,6 +785,89 @@ class ContinuousAggregate:
             self.read().filter(in_ranges).select(*self._keys()).distinct()
         )
         return base_keys.unionByName(mat_keys).distinct()
+
+    def _force_envelope(
+        self, ws: int | None, we: int | None, hz: int | None
+    ) -> list[list[int]]:
+        """The bucket-grid range a ``force=True`` refresh must
+        re-materialize: the caller's window, defaulting per side to the
+        union of the base's and the store's time envelopes (manifest
+        min/max stats — metadata only, no data scan), clipped at the
+        retention horizon."""
+        b = self.bucket_seconds
+        lo_us = hi_us = None
+        if ws is None or we is None:
+            for tdir, col in (
+                (self.base_dir, self.time_col),
+                (self.agg_dir, self.bucket_col),
+            ):
+                env = self._stats_envelope(tdir, col)
+                if env is None:
+                    continue
+                lo_us = env[0] if lo_us is None else min(lo_us, env[0])
+                hi_us = env[1] if hi_us is None else max(hi_us, env[1])
+        import math
+
+        lo = (
+            ws
+            if ws is not None
+            else (
+                int(math.floor(lo_us / 1e6 / b)) * b
+                if lo_us is not None
+                else None
+            )
+        )
+        hi = (
+            we
+            if we is not None
+            else (
+                int(math.floor(hi_us / 1e6 / b)) * b + b
+                if hi_us is not None
+                else None
+            )
+        )
+        if lo is None or hi is None or lo >= hi:
+            return []
+        if hz is not None:
+            return _clip_ranges([[lo, hi]], hz, None, inside=True)
+        return [[lo, hi]]
+
+    def _stats_envelope(
+        self, table_dir: str, col: str
+    ) -> tuple[float, float] | None:
+        """(min, max) of ``col`` over a table's head snapshot from the
+        MANIFEST stats (epoch micros for timestamps) — O(files) driver
+        metadata, no data read. Falls back to one min/max scan when no
+        file carries stats for the column."""
+        versions = V._list_versions(table_dir)
+        if not versions:
+            return None
+        m = V._snapshot(table_dir, versions[-1], with_stats=True)
+        if not m["files"]:
+            return None
+        phys = (V._phys_cols([col], m.get("colmap")) or [col])[0]
+        lo = hi = None
+        for f in m["files"]:
+            c = ((m.get("stats") or {}).get(f) or {}).get("cols", {}).get(
+                phys
+            )
+            if not c or c.get("min") is None or c.get("max") is None:
+                continue
+            lo = c["min"] if lo is None else min(lo, c["min"])
+            hi = c["max"] if hi is None else max(hi, c["max"])
+        if lo is None:
+            row = (
+                V.read_version(self.spark, table_dir)
+                .agg(
+                    (F.min(col).cast("double") * 1e6),
+                    (F.max(col).cast("double") * 1e6),
+                )
+                .first()
+            )
+            if row[0] is None:
+                return None
+            lo, hi = float(row[0]), float(row[1])
+        return (float(lo), float(hi))
 
     def _advance_highwater(
         self, head: int, txn, meta: str | None = None

@@ -105,6 +105,11 @@ PROBE_QUERIES = [
     "continuous_aggregate_gapfill",
     "continuous_aggregate_realtime_cascade",
     "dedup_clusters_md5",
+    "cms_word_topk_witness",
+    # round-8 debuts: compression policy, full canonical-dedup loop
+    "versioned_compression_policy",
+    "corpus_dedup_canonical",
+    "continuous_aggregate_join",
 ]
 
 

@@ -756,3 +756,34 @@ def test_hierarchical_realtime_cascade_exact_vs_raw_base(spark, tmp_path):
             )
         ),
     )
+
+
+def test_force_refresh_rematerializes_and_repairs(spark, tmp_path):
+    """refresh(force=True) — TimescaleDB 2.13's force => true:
+    re-materialize the window even with nothing invalidated. Repairs a
+    corrupted store (rows the CDF can never re-derive) and is a
+    content no-op on a clean one."""
+    import pandas as pd
+
+    base, agg = str(tmp_path / "b"), str(tmp_path / "a")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    want = _sorted_pdf(_full(spark, base))
+    # corrupt the STORE directly: drop some buckets, fake another
+    V.delete_where(spark, ca.agg_dir, [("sym", "=", "1")])
+    head = V._list_versions(base)[-1]
+    ca.refresh()  # plain refresh: base head unchanged → no-op
+    assert V._list_versions(base)[-1] == head
+    assert len(_sorted_pdf(ca.read())) < len(want)
+    rep: dict = {}
+    ca.refresh(report=rep, force=True)
+    assert rep["refreshed"] and rep["buckets_dirty"] > 0
+    pd.testing.assert_frame_equal(_sorted_pdf(ca.read()), want)
+    # windowed force only re-materializes the window
+    V.delete_where(spark, ca.agg_dir, [("sym", "=", "2")])
+    ca.refresh(force=True, window_start=T0 + 50 * 37)
+    got = _sorted_pdf(ca.read())
+    assert 0 < len(got) < len(want)  # early sym-2 buckets still gone
+    ca.refresh(force=True)
+    pd.testing.assert_frame_equal(_sorted_pdf(ca.read()), want)
