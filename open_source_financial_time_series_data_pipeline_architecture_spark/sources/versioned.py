@@ -3374,6 +3374,7 @@ def compact(
     codec: str | None = None,
     codec_level: int | None = None,
     only_files: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE [WHERE]: rewrite the head snapshot's files — ALL of
     them, or with ``predicates`` only the files whose stat envelopes
@@ -3462,6 +3463,14 @@ def compact(
             .repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")
+        )
+    elif cluster_by:
+        # plain range clustering (Delta CLUSTER BY / hypertable
+        # re-chunking): tight single-dimension envelopes — the layout
+        # drop_chunks and the compression policy's age tiers want;
+        # z-order stays the multi-dimension variant
+        df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
         )
     else:
         df = df.repartition(n_files)

@@ -787,3 +787,28 @@ def test_force_refresh_rematerializes_and_repairs(spark, tmp_path):
     assert 0 < len(got) < len(want)  # early sym-2 buckets still gone
     ca.refresh(force=True)
     pd.testing.assert_frame_equal(_sorted_pdf(ca.read()), want)
+
+
+def test_pending_survives_vacuum(spark, tmp_path):
+    """Every refresh commit restates the pending key (round 8), so a
+    vacuum that drops the commit which ORIGINALLY carried it cannot
+    lose the pending state — a fresh instance still sees it."""
+    base, agg = str(tmp_path / "b"), str(tmp_path / "a")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    ca = _cagg(spark, base, agg)
+    ca.create()
+    V.update_where(spark, base, [("px", ">=", 0.0)],
+                   {"px": F.col("px") + 1.0})
+    far = T0 + 10**7
+    ca.refresh(window_start=far)  # everything defers
+    held = ca._pending_ranges()
+    assert held
+    # more refresh commits (each restates), then vacuum to the head
+    for lo in (100, 101, 102):
+        V.commit(_rows(spark, lo, lo + 1).coalesce(1), base, mode="append")
+        ca.refresh(window_start=far)
+    V.vacuum(ca.agg_dir, keep_last=1)
+    fresh = _cagg(spark, base, agg)
+    assert fresh._pending_ranges() == ca._pending_ranges()
+    fresh.refresh()  # drain through the fresh instance
+    _assert_matches_full(spark, fresh, base)

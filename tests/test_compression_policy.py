@@ -156,3 +156,63 @@ def test_compact_codec_and_only_files(spark, tmp_path):
     codecs = sorted(i["codec"] for i in _codecs(base).values())
     assert codecs == ["snappy", "zstd"]
     assert V.read_version(spark, base).count() == 40
+
+
+def test_compression_policy_composes_with_cagg_store(spark, tmp_path):
+    """TimescaleDB's canonical pairing: compress the CAGG's own
+    materialized store. The policy's optimize commits are CDF-invisible
+    and rebase under racing MERGEs, so refresh semantics are untouched
+    while the archive half of the store converts to zstd."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.cagg import (
+        ContinuousAggregate,
+    )
+
+    base, agg = str(tmp_path / "b"), str(tmp_path / "a")
+    V.commit(
+        _rows(spark, 0, 200).repartitionByRange(4, "ts"), base
+    )
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1)), "sum_px": F.sum("px")},
+    )
+    ca.create()
+    # re-chunk the store by time (compact cluster_by — the hypertable
+    # layout whose tight envelopes age tiers and drop_chunks want)
+    V.compact(spark, agg, n_files=4, cluster_by=["bucket_start"])
+    want = (
+        ca.read().toPandas()
+        .sort_values(["bucket_start", "sym"]).reset_index(drop=True)
+    )
+    tbl = V.VersionedTable(spark, agg)
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.compression_policy_writer(
+            ck,
+            time_col="bucket_start",
+            older_than=100 * 60,
+            codec="zstd",
+            now_fn=lambda: float(T0 + 200 * 60),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    codecs = {i["codec"] for i in _codecs(agg).values()}
+    assert "zstd" in codecs and "snappy" in codecs
+    pd.testing.assert_frame_equal(
+        ca.read().toPandas()
+        .sort_values(["bucket_start", "sym"]).reset_index(drop=True),
+        want,
+    )
+    # refresh through the compressed store: MERGE rebases/prunes fine
+    V.commit(_rows(spark, 200, 220).coalesce(1), base, mode="append")
+    ca.refresh()
+    got = (
+        ca.read().toPandas()
+        .sort_values(["bucket_start", "sym"]).reset_index(drop=True)
+    )
+    assert len(got) > len(want)
