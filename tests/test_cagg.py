@@ -687,7 +687,7 @@ def test_windowed_refresh_property_random_sequences(spark, tmp_path):
                 spark, base, [("sym", "=", s)], {"px": F.col("px") + 0.5}
             )
         if rng.random() < 0.8:
-            kind = rng.choice(["full", "start", "end", "band"])
+            kind = rng.choice(["full", "start", "end", "band", "force"])
             kw = {}
             a = rng.randint(t_lo, t_hi)
             b = rng.randint(t_lo, t_hi)
@@ -697,6 +697,13 @@ def test_windowed_refresh_property_random_sequences(spark, tmp_path):
                 kw = {"window_end": a}
             elif kind == "band" and abs(a - b) >= 60:
                 kw = {"window_start": min(a, b), "window_end": max(a, b)}
+            elif kind == "force":  # r8: forced re-materialization is
+                # an invariant-preserving op anywhere in the sequence
+                kw = {"force": True}
+                if rng.random() < 0.5 and abs(a - b) >= 60:
+                    kw.update(
+                        window_start=min(a, b), window_end=max(a, b)
+                    )
             ca.refresh(**kw)
         pd.testing.assert_frame_equal(
             _sorted_pdf(ca.read_realtime()), _sorted_pdf(_full(spark, base))

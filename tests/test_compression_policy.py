@@ -216,3 +216,45 @@ def test_compression_policy_composes_with_cagg_store(spark, tmp_path):
         .sort_values(["bucket_start", "sym"]).reset_index(drop=True)
     )
     assert len(got) > len(want)
+
+
+def test_compression_policy_through_column_mapping(spark, tmp_path):
+    """Policy predicates are LOGICAL names; stats are keyed by PHYSICAL
+    names — the cold-file proof must translate through the column
+    mapping (the r6 silent-miss bug class)."""
+    base = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    V.enable_column_mapping(base)
+    V.rename_column(base, "ts", "event_time")
+    tbl = V.VersionedTable(spark, base)
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.compression_policy_writer(
+            ck,
+            time_col="event_time",
+            older_than=50 * 60,
+            codec="zstd",
+            now_fn=lambda: float(T0 + 100 * 60),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert any(i["codec"] == "zstd" for i in _codecs(base).values())
+    got = V.read_version(spark, base)
+    assert got.count() == 100 and "event_time" in got.columns
+
+
+def test_compression_stats_on_shallow_clone(spark, tmp_path):
+    """Footer reads resolve clone refs (absolute or data-dir-relative)
+    the same way every other read path does."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.commit(_rows(spark, 0, 50).repartitionByRange(2, "ts"), src)
+    V.compact(spark, src, n_files=1, codec="zstd",
+              only_files=sorted(V._snapshot(
+                  src, V._list_versions(src)[-1], with_stats=False
+              )["files"])[:1])
+    V.clone(src, dst, relative=True)
+    cs = V.compression_stats(dst)
+    assert set(cs["codecs"]) == {"zstd", "snappy"}
+    assert cs["bytes"] > 0 and cs["compression_ratio"]
