@@ -955,10 +955,50 @@ class ContinuousAggregate:
         """The materialized aggregate as of its last refresh."""
         return V.read_version(self.spark, self.agg_dir, version=version)
 
+    def health(self, lag_threshold_s: float = 120.0) -> dict:
+        """The reference's TimescaleDB health row for THIS aggregate
+        (health_dashboard.py:109-137 — ``continuous_aggregate_lag_
+        seconds`` with the same 2-minute degradation rule): how much
+        raw event time the materialized store has not yet covered,
+        plus versions-behind, pending-invalidation backlog, retention
+        horizon, and store file/byte counts. ALL manifest metadata —
+        no data scan (`_stats_envelope` folds file min/max stats).
+
+        ``lag_seconds`` is the gap between the base's newest event
+        time and the end of the newest materialized bucket — 0 when
+        the store covers everything (pending ranges are reported
+        separately: a windowed policy can be fully caught up at the
+        tail while holding back history)."""
+        base_head = V._list_versions(self.base_dir)[-1]
+        last = self.last_refreshed_version()
+        base_env = self._stats_envelope(self.base_dir, self.time_col)
+        store_env = self._stats_envelope(self.agg_dir, self.bucket_col)
+        lag = 0.0
+        if base_env is not None:
+            covered = (
+                store_env[1] / 1e6 + self.bucket_seconds
+                if store_env is not None
+                else base_env[0] / 1e6
+            )
+            lag = max(0.0, round(base_env[1] / 1e6 - covered, 3))
+        pending = self._pending_ranges()
+        m = V.detail(self.agg_dir)
+        return {
+            "lag_seconds": lag,
+            "versions_behind": base_head - last,
+            "pending_ranges": len(pending),
+            "pending_seconds": sum(hi - lo for lo, hi in pending),
+            "retention_horizon": self._base_retention_horizon(),
+            "store_files": m["n_files"],
+            "store_bytes": m["size_bytes"],
+            "status": "healthy" if lag <= lag_threshold_s else "degraded",
+        }
+
     def read_gapfilled(
         self,
         value_cols: list[str] | None = None,
         version: int | None = None,
+        realtime: bool = False,
     ) -> DataFrame:
         """TimescaleDB ``time_bucket_gapfill`` + ``locf`` over the
         materialized store: one row per (group, bucket) on the dense
@@ -966,13 +1006,16 @@ class ContinuousAggregate:
         bucket. ``value_cols`` (default: none) are carried forward
         across the synthesized gap rows; other aggregate columns stay
         NULL there. Adds ``is_gap``. The grid is |groups| × |buckets|
-        rows — the answer's own cardinality, nothing bigger."""
+        rows — the answer's own cardinality, nothing bigger.
+        ``realtime=True`` gapfills the real-time view instead (exact
+        w.r.t. the unrefreshed tail AND dense — the TimescaleDB
+        dashboard read both ways at once)."""
         from open_source_financial_time_series_data_pipeline_architecture_spark.operators.gapfill import (
             gapfill_locf,
         )
 
         return gapfill_locf(
-            self.read(version),
+            self.read_realtime() if realtime else self.read(version),
             key=self.group_cols,
             ts_col=self.bucket_col,
             value_cols=list(value_cols or []),

@@ -4067,6 +4067,39 @@ class VersionedTable:
         """DESCRIBE DETAIL: head-snapshot summary + feature checklist."""
         return detail(self.path)
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The snapshot's file inventory as a DataFrame (Delta's
+        ``DESCRIBE DETAIL`` + Iceberg's ``.files`` metadata table):
+        one row per file — name, rows, bytes, and per-column min/max
+        stats as JSON (LOGICAL column names; the mapping is resolved
+        here so a rename never leaks physical names to the ops plane).
+        Driver-built from the manifest — O(files) metadata, no data
+        read; query it with ordinary SQL to find skew, stale chunks,
+        or compaction candidates."""
+        versions = _list_versions(self.path)
+        if not versions:
+            raise FileNotFoundError(f"no versions at {self.path}")
+        m = _snapshot(self.path, version or versions[-1], with_stats=True)
+        cm = m.get("colmap") or {}
+        to_logical = {p: l for l, p in cm.items()}
+        rows = []
+        for f in m["files"]:
+            st = (m.get("stats") or {}).get(f) or {}
+            try:
+                size = os.path.getsize(_resolve_data_path(self.path, f))
+            except OSError:
+                size = None
+            cols = {
+                to_logical.get(c, c): v
+                for c, v in (st.get("cols") or {}).items()
+            }
+            rows.append(
+                (f, st.get("rows"), size, json.dumps(cols, default=str))
+            )
+        return self.spark.createDataFrame(
+            rows, "file string, n_rows long, size_bytes long, stats string"
+        )
+
     def drop_constraint(self, name: str) -> dict:
         return drop_constraint(self.path, name)
 

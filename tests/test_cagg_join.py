@@ -182,3 +182,40 @@ def test_cagg_join_windowed_and_pending(spark, tmp_path):
     ca.refresh()  # drain
     assert ca._pending_ranges() == []
     pd.testing.assert_frame_equal(_sorted(ca.read()), _sorted(_full(spark, base)))
+
+
+def test_cagg_health_and_gapfilled_realtime(spark, tmp_path):
+    """health(): the reference's continuous_aggregate_lag_seconds gauge
+    (health_dashboard.py:109-137) from manifest metadata; gapfilled
+    realtime composes the dense grid with the exact unrefreshed tail."""
+    base, agg = str(tmp_path / "b"), str(tmp_path / "a")
+    V.commit(_rows(spark, 0, 100).repartition(2), base)
+    dim = _dim_df(spark)
+    ca = _cagg(spark, base, agg, lambda df: df.join(F.broadcast(dim), "sym"))
+    ca.create()
+    h = ca.health()
+    assert h["status"] == "healthy" and h["lag_seconds"] == 0.0
+    assert h["versions_behind"] == 0 and h["pending_ranges"] == 0
+    assert h["store_files"] >= 1 and h["store_bytes"] > 0
+    # an unrefreshed append 1h past the data end → lag grows past 2 min
+    V.commit(
+        spark.range(1).select(
+            F.timestamp_seconds(F.lit(T0 + 100 * 60 + 3600)).alias("ts"),
+            F.lit("0").alias("sym"),
+            F.lit(1.0).alias("px"),
+        ),
+        base,
+        mode="append",
+    )
+    h2 = ca.health()
+    assert h2["versions_behind"] == 1
+    assert h2["lag_seconds"] > 120 and h2["status"] == "degraded"
+    # gapfilled realtime: dense grid AND the unrefreshed row included
+    gf = ca.read_gapfilled(value_cols=["n"], realtime=True)
+    assert gf.filter(
+        F.col("bucket_start")
+        >= F.timestamp_seconds(F.lit(T0 + 100 * 60 + 3600 - 600))
+    ).count() >= 1
+    assert gf.filter(F.col("is_gap")).count() > 0  # the 1h hole filled
+    ca.refresh()
+    assert ca.health()["lag_seconds"] == 0.0

@@ -258,3 +258,24 @@ def test_compression_stats_on_shallow_clone(spark, tmp_path):
     cs = V.compression_stats(dst)
     assert set(cs["codecs"]) == {"zstd", "snappy"}
     assert cs["bytes"] > 0 and cs["compression_ratio"]
+
+
+def test_files_df_metadata_inventory(spark, tmp_path):
+    """files_df(): the Iceberg-.files / DESCRIBE DETAIL inventory —
+    logical stat names through a rename, SQL-queryable."""
+    import json as _json
+
+    base = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    V.enable_column_mapping(base)
+    V.rename_column(base, "ts", "event_time")
+    tbl = V.VersionedTable(spark, base)
+    inv = tbl.files_df()
+    rows = inv.collect()
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert all(r["size_bytes"] > 0 for r in rows)
+    stats = [_json.loads(r["stats"]) for r in rows]
+    # stats keys are LOGICAL (the renamed name, not the physical one)
+    assert all("event_time" in s for s in stats)
+    assert not any(k.startswith("col_") for s in stats for k in s)
