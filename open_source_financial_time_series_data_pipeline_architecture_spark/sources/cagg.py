@@ -847,15 +847,22 @@ class ContinuousAggregate:
             return None
         phys = (V._phys_cols([col], m.get("colmap")) or [col])[0]
         lo = hi = None
+        partial = False
         for f in m["files"]:
-            c = ((m.get("stats") or {}).get(f) or {}).get("cols", {}).get(
-                phys
-            )
+            fs = (m.get("stats") or {}).get(f) or {}
+            c = fs.get("cols", {}).get(phys)
             if not c or c.get("min") is None or c.get("max") is None:
+                # zero-row files cannot widen the envelope; any OTHER
+                # file missing stats (pre-evolution schema, legacy
+                # INT96 staging) makes the manifest envelope a LOWER
+                # bound only — fall back to the scan, or force-refresh
+                # repair / health() lag would under-cover the range
+                if fs.get("rows", None) != 0:
+                    partial = True
                 continue
             lo = c["min"] if lo is None else min(lo, c["min"])
             hi = c["max"] if hi is None else max(hi, c["max"])
-        if lo is None:
+        if lo is None or partial:
             row = (
                 V.read_version(self.spark, table_dir)
                 .agg(

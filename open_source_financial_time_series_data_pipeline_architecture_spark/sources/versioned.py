@@ -3555,6 +3555,15 @@ def retention_horizon_metadata(predicates: list[tuple]) -> str:
             e = float(val)
         else:
             continue
+        if op == "<=":
+            # inclusive cutoff: the boundary INSTANT itself is dropped,
+            # so the horizon (first possibly-intact instant, exclusive
+            # below) is the next representable tick — one microsecond,
+            # the parquet timestamp resolution. Without this, a <=
+            # cutoff landing exactly on a bucket boundary leaves that
+            # bucket classified as intact while its first-instant rows
+            # are gone.
+            e += 1e-6
         horizon[col] = max(e, horizon.get(col, e))
     return json.dumps({"op": "drop_chunks", "horizon": horizon})
 
@@ -4355,17 +4364,21 @@ class VersionedTable:
             if not cold:
                 return
             footers = file_compression(self.path, cold)
+            # a file whose footer could not be read is absent from
+            # `footers` — it must be excluded from BOTH the rewrite
+            # set and the bin-pack sum, not treated as wrong-codec
             need = [
                 f
                 for f in cold
-                if footers.get(f, {}).get("codec") not in (codec, "none")
+                if f in footers
+                and footers[f].get("codec") not in (codec, "none")
             ]
             if not need:
                 return
             n_files = max(
                 1,
                 _math.ceil(
-                    sum(footers[f]["bytes"] for f in need)
+                    sum(footers[f].get("bytes", 0) for f in need)
                     / target_file_bytes
                 ),
             )

@@ -279,3 +279,48 @@ def test_files_df_metadata_inventory(spark, tmp_path):
     # stats keys are LOGICAL (the renamed name, not the physical one)
     assert all("event_time" in s for s in stats)
     assert not any(k.startswith("col_") for s in stats for k in s)
+
+
+def test_compression_policy_skips_unreadable_footer(
+    spark, tmp_path, monkeypatch
+):
+    """A cold file whose parquet footer could not be read (absent from
+    file_compression's result) is excluded from BOTH the rewrite set
+    and the bin-pack size sum — it used to pass the wrong-codec filter
+    as codec None and then KeyError the streaming batch (round-9
+    advice fix)."""
+    base = str(tmp_path / "tbl")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    tbl = V.VersionedTable(spark, base)
+    real = V.file_compression
+    dropped: dict = {}
+
+    def _flaky(table_dir, files):
+        out = real(table_dir, files)
+        if out and not dropped:
+            victim = sorted(out)[0]
+            dropped["f"] = victim
+            out = {f: i for f, i in out.items() if f != victim}
+        return out
+
+    monkeypatch.setattr(V, "file_compression", _flaky)
+    ck = str(tmp_path / "ck")
+    q = (
+        tbl.compression_policy_writer(
+            ck,
+            time_col="ts",
+            older_than=0.0,  # everything is cold
+            codec="zstd",
+            now_fn=lambda: T0 + 200 * 60,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # must not raise despite the unreadable footer
+    assert dropped  # the monkeypatch did hide one footer
+    codecs = {i["codec"] for i in real(
+        base, V._snapshot(base, V._list_versions(base)[-1],
+                          with_stats=False)["files"]
+    ).values()}
+    # the readable cold files were rewritten; nothing crashed
+    assert "zstd" in codecs

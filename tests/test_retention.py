@@ -394,3 +394,86 @@ def test_pending_scan_is_bounded_by_cache(spark, tmp_path, monkeypatch):
         "user_metadata"
     )
     assert head_um and "cagg_pending" in head_um
+
+
+def test_retention_horizon_inclusive_cutoff_covers_boundary(
+    spark, tmp_path
+):
+    """A ``<=`` cutoff drops the boundary INSTANT itself, so the
+    recorded horizon must sit strictly above it — otherwise a cutoff
+    landing exactly on a bucket boundary leaves that bucket classified
+    as intact while its first-instant rows are gone (round-9 advice
+    fix)."""
+    import datetime
+
+    # exactly on the ABSOLUTE 600 s bucket grid (epoch multiples of
+    # 600 — T0 itself is not on it), inside the droppable range
+    boundary = float((T0 // 600 + 6) * 600)
+    um_lt = V.retention_horizon_metadata(
+        [("ts", "<", datetime.datetime.utcfromtimestamp(boundary))]
+    )
+    um_le = V.retention_horizon_metadata(
+        [("ts", "<=", datetime.datetime.utcfromtimestamp(boundary))]
+    )
+    # exclusive cutoff: the boundary instant is intact
+    assert V.retention_horizon_from_metadata(um_lt, "ts") == boundary
+    # inclusive cutoff: bumped past the boundary by one parquet tick
+    hz = V.retention_horizon_from_metadata(um_le, "ts")
+    assert hz > boundary and hz - boundary < 1e-3
+    # end-to-end: drop_chunks with <= exactly on the grid → the
+    # straddling-bucket guard covers the bucket STARTING at the cutoff
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 100).repartitionByRange(4, "ts"), base)
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    ca.create()
+    V.drop_chunks(spark, base, [("ts", "<=", _ts(int(boundary)))])
+    grid = ca._horizon_grid()
+    assert grid == int(boundary) + 600  # next bucket, not the boundary
+
+
+def test_stats_envelope_partial_stats_falls_back_to_scan(
+    spark, tmp_path, monkeypatch
+):
+    """A snapshot where only SOME files carry stats for the column must
+    not silently narrow the envelope to the stats-bearing files (files
+    written before a schema-evolution add, legacy INT96 staging) —
+    ANY non-empty file without stats triggers the min/max scan
+    (round-9 advice fix)."""
+    base, agg = str(tmp_path / "base"), str(tmp_path / "agg")
+    V.commit(_rows(spark, 0, 50).repartitionByRange(2, "ts"), base)
+    ca = ContinuousAggregate(
+        spark, base, agg,
+        time_col="ts", bucket_seconds=600, group_cols=["sym"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    full = ca._stats_envelope(base, "ts")
+    assert full is not None
+    real_snapshot = V._snapshot
+
+    def _strip_one(table_dir, version, **kw):
+        m = real_snapshot(table_dir, version, **kw)
+        if kw.get("with_stats") and m.get("stats"):
+            m = dict(m)
+            stats = dict(m["stats"])
+            # strip the EARLIEST file's stats (the one holding the min)
+            victim = min(
+                stats,
+                key=lambda f: (
+                    (stats[f] or {}).get("cols", {})
+                    .get("ts", {}).get("min") or float("inf")
+                ),
+            )
+            stats[victim] = {
+                "rows": (stats[victim] or {}).get("rows", 1) or 1
+            }
+            m["stats"] = stats
+        return m
+
+    monkeypatch.setattr(V, "_snapshot", _strip_one)
+    got = ca._stats_envelope(base, "ts")
+    # the scan restores the TRUE envelope — no silent narrowing
+    assert got == full
