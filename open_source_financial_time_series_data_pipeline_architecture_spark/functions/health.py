@@ -1,0 +1,415 @@
+"""Whole-pipeline health rollup — the reference's
+``PipelineHealthMonitor.monitor_all_components`` re-expressed as ONE
+deterministic DataFrame query (reference
+src/observability/health_dashboard.py:37-61 components,
+:92-96,:128-132,:160-165,:198-204,:282-288,:241-288 degradation
+thresholds, :415-431 worst-of aggregation + recommendations,
+:436-478 Prometheus status gauges).
+
+The reference polls live systems (Kafka admin API, TimescaleDB,
+Flink REST, Feast) and many of its collectors are placeholders; here
+every metric is DERIVED FROM THE DATA so the whole report is
+reproducible and oracle-checkable: "now" defaults to the newest event
+time plus a fixed offset (a frozen clock), consumer lag becomes the
+uncommitted tail of the stream, Flink backpressure becomes the
+out-of-arrival-order fraction, and the model canary is a deterministic
+momentum-vs-buy-and-hold PnL comparison. Component status = worst of
+its metrics; overall = worst of components — exactly
+``_aggregate_health``. Status rows carry the reference's Prometheus
+gauge encoding (healthy=1, degraded=0.5, critical=0) and its URGENT
+recommendation strings for critical components.
+
+Scale shape (100 TB): every leg is either a single-pass conditional
+aggregate (one scan, tree-reduced to 1 row) or a per-symbol window
+pass (one hash exchange on symbol); the KS leg reuses the exact
+distributed ECDF (bucketed prefix sums, no unpartitioned window). The
+final assembly unions ~20 ONE-ROW frames — driver-side cost is nil,
+and no corpus-sized cache or collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import features as FX
+from open_source_financial_time_series_data_pipeline_architecture_spark.functions import quality as QX
+
+#: reference health_dashboard.py thresholds, verbatim where they are
+#: data-derivable. (metric → (warn, crit)); staleness warn comes from
+#: the per-feature SLA registry instead.
+THRESHOLDS = {
+    "consumer_lag_records": (5000.0, None),  # :92 degraded > 5000
+    "error_rate": (None, 0.001),  # :94 critical > 0.1%
+    "continuous_aggregate_lag_seconds": (120.0, None),  # :128 > 2 min
+    "out_of_order_pct": (10.0, None),  # :160-ish backpressure < 10%
+    "pit_correctness_score": (None, 1.0),  # :199 critical < 1.0
+    "data_quality_score": (0.8, None),  # :201 degraded < 0.8
+    "pnl_diff_percent": (10.0, 20.0),  # :282-287 |diff| 10 / 20
+    "null_rate_percent": (5.0, None),  # :241 degraded > 5%
+    "ks_statistic": (0.2, None),  # :243 distribution shift (statistic
+    # form — the reference thresholds a scipy p-value, which is not a
+    # deterministic pure-SQL quantity; D > 0.2 is the matching gate)
+    "range_violations_percent": (0.0, 0.5),  # :246 "should be = 0%"
+    "staleness_critical_s": 1800.0,  # :247 staleness > 30 min critical
+}
+
+#: the reference's critical-component repair advice (:415-431)
+RECOMMENDATIONS = {
+    "ingest": "URGENT: Scale brokers, check consumer lag",
+    "streaming": "URGENT: Restart streaming jobs, check state backend",
+    "model": "URGENT: Trigger automatic model rollback!",
+    "features": "URGENT: Check PIT correctness, fix data leakage",
+}
+
+_GAUGE = {"healthy": 1.0, "degraded": 0.5, "critical": 0.0}
+
+
+def _row(
+    agg: DataFrame,
+    component: str,
+    metric: str,
+    value: Column,
+    status: Column,
+    threshold: float | None,
+) -> DataFrame:
+    return agg.select(
+        F.lit(component).alias("component"),
+        F.lit(metric).alias("metric"),
+        F.round(value, 6).alias("value"),
+        F.lit(threshold).cast("double").alias("threshold"),
+        status.alias("status"),
+    )
+
+
+def _status_over(value: Column, warn, crit) -> Column:
+    s = F.lit("healthy")
+    if warn is not None:
+        s = F.when(value > F.lit(warn), "degraded").otherwise(s)
+    if crit is not None:
+        s = F.when(value > F.lit(crit), "critical").otherwise(s)
+    return s
+
+
+def pipeline_health(
+    trades: DataFrame,
+    *,
+    now_offset_s: float = 45.0,
+    feature_slas: dict[str, int] | None = None,
+    lag_window_s: float = 60.0,
+) -> DataFrame:
+    """One row per (component, metric) plus per-component and overall
+    ``status`` gauge rows → columns ``(component, metric, value,
+    threshold, status, recommendation)``.
+
+    ``now`` is frozen at ``max(time) + now_offset_s`` so the report is
+    a pure function of the data (the default 45 s offset deliberately
+    exercises the staleness-SLA degradation path on live-looking
+    data). ``feature_slas`` defaults to the SLA registry's bucketed
+    headline features."""
+    if feature_slas is None:
+        from open_source_financial_time_series_data_pipeline_architecture_spark.functions.registry import REGISTRY
+
+        feature_slas = {
+            n: REGISTRY[n].sla_seconds
+            for n in ("ohlc_1m", "sma_20", "vwap_5m", "bidask_spread")
+        }
+
+    td = F.col("time").cast("double")
+
+    # ---- leg A: ONE conditional-aggregate scan → most scalar metrics
+    a = trades.agg(
+        F.max(td).alias("max_t"),
+        F.min(td).alias("min_t"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("price") <= 0) | (F.col("volume") <= 0)).cast("long")
+        ).alias("n_bad"),
+        F.sum(
+            (
+                (F.col("price") <= 0)
+                | (F.col("price") > 1e7)
+                | (F.col("volume") < 0)
+            ).cast("long")
+        ).alias("n_range"),
+        (
+            F.sum(F.col("bid").isNull().cast("long"))
+            + F.sum(F.col("ask").isNull().cast("long"))
+            + F.sum(F.col("side").isNull().cast("long"))
+        ).alias("n_null_opt"),
+        # the PIT convention audit: the feature snapshot visible AT an
+        # event is the last COMPLETED 1m bucket, whose end
+        # floor(t/60)*60 never exceeds the event time — count would-be
+        # leaks (reference pit_correctness_score "should be = 1.0")
+        F.sum(
+            (F.floor(td / 60) * 60 > td).cast("long")
+        ).alias("n_pit_leak"),
+    ).cache()  # ONE row feeding ~10 report branches — answer-sized
+    now_c = F.col("max_t") + F.lit(float(now_offset_s))
+
+    # consumer lag analog: events inside the last lag_window_s before
+    # "now" = the not-yet-committed tail of the stream (the committed
+    # offset is frozen at now − lag_window; with the defaults that is
+    # the last 15 s of event time). Needs a second conditional pass
+    # because the cutoff depends on max(t): broadcast the 1-row A
+    # frame back over the scan.
+    lag_cnt = (
+        trades.select(td.alias("t"))
+        .crossJoin(F.broadcast(a.select("max_t")))
+        .agg(
+            F.sum(
+                (
+                    F.col("t")
+                    > F.col("max_t")
+                    + F.lit(float(now_offset_s) - float(lag_window_s))
+                ).cast("long")
+            ).alias("n_lag")
+        )
+    )
+
+    w, c = THRESHOLDS["consumer_lag_records"]
+    r_lag = _row(
+        lag_cnt,
+        "ingest",
+        "consumer_lag_records",
+        F.col("n_lag").cast("double"),
+        _status_over(F.col("n_lag").cast("double"), w, c),
+        w,
+    )
+    w, c = THRESHOLDS["error_rate"]
+    err = F.col("n_bad") / F.col("n")
+    r_err = _row(a, "ingest", "error_rate", err, _status_over(err, w, c), c)
+
+    # cagg lag: "now" minus the end of the newest complete 1m bucket
+    w, c = THRESHOLDS["continuous_aggregate_lag_seconds"]
+    ca_lag = F.greatest(
+        F.lit(0.0), now_c - (F.floor(F.col("max_t") / 60) * 60 + 60)
+    )
+    r_ca = _row(
+        a,
+        "storage",
+        "continuous_aggregate_lag_seconds",
+        ca_lag,
+        _status_over(ca_lag, w, c),
+        w,
+    )
+
+    # ---- leg B: arrival-order window pass → backpressure analog
+    # (fraction of events whose event time precedes the running max of
+    # everything that ARRIVED before them — trade_id is the arrival
+    # sequence)
+    arr = Window.partitionBy("symbol").orderBy(
+        F.col("trade_id").cast("bigint")
+    )
+    seen_max = F.max(td).over(
+        arr.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ooo = (
+        trades.select(
+            (
+                (seen_max.isNotNull()) & (td < seen_max)
+            ).cast("long").alias("v")
+        )
+        .agg(
+            (F.sum("v") * 100.0 / F.count(F.lit(1))).alias("ooo_pct")
+        )
+    )
+    w, c = THRESHOLDS["out_of_order_pct"]
+    r_ooo = _row(
+        ooo,
+        "streaming",
+        "out_of_order_pct",
+        F.col("ooo_pct"),
+        _status_over(F.col("ooo_pct"), w, c),
+        w,
+    )
+
+    # ---- features: staleness vs each SLA + PIT score + DQ composite
+    crit_s = THRESHOLDS["staleness_critical_s"]
+    feat_rows = []
+    for name, sla in sorted(feature_slas.items()):
+        st = now_c - F.col("max_t")  # frozen clock − newest event
+        feat_rows.append(
+            _row(
+                a,
+                "features",
+                f"staleness_seconds:{name}",
+                st,
+                F.when(st > F.lit(crit_s), "critical")
+                .when(st > F.lit(float(sla)), "degraded")
+                .otherwise("healthy"),
+                float(sla),
+            )
+        )
+    pit = 1.0 - F.col("n_pit_leak") / F.col("n")
+    r_pit = _row(
+        a,
+        "features",
+        "pit_correctness_score",
+        pit,
+        F.when(pit < F.lit(1.0), "critical").otherwise("healthy"),
+        1.0,
+    )
+    w, _ = THRESHOLDS["data_quality_score"]
+    dq = QX.dq_score(trades, FX.ohlc(trades, 60))
+    r_dq = _row(
+        dq,
+        "features",
+        "data_quality_score",
+        F.col("dq_score"),
+        F.when(F.col("dq_score") < F.lit(w), "degraded").otherwise(
+            "healthy"
+        ),
+        w,
+    )
+
+    # ---- model: canary momentum strategy vs buy-and-hold shadow
+    ordw = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    p1 = F.lag("price", 1).over(ordw)
+    p2 = F.lag("price", 2).over(ordw)
+    per_sym = (
+        trades.select(
+            "symbol",
+            F.when(
+                p2.isNotNull(), F.signum(p1 - p2) * (F.col("price") - p1)
+            ).alias("step"),
+            F.first("price").over(
+                ordw.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("first_p"),
+            F.last("price").over(
+                ordw.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("last_p"),
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum("step").alias("canary"),
+            (F.first("last_p") - F.first("first_p")).alias("shadow"),
+        )
+    )
+    pnl = per_sym.agg(
+        F.sum("canary").alias("c"), F.sum("shadow").alias("s")
+    )
+    diff = F.when(
+        F.abs(F.col("s")) > 0, (F.col("c") - F.col("s")) * 100.0 / F.abs(F.col("s"))
+    )
+    wt, ct = THRESHOLDS["pnl_diff_percent"]
+    r_pnl = _row(
+        pnl,
+        "model",
+        "pnl_diff_percent",
+        diff,
+        F.when(F.abs(diff) > F.lit(ct), "critical")
+        .when(F.abs(diff) > F.lit(wt), "degraded")
+        .otherwise("healthy"),
+        wt,
+    )
+
+    # ---- feature_quality: null rate, KS drift (early vs late half),
+    # hard range violations
+    w, c = THRESHOLDS["null_rate_percent"]
+    nullr = F.col("n_null_opt") * 100.0 / (F.col("n") * 3)
+    r_null = _row(
+        a,
+        "feature_quality",
+        "null_rate_percent",
+        nullr,
+        _status_over(nullr, w, c),
+        w,
+    )
+    mid = a.select(((F.col("min_t") + F.col("max_t")) / 2).alias("mid"))
+    ks = QX.ks_two_sample(
+        trades.crossJoin(F.broadcast(mid)),
+        "price",
+        (td <= F.col("mid")),
+    )
+    w, c = THRESHOLDS["ks_statistic"]
+    r_ks = _row(
+        ks,
+        "feature_quality",
+        "ks_statistic",
+        F.col("ks_stat"),
+        _status_over(F.col("ks_stat"), w, c),
+        w,
+    )
+    w, c = THRESHOLDS["range_violations_percent"]
+    rv = F.col("n_range") * 100.0 / F.col("n")
+    r_rv = _row(
+        a,
+        "feature_quality",
+        "range_violations_percent",
+        rv,
+        _status_over(rv, w, c),
+        w,
+    )
+
+    metrics = r_lag
+    for r in [
+        r_err,
+        r_ca,
+        r_ooo,
+        *feat_rows,
+        r_pit,
+        r_dq,
+        r_pnl,
+        r_null,
+        r_ks,
+        r_rv,
+    ]:
+        metrics = metrics.unionByName(r)
+
+    # ---- worst-of rollup: component status rows + overall row, with
+    # the Prometheus gauge encoding and the critical recommendations
+    prio = (
+        F.when(F.col("status") == "critical", 3)
+        .when(F.col("status") == "degraded", 2)
+        .otherwise(1)
+    )
+    back = F.when(F.col("p") == 3, "critical").when(
+        F.col("p") == 2, "degraded"
+    ).otherwise("healthy")
+    gauge = F.when(F.col("p") == 3, 0.0).when(F.col("p") == 2, 0.5).otherwise(
+        1.0
+    )
+    comp = (
+        metrics.groupBy("component")
+        .agg(F.max(prio).alias("p"))
+        .select(
+            "component",
+            F.lit("status").alias("metric"),
+            gauge.alias("value"),
+            F.lit(None).cast("double").alias("threshold"),
+            back.alias("status"),
+        )
+    )
+    overall = (
+        comp.agg(
+            F.max(
+                F.when(F.col("status") == "critical", 3)
+                .when(F.col("status") == "degraded", 2)
+                .otherwise(1)
+            ).alias("p")
+        )
+        .select(
+            F.lit("overall").alias("component"),
+            F.lit("status").alias("metric"),
+            gauge.alias("value"),
+            F.lit(None).cast("double").alias("threshold"),
+            back.alias("status"),
+        )
+    )
+    out = metrics.unionByName(comp).unionByName(overall)
+    rec = F.create_map(
+        *[x for k, v in sorted(RECOMMENDATIONS.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    return out.withColumn(
+        "recommendation",
+        F.when(
+            (F.col("metric") == "status") & (F.col("status") == "critical"),
+            rec[F.col("component")],
+        ),
+    )
