@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     "versioned_compression_policy",
     "corpus_dedup_canonical",
     "continuous_aggregate_join",
+    # round 9: whole-pipeline health rollup (monitor_all_components
+    # analog) and the DESCRIBE DETAIL file-inventory ops query
+    "pipeline_health",
+    "table_file_inventory",
 ]
 
 

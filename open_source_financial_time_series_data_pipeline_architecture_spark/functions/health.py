@@ -168,33 +168,6 @@ def pipeline_health(
         )
     )
 
-    w, c = THRESHOLDS["consumer_lag_records"]
-    r_lag = _row(
-        lag_cnt,
-        "ingest",
-        "consumer_lag_records",
-        F.col("n_lag").cast("double"),
-        _status_over(F.col("n_lag").cast("double"), w, c),
-        w,
-    )
-    w, c = THRESHOLDS["error_rate"]
-    err = F.col("n_bad") / F.col("n")
-    r_err = _row(a, "ingest", "error_rate", err, _status_over(err, w, c), c)
-
-    # cagg lag: "now" minus the end of the newest complete 1m bucket
-    w, c = THRESHOLDS["continuous_aggregate_lag_seconds"]
-    ca_lag = F.greatest(
-        F.lit(0.0), now_c - (F.floor(F.col("max_t") / 60) * 60 + 60)
-    )
-    r_ca = _row(
-        a,
-        "storage",
-        "continuous_aggregate_lag_seconds",
-        ca_lag,
-        _status_over(ca_lag, w, c),
-        w,
-    )
-
     # ---- leg B: arrival-order window pass → backpressure analog
     # (fraction of events whose event time precedes the running max of
     # everything that ARRIVED before them — trade_id is the arrival
@@ -215,56 +188,23 @@ def pipeline_health(
             (F.sum("v") * 100.0 / F.count(F.lit(1))).alias("ooo_pct")
         )
     )
-    w, c = THRESHOLDS["out_of_order_pct"]
-    r_ooo = _row(
-        ooo,
-        "streaming",
-        "out_of_order_pct",
-        F.col("ooo_pct"),
-        _status_over(F.col("ooo_pct"), w, c),
-        w,
+
+    # ---- DQ composite (reuses the proven G11 building blocks)
+    dq = QX.dq_score(trades, FX.ohlc(trades, 60)).select(
+        F.col("dq_score").alias("dq")
     )
 
-    # ---- features: staleness vs each SLA + PIT score + DQ composite
-    crit_s = THRESHOLDS["staleness_critical_s"]
-    feat_rows = []
-    for name, sla in sorted(feature_slas.items()):
-        st = now_c - F.col("max_t")  # frozen clock − newest event
-        feat_rows.append(
-            _row(
-                a,
-                "features",
-                f"staleness_seconds:{name}",
-                st,
-                F.when(st > F.lit(crit_s), "critical")
-                .when(st > F.lit(float(sla)), "degraded")
-                .otherwise("healthy"),
-                float(sla),
-            )
-        )
-    pit = 1.0 - F.col("n_pit_leak") / F.col("n")
-    r_pit = _row(
-        a,
-        "features",
-        "pit_correctness_score",
-        pit,
-        F.when(pit < F.lit(1.0), "critical").otherwise("healthy"),
-        1.0,
-    )
-    w, _ = THRESHOLDS["data_quality_score"]
-    dq = QX.dq_score(trades, FX.ohlc(trades, 60))
-    r_dq = _row(
-        dq,
-        "features",
-        "data_quality_score",
-        F.col("dq_score"),
-        F.when(F.col("dq_score") < F.lit(w), "degraded").otherwise(
-            "healthy"
-        ),
-        w,
+    # ---- KS drift: early half vs late half of the stream (exact
+    # distributed ECDF — bucketed prefix sums, no global window)
+    mid = a.select(((F.col("min_t") + F.col("max_t")) / 2).alias("mid"))
+    ks = QX.ks_two_sample(
+        trades.crossJoin(F.broadcast(mid)),
+        "price",
+        (td <= F.col("mid")),
     )
 
-    # ---- model: canary momentum strategy vs buy-and-hold shadow
+    # ---- model canary: momentum strategy vs buy-and-hold shadow,
+    # one per-symbol window pass then two tiny aggregates
     ordw = Window.partitionBy("symbol").orderBy("time", "trade_id")
     p1 = F.lag("price", 1).over(ordw)
     p2 = F.lag("price", 2).over(ordw)
@@ -292,75 +232,121 @@ def pipeline_health(
         )
     )
     pnl = per_sym.agg(
-        F.sum("canary").alias("c"), F.sum("shadow").alias("s")
-    )
-    diff = F.when(
-        F.abs(F.col("s")) > 0, (F.col("c") - F.col("s")) * 100.0 / F.abs(F.col("s"))
-    )
-    wt, ct = THRESHOLDS["pnl_diff_percent"]
-    r_pnl = _row(
-        pnl,
-        "model",
-        "pnl_diff_percent",
-        diff,
-        F.when(F.abs(diff) > F.lit(ct), "critical")
-        .when(F.abs(diff) > F.lit(wt), "degraded")
-        .otherwise("healthy"),
-        wt,
+        F.sum("canary").alias("pnl_c"), F.sum("shadow").alias("pnl_s")
     )
 
-    # ---- feature_quality: null rate, KS drift (early vs late half),
-    # hard range violations
+    # ---- ONE 1-row frame carrying every scalar: the whole report is
+    # a single projection + explode over it (the naive
+    # one-aggregate-per-metric assembly cost 129 exchanges / 42 scans
+    # of the corpus; this shape is 1 scan per leg SHAPE — conditional
+    # agg, arrival window, symbol window, ECDF, DQ blocks)
+    one = (
+        a.crossJoin(F.broadcast(lag_cnt))
+        .crossJoin(F.broadcast(ooo))
+        .crossJoin(F.broadcast(dq))
+        .crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(pnl))
+    )
+
+    def ent(
+        component: str, metric: str, value: Column, status: Column,
+        threshold: float | None,
+    ) -> Column:
+        return F.struct(
+            F.lit(component).alias("component"),
+            F.lit(metric).alias("metric"),
+            F.round(value, 6).alias("value"),
+            F.lit(threshold).cast("double").alias("threshold"),
+            status.alias("status"),
+        )
+
+    entries = []
+    w, c = THRESHOLDS["consumer_lag_records"]
+    lagv = F.col("n_lag").cast("double")
+    entries.append(
+        ent("ingest", "consumer_lag_records", lagv,
+            _status_over(lagv, w, c), w)
+    )
+    w, c = THRESHOLDS["error_rate"]
+    err = F.col("n_bad") / F.col("n")
+    entries.append(
+        ent("ingest", "error_rate", err, _status_over(err, w, c), c)
+    )
+    # cagg lag: "now" minus the end of the newest complete 1m bucket
+    w, c = THRESHOLDS["continuous_aggregate_lag_seconds"]
+    ca_lag = F.greatest(
+        F.lit(0.0), now_c - (F.floor(F.col("max_t") / 60) * 60 + 60)
+    )
+    entries.append(
+        ent("storage", "continuous_aggregate_lag_seconds", ca_lag,
+            _status_over(ca_lag, w, c), w)
+    )
+    w, c = THRESHOLDS["out_of_order_pct"]
+    entries.append(
+        ent("streaming", "out_of_order_pct", F.col("ooo_pct"),
+            _status_over(F.col("ooo_pct"), w, c), w)
+    )
+    crit_s = THRESHOLDS["staleness_critical_s"]
+    for name, sla in sorted(feature_slas.items()):
+        st = now_c - F.col("max_t")  # frozen clock − newest event
+        entries.append(
+            ent(
+                "features",
+                f"staleness_seconds:{name}",
+                st,
+                F.when(st > F.lit(crit_s), "critical")
+                .when(st > F.lit(float(sla)), "degraded")
+                .otherwise("healthy"),
+                float(sla),
+            )
+        )
+    pit = 1.0 - F.col("n_pit_leak") / F.col("n")
+    entries.append(
+        ent("features", "pit_correctness_score", pit,
+            F.when(pit < F.lit(1.0), "critical").otherwise("healthy"),
+            1.0)
+    )
+    w, _ = THRESHOLDS["data_quality_score"]
+    entries.append(
+        ent("features", "data_quality_score", F.col("dq"),
+            F.when(F.col("dq") < F.lit(w), "degraded").otherwise(
+                "healthy"
+            ), w)
+    )
+    diff = F.when(
+        F.abs(F.col("pnl_s")) > 0,
+        (F.col("pnl_c") - F.col("pnl_s")) * 100.0 / F.abs(F.col("pnl_s")),
+    )
+    wt, ct = THRESHOLDS["pnl_diff_percent"]
+    entries.append(
+        ent("model", "pnl_diff_percent", diff,
+            F.when(F.abs(diff) > F.lit(ct), "critical")
+            .when(F.abs(diff) > F.lit(wt), "degraded")
+            .otherwise("healthy"), wt)
+    )
     w, c = THRESHOLDS["null_rate_percent"]
     nullr = F.col("n_null_opt") * 100.0 / (F.col("n") * 3)
-    r_null = _row(
-        a,
-        "feature_quality",
-        "null_rate_percent",
-        nullr,
-        _status_over(nullr, w, c),
-        w,
-    )
-    mid = a.select(((F.col("min_t") + F.col("max_t")) / 2).alias("mid"))
-    ks = QX.ks_two_sample(
-        trades.crossJoin(F.broadcast(mid)),
-        "price",
-        (td <= F.col("mid")),
+    entries.append(
+        ent("feature_quality", "null_rate_percent", nullr,
+            _status_over(nullr, w, c), w)
     )
     w, c = THRESHOLDS["ks_statistic"]
-    r_ks = _row(
-        ks,
-        "feature_quality",
-        "ks_statistic",
-        F.col("ks_stat"),
-        _status_over(F.col("ks_stat"), w, c),
-        w,
+    entries.append(
+        ent("feature_quality", "ks_statistic", F.col("ks_stat"),
+            _status_over(F.col("ks_stat"), w, c), w)
     )
     w, c = THRESHOLDS["range_violations_percent"]
     rv = F.col("n_range") * 100.0 / F.col("n")
-    r_rv = _row(
-        a,
-        "feature_quality",
-        "range_violations_percent",
-        rv,
-        _status_over(rv, w, c),
-        w,
+    entries.append(
+        ent("feature_quality", "range_violations_percent", rv,
+            _status_over(rv, w, c), w)
     )
 
-    metrics = r_lag
-    for r in [
-        r_err,
-        r_ca,
-        r_ooo,
-        *feat_rows,
-        r_pit,
-        r_dq,
-        r_pnl,
-        r_null,
-        r_ks,
-        r_rv,
-    ]:
-        metrics = metrics.unionByName(r)
+    metrics = one.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.*"
+    ).cache()  # ~14 rows, but referenced by THREE branches of the
+    # final union (metrics ∪ per-component ∪ overall) — without the
+    # cache the whole leg pipeline evaluates three times
 
     # ---- worst-of rollup: component status rows + overall row, with
     # the Prometheus gauge encoding and the critical recommendations

@@ -110,6 +110,9 @@ PROBE_QUERIES = [
     "versioned_compression_policy",
     "corpus_dedup_canonical",
     "continuous_aggregate_join",
+    # round-9 debuts: health rollup, file-inventory ops query
+    "pipeline_health",
+    "table_file_inventory",
 ]
 
 
