@@ -246,3 +246,70 @@ def dp_release(
         F.lit(eps_each).alias("epsilon_count"),
         F.lit(eps_each).alias("epsilon_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible-training manifest (reference src/modeling/
+# train_reproducible.py:53-96: compute_data_hash / compute_schema_hash
+# pin the EXACT dataset a model saw). The reference hashes the CSV
+# serialization — order-dependent and single-node. Redesign for scale:
+# an ORDER-INDEPENDENT content fingerprint (bit_xor fold of per-row
+# md5 words — commutative, map-side combinable, one hash aggregate at
+# any data size) plus a deterministic content-hash train/val split
+# (md5-bucketed — the seed-pinning analog: re-running the pipeline on
+# the same rows reproduces the same split with NO RNG state at all).
+# ---------------------------------------------------------------------------
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    canon_cols: list,
+    split_col: str,
+    split_buckets: int = 5,
+    train_buckets: int = 4,
+) -> DataFrame:
+    """One row per split + an ``all`` rollup row: ``(split, n_rows,
+    content_xor32, t_min_us, t_max_us, schema_hash)``.
+
+    ``canon_cols`` are pre-canonicalized Columns (strings/bigints —
+    the caller fixes float formatting before hashing); each row hashes
+    to the first 32 bits of md5(concat_ws('|', ...)), and the dataset
+    fingerprint is the bit_xor fold — any row change, add, or drop
+    flips it (note: xor cancels EXACT duplicate rows pairwise; feed a
+    unique key among ``canon_cols``, as any training manifest should).
+    ``schema_hash`` = md5 of the canonical (name, type) list in field
+    order — the drift tripwire for the feature contract."""
+    import hashlib
+    import json
+
+    schema_canon = json.dumps(
+        [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+    )
+    schema_hash = hashlib.md5(schema_canon.encode()).hexdigest()
+    canon = F.concat_ws("|", *canon_cols)
+    row_h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    split_b = F.conv(
+        F.substring(F.md5(F.col(split_col)), 1, 2), 16, 10
+    ).cast("long") % split_buckets
+    split = F.when(split_b < train_buckets, "train").otherwise("val")
+    tu = F.unix_micros(F.col("time"))
+    return (
+        df.select(
+            split.alias("split"), row_h.alias("h"), tu.alias("tu")
+        )
+        .rollup("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("content_xor32"),
+            F.min("tu").alias("t_min_us"),
+            F.max("tu").alias("t_max_us"),
+        )
+        .select(
+            F.coalesce(F.col("split"), F.lit("all")).alias("split"),
+            "n_rows",
+            "content_xor32",
+            "t_min_us",
+            "t_max_us",
+            F.lit(schema_hash).alias("schema_hash"),
+        )
+    )

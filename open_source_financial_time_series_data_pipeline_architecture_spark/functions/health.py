@@ -399,3 +399,40 @@ def pipeline_health(
             rec[F.col("component")],
         ),
     )
+
+
+def prometheus_export(report: DataFrame) -> str:
+    """The reference's ``PrometheusExporter.export_metrics``
+    (health_dashboard.py:436-478) over a ``pipeline_health`` report:
+    gauge lines for the overall status, each component status, and
+    every numeric metric, in the text exposition format. Driver-side
+    over the ~20-row report — the report itself is the distributed
+    part."""
+    rows = report.collect()
+    by = {(r["component"], r["metric"]): r for r in rows}
+    lines = []
+    ov = by.get(("overall", "status"))
+    lines.append(
+        "# HELP pipeline_overall_status Overall pipeline health status"
+    )
+    lines.append("# TYPE pipeline_overall_status gauge")
+    lines.append(f"pipeline_overall_status {ov['value'] if ov else 0}")
+    comps = sorted(
+        {c for c, m in by if m == "status" and c != "overall"}
+    )
+    for comp in comps:
+        st = by[(comp, "status")]
+        lines.append(
+            f"# HELP pipeline_{comp}_status Component health status"
+        )
+        lines.append(f"# TYPE pipeline_{comp}_status gauge")
+        lines.append(f"pipeline_{comp}_status {st['value']}")
+        for (c, m), r in sorted(by.items()):
+            if c != comp or m == "status" or r["value"] is None:
+                continue
+            clean = (
+                m.replace(" ", "_").replace("-", "_").replace(":", "_")
+                .lower()
+            )
+            lines.append(f"pipeline_{comp}_{clean} {r['value']}")
+    return "\n".join(lines)

@@ -189,3 +189,29 @@ def test_overall_is_worst_of_components(spark):
     order = {"healthy": 1, "degraded": 2, "critical": 3}
     worst = max(comp_statuses, key=lambda s: order[s])
     assert rep[("overall", "status")]["status"] == worst
+
+
+def test_prometheus_export_format(spark):
+    from open_source_financial_time_series_data_pipeline_architecture_spark.functions.health import (
+        prometheus_export,
+    )
+
+    t = _mk(spark, _clean_rows())
+    txt = prometheus_export(
+        pipeline_health(t, now_offset_s=0.5, feature_slas={"f": 30})
+    )
+    lines = txt.splitlines()
+    assert lines[0].startswith("# HELP pipeline_overall_status")
+    assert any(line.startswith("pipeline_overall_status ") for line in lines)
+    # one gauge per component + per numeric metric, reference naming
+    assert any(line.startswith("pipeline_ingest_status ") for line in lines)
+    assert any(
+        line.startswith("pipeline_ingest_consumer_lag_records ")
+        for line in lines
+    )
+    assert any(
+        line.startswith("pipeline_features_staleness_seconds_f ")
+        for line in lines
+    )
+    # exposition format: no blank lines, HELP/TYPE precede each gauge
+    assert "" not in lines
