@@ -157,3 +157,158 @@ def partition_age_audit(
         )
         .withColumn("monthly_cost", F.round(F.col("est_gb") * rate, 6))
     )
+
+
+# -- cost budget + auto-scaling limits (reference src/cost/
+# cost_budget.py:14-140) ---------------------------------------------------
+
+#: the reference's monthly cost breakdown (cost_budget.py:26-35) minus
+#: the two S3 lines — those are DERIVED from the data here (the
+#: partition_age_audit per-tier costs replace the hardcoded 50/10).
+DEFAULT_COMPUTE_BREAKDOWN: tuple[tuple[str, float], ...] = (
+    ("timescaledb", 500.0),
+    ("flink", 800.0),
+    ("spark", 600.0),
+    ("kafka", 400.0),
+    ("gpu", 500.0),
+    ("other", 540.0),
+)
+
+#: auto-scaling limits (cost_budget.py:100-128)
+AUTOSCALING_LIMITS: dict[str, dict] = {
+    "flink_taskmanagers": {"min": 2, "max": 10},
+    "spark_executors": {"min": 2, "max": 20},
+    "gpu_instances": {"min": 0, "max": 4},
+    "kafka_brokers": {"min": 3, "max": 6},
+}
+
+
+def validate_scaling_request(resource_type: str, target_replicas: int) -> bool:
+    """cost_budget.py:134-140 — a scaling request outside the
+    [min, max] band (or for an unknown resource) is rejected; the
+    band caps cost explosion regardless of autoscaler enthusiasm."""
+    policy = AUTOSCALING_LIMITS.get(resource_type)
+    if not policy:
+        return False
+    return policy["min"] <= target_replicas <= policy["max"]
+
+
+def budget_enforcement(
+    df: DataFrame,
+    time_col: str = "ts",
+    monthly_budget: float = 3000.0,
+    breakdown: tuple[tuple[str, float], ...] = DEFAULT_COMPUTE_BREAKDOWN,
+    tiers: tuple[tuple[str, int, float], ...] = DEFAULT_TIERS,
+) -> DataFrame:
+    """The reference's ``check_budget_violation`` + ``enforce_budget``
+    (cost_budget.py:48-97) as one deterministic report: month-to-date
+    cost = daily rate × days elapsed, where days elapsed is the DATA's
+    own span (max day − min day + 1 — no wall clock) and the two S3
+    storage lines come from the live ``partition_age_audit`` instead
+    of the reference's hardcoded estimates. Rows:
+
+    - ``(item, 'component_cost', mtd_cost, NULL)`` per component;
+    - budget rows: current_cost / budget / utilization_percent /
+      remaining / violated (1.0 or 0.0);
+    - when violated, the reference's three enforcement actions
+      (``scale_down_spark`` → 1 replica, ``scale_down_gpu`` → 0,
+      ``enable_s3_lifecycle`` → glacier), amount = target replicas.
+
+    Scale shape: the audit is the only data-touching leg (per-day
+    partial agg); everything else is arithmetic over one broadcast
+    1-row frame and an exploded literal array."""
+    audit = partition_age_audit(df, time_col=time_col, tiers=tiers)
+    s3 = audit.agg(
+        F.sum(
+            F.when(
+                F.col("tier").isin("standard", "intelligent_tiering"),
+                F.col("monthly_cost"),
+            ).otherwise(0.0)
+        ).alias("s3_standard"),
+        F.sum(
+            F.when(F.col("tier") == "glacier", F.col("monthly_cost"))
+            .otherwise(0.0)
+        ).alias("s3_glacier"),
+    )
+    days = df.agg(
+        (
+            F.datediff(
+                F.to_date(F.max(time_col)), F.to_date(F.min(time_col))
+            )
+            + 1
+        ).alias("days")
+    )
+    one = days.crossJoin(F.broadcast(s3))
+    fixed_total = sum(r for _, r in breakdown)
+    monthly = (
+        F.lit(float(fixed_total)) + F.col("s3_standard") + F.col("s3_glacier")
+    )
+    current = monthly / 30.0 * F.col("days")
+    violated = current > F.lit(float(monthly_budget))
+    mtd = lambda rate: rate / 30.0 * F.col("days")  # noqa: E731
+
+    def ent(item, kind, amount, detail):
+        return F.struct(
+            item.alias("item") if isinstance(item, Column) else F.lit(item).alias("item"),
+            F.lit(kind).alias("kind"),
+            F.round(amount, 6).cast("double").alias("amount"),
+            (detail if isinstance(detail, Column) else F.lit(detail))
+            .cast("string")
+            .alias("detail"),
+        )
+
+    entries = [
+        ent(name, "component_cost", mtd(F.lit(rate)), None)
+        for name, rate in breakdown
+    ]
+    entries.append(
+        ent("s3_standard", "component_cost", mtd(F.col("s3_standard")), None)
+    )
+    entries.append(
+        ent("s3_glacier", "component_cost", mtd(F.col("s3_glacier")), None)
+    )
+    entries.append(ent("current_cost", "budget", current, None))
+    entries.append(
+        ent("budget", "budget", F.lit(float(monthly_budget)), None)
+    )
+    entries.append(
+        ent(
+            "utilization_percent",
+            "budget",
+            current * 100.0 / F.lit(float(monthly_budget)),
+            None,
+        )
+    )
+    entries.append(
+        ent(
+            "remaining", "budget", F.lit(float(monthly_budget)) - current,
+            None,
+        )
+    )
+    entries.append(
+        ent(
+            "violated", "budget",
+            F.when(violated, 1.0).otherwise(0.0), None,
+        )
+    )
+    # enforcement actions (cost_budget.py:77-92): emitted only when
+    # violated — the item is NULLed otherwise and filtered after the
+    # explode, so the report stays one projection
+    for item, target, detail in (
+        ("scale_down_spark", 1.0, "Budget exceeded"),
+        ("scale_down_gpu", 0.0, "Budget exceeded"),
+        ("enable_s3_lifecycle", None, "glacier"),
+    ):
+        entries.append(
+            ent(
+                F.when(violated, item),
+                "action",
+                F.lit(target).cast("double"),
+                detail,
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .filter(F.col("item").isNotNull())
+    )

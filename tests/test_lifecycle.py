@@ -85,3 +85,46 @@ def test_assign_tier_boundaries(spark):
         729: "glacier",
         730: "expired",
     }
+
+
+def test_validate_scaling_request_limits():
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.lifecycle import (
+        validate_scaling_request,
+    )
+
+    assert validate_scaling_request("spark_executors", 2)
+    assert validate_scaling_request("spark_executors", 20)
+    assert not validate_scaling_request("spark_executors", 21)
+    assert validate_scaling_request("gpu_instances", 0)
+    assert not validate_scaling_request("gpu_instances", 5)
+    assert not validate_scaling_request("unknown_resource", 1)
+
+
+def test_budget_enforcement_flips_on_budget(spark):
+    """Same data, two budgets: the generous budget yields no actions
+    and violated=0; the tight one emits the reference's three
+    enforcement actions (cost_budget.py:77-92)."""
+    import datetime
+
+    from open_source_financial_time_series_data_pipeline_architecture_spark.sources.lifecycle import (
+        budget_enforcement,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d), f"ev{d}", "p" * 10)
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, props string")
+    # 10-day span → mtd = rate/30*10; fixed total 3340/3 ≈ 1113
+    ok = {r["item"]: r for r in budget_enforcement(df, monthly_budget=2000.0).collect()}
+    assert ok["violated"]["amount"] == 0.0
+    assert not [i for i in ok.values() if i["kind"] == "action"]
+    assert abs(ok["timescaledb"]["amount"] - 500.0 / 3) < 1e-6
+    tight = {r["item"]: r for r in budget_enforcement(df, monthly_budget=1000.0).collect()}
+    assert tight["violated"]["amount"] == 1.0
+    acts = {i for i, r in tight.items() if r["kind"] == "action"}
+    assert acts == {
+        "scale_down_spark", "scale_down_gpu", "enable_s3_lifecycle"
+    }
+    assert tight["enable_s3_lifecycle"]["detail"] == "glacier"
+    assert tight["utilization_percent"]["amount"] > 100.0
