@@ -4419,6 +4419,94 @@ class VersionedTable:
             "checkpointLocation", checkpoint_dir
         )
 
+    def dq_policy_writer(
+        self,
+        checkpoint_dir: str,
+        *,
+        expectations: list,
+        results_dir: str,
+        app_id: str | None = None,
+        dlq_dir: str | None = None,
+    ):
+        """Scheduled data-quality validation as a maintenance policy
+        job — the reference's Airflow DQ DAG
+        (airflow/dags/data_quality_dags.py:28-75: validate the recent
+        slice hourly, route failures to a DLQ, keep a result history)
+        rebuilt incrementally on the commit tick stream:
+
+        - each tick validates ONLY the rows INSERTED since the last
+          validated version (CDF — O(new files), never a rescan of the
+          table; the reference re-reads the last hour every run);
+        - one result row per expectation, stamped with the
+          (from_version, to_version] range and the checked row count,
+          appends to a versioned RESULTS table with a txn mark — a
+          replayed tick (crash after commit, before checkpoint) is a
+          provable no-op, and the txn high-water doubles as the
+          incremental cursor;
+        - rows violating any ROW-LEVEL expectation append to
+          ``dlq_dir`` as parquet (the DAG's route_to_dlq), tagged with
+          the violated expectation names.
+
+        A tick with no new base commits does nothing (the results
+        table is separate from the base, so the policy's own commits
+        never re-tick it — convergent by construction)."""
+        from open_source_financial_time_series_data_pipeline_architecture_spark.functions import (
+            quality as _Q,
+        )
+
+        aid = app_id or f"dq:{os.path.basename(os.path.normpath(self.path))}"
+        ticks = self.stream_commits()
+
+        def _tick(batch_df, _bid):
+            versions = _list_versions(self.path)
+            if not versions:
+                return
+            head = versions[-1]
+            last = (
+                last_txn_version(results_dir, aid) or 0
+                if os.path.isdir(os.path.join(results_dir, "_versions"))
+                else 0
+            )
+            if head <= last:
+                return
+            # (last, head] — read_changes' start is the EXCLUSIVE base
+            changes = read_changes(self.spark, self.path, last, head)
+            rows = changes.filter(
+                F.col("_change_type") == "insert"
+            ).drop("_change_type", "_commit_version")
+            res = (
+                _Q.validate(rows, expectations)
+                .withColumn("from_version", F.lit(last + 1).cast("int"))
+                .withColumn("to_version", F.lit(head).cast("int"))
+            )
+            commit(res, results_dir, mode="append", txn=(aid, head))
+            if dlq_dir:
+                row_level = [
+                    e for e in expectations if e.violation is not None
+                ]
+                if row_level:
+                    tags = F.array_compact(
+                        F.array(
+                            *[
+                                F.when(e.violation, F.lit(e.name))
+                                for e in row_level
+                            ]
+                        )
+                    )
+                    bad = rows.withColumn(
+                        "__violated", tags
+                    ).filter(F.size("__violated") > 0)
+                    bad = bad.cache()  # violations-sized, read twice
+                    try:
+                        if bad.count():  # a clean tick writes NOTHING
+                            bad.write.mode("append").parquet(dlq_dir)
+                    finally:
+                        bad.unpersist()
+
+        return ticks.writeStream.foreachBatch(_tick).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
     def stream_sink(self, app_id: str, keys: list[str] | None = None, **kw):
         """foreachBatch handler: exactly-once append/merge into this
         table (sinks.foreach_batch_versioned)."""
