@@ -209,9 +209,15 @@ BENCH_QUERIES = [
     "corpus_dedup_canonical",
     "continuous_aggregate_join",
     # round 9: whole-pipeline health rollup (monitor_all_components
-    # analog) and the DESCRIBE DETAIL file-inventory ops query
+    # analog), the DESCRIBE DETAIL file-inventory ops query, the
+    # reproducibility manifest, budget enforcement, the incremental
+    # DQ policy history, and the maintained IVF index read
     "pipeline_health",
     "table_file_inventory",
+    "training_manifest",
+    "cost_budget_enforcement",
+    "versioned_dq_policy",
+    "ann_index_incremental",
 ]
 
 

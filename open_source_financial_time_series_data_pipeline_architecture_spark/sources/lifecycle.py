@@ -137,13 +137,25 @@ def partition_age_audit(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_bytes.cast("long")).alias("n_bytes"),
     )
-    # the asof anchor is the table's own max day: an all-rows window
-    # over the per-DAY aggregate (O(days) rows — broadcast-scale state,
-    # not a second scan of the raw table)
-    anchor = (
-        asof if asof is not None else F.max("day").over(Window.partitionBy())
-    )
-    aged = per_day.withColumn("age_days", F.datediff(anchor, F.col("day")))
+    # the asof anchor is the table's own max day — a broadcast 1-row
+    # aggregate joined back (round 9: the earlier unpartitioned-window
+    # form forced the per-day frame through a single partition; the
+    # broadcast join keeps the same O(days) state with no
+    # single-partition stage, and AQE reuses the per-day exchange for
+    # both branches)
+    if asof is not None:
+        aged = per_day.withColumn(
+            "age_days", F.datediff(asof, F.col("day"))
+        )
+    else:
+        anchor = per_day.agg(F.max("day").alias("__asof"))
+        aged = (
+            per_day.crossJoin(F.broadcast(anchor))
+            .withColumn(
+                "age_days", F.datediff(F.col("__asof"), F.col("day"))
+            )
+            .drop("__asof")
+        )
     rate = F.lit(None).cast("double")
     for tier, _min_age, tier_rate in tiers:
         rate = F.when(F.col("tier") == tier, F.lit(tier_rate)).otherwise(rate)

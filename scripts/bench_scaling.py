@@ -110,9 +110,14 @@ PROBE_QUERIES = [
     "versioned_compression_policy",
     "corpus_dedup_canonical",
     "continuous_aggregate_join",
-    # round-9 debuts: health rollup, file-inventory ops query
+    # round-9 debuts: health rollup, file-inventory ops query,
+    # manifest/budget/DQ-policy/ANN-index planes
     "pipeline_health",
     "table_file_inventory",
+    "training_manifest",
+    "cost_budget_enforcement",
+    "versioned_dq_policy",
+    "ann_index_incremental",
 ]
 
 

@@ -938,8 +938,6 @@ UNPARTITIONED_WINDOW_BOUNDED_INPUT = {
     "time-grid-bounded aggregate (the peak_concurrency recipe)",
     "pipeline_health_tearsheet": "lag over distinct minutes — "
     "time-grid-bounded aggregate",
-    "storage_tiering_plan": "anchor max over per-day partition rows — "
-    "calendar-bounded",
     "pareto_frontier_parts": "prefix-min over distinct part sizes — "
     "bounded domain (p_size in 1..50)",
 }
