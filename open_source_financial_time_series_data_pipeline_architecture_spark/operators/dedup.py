@@ -344,6 +344,11 @@ def minhash_lsh_pairs_md5(
         if shingle_df is not None
         else shingles(docs, text_col=text_col, n=n, id_col=id_col)
     )
+    # cached: the signature frame feeds banding AND both sides of the
+    # agreement join — uncached, the num_hashes·|shingles| md5 aggregate
+    # re-evaluates three times per enumeration (and callers that
+    # symmetrize the pair output would double even that). |docs| rows of
+    # 32-char digests — answer-sized, same policy as the xxhash variant.
     per_doc = sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
@@ -351,7 +356,7 @@ def minhash_lsh_pairs_md5(
             )
             for i in range(num_hashes)
         ]
-    )
+    ).cache()
     banded = per_doc.select(
         id_col,
         F.explode(
@@ -444,16 +449,40 @@ def connected_components(
     quadratic, and driver involvement is one boolean convergence probe
     per round.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from open_source_financial_time_series_data_pipeline_architecture_spark.operators.graph import (
+        _INTEGRAL,
+        _label_sum,
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+
+    # one-pass symmetrization (the two-select union evaluated the pair
+    # enumeration subtree twice) + checkpoint so every round reads the
+    # materialized edge list
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
+    # fused round-0 hop: min(id, min neighbor) ≡ first propagation over
+    # identity labels (every vertex appears as src in the symmetric list)
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__m"))
+        .select("id", F.least(F.col("id"), F.col("__m")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    integral = isinstance(pairs.schema[id_a].dataType, _INTEGRAL)
+    prev_sum = _label_sum(labels) if integral else None
     for _ in range(max_iter):
         prop = sym.join(labels, sym["dst"] == labels["id"]).select(
             sym["src"].alias("id"), F.col("label")
@@ -462,15 +491,23 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe materializes it
+            .localCheckpoint(eager=False)
         )
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if integral:
+            # labels are monotone non-increasing → an exact decimal sum
+            # is a "did anything move" fingerprint (one scan, no join)
+            cur_sum = _label_sum(new_labels)
+            improved = int(cur_sum != prev_sum)
+            prev_sum = cur_sum
+        else:
+            improved = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if improved == 0:
             break

@@ -23,6 +23,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: integral id types where the sum-of-labels convergence probe is exact
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _label_sum(labels: DataFrame):
+    """Exact order-independent fingerprint of an integral label frame:
+    decimal(38,0) sum never overflows below ~1e20 total, so equality
+    with the previous round's sum ⟺ no label moved (labels are
+    per-vertex monotone non-increasing under min-propagation)."""
+    return labels.agg(
+        F.sum(F.col("label").cast(T.DecimalType(38, 0)))
+    ).first()[0]
 
 
 def connected_components(
@@ -36,9 +50,21 @@ def connected_components(
     "keep the smallest doc_id" is the usual dedup survivor rule).
     Deterministic; raises if ``max_iter`` rounds do not converge
     (log-diameter rounds suffice, so 25 covers any real graph)."""
+    # Symmetrize with ONE pass over the edge subtree: explode each edge
+    # into both directions. A unionByName of two selects referenced the
+    # (often expensive — an LSH pair enumeration) upstream DAG twice
+    # and executed it twice inside this checkpoint (measured ~2x the
+    # build cost of dedup_clusters_md5 at sf0.1).
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("t")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("t")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.t")
         .distinct()
         # lineage TRUNCATION, not just caching: every round's plan would
         # otherwise embed all previous rounds' join trees and Catalyst
@@ -47,12 +73,23 @@ def connected_components(
         # materializes to executor-local storage and cuts the lineage.
         .localCheckpoint()
     )
+    # Fused round-0 hop: every vertex appears as `s` in the symmetric
+    # edge list, so min(id, min neighbor id) is exactly what the first
+    # hop would compute from identity labels — one groupBy replaces the
+    # identity-label init AND the first round's join+union+agg.
     labels = (
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("s").alias("id"))
+        .agg(F.min("t").alias("__m"))
+        .select("id", F.least(F.col("id"), F.col("__m")).alias("label"))
         .localCheckpoint()
     )
+    # Convergence probe: labels are monotone non-increasing, so for
+    # integral ids an exact decimal sum is an order-independent "did
+    # anything move" fingerprint — one cheap scan of the checkpointed
+    # frame instead of a join + filter + count per round. Non-integral
+    # ids keep the join probe.
+    integral = isinstance(edges.schema[src].dataType, _INTEGRAL)
+    prev_sum = _label_sum(labels) if integral else None
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(
@@ -80,15 +117,22 @@ def connected_components(
                 "id",
                 F.coalesce(F.col("__v"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence probe's aggregate materializes the
+            # checkpoint as a side effect — no separate eager job
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if integral:
+            cur_sum = _label_sum(jumped)
+            changed = int(cur_sum != prev_sum)
+            prev_sum = cur_sum
+        else:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         labels = jumped
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))
