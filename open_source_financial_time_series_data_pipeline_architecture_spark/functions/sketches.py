@@ -295,6 +295,57 @@ def cms_merge(col: str | Column, d: int = 4, w: int = 64) -> Column:
     return hist_merge(col, d * w)
 
 
+def cms_from_counts(
+    df,
+    value_col: str,
+    count_col: str,
+    d: int = 4,
+    w: int = 64,
+):
+    """Fully-merged count-min sketch (1-row DataFrame, ``s`` =
+    ``array<long>`` of d·w counters) from a pre-aggregated
+    (value, count) frame.
+
+    Same counters as ``cms_partial`` + ``cms_merge`` — each counter is
+    an integer sum of the counts hashing to it, invariant to grouping —
+    but built as an EXPLODE to (position, count) rows plus one hash
+    aggregate instead of d·w conditional aggregate expressions. The
+    wide form costs Catalyst ~2 s of driver-side analysis/codegen per
+    invocation at d·w=256 and evaluates d·w WHENs per input row; this
+    shape is d struct constructions per row and a tiny groupBy, and is
+    what a 100 TB build would run (the d·w-expression form is the
+    right shape only as a per-group partial inside a cagg aggregate)."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.lit(j * w) + _cms_bucket(value_col, j, w))
+                        .cast("int")
+                        .alias("p"),
+                        F.col(count_col).alias("c"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("e")
+    ).groupBy(F.col("e.p").alias("p")).agg(F.sum("e.c").alias("c"))
+    m = pos.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("p"), F.col("c")))
+        ).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(d * w - 1))
+    return m.select(
+        F.transform(
+            idx,
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i), F.lit(0)
+            ).cast("long"),
+        ).alias("s")
+    )
+
+
 def cms_estimate(
     sketch: Column, value: str | Column, d: int = 4, w: int = 64
 ) -> Column:

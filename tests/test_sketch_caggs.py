@@ -263,6 +263,27 @@ def test_cms_never_underestimates_and_merge_exact(spark):
         assert r["est"] <= exact[r["uid"]] + n_total  # sanity ceiling
 
 
+def test_cms_from_counts_equals_partial_merge(spark):
+    """The explode+positional-sum build (r9 optimization: replaces the
+    d·w-conditional-aggregate form whose Catalyst analysis dominated
+    the witness query's runtime) yields the BIT-IDENTICAL merged
+    sketch: every counter is an integer sum over the values hashing to
+    it, invariant to grouping."""
+    df = _rows(spark, 0, 3000)
+    wc = df.groupBy("uid").agg(F.count(F.lit(1)).alias("n"))
+    via_partials = (
+        wc.withColumn("part", F.col("uid").cast("long") % 5)
+        .groupBy("part")
+        .agg(S.cms_partial("uid", d=4, w=32, weight="n").alias("s"))
+        .agg(S.cms_merge("s", d=4, w=32).alias("s"))
+    )
+    via_counts = S.cms_from_counts(wc, "uid", "n", d=4, w=32)
+    assert via_counts.first()["s"] == via_partials.first()["s"]
+    assert [f.dataType.simpleString() for f in via_counts.schema.fields] == [
+        "array<bigint>"
+    ]
+
+
 def test_sketch_partials_survive_deletes_through_hierarchy(spark, tmp_path):
     """Sketches cannot be DECREMENTED — recompute-not-decrement is what
     makes them legal cagg aggs. A merge-on-read DELETE must leave the
