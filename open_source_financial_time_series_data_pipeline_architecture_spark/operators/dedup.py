@@ -109,10 +109,17 @@ def ngram_jaccard_pairs(
         else shingles(docs, text_col=text_col, n=n, id_col=id_col)
     )
     if max_doc_freq is not None:
+        # Cached: both the sizes leg and the pair-expansion leg read
+        # this frame, and it is SMALL by construction (<= one row per
+        # shingle that survives the DF cap, each row a <= max_doc_freq
+        # id list) — without the cache the collect_list aggregate runs
+        # twice. Spark's CacheManager dedups by canonicalized plan, so
+        # repeated calls with identical inputs share one entry.
         posting = (
             sh.groupBy("shingle")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
             .filter(F.size("ids") <= max_doc_freq)
+            .cache()
         )
         # sizes over the capped universe: explode the kept posting lists
         sizes = (

@@ -759,16 +759,19 @@ def test_gmm_em_broadcast_params_each_iteration(spark):
 
 
 def test_tfidf_cosine_no_nested_loop(spark):
-    # sparse dot must stay an equi-join on the shingle key; the only
-    # nested-loop joins allowed are the deliberate 1-row ndocs scalar
-    # crosses (recognizable by their df<n condition)
+    # sparse dot is expanded IN-ROW from per-shingle posting lists
+    # (r9: one groupBy(shingle) + sorted-array combinations — no
+    # postings self-join shuffle); the only nested-loop joins allowed
+    # are the deliberate 1-row ndocs scalar crosses
     df = em.QUERIES["tfidf_cosine_pairs"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
-            assert "(df" in line, line
+            assert "Cross" in line, line
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin [shingle" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the norm attachment stays a broadcast hash join on the doc key
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_binary_segmentation_single_window_pass(spark):
