@@ -151,11 +151,14 @@ def duplicate_ngram_coverage(
     grams = _trigrams(docs, text_col, id_col, n).select(
         id_col, F.xxhash64("gram").alias("g")
     ).distinct()
-    df_tab = grams.groupBy("g").agg(
-        F.count(F.lit(1)).alias("gram_df")
-    )
+    # r9: gram DF as a window count over the gram partition — ONE
+    # shuffle and one evaluation of the gram explode, instead of a DF
+    # aggregate plus a join whose probe side re-evaluates the explode
     per_doc = (
-        grams.join(df_tab, "g")
+        grams.withColumn(
+            "gram_df",
+            F.count(F.lit(1)).over(Window.partitionBy("g")),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -304,15 +307,21 @@ def duplicate_span_coverage(
         ),
     ).otherwise(F.array().cast("array<long>"))
     grams = base.select(
-        id_col, F.size("__ws").alias("n_tokens"), F.posexplode(gram_arr).alias("pos0", "g")
-    ).select(id_col, "n_tokens", (F.col("pos0") + 1).alias("pos"), "g")
-    cross_doc = (
-        grams.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("g")
+        id_col, F.posexplode(gram_arr).alias("pos0", "g")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
+    # r9: a position's gram occurs in another document iff the gram's
+    # doc set has >= 2 distinct members, i.e. min(doc) != max(doc)
+    # over the gram partition — ONE shuffle by g and one window pass
+    # instead of a count-distinct aggregate plus a semi-join whose
+    # probe side re-evaluates the whole gram explode (the explode ran
+    # twice; 1.79 s -> 1.03 s at sf0.1, value-identical).
+    wg = Window.partitionBy("g")
+    dup_pos = (
+        grams.withColumn("__mn", F.min(id_col).over(wg))
+        .withColumn("__mx", F.max(id_col).over(wg))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .drop("__mn", "__mx")
     )
-    dup_pos = grams.join(cross_doc, "g", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + (n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -771,7 +771,11 @@ def containment_pairs(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     if max_doc_freq is not None:
-        posting = posting.filter(F.size("ids") <= max_doc_freq)
+        # same canonicalized plan as ngram_jaccard_pairs' capped
+        # posting frame -> CacheManager shares ONE entry between the
+        # Jaccard and containment paths (and between this function's
+        # own sizes and pair legs)
+        posting = posting.filter(F.size("ids") <= max_doc_freq).cache()
     sizes = (
         posting.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
