@@ -192,45 +192,70 @@ def with_hist_percentiles(
     nbins: int,
 ):
     """Add one grid-percentile column per ``qs`` entry (name → q) —
-    the hot-path form of ``hist_percentile``. Intermediates (running
-    cumulative array, total) are PROJECTED COLUMNS, computed once per
-    row: inside a higher-order-function lambda Spark re-evaluates any
-    non-column subexpression per element, so the naive nested-fold
-    column form does O(nbins²) interpreted work per row per quantile
+    the hot-path form of ``hist_percentile``. Total and thresholds are
+    PROJECTED COLUMNS (inside a higher-order-function lambda Spark
+    re-evaluates any non-column subexpression per element), and the
+    bin selection is two O(nbins) folds — a plain-long total and one
+    struct fold counting, per quantile, the bins whose running
+    cumulative stays below the threshold. The naive nested-fold column
+    form does O(nbins²) interpreted work per row per quantile
     (measured 20 s for two quantiles over ~100k source rows at
-    nbins=64; this form is ~100× cheaper). Arithmetic is identical to
-    ``hist_percentile`` — same chosen bin, same edge — so oracles and
-    tests transfer."""
+    nbins=64); a concat-built per-row cums array is O(nbins²) copies
+    too. Arithmetic is identical to ``hist_percentile`` — same chosen
+    bin, same edge — so oracles and tests transfer."""
     c = F.col(hist_col)
+    out = df.withColumn(
+        "__hist_total",
+        F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    total = F.col("__hist_total")
+    names = list(qs)
+    # thresholds as projected columns (inside a HOF lambda any
+    # non-column subexpression re-evaluates per element)
+    for i, name in enumerate(names):
+        out = out.withColumn(
+            f"__hist_t{i}", F.lit(qs[name]) * total.cast("double")
+        )
+    tcols = [F.col(f"__hist_t{i}") for i in range(len(names))]
+    # Counts are non-negative, so the running cumulative is
+    # non-decreasing and "first bin whose cumulative >= t" equals
+    # "number of bins whose cumulative < t" — ONE O(nbins) fold for
+    # every quantile, no O(nbins²) concat-built cums array per row.
+    # Comparisons promote long→double exactly as the cums-array filter
+    # did, so the chosen bin (and the edge) is identical.
     scan = F.aggregate(
         c,
         F.struct(
             F.lit(0).cast("long").alias("cum"),
-            F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("arr"),
+            *[F.lit(0).alias(f"c{i}") for i in range(len(names))],
         ),
         lambda a, x: F.struct(
             (a["cum"] + x).alias("cum"),
-            F.concat(a["arr"], F.array(a["cum"] + x)).alias("arr"),
+            *[
+                (
+                    a[f"c{i}"]
+                    + F.when((a["cum"] + x) < t, 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, t in enumerate(tcols)
+            ],
         ),
     )
-    out = df.withColumn("__hist_cums", scan["arr"]).withColumn(
-        "__hist_total", F.element_at(F.col("__hist_cums"), nbins)
-    )
+    out = out.withColumn("__hist_chosen", scan)
     w = (hi - lo) / nbins
-    idxs = F.sequence(F.lit(0), F.lit(nbins - 1))
-    cums = F.col("__hist_cums")
-    total = F.col("__hist_total")
-    for name, q in qs.items():
-        chosen = F.array_min(
-            F.filter(idxs, lambda i: F.get(cums, i) >= F.lit(q) * total)
-        )
+    chosen = F.col("__hist_chosen")
+    for i, name in enumerate(names):
         out = out.withColumn(
             name,
             F.when(
-                total > 0, F.lit(lo) + chosen.cast("double") * F.lit(w)
+                total > 0,
+                F.lit(lo) + chosen[f"c{i}"].cast("double") * F.lit(w),
             ),
         )
-    return out.drop("__hist_cums", "__hist_total")
+    return out.drop(
+        "__hist_total",
+        "__hist_chosen",
+        *[f"__hist_t{i}" for i in range(len(names))],
+    )
 
 
 # -- count-min sketch (frequency / heavy hitters) ------------------------
