@@ -675,31 +675,67 @@ def embedding_contamination(
     leaked-or-not flag at ``threshold``. Catches paraphrased eval
     leakage that exact n-gram overlap misses.
 
-    The benchmark set is small by definition (an eval suite) →
-    broadcast; one pass over the candidate corpus, O(|C|·|B|·d) with
-    |B| bounded. Ranking ties (equal rounded cosine) resolve to the
-    smallest benchmark id — pinned identically in the oracle.
+    The benchmark set is small by definition (an eval suite) → collect
+    once and close over it; ONE Arrow-batched pass over the candidate
+    corpus scores a whole batch against every benchmark vector with a
+    single numpy matmul (the `knn_join_vectorized` arithmetic —
+    normalized matmul then np.round 6, pinned ≡ the zip_with/aggregate
+    fold after ROUND(,6) on this data), O(|C|·|B|·d) inside BLAS
+    instead of |C|·|B| interpreted HOF evaluations. Ranking ties
+    (equal rounded cosine) resolve to the smallest benchmark id —
+    benchmark columns are ordered by id and argmax takes the first
+    maximum. Zero-norm vectors score NULL (excluded from the max),
+    matching the NULL-safe column form.
     """
-    c = cands.select(
+    import numpy as np
+
+    b_rows = (
+        bench.select(
+            F.col(id_col).alias("bench_id"),
+            F.col(vec_col).cast("array<double>").alias("bv"),
+        )
+        .orderBy("bench_id")
+        .collect()
+    )
+    b_ids = np.asarray([r["bench_id"] for r in b_rows], dtype=np.int64)
+    b_mat = np.asarray([list(r["bv"]) for r in b_rows], dtype=np.float64)
+    b_norm = np.linalg.norm(b_mat, axis=1) if len(b_rows) else np.zeros(0)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty or len(b_ids) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+            )
+            c_norm = np.linalg.norm(mat, axis=1)
+            denom = np.outer(c_norm, b_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((mat @ b_mat.T) / denom, 6)
+            sims[denom == 0.0] = np.nan
+            masked = np.where(np.isnan(sims), -np.inf, sims)
+            best = masked.argmax(axis=1)
+            maxv = masked[np.arange(len(pdf)), best]
+            ok = np.isfinite(maxv)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["cand_id"],
+                    "max_cosine": [
+                        float(v) if o else None for v, o in zip(maxv, ok)
+                    ],
+                    "nearest_bench_id": [
+                        int(i) if o else None for i, o in zip(b_ids[best], ok)
+                    ],
+                }
+            )
+
+    scored = cands.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInPandas(
+        score, "cand_id long, max_cosine double, nearest_bench_id long"
     )
-    b = bench.select(
-        F.col(id_col).alias("bench_id"),
-        F.col(vec_col).cast("array<double>").alias("bv"),
-    )
-    scored = c.crossJoin(F.broadcast(b)).select(
-        "cand_id",
-        "bench_id",
-        F.round(cosine_similarity(F.col("cv"), F.col("bv")), 6).alias("cos"),
-    )
-    agg = scored.groupBy("cand_id").agg(
-        F.max("cos").alias("max_cosine"),
-        F.max_by(
-            "bench_id", F.struct(F.col("cos"), -F.col("bench_id"))
-        ).alias("nearest_bench_id"),
-    )
-    return agg.select(
+    return scored.select(
         "cand_id",
         "max_cosine",
         "nearest_bench_id",

@@ -622,12 +622,14 @@ def test_epps_pair_join_on_bars(spark):
     PL.assert_no_cartesian(df)
 
 
-def test_embedding_contamination_broadcasts_bench(spark):
+def test_embedding_contamination_scores_in_one_pass(spark):
+    # bench collected+closed-over; the candidate corpus is scored in ONE
+    # Arrow-batched pass — no join (broadcast or shuffled) anywhere
     df = em.QUERIES["embedding_contamination"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the corpus side must not shuffle before scoring
+    assert "MapInPandas" in plan, plan
     assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("Join") == 0, plan
 
 
 def test_reconciliation_preaggregates_lineitem(spark):
