@@ -36,15 +36,19 @@ def occurrences(text: Column, needle: str) -> Column:
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / n
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """N-gram/marker-based language ID: argmax over per-language marker
-    occurrence counts, ties broken by language code (deterministic)."""
+    occurrence counts, ties broken by language code (deterministic).
+    ``extra_cols`` pass through unchanged so composed pipelines can
+    stack the text projections into ONE scan."""
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = [
         sum(occurrences(padded, m) for m in markers).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = docs.select("doc_id", *scores)
+    scored = docs.select("doc_id", *scores, *[F.col(c) for c in extra_cols])
     # argmax via greatest + chained whens (first match wins → tie-break
     # by language order)
     langs = sorted(LANG_MARKERS)
@@ -58,12 +62,16 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         *[F.col(f"score_{lg}") for lg in langs],
         F.when(best > 0, expr).otherwise("und").alias("lang_pred"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """Heuristic document quality in [0,1]: length, punctuation ratio,
-    stopword ratio, mean word length — the classic pretraining filters."""
+    stopword ratio, mean word length — the classic pretraining filters.
+    ``extra_cols`` pass through unchanged (one-scan composition)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(F.trim(t), " +")
@@ -83,6 +91,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         ((len_score + stop_score + punct_pen + wlen_score) / 4).alias("quality"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -99,14 +108,18 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
-    (lowercase, squeezed whitespace) — the exact-dedup anchor."""
+    (lowercase, squeezed whitespace) — the exact-dedup anchor.
+    ``extra_cols`` pass through unchanged (one-scan composition)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_chars"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -132,7 +145,9 @@ def shingles(
     return base.select(id_col, F.explode(grams).alias("shingle")).distinct()
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """Gopher-style rule-based quality gate (Rae et al. 2021, Table A1)
     as individual boolean flags plus the conjunction — unlike
     ``quality_score`` (a blended 0-1 heuristic), this is the hard
@@ -148,7 +163,12 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in ANSI SQL for the oracle.
     """
     t = F.col(text_col)
-    base = docs.select("doc_id", F.split(F.trim(t), " +").alias("__ws"), t.alias("__t"))
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim(t), " +").alias("__ws"),
+        t.alias("__t"),
+        *[F.col(c) for c in extra_cols],
+    )
     n_words = F.size("__ws")
     mean_wlen = F.aggregate(
         F.col("__ws"), F.lit(0.0), lambda acc, w: acc + F.length(w)
@@ -172,4 +192,5 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         ok_alpha.alias("ok_alpha_words"),
         (ok_len & ok_wlen & ok_stop & ok_alpha).alias("passes_gopher"),
+        *[F.col(c) for c in extra_cols],
     )
