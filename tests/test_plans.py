@@ -525,14 +525,15 @@ def test_runtime_metrics_counts_real_shuffles(spark):
     assert flat["exchanges"] == 0 and flat["shuffle_bytes"] == 0
 
 
-def test_bootstrap_resample_join_is_shuffle_hash(spark):
-    # the draws side must NEVER broadcast (optimizer-blind BxN explode);
-    # shuffle-hash builds on the bounded returns side and skips the
-    # B*n-row sort a merge join would pay
+def test_bootstrap_resample_never_materializes_draws(spark):
+    # the B*n draw expansion must never exist as Spark rows: each
+    # symbol's series ships once into the keyed resampler and replicas
+    # are generated in-task (no join, no explode, no B*n shuffle)
     df = em.QUERIES["bootstrap_sharpe_ci"](spark, SF_SMOKE)
     plan = PL.physical_plan(df)
-    assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
 
 
 def test_first_touch_attribution_one_user_shuffle(spark):
