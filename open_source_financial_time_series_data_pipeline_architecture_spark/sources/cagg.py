@@ -1066,7 +1066,15 @@ class ContinuousAggregate:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.distinct()
+        # Cached: the key set is bounded (a dirty-bucket list, not base
+        # rows) and the SAME frame is read 3+ times per realtime read —
+        # the broadcast-bound count, the semi-join (fresh side), the
+        # anti-join (materialized side), and under cascade the child's
+        # re-bucketed copy of the parent's set. Plans embed the head
+        # version, so a new commit maps to a fresh cache entry — no
+        # staleness; identical canonical plans share one entry across
+        # the parent/child re-derivations.
+        return out.distinct().cache()
 
     def read_realtime(self, cascade: bool = False) -> DataFrame:
         """TimescaleDB real-time continuous aggregate: exact current
