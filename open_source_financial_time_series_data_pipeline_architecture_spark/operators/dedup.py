@@ -234,18 +234,35 @@ def minhash_lsh_pairs(
         if shingle_df is not None
         else shingles(docs, text_col=text_col, n=n, id_col=id_col)
     ).withColumn("__h0", F.xxhash64("shingle"))
+    # The signature derives IN-ROW from the collected hash set:
+    # sig[i] = min_h (h·aᵢ + bᵢ) over the per-doc distinct hashes, and
+    # min commutes with set collection, so array_min(transform(set))
+    # equals the 64 separate min() aggregates bit-for-bit (same
+    # wrapping long arithmetic). One agg expression instead of 65
+    # keeps the analyzed tree small — the 65-column form spent ~1.5 s
+    # per call in Catalyst analysis alone (re-analyzed per DataFrame
+    # op), dominating this operator's cost at any data size. The
+    # per-element work is identical O(num_hashes·|set|).
+    fam = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in a_b
+        ]
+    )
     per_doc = (
         sh.groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.col("__h0") * F.lit(a) + F.lit(b)).alias(f"h{i}")
-                for i, (a, b) in enumerate(a_b)
-            ],
-            F.collect_set("__h0").alias("__shset"),
-        )
+        .agg(F.collect_set("__h0").alias("__shset"))
         .select(
             id_col,
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+            F.transform(
+                fam,
+                lambda p: F.array_min(
+                    F.transform(
+                        F.col("__shset"),
+                        lambda h: h * p["a"] + p["b"],
+                    )
+                ),
+            ).alias("signature"),
             "__shset",
         )
         .cache()
