@@ -71,7 +71,12 @@ def connected_components(
         # planning time grows exponentially with iterations — the
         # standard iterative-algorithm failure mode. localCheckpoint
         # materializes to executor-local storage and cuts the lineage.
-        .localCheckpoint()
+        # ALL checkpoints in this loop are LAZY: each round's one
+        # convergence-probe action materializes every pending
+        # checkpoint in a single job (shared RDD nodes compute once
+        # per job), where the eager form paid 2-3 driver-blocking
+        # jobs per round — pure scheduling latency at any data size.
+        .localCheckpoint(eager=False)
     )
     # Fused round-0 hop: every vertex appears as `s` in the symmetric
     # edge list, so min(id, min neighbor id) is exactly what the first
@@ -81,7 +86,7 @@ def connected_components(
         sym.groupBy(F.col("s").alias("id"))
         .agg(F.min("t").alias("__m"))
         .select("id", F.least(F.col("id"), F.col("__m")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: labels are monotone non-increasing, so for
     # integral ids an exact decimal sum is an order-independent "did
@@ -101,7 +106,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # pointer jumping: label ← label(label); labels are always
         # vertex ids (mins of vertex ids), so the lookup hits.
