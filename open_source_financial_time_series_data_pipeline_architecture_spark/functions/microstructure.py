@@ -251,61 +251,21 @@ def epps_realized_correlation(
     not ticks — |symbols|·|buckets| rows — so the pair join is tiny
     relative to the scan at every SF; output is
     O(|symbols|²·|scales|).
-
-    The tick table is scanned and shuffled ONCE: bars at the finest
-    scale are computed from trades and cached (bar-sized, not
-    tick-sized), and every coarser scale that is a whole multiple of
-    the finest derives its bars from them — the last trade of an
-    s-bucket lives in the last non-empty base bar, so
-    ``max_by(close, base_bucket)`` per s-bucket reproduces
-    ``max_by(price, (time, trade_id))`` over the raw ticks exactly
-    (and ``floor(t/s) == floor((floor(t/base)·base)/s)`` when
-    ``base | s``, so the bucket labels match bit-for-bit).
     """
-    base = min(scales)
-    derivable = all(s % base == 0 for s in scales)
-    base_bucket = F.timestamp_seconds(
-        (F.floor(F.col("time").cast("double") / base) * base).cast("long")
-    )
-    base_bars = (
-        trades.withColumn("bucket", base_bucket)
-        .groupBy("symbol", "bucket")
-        .agg(
-            F.max_by(
-                "price", F.struct(F.col("time"), F.col("trade_id"))
-            ).alias("close")
-        )
-    )
-    if derivable and len(scales) > 1:
-        base_bars = base_bars.cache()
-
     out = None
     for s in scales:
-        if s == base:
-            bars = base_bars
-        elif derivable:
-            coarse = F.timestamp_seconds(
-                (F.floor(F.col("bucket").cast("double") / s) * s).cast("long")
+        bucket = F.timestamp_seconds(
+            (F.floor(F.col("time").cast("double") / s) * s).cast("long")
+        )
+        bars = (
+            trades.withColumn("bucket", bucket)
+            .groupBy("symbol", "bucket")
+            .agg(
+                F.max_by(
+                    "price", F.struct(F.col("time"), F.col("trade_id"))
+                ).alias("close")
             )
-            bars = (
-                base_bars.withColumn("__b", coarse)
-                .groupBy("symbol", "__b")
-                .agg(F.max_by("close", F.col("bucket")).alias("close"))
-                .withColumnRenamed("__b", "bucket")
-            )
-        else:
-            bucket = F.timestamp_seconds(
-                (F.floor(F.col("time").cast("double") / s) * s).cast("long")
-            )
-            bars = (
-                trades.withColumn("bucket", bucket)
-                .groupBy("symbol", "bucket")
-                .agg(
-                    F.max_by(
-                        "price", F.struct(F.col("time"), F.col("trade_id"))
-                    ).alias("close")
-                )
-            )
+        )
         w = Window.partitionBy("symbol").orderBy("bucket")
         prev = F.lag("close").over(w)
         rets = bars.withColumn(
