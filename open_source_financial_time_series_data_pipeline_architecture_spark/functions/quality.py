@@ -258,10 +258,49 @@ def dq_score(
     wall-clock property — reported by `freshness`, not folded into the
     deterministic score.)
     """
-    comp = completeness(trades, required_cols or ["symbol", "price", "volume", "trade_id"])
+    cols = required_cols or ["symbol", "price", "volume", "trade_id"]
+    # Fused stats pass (scan discipline, 3 trades scans -> 2): the
+    # z-score leg's per-key stats aggregate also carries per-key row
+    # and null counts, so the completeness score derives from the tiny
+    # cached stats frame by exact integer regrouping (sum of per-key
+    # counts == the global counts `completeness()` takes directly;
+    # groupBy retains the NULL-key group, so no row goes missing) —
+    # identical doubles, one fewer full-table scan.
+    stats = (
+        trades.groupBy("symbol")
+        .agg(
+            F.avg("price").alias("__mean"),
+            F.stddev_samp("price").alias("__std"),
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}")
+                for c in cols
+            ],
+        )
+        .cache()  # |keys| rows feeding the comp aggregate + the join
+    )
+    total_nulls = sum(F.sum(f"__null_{c}") for c in cols)
+    comp = stats.agg(
+        (1 - total_nulls / (F.sum("__n") * len(cols))).alias(
+            "completeness_score"
+        )
+    )
     cons = ohlc_consistency(ohlc_df)
+    flagged = trades.join(
+        F.broadcast(stats.select("symbol", "__mean", "__std")), "symbol"
+    ).withColumn(
+        "__outlier",
+        F.when(
+            F.col("__std") > 0,
+            (F.abs(F.col("price") - F.col("__mean")) / F.col("__std")) > 3.0,
+        ).otherwise(F.lit(False)),
+    )
     acc = (
-        accuracy_zscore(trades)
+        flagged.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (1 - _rate(F.col("__outlier"))).alias("accuracy_score"),
+        )
         .agg(
             (F.sum(F.col("accuracy_score") * F.col("n_rows")) / F.sum("n_rows")).alias(
                 "accuracy_score"
