@@ -51,22 +51,48 @@ def bs_d1(s: Column, k: Column, r: Column, sigma: Column, t: Column) -> Column:
 
 
 def bs_columns(
-    s: Column, k: Column, r: Column, sigma: Column, t: Column
+    s: Column, k: Column, r: Column, sigma: Column, t: Column,
+    only: tuple[str, ...] | None = None,
 ) -> dict[str, Column]:
     """{call_price, put_price, delta_call, gamma, vega} — the greeks a
     risk system recomputes per tick. All expressions share d1/d2, so
-    Catalyst CSE evaluates the subtree once."""
-    d1 = bs_d1(s, k, r, sigma, t)
-    d2 = d1 - sigma * F.sqrt(t)
-    disc = F.exp(-r * t)
-    call = s * norm_cdf(d1) - k * disc * norm_cdf(d2)
-    # put via parity: identical arithmetic on both engines, and parity
-    # holds EXACTLY by construction (no second CDF evaluation to drift)
-    put = call - s + k * disc
-    return {
-        "call_price": call,
-        "put_price": put,
-        "delta_call": norm_cdf(d1),
-        "gamma": norm_pdf(d1) / (s * sigma * F.sqrt(t)),
-        "vega": s * norm_pdf(d1) * F.sqrt(t),
+    Catalyst CSE evaluates the subtree once.
+
+    Every shared subtree (d1, √t, the two CDFs, the pdf) is built as
+    ONE Column object and reused — Column composition is pure
+    expression-tree plumbing, so reuse changes construction cost only,
+    never the tree shape. ``only`` skips building unrequested greeks:
+    a caller like the unrolled Newton root-finder needs call+vega six
+    times over, and building the other three per step is pure Py4J
+    round-trip waste (measured: the 6-step implied-vol chain spent
+    3.5 s per invocation constructing expressions)."""
+    want = set(only) if only is not None else {
+        "call_price", "put_price", "delta_call", "gamma", "vega"
     }
+    d1 = bs_d1(s, k, r, sigma, t)
+    sqt = F.sqrt(t)
+    out: dict[str, Column] = {}
+    nd1 = (
+        norm_cdf(d1)
+        if want & {"call_price", "put_price", "delta_call"}
+        else None
+    )
+    pdf1 = norm_pdf(d1) if want & {"gamma", "vega"} else None
+    if want & {"call_price", "put_price"}:
+        d2 = d1 - sigma * sqt
+        disc = F.exp(-r * t)
+        call = s * nd1 - k * disc * norm_cdf(d2)
+        if "call_price" in want:
+            out["call_price"] = call
+        if "put_price" in want:
+            # put via parity: identical arithmetic on both engines, and
+            # parity holds EXACTLY by construction (no second CDF
+            # evaluation to drift)
+            out["put_price"] = call - s + k * disc
+    if "delta_call" in want:
+        out["delta_call"] = nd1
+    if "gamma" in want:
+        out["gamma"] = pdf1 / (s * sigma * sqt)
+    if "vega" in want:
+        out["vega"] = s * pdf1 * sqt
+    return out
