@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -405,35 +406,42 @@ def _kalman_fn(q_var: float, r_var: float, p_init: float):
             m, p = float(m), float(p)
         else:
             m, p = None, None
-        out = []
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
-        for r in rows.itertuples():
-            y = float(r.price)
+        n = len(rows)
+        # The (m, p) recurrence stays a sequential python-float fold —
+        # bit-parity with the batch operator and the oracle pins the
+        # exact left-fold arithmetic — but the row assembly is
+        # array-based: the old dict-per-row itertuples build dominated
+        # the per-batch cost (guide §4.2). float64 NaN for the first
+        # row's undefined gain converts to the same null the old None
+        # did (both pass through a float64 pandas column).
+        y_arr = np.ascontiguousarray(rows["price"].to_numpy(dtype="float64"))
+        levels = np.empty(n, dtype="float64")
+        variances = np.empty(n, dtype="float64")
+        gains = np.empty(n, dtype="float64")
+        for i in range(n):
+            y = float(y_arr[i])
             if m is None:
-                m, p, k = y, float(p_init), None
+                m, p, k = y, float(p_init), float("nan")
             else:
                 pp = p + q_var
                 k = pp / (pp + r_var)
                 m = m + k * (y - m)
                 p = (1.0 - k) * pp
-            out.append(
-                {
-                    "time": r.time,
-                    "symbol": key[0],
-                    "trade_id": r.trade_id,
-                    "price": y,
-                    "kf_level": m,
-                    "kf_var": p,
-                    "kf_gain": k,
-                }
-            )
+            levels[i] = m
+            variances[i] = p
+            gains[i] = k
         state.update((m, p))
         yield pd.DataFrame(
-            out,
-            columns=[
-                "time", "symbol", "trade_id", "price",
-                "kf_level", "kf_var", "kf_gain",
-            ],
+            {
+                "time": rows["time"].to_numpy(),
+                "symbol": key[0],
+                "trade_id": rows["trade_id"].to_numpy(),
+                "price": y_arr,
+                "kf_level": levels,
+                "kf_var": variances,
+                "kf_gain": gains,
+            }
         )
 
     return fn
