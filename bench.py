@@ -314,14 +314,34 @@ def main() -> None:
     # 17 queries — its subtotal lets a round-over-round comparison
     # separate environment drift from real per-query regressions
     r01_set = HEADLINE_QUERIES[:17]
+    # Scaling legibility (VERDICT r9): the headline rows are sub-second
+    # and overhead-bound at sf0.1, so their low-core/high-core ratios
+    # sit near 1 and look like the core count is being ignored. These
+    # queries do genuinely parallel work (corpus-wide explodes, B·n
+    # resampling, iterative EM, per-cluster matmuls) — compute the
+    # core-scaling ratio over THIS subtotal, not the headline rows.
+    scaling_set = [
+        "winnowing_fingerprints",
+        "bootstrap_sharpe_ci",
+        "tfidf_cosine_pairs",
+        "gaussian_mixture_em",
+        "dedup_minhash_lsh",
+    ]
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(headline.values()), 3),
         "unit": "sec",
         "queries": headline,
         "sf": sf_from_dir(SF_DIR),
+        # the core count this run actually used (master local[cpus]) —
+        # makes the $SPARK_GRAFT_CPUS contract self-evident in the
+        # artifact the driver keeps
+        "cpus": default_parallelism(),
         "total_all_queries": total,
         "n_all_queries": len(timings),
+        "scaling_set_total": round(
+            sum(timings[n] for n in scaling_set if n in timings), 3
+        ),
         "r01_set_total": round(
             sum(timings[n] for n in r01_set if n in timings), 3
         ),

@@ -66,9 +66,14 @@ def bs_columns(
     times over, and building the other three per step is pure Py4J
     round-trip waste (measured: the 6-step implied-vol chain spent
     3.5 s per invocation constructing expressions)."""
-    want = set(only) if only is not None else {
-        "call_price", "put_price", "delta_call", "gamma", "vega"
-    }
+    known = {"call_price", "put_price", "delta_call", "gamma", "vega"}
+    want = set(only) if only is not None else known
+    if not want <= known:
+        # fail HERE, not as a KeyError at a distant call site: a typo
+        # in `only` would otherwise silently return a partial dict
+        raise ValueError(
+            f"unknown greek(s) {sorted(want - known)}; known: {sorted(known)}"
+        )
     d1 = bs_d1(s, k, r, sigma, t)
     sqt = F.sqrt(t)
     out: dict[str, Column] = {}

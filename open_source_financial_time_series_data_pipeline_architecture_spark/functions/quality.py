@@ -277,7 +277,12 @@ def dq_score(
                 for c in cols
             ],
         )
-        .cache()  # |keys| rows feeding the comp aggregate + the join
+        .cache()  # |keys| rows feeding the comp aggregate + the join.
+        # Accepted leak: never unpersisted — the frame is answer-sized
+        # (|symbols| rows) and repeat invocations build an identical
+        # logical plan, so the CacheManager reuses ONE entry per input
+        # rather than accumulating ("already cached" warning, not a
+        # second copy).
     )
     total_nulls = sum(F.sum(f"__null_{c}") for c in cols)
     comp = stats.agg(

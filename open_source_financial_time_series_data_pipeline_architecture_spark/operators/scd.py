@@ -91,6 +91,15 @@ def scd2_apply(
         [F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}")) for t in tracked],
     )
     joined = u.join(c, keys, "left")
+    # The update⋈current frame is referenced by FOUR downstream legs
+    # (close, open-changed, open-new, changed-keys anti-join) plus the
+    # eager validation aggregate — without a persist each leg re-runs
+    # the join (and the validation pays a fifth full pass). The frame
+    # is |updates| rows, dimension-scale by the max_update_rows
+    # contract, so pinning it is the cagg-style answer-sized cache,
+    # not a corpus cache. Results are unchanged (same plan per leg,
+    # one materialization).
+    joined = joined.persist()
     if validate:
         backdates = F.when(
             F.col("c.is_current").isNotNull()

@@ -55,30 +55,49 @@ def _large_trade_fn(threshold: float, window_sec: float, min_count: int):
             ts, vols, ids = list(ts), list(vols), list(ids)
         else:
             ts, vols, ids = [], [], []
-        out_rows = []
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
-        for r in rows.itertuples():
-            t = r.time.timestamp()
-            if r.volume <= threshold:
-                continue
-            ts.append(t)
-            vols.append(float(r.volume))
-            ids.append(str(r.trade_id))
-            # prune buffer to [t - window, t]
-            while ts and ts[0] < t - window_sec:
-                ts.pop(0)
-                vols.pop(0)
-                ids.pop(0)
-            if len(ts) >= min_count:
-                out_rows.append(
-                    {
-                        "symbol": key[0],
-                        "anomaly_time": r.time,
-                        "n_large_trades": len(ts),
-                        "trade_ids": list(ids),
-                        "total_volume": float(sum(vols)),
-                    }
-                )
+        # Batch assembly (guide §4.2): the old itertuples walked EVERY
+        # row building a namedtuple per trade; the vectorized mask
+        # touches only the large trades (the buffer recurrence itself
+        # stays a python-float fold — its pruning comparisons and
+        # sum(vols) are parity-pinned against the batch oracle).
+        # NB ~(v <= thr), not v > thr: NaN volumes pass the old guard.
+        big = rows[~(rows["volume"] <= threshold)]
+        n_big = len(big)
+        out_rows = []
+        if n_big:
+            ns = big["time"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            # pandas Timestamp.timestamp() == round(ns/1e9, 6) — python
+            # round, replicated exactly so prune boundaries at the
+            # window edge compare identically to the old per-row form
+            sec = [round(v / 1e9, 6) for v in ns.tolist()]
+            vol_l = [float(v) for v in big["volume"].to_numpy(dtype="float64")]
+            id_l = [str(x) for x in big["trade_id"].tolist()]
+            times = big["time"].tolist()
+            for i in range(n_big):
+                t = sec[i]
+                ts.append(t)
+                vols.append(vol_l[i])
+                ids.append(id_l[i])
+                # prune buffer to [t - window, t]
+                cut = t - window_sec
+                head = 0
+                while ts[head] < cut:
+                    head += 1
+                if head:
+                    del ts[:head]
+                    del vols[:head]
+                    del ids[:head]
+                if len(ts) >= min_count:
+                    out_rows.append(
+                        {
+                            "symbol": key[0],
+                            "anomaly_time": times[i],
+                            "n_large_trades": len(ts),
+                            "trade_ids": list(ids),
+                            "total_volume": float(sum(vols)),
+                        }
+                    )
         state.update((ts, vols, ids))
         yield pd.DataFrame(
             out_rows,
@@ -122,23 +141,34 @@ def _spread_ema_fn(alpha: float, mult: float):
         ema = state.get[0] if state.exists else None
         out_rows = []
         rows = pd.concat(list(pdfs)).sort_values(["time"])
-        for r in rows.itertuples():
-            if r.bid is None or r.ask is None or pd.isna(r.bid) or pd.isna(r.ask):
-                continue
-            spread = float(r.ask) - float(r.bid)
-            if ema is None:
-                ema = spread
-            else:
-                if ema > 0 and spread > mult * ema:
-                    out_rows.append(
-                        {
-                            "symbol": key[0],
-                            "alert_time": r.time,
-                            "spread": spread,
-                            "ema_spread": ema,
-                        }
-                    )
-                ema = alpha * spread + (1.0 - alpha) * ema
+        # Batch assembly (guide §4.2): vectorize the null filter and
+        # spread arithmetic; the EMA recurrence stays a python-float
+        # left fold (bit-parity with the fixed-α batch oracle), and
+        # only alert rows — rare by construction — build dicts.
+        q = rows[rows["bid"].notna() & rows["ask"].notna()]
+        if len(q):
+            spreads = [
+                float(x)
+                for x in (
+                    q["ask"].to_numpy(dtype="float64")
+                    - q["bid"].to_numpy(dtype="float64")
+                )
+            ]
+            times = q["time"].tolist()
+            for i, spread in enumerate(spreads):
+                if ema is None:
+                    ema = spread
+                else:
+                    if ema > 0 and spread > mult * ema:
+                        out_rows.append(
+                            {
+                                "symbol": key[0],
+                                "alert_time": times[i],
+                                "spread": spread,
+                                "ema_spread": ema,
+                            }
+                        )
+                    ema = alpha * spread + (1.0 - alpha) * ema
         if ema is not None:
             state.update((float(ema),))
         yield pd.DataFrame(
@@ -203,9 +233,19 @@ def _volatility_fn(bucket_seconds: int):
             )
 
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
-        for r in rows.itertuples():
-            price = float(r.price)
-            bucket = int(pd.Timestamp(r.time).timestamp()) // bucket_seconds
+        # Batch assembly (guide §4.2): bucket ids come from one exact
+        # int64 division over the whole batch (µs-grain event times:
+        # int(Timestamp.timestamp()) // bs ≡ ns // (bs·10⁹) for
+        # positive times); prices cross once as a float64 array. The
+        # return/variance recurrences stay python-float folds —
+        # math.log and the sequential sum are parity-pinned against
+        # the batch operator.
+        ns = rows["time"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        buckets = (ns // (bucket_seconds * 1_000_000_000)).tolist()
+        prices = [float(p) for p in rows["price"].to_numpy(dtype="float64")]
+        for i in range(len(prices)):
+            price = prices[i]
+            bucket = buckets[i]
             if cur_bucket is not None and bucket != cur_bucket:
                 finalize(cur_bucket, rets)
                 rets = []
@@ -270,34 +310,43 @@ def _row_features_fn(n: int, alpha: float):
         else:
             prices, ewm = [], None
 
-        out = []
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
-        for r in rows.itertuples():
-            price = float(r.price)
+        m = len(rows)
+        # Batch assembly (guide §4.2, the §18 Kalman pattern): the
+        # SMA/EWM recurrences stay python-float folds (sum(prices) is
+        # the same left fold per row — parity-pinned vs the batch
+        # window plan), but rows are assembled from preallocated numpy
+        # arrays instead of a dict per row, and the regime tag is one
+        # vectorized comparison (same IEEE semantics as the scalar >).
+        price_in = rows["price"].to_numpy(dtype="float64")
+        price_l = [float(p) for p in price_in]
+        sma_arr = np.empty(m, dtype="float64")
+        ewm_arr = np.empty(m, dtype="float64")
+        for i in range(m):
+            price = price_l[i]
             prices.append(price)
             if len(prices) > n:
                 prices.pop(0)
             sma = sum(prices) / len(prices)
             ewm = price if ewm is None else alpha * price + (1.0 - alpha) * ewm
-            regime = "up" if price > sma else ("down" if price < sma else "neutral")
-            out.append(
-                {
-                    "time": r.time,
-                    "symbol": key[0],
-                    "trade_id": r.trade_id,
-                    "price": price,
-                    "sma_20": sma,
-                    "ewm_12": ewm,
-                    "regime_tag": regime,
-                }
-            )
+            sma_arr[i] = sma
+            ewm_arr[i] = ewm
 
         state.update((prices, ewm))
+        p_arr = np.asarray(price_l, dtype="float64")
+        regime = np.where(
+            p_arr > sma_arr, "up", np.where(p_arr < sma_arr, "down", "neutral")
+        )
         yield pd.DataFrame(
-            out,
-            columns=[
-                "time", "symbol", "trade_id", "price", "sma_20", "ewm_12", "regime_tag",
-            ],
+            {
+                "time": rows["time"].to_numpy(),
+                "symbol": key[0],
+                "trade_id": rows["trade_id"].to_numpy(),
+                "price": p_arr,
+                "sma_20": sma_arr,
+                "ewm_12": ewm_arr,
+                "regime_tag": regime,
+            }
         )
 
     return fn
@@ -348,18 +397,35 @@ def _gap_monitor_fn(threshold_sec: float):
         out_rows = []
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
         last_tid = state.get[1] if state.exists else None
-        for r in rows.itertuples():
-            ts_us = r.time.value // 1000
-            if last_us is not None and (ts_us - last_us) / 1e6 > threshold_sec:
-                out_rows.append(
-                    {
-                        "symbol": key[0],
-                        "gap_start": pd.Timestamp(last_us * 1000),
-                        "gap_end": r.time,
-                        "gap_seconds": round((ts_us - last_us) / 1e6, 6),
-                    }
-                )
-            last_us, last_tid = ts_us, r.trade_id
+        n = len(rows)
+        if n:
+            # Batch assembly (guide §4.2): gap detection is one
+            # vectorized int64 diff — identical integer-µs arithmetic
+            # to the old per-row form — and only actual gap rows (rare
+            # by construction) build output dicts.
+            us = (
+                rows["time"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1000
+            )
+            prev = np.empty(n, dtype="int64")
+            prev[1:] = us[:-1]
+            prev[0] = last_us if last_us is not None else us[0]
+            mask = (us - prev) / 1e6 > threshold_sec
+            if last_us is None:
+                mask[0] = False
+            if mask.any():
+                times = rows["time"]
+                for i in np.nonzero(mask)[0].tolist():
+                    p = int(prev[i])
+                    out_rows.append(
+                        {
+                            "symbol": key[0],
+                            "gap_start": pd.Timestamp(p * 1000),
+                            "gap_end": times.iloc[i],
+                            "gap_seconds": round((int(us[i]) - p) / 1e6, 6),
+                        }
+                    )
+            last_us, last_tid = int(us[-1]), rows["trade_id"].iloc[-1]
         if last_us is not None:
             state.update((int(last_us), str(last_tid)))
         yield pd.DataFrame(
@@ -487,46 +553,59 @@ def _lee_ready_fn():
             state.get if state.exists else (None, None, None)
         )
         rows = pd.concat(list(pdfs)).sort_values(["time", "trade_id"])
-        out = []
-        for r in rows.itertuples():
-            price = float(r.price)
-            mid_prev = last_mid
-            if last_price is not None:
-                if price > last_price:
-                    tickdir = 1
-                elif price < last_price:
-                    tickdir = -1  # zero ticks carry the old direction
-            if mid_prev is not None and price > mid_prev:
-                cls = "buy"
-            elif mid_prev is not None and price < mid_prev:
-                cls = "sell"
-            elif tickdir == 1:
-                cls = "buy"
-            elif tickdir == -1:
-                cls = "sell"
-            else:
-                cls = None
-            out.append(
-                {
-                    "symbol": key[0],
-                    "time": r.time,
-                    "trade_id": r.trade_id,
-                    "cls": cls,
-                }
+        n = len(rows)
+        if n == 0:
+            state.update((last_price, last_mid, tickdir))
+            yield pd.DataFrame(
+                [], columns=["symbol", "time", "trade_id", "cls"]
             )
-            last_price = price
-            has_quotes = (
-                r.bid is not None
-                and r.ask is not None
-                and not pd.isna(r.bid)
-                and not pd.isna(r.ask)
-            )
-            last_mid = (
-                (float(r.bid) + float(r.ask)) / 2 if has_quotes else None
-            )
+            return
+        # Batch assembly (guide §4.2): the whole classifier vectorizes.
+        # The quote rule compares price to the PREVIOUS row's midquote
+        # (NaN encodes "no quote" — price>NaN is False, exactly the
+        # old `mid_prev is not None and ...` guard); the tick rule is a
+        # sign array with zeros forward-filled from the last nonzero
+        # (zero ticks carry the old direction), seeded from state.
+        # Same IEEE comparisons as the scalar form — label-identical.
+        price = rows["price"].to_numpy(dtype="float64")
+        bid = rows["bid"].to_numpy(dtype="float64")
+        ask = rows["ask"].to_numpy(dtype="float64")
+        mids = (bid + ask) / 2.0  # NaN where either quote is missing
+        mid_prev = np.empty(n, dtype="float64")
+        mid_prev[1:] = mids[:-1]
+        mid_prev[0] = last_mid if last_mid is not None else np.nan
+        prev_price = np.empty(n, dtype="float64")
+        prev_price[1:] = price[:-1]
+        prev_price[0] = last_price if last_price is not None else np.nan
+        sign = np.where(
+            price > prev_price, 1, np.where(price < prev_price, -1, 0)
+        )
+        seed = tickdir if tickdir is not None else 0
+        nz_idx = np.where(sign != 0, np.arange(n), -1)
+        last_nz = np.maximum.accumulate(nz_idx)
+        tick = np.where(last_nz >= 0, sign[np.maximum(last_nz, 0)], seed)
+        cls = np.select(
+            [
+                price > mid_prev,
+                price < mid_prev,
+                tick == 1,
+                tick == -1,
+            ],
+            ["buy", "sell", "buy", "sell"],
+            default=None,
+        )
+        last_price = float(price[-1])
+        last_mid = None if np.isnan(mids[-1]) else float(mids[-1])
+        td = int(tick[-1])
+        tickdir = td if td != 0 else (tickdir if tickdir is not None else None)
         state.update((last_price, last_mid, tickdir))
         yield pd.DataFrame(
-            out, columns=["symbol", "time", "trade_id", "cls"]
+            {
+                "symbol": key[0],
+                "time": rows["time"].to_numpy(),
+                "trade_id": rows["trade_id"].to_numpy(),
+                "cls": cls,
+            }
         )
 
     return fn
