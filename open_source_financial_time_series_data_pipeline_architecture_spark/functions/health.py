@@ -98,6 +98,7 @@ def pipeline_health(
     now_offset_s: float = 45.0,
     feature_slas: dict[str, int] | None = None,
     lag_window_s: float = 60.0,
+    ohlc_df: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (component, metric) plus per-component and overall
     ``status`` gauge rows → columns ``(component, metric, value,
@@ -189,8 +190,13 @@ def pipeline_health(
         )
     )
 
-    # ---- DQ composite (reuses the proven G11 building blocks)
-    dq = QX.dq_score(trades, FX.ohlc(trades, 60)).select(
+    # ---- DQ composite (reuses the proven G11 building blocks).
+    # ohlc_df lets the caller hand in an already-materialized 1m bar
+    # frame (the entry layer's shared cache is the identical plan) so
+    # the consistency leg reads it instead of re-aggregating trades.
+    dq = QX.dq_score(
+        trades, ohlc_df if ohlc_df is not None else FX.ohlc(trades, 60)
+    ).select(
         F.col("dq_score").alias("dq")
     )
 
@@ -248,102 +254,122 @@ def pipeline_health(
         .crossJoin(F.broadcast(pnl))
     )
 
-    def ent(
-        component: str, metric: str, value: Column, status: Column,
+    # The ~14 report entries are assembled as ONE SQL string parsed
+    # JVM-side in a single round trip (guide §1.2 driver-side cost):
+    # the previous Column-object assembly (a struct of five F.lit/
+    # F.round/.alias per entry + CASE chains) cost ~700 Py4J round
+    # trips per construction. `inline(array(named_struct(...)))` is
+    # the same generator+projection Catalyst tree; every value/status
+    # expression below is the verbatim SQL spelling of the old Column
+    # form (D-suffixed double literals, same operator grouping), so the
+    # report values are bit-identical.
+    def lit_d(x: float) -> str:
+        return f"{x!r}D"
+
+    def status_sql(v: str, warn, crit) -> str:
+        # mirrors _status_over: crit check wraps the warn check
+        s = "'healthy'"
+        if warn is not None:
+            s = f"CASE WHEN {v} > {lit_d(warn)} THEN 'degraded' ELSE {s} END"
+        if crit is not None:
+            s = f"CASE WHEN {v} > {lit_d(crit)} THEN 'critical' ELSE {s} END"
+        return s
+
+    def ent_sql(
+        component: str, metric: str, value: str, status: str,
         threshold: float | None,
-    ) -> Column:
-        return F.struct(
-            F.lit(component).alias("component"),
-            F.lit(metric).alias("metric"),
-            F.round(value, 6).alias("value"),
-            F.lit(threshold).cast("double").alias("threshold"),
-            status.alias("status"),
+    ) -> str:
+        thr = lit_d(threshold) if threshold is not None else "NULL"
+        return (
+            f"named_struct('component', '{component}', 'metric', "
+            f"'{metric}', 'value', round({value}, 6), 'threshold', "
+            f"CAST({thr} AS DOUBLE), 'status', {status})"
         )
 
+    off = lit_d(float(now_offset_s))
     entries = []
     w, c = THRESHOLDS["consumer_lag_records"]
-    lagv = F.col("n_lag").cast("double")
+    lagv = "CAST(n_lag AS DOUBLE)"
     entries.append(
-        ent("ingest", "consumer_lag_records", lagv,
-            _status_over(lagv, w, c), w)
+        ent_sql("ingest", "consumer_lag_records", lagv,
+                status_sql(lagv, w, c), w)
     )
     w, c = THRESHOLDS["error_rate"]
-    err = F.col("n_bad") / F.col("n")
+    err = "n_bad / n"
     entries.append(
-        ent("ingest", "error_rate", err, _status_over(err, w, c), c)
+        ent_sql("ingest", "error_rate", err, status_sql(err, w, c), c)
     )
     # cagg lag: "now" minus the end of the newest complete 1m bucket
     w, c = THRESHOLDS["continuous_aggregate_lag_seconds"]
-    ca_lag = F.greatest(
-        F.lit(0.0), now_c - (F.floor(F.col("max_t") / 60) * 60 + 60)
+    ca_lag = (
+        f"greatest(0.0D, (max_t + {off}) - (FLOOR(max_t / 60) * 60 + 60))"
     )
     entries.append(
-        ent("storage", "continuous_aggregate_lag_seconds", ca_lag,
-            _status_over(ca_lag, w, c), w)
+        ent_sql("storage", "continuous_aggregate_lag_seconds", ca_lag,
+                status_sql(ca_lag, w, c), w)
     )
     w, c = THRESHOLDS["out_of_order_pct"]
     entries.append(
-        ent("streaming", "out_of_order_pct", F.col("ooo_pct"),
-            _status_over(F.col("ooo_pct"), w, c), w)
+        ent_sql("streaming", "out_of_order_pct", "ooo_pct",
+                status_sql("ooo_pct", w, c), w)
     )
     crit_s = THRESHOLDS["staleness_critical_s"]
+    st = f"(max_t + {off}) - max_t"  # frozen clock − newest event
     for name, sla in sorted(feature_slas.items()):
-        st = now_c - F.col("max_t")  # frozen clock − newest event
         entries.append(
-            ent(
+            ent_sql(
                 "features",
                 f"staleness_seconds:{name}",
                 st,
-                F.when(st > F.lit(crit_s), "critical")
-                .when(st > F.lit(float(sla)), "degraded")
-                .otherwise("healthy"),
+                f"CASE WHEN {st} > {lit_d(crit_s)} THEN 'critical' "
+                f"WHEN {st} > {lit_d(float(sla))} THEN 'degraded' "
+                f"ELSE 'healthy' END",
                 float(sla),
             )
         )
-    pit = 1.0 - F.col("n_pit_leak") / F.col("n")
+    pit = "1.0D - n_pit_leak / n"
     entries.append(
-        ent("features", "pit_correctness_score", pit,
-            F.when(pit < F.lit(1.0), "critical").otherwise("healthy"),
-            1.0)
+        ent_sql("features", "pit_correctness_score", pit,
+                f"CASE WHEN {pit} < 1.0D THEN 'critical' "
+                "ELSE 'healthy' END", 1.0)
     )
     w, _ = THRESHOLDS["data_quality_score"]
     entries.append(
-        ent("features", "data_quality_score", F.col("dq"),
-            F.when(F.col("dq") < F.lit(w), "degraded").otherwise(
-                "healthy"
-            ), w)
+        ent_sql("features", "data_quality_score", "dq",
+                f"CASE WHEN dq < {lit_d(w)} THEN 'degraded' "
+                "ELSE 'healthy' END", w)
     )
-    diff = F.when(
-        F.abs(F.col("pnl_s")) > 0,
-        (F.col("pnl_c") - F.col("pnl_s")) * 100.0 / F.abs(F.col("pnl_s")),
+    diff = (
+        "CASE WHEN abs(pnl_s) > 0 THEN "
+        "((pnl_c - pnl_s) * 100.0D) / abs(pnl_s) END"
     )
     wt, ct = THRESHOLDS["pnl_diff_percent"]
     entries.append(
-        ent("model", "pnl_diff_percent", diff,
-            F.when(F.abs(diff) > F.lit(ct), "critical")
-            .when(F.abs(diff) > F.lit(wt), "degraded")
-            .otherwise("healthy"), wt)
+        ent_sql("model", "pnl_diff_percent", diff,
+                f"CASE WHEN abs({diff}) > {lit_d(ct)} THEN 'critical' "
+                f"WHEN abs({diff}) > {lit_d(wt)} THEN 'degraded' "
+                "ELSE 'healthy' END", wt)
     )
     w, c = THRESHOLDS["null_rate_percent"]
-    nullr = F.col("n_null_opt") * 100.0 / (F.col("n") * 3)
+    nullr = "(n_null_opt * 100.0D) / (n * 3)"
     entries.append(
-        ent("feature_quality", "null_rate_percent", nullr,
-            _status_over(nullr, w, c), w)
+        ent_sql("feature_quality", "null_rate_percent", nullr,
+                status_sql(nullr, w, c), w)
     )
     w, c = THRESHOLDS["ks_statistic"]
     entries.append(
-        ent("feature_quality", "ks_statistic", F.col("ks_stat"),
-            _status_over(F.col("ks_stat"), w, c), w)
+        ent_sql("feature_quality", "ks_statistic", "ks_stat",
+                status_sql("ks_stat", w, c), w)
     )
     w, c = THRESHOLDS["range_violations_percent"]
-    rv = F.col("n_range") * 100.0 / F.col("n")
+    rv = "(n_range * 100.0D) / n"
     entries.append(
-        ent("feature_quality", "range_violations_percent", rv,
-            _status_over(rv, w, c), w)
+        ent_sql("feature_quality", "range_violations_percent", rv,
+                status_sql(rv, w, c), w)
     )
 
-    metrics = one.select(F.explode(F.array(*entries)).alias("e")).select(
-        "e.*"
+    metrics = one.selectExpr(
+        "inline(array(" + ", ".join(entries) + "))"
     ).cache()  # ~14 rows, but referenced by THREE branches of the
     # final union (metrics ∪ per-component ∪ overall) — without the
     # cache the whole leg pipeline evaluates three times

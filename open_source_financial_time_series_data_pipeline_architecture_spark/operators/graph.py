@@ -102,11 +102,18 @@ def connected_components(
             ),
             "t",
         ).select(F.col("s").alias("id"), F.col("nl").alias("label"))
+        # NO checkpoint on hop: jumped references it twice, but both
+        # references live in ONE round's plan rooted at the previous
+        # round's checkpoint — constant-size per round, not the
+        # cross-round exponential the jumped checkpoint guards against
+        # — and the hop aggregate's exchange is computed once and
+        # reused (ReusedExchange) inside the probe job. Dropping it
+        # saves one RDD-conversion round trip per round (the dominant
+        # driver-side cost of this loop, r9 §20).
         hop = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
         )
         # pointer jumping: label ← label(label); labels are always
         # vertex ids (mins of vertex ids), so the lookup hits.

@@ -35,6 +35,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # PySpark 4 captures a python stack trace on EVERY DataFrame API
+    # call to enrich error messages (errors/utils._capture_call_site)
+    # — measured 11-19% of DataFrame-construction time on the
+    # build-heavy queries (guide §1.2 driver-side cost). Pure
+    # error-metadata, zero effect on results; off in production.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
