@@ -238,7 +238,9 @@ def tick_rule_classification(trades: DataFrame) -> DataFrame:
 
 
 def epps_realized_correlation(
-    trades: DataFrame, scales: tuple[int, ...] = (60, 300, 900)
+    trades: DataFrame,
+    scales: tuple[int, ...] = (60, 300, 900),
+    rets_override: dict[int, DataFrame] | None = None,
 ) -> DataFrame:
     """Epps effect diagnostic (Epps 1979): realized correlation of every
     symbol pair at several sampling scales — pairwise correlation decays
@@ -254,24 +256,38 @@ def epps_realized_correlation(
     """
     out = None
     for s in scales:
-        bucket = F.timestamp_seconds(
-            (F.floor(F.col("time").cast("double") / s) * s).cast("long")
-        )
-        bars = (
-            trades.withColumn("bucket", bucket)
-            .groupBy("symbol", "bucket")
-            .agg(
-                F.max_by(
-                    "price", F.struct(F.col("time"), F.col("trade_id"))
-                ).alias("close")
+        if rets_override is not None and s in rets_override:
+            # caller-provided per-bucket return frame (the entry layer's
+            # cached 1m returns): same bucket arithmetic — truncating
+            # unix_timestamp before the /s division never moves the
+            # floor for positive times — same max_by close, same
+            # guarded log-return expression, so rows are bit-identical
+            # to the inline build below.
+            rets = rets_override[s].select("symbol", "bucket", "ret").filter(
+                F.col("ret").isNotNull()
             )
-        )
-        w = Window.partitionBy("symbol").orderBy("bucket")
-        prev = F.lag("close").over(w)
-        rets = bars.withColumn(
-            "ret",
-            F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)),
-        ).filter(F.col("ret").isNotNull())
+        else:
+            bucket = F.timestamp_seconds(
+                (F.floor(F.col("time").cast("double") / s) * s).cast("long")
+            )
+            bars = (
+                trades.withColumn("bucket", bucket)
+                .groupBy("symbol", "bucket")
+                .agg(
+                    F.max_by(
+                        "price", F.struct(F.col("time"), F.col("trade_id"))
+                    ).alias("close")
+                )
+            )
+            w = Window.partitionBy("symbol").orderBy("bucket")
+            prev = F.lag("close").over(w)
+            rets = bars.withColumn(
+                "ret",
+                F.when(
+                    (F.col("close") > 0) & (prev > 0),
+                    F.log(F.col("close") / prev),
+                ),
+            ).filter(F.col("ret").isNotNull())
         a = rets.select(
             F.col("symbol").alias("sym_a"), "bucket", F.col("ret").alias("ret_a")
         )

@@ -32,8 +32,10 @@ def con_correct():
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity_sf0001(spark, con_smoke, name):
-    compare(QUERIES[name](spark, SF_SMOKE), con_smoke, ORACLES[name], name)
+def test_oracle_parity_sf0001(spark, con_smoke, built_smoke, name):
+    # built_smoke: one construction per query per session, shared with
+    # the plan-lint sweeps (suite wall-clock, VERDICT r9 item 3)
+    compare(built_smoke(name), con_smoke, ORACLES[name], name)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -47,8 +49,13 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
-def test_queries_have_unique_rowsets(spark):
-    # every registered query must at least run at smoke scale
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF_SMOKE)
-        assert df.columns, name
+def test_queries_have_unique_rowsets(spark, built_smoke):
+    # every registered query must at least build at smoke scale. The
+    # oracled names are each BUILT TWICE by the parity sweeps above, so
+    # re-building all ~465 here only re-spent minutes of construction
+    # time (VERDICT r9: the driver's pytest run no longer fit its time
+    # cap) — cover the rows-only queries, which nothing else builds.
+    for name in QUERIES:
+        if name in ORACLES:
+            continue
+        assert built_smoke(name).columns, name
